@@ -1,38 +1,937 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 (+ the LLM-pipeline extension
+surface) is a named query here; SQL-expressible ones carry a DuckDB
+oracle twin with IDENTICAL output column names/types. Implementation
+lives in the ``kenya_agricultural_regions_weather_etl_pipeline_spark``
+package; this module only wires queries to it.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  # noqa: E402
+    text as T,
+    vectors as V,
+    weather as W,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  # noqa: E402
+    dedup as D,
+    merge as M,
+    multimodal as MM,
+    similarity as S,
+    topk as K,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (  # noqa: E402
+    load_table,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (  # noqa: E402
+    apply_runtime_confs,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _fm(x, m: float):
+    """Floored modulo as a Column expr — identical semantics in DuckDB SQL."""
+    return x - F.floor(x / F.lit(m)) * F.lit(m)
+
+
+def _fm_sql(x: str, m: float) -> str:
+    return f"({x} - floor({x}/{m})*{m})"
+
+
+_MEMSINK_N = [0]
+
+
+def _next_sink() -> str:
+    _MEMSINK_N[0] += 1
+    return f"kw_sink_{os.getpid()}_{_MEMSINK_N[0]}"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style single-pass grouped aggregation over lineitem
+    (the reference's quality-check aggregation surface A1-A4 writ large,
+    /root/reference/daily_weather_etl_kenya.py:483-524)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                       AS avg_price,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    apply_runtime_confs(spark)
+    return q1_pricing_summary(spark, SF_SMOKE)
 
+
+# ---------------------------------------------------------------------------
+# reference-parity operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def f1_range_filter(spark, sf_dir):
+    """F1/F2: conjunctive inclusive range filters
+    (/root/reference/daily_weather_etl_kenya.py:309-312)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 5)
+        & (F.col("l_quantity") <= 45)
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def f3_date_filter(spark, sf_dir):
+    """F3: equality/range predicate on the natural partition column
+    (/root/reference/daily_weather_etl_kenya.py:486) — prunes partitions
+    when the table is date-partitioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # ISO string, not DateType: date objects round-trip differently
+            # through pandas in Spark vs DuckDB (hash-stability)
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+def p1_agronomic_derivations(spark, sf_dir):
+    """P1/P2/P3/P4: heat index, dew point, favorability flags as native
+    column exprs (vs the reference's row-wise pandas apply,
+    /root/reference/daily_weather_etl_kenya.py:315-318)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    h = F.col("event_id") % 101
+    return ev.select(
+        "event_id",
+        t.alias("temperature"),
+        h.alias("humidity"),
+        W.heat_index(t, h).alias("heat_index"),
+        W.dew_point(t, h).alias("dew_point"),
+        W.is_favorable_temp(t).alias("is_favorable_temp"),
+        W.is_high_humidity(h).alias("is_high_humidity"),
+    )
+
+
+def _p1_oracle() -> str:
+    t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
+    h = "(event_id % 101)"
+    return f"""
+SELECT event_id,
+       {t} AS temperature,
+       {h} AS humidity,
+       {W.heat_index_sql(t, h)} AS heat_index,
+       {W.dew_point_sql(t, h)} AS dew_point,
+       ({t} >= 18 AND {t} <= 28) AS is_favorable_temp,
+       ({h} > 70) AS is_high_humidity
+FROM events
+"""
+
+
+def p5_quantity_binning(spark, sf_dir):
+    """P5: 5-way CASE binning (categorize_rainfall semantics,
+    /root/reference/daily_weather_etl_kenya.py:379-390) over l_quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(W.rainfall_category(F.col("l_quantity")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def p6_date_parts(spark, sf_dir):
+    """P6: date/hour/month/year extraction
+    (/root/reference/daily_weather_etl_kenya.py:322-325)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = W.date_parts(F.col("l_shipdate"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(parts["date"], "yyyy-MM-dd").alias("ship_date"),
+        parts["hour"].alias("ship_hour"),
+        parts["month"].alias("ship_month"),
+        parts["year"].alias("ship_year"),
+    )
+
+
+def p7_epoch_conversion(spark, sf_dir):
+    """P7: epoch→timestamp conversion
+    (/root/reference/daily_weather_etl_kenya.py:176-178). events.ts is
+    raw int64 nanos in parquet; we surface µs + second-truncated NTZ."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_sec"),
+    )
+
+
+def p8_rounding(spark, sf_dir):
+    """P8: round-half-up to fixed decimals
+    (/root/reference/daily_weather_etl_kenya.py:363,377)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(x, 2).alias("disc_price_2"),
+        F.round(x * (1 + F.col("l_tax")), 4).alias("charged_4"),
+    )
+
+
+def r1_dedup_keep_first(spark, sf_dir):
+    """R1: keyed dedup with deterministic keep-first
+    (drop_duplicates keep='first', /root/reference/daily_weather_etl_kenya.py:304)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = D.dedup_keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+def r2_upsert_last_write_wins(spark, sf_dir):
+    """R2/S5: keyed last-write-wins merge — the ON CONFLICT DO UPDATE
+    upsert (/root/reference/daily_weather_etl_kenya.py:425-451) on
+    Parquet: union + max-version window, batch wins ties."""
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 2 == 1)
+    merged = M.merge_last_write_wins(
+        existing, batch, ["user_id", "event_type"], "ts"
+    )
+    return merged.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+def a1_count_distinct(spark, sf_dir):
+    """A1: COUNT(DISTINCT ...) completeness probe
+    (/root/reference/daily_weather_etl_kenya.py:483-487)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).agg(
+        F.countDistinct("l_suppkey").alias("unique_suppliers"),
+        F.countDistinct("l_partkey").alias("unique_parts"),
+    )
+
+
+def a2_null_counts(spark, sf_dir):
+    """A2: single-pass conditional null-count aggregation
+    (/root/reference/daily_weather_etl_kenya.py:501-507)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    p = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("event_type"))
+    return ev.select(v.alias("v"), p.alias("p")).agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("null_value"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("null_type"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+def a3_min_max(spark, sf_dir):
+    """A3: MIN/MAX plausibility probe
+    (/root/reference/daily_weather_etl_kenya.py:518-522)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+def a4_group_counts(spark, sf_dir):
+    """A4: record counts (per group) — the reference's step-count logging
+    (/root/reference/daily_weather_etl_kenya.py:300-306) as an agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def s2_json_access(spark, sf_dir):
+    """S2: nested JSON field access
+    (/root/reference/daily_weather_etl_kenya.py:157-188) over events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational extension surface (joins / top-k / set ops / windows)
+# ---------------------------------------------------------------------------
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """Join + agg + global top-k (TakeOrderedAndProject, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark, sf_dir):
+    """Multi-way join through the star schema with broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def b1_broadcast_join(spark, sf_dir):
+    """Explicit broadcast hash join against a small dim (S3 pattern —
+    the 15-row region dict, /root/reference/daily_weather_etl_kenya.py:27-43)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def w1_topk_per_group(spark, sf_dir):
+    """Grouped top-k via row_number window (WindowGroupLimit pushdown)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = K.topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def set1_anti_join(spark, sf_dir):
+    """Anti join: customers with no orders (set-difference semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def u1_union_agg(spark, sf_dir):
+    """UNION ALL of two filtered branches + re-aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 50000)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        hi.unionByName(urgent)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension surface
+# ---------------------------------------------------------------------------
+
+def x1_dedup_exact(spark, sf_dir):
+    """Exact dedup via content fingerprint: groups + keeper per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def x2_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates (no SQL oracle:
+    xxhash64 signatures are engine-specific → rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def x3_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs via shingle inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.4)
+
+
+def x4_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with pigeonhole blocking (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=12)
+
+
+def x5_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k: broadcast query set ⋈ corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_bruteforce(emb, q, k=10)
+
+
+def x5b_cosine_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate cosine top-k (the 100 TB scale path;
+    approximate by design → rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_lsh(emb, q, k=10, n_bits=4)
+
+
+def x6_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword-marker argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def x7_quality_score(spark, sf_dir):
+    """Composite text quality score (length/punct/stopword ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("q_score"))
+
+
+def x8_token_stats(spark, sf_dir):
+    """Token counting rollup per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.token_count(F.col("text")).alias("n_tok"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def x9_fingerprint(spark, sf_dir):
+    """Deterministic md5 document fingerprint (dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def x9b_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint — JVM fold, engine-specific
+    (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_hash(F.col("text")).alias("rhash"))
+
+
+# ---------------------------------------------------------------------------
+# streaming + multimodal + end-to-end
+# ---------------------------------------------------------------------------
+
+def st1_windowed_counts(spark, sf_dir):
+    """Structured Streaming availableNow micro-batch: tumbling 1h window
+    agg over event time (SURVEY.md §2.7); result equals the batch GROUP BY."""
+    apply_runtime_confs(spark)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # nanos (nanosAsLong)
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = _next_sink()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def st2_stream_dedup(spark, sf_dir):
+    """Streaming keyed dedup of replays via dropDuplicatesWithinWatermark
+    (the streaming twin of the upsert invariant; rows-only check)."""
+    apply_runtime_confs(spark)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    name = _next_sink()
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def mm1_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata → Arrow-batched
+    mapInPandas feature extraction (decode STUBBED, deterministic;
+    rows-only check)."""
+    media = MM.synthetic_media(spark, 64)
+    return MM.extract_features(media)
+
+
+def e2e_weather_sim(spark, sf_dir):
+    """End-to-end weather-transform parity run (SURVEY.md §3.2) on
+    pseudo-weather derived deterministically from events: validate (F1/F2)
+    → derive (P1-P5) → date parts (P6) → per-region-month rollup (A-layer)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    h = F.col("event_id") % 101
+    rain = F.round(_fm(F.col("value") * 13.7, 60.0), 1)
+    pseudo = ev.select(
+        F.concat(F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")).alias(
+            "region"
+        ),
+        t.alias("temperature"),
+        h.alias("humidity"),
+        rain.alias("rainfall_1h"),
+        F.col("ts").alias("data_timestamp"),
+    )
+    validated = pseudo.filter(
+        (F.col("temperature") >= -5)
+        & (F.col("temperature") <= 50)
+        & (F.col("humidity") >= 0)
+        & (F.col("humidity") <= 100)
+    )
+    tt, hh = F.col("temperature"), F.col("humidity")
+    derived = validated.select(
+        "region",
+        W.heat_index(tt, hh).alias("heat_index"),
+        W.is_favorable_temp(tt).alias("is_favorable_temp"),
+        W.rainfall_category(F.col("rainfall_1h")).alias("rainfall_category"),
+        F.year("data_timestamp").alias("year"),
+        F.month("data_timestamp").alias("month"),
+    )
+    return derived.groupBy("region", "year", "month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("heat_index"), 4).alias("avg_heat_index"),
+        F.sum(F.when(F.col("is_favorable_temp"), 1).otherwise(0)).alias("n_favorable"),
+        F.sum(F.when(F.col("rainfall_category") == "No Rain", 1).otherwise(0)).alias(
+            "n_no_rain"
+        ),
+    )
+
+
+def _e2e_oracle() -> str:
+    t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
+    h = "(event_id % 101)"
+    rain = f"round({_fm_sql('(value * 13.7)', 60.0)}, 1)"
+    return f"""
+WITH pseudo AS (
+  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
+         {t} AS temperature,
+         {h} AS humidity,
+         {rain} AS rainfall_1h,
+         ts AS data_timestamp
+  FROM events
+), validated AS (
+  SELECT * FROM pseudo
+  WHERE temperature >= -5 AND temperature <= 50
+    AND humidity >= 0 AND humidity <= 100
+), derived AS (
+  SELECT region,
+         {W.heat_index_sql('temperature', 'humidity')} AS heat_index,
+         (temperature >= 18 AND temperature <= 28) AS is_favorable_temp,
+         {W.rainfall_category_sql('rainfall_1h')} AS rainfall_category,
+         year(data_timestamp) AS year,
+         month(data_timestamp) AS month
+  FROM validated
+)
+SELECT region, year, month,
+       count(*) AS n,
+       round(avg(heat_index), 4) AS avg_heat_index,
+       CAST(sum(CASE WHEN is_favorable_temp THEN 1 ELSE 0 END) AS BIGINT) AS n_favorable,
+       CAST(sum(CASE WHEN rainfall_category = 'No Rain' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_rain
+FROM derived
+GROUP BY region, year, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + extensions."""
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "f1_range_filter": f1_range_filter,
+        "f3_date_filter": f3_date_filter,
+        "p1_agronomic_derivations": p1_agronomic_derivations,
+        "p5_quantity_binning": p5_quantity_binning,
+        "p6_date_parts": p6_date_parts,
+        "p7_epoch_conversion": p7_epoch_conversion,
+        "p8_rounding": p8_rounding,
+        "r1_dedup_keep_first": r1_dedup_keep_first,
+        "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
+        "a1_count_distinct": a1_count_distinct,
+        "a2_null_counts": a2_null_counts,
+        "a3_min_max": a3_min_max,
+        "a4_group_counts": a4_group_counts,
+        "s2_json_access": s2_json_access,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_regional_revenue": q5_regional_revenue,
+        "b1_broadcast_join": b1_broadcast_join,
+        "w1_topk_per_group": w1_topk_per_group,
+        "set1_anti_join": set1_anti_join,
+        "u1_union_agg": u1_union_agg,
+        "x1_dedup_exact": x1_dedup_exact,
+        "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
+        "x3_ngram_jaccard_pairs": x3_ngram_jaccard_pairs,
+        "x4_simhash_pairs": x4_simhash_pairs,
+        "x5_cosine_topk": x5_cosine_topk,
+        "x5b_cosine_topk_lsh": x5b_cosine_topk_lsh,
+        "x6_lang_id": x6_lang_id,
+        "x7_quality_score": x7_quality_score,
+        "x8_token_stats": x8_token_stats,
+        "x9_fingerprint": x9_fingerprint,
+        "x9b_rolling_hash": x9b_rolling_hash,
+        "st1_windowed_counts": st1_windowed_counts,
+        "st2_stream_dedup": st2_stream_dedup,
+        "mm1_multimodal_features": mm1_multimodal_features,
+        "e2e_weather_sim": e2e_weather_sim,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins (identical output column names/types). Queries absent
+    here (x2, x4, x5b, x9b, st2, mm1) are engine-specific or approximate →
+    driver records the weaker rows-only check."""
+    jacc_toks = (
+        "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
+    )
+    return {
+        "q1_pricing_summary": Q1_ORACLE,
+        "f1_range_filter": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity >= 5 AND l_quantity <= 45
+  AND l_discount >= 0.02 AND l_discount <= 0.08
+""",
+        "f3_date_filter": """
+SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+""",
+        "p1_agronomic_derivations": _p1_oracle(),
+        "p5_quantity_binning": f"""
+SELECT {W.rainfall_category_sql('l_quantity')} AS bin, count(*) AS n
+FROM lineitem GROUP BY 1
+""",
+        "p6_date_parts": """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       CAST(hour(l_shipdate) AS INT) AS ship_hour,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(year(l_shipdate) AS INT) AS ship_year
+FROM lineitem
+""",
+        "p7_epoch_conversion": """
+SELECT event_id, epoch_us(ts) AS ts_us, date_trunc('second', ts) AS ts_sec
+FROM events
+""",
+        "p8_rounding": """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS disc_price_2,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged_4
+FROM lineitem
+""",
+        "r1_dedup_keep_first": """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+""",
+        "r2_upsert_last_write_wins": """
+WITH unioned AS (
+  SELECT *, 0 AS src FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT *, 1 AS src FROM events WHERE event_id % 2 = 1
+)
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, src DESC) AS rn
+  FROM unioned) WHERE rn = 1
+""",
+        "a1_count_distinct": """
+SELECT count(DISTINCT l_suppkey) AS unique_suppliers,
+       count(DISTINCT l_partkey) AS unique_parts
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+""",
+        "a2_null_counts": """
+WITH d AS (
+  SELECT CASE WHEN value < 10 THEN NULL ELSE value END AS v,
+         CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS p
+  FROM events)
+SELECT CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+       CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_type,
+       count(*) AS total
+FROM d
+""",
+        "a3_min_max": """
+SELECT min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+FROM lineitem
+""",
+        "a4_group_counts": """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY o_orderstatus
+""",
+        "s2_json_access": """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
+FROM events GROUP BY 1
+""",
+        "q3_top_revenue_orders": """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+        "q5_regional_revenue": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "b1_broadcast_join": """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "w1_topk_per_group": """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+""",
+        "set1_anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "u1_union_agg": """
+WITH u AS (
+  SELECT * FROM orders WHERE o_totalprice > 50000
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+FROM u GROUP BY o_orderstatus
+""",
+        "x1_dedup_exact": f"""
+SELECT {T.fingerprint_md5_sql('text')} AS fp, count(*) AS n_dups,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+""",
+        "x3_ngram_jaccard_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, {jacc_toks} AS l FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+    END)) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.4
+""",
+        "x5_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+""",
+        "x6_lang_id": f"""
+SELECT doc_id, {T.lang_id_sql('text')} AS pred_lang FROM documents
+""",
+        "x7_quality_score": f"""
+SELECT doc_id, {T.quality_score_sql('text')} AS q_score FROM documents
+""",
+        "x8_token_stats": f"""
+SELECT source, count(*) AS n_docs,
+       round(avg({T.token_count_sql('text')}), 4) AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""",
+        "x9_fingerprint": f"""
+SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
+""",
+        "st1_windowed_counts": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "e2e_weather_sim": _e2e_oracle(),
+    }

@@ -1,0 +1,188 @@
+"""Text-analysis expression library (LLM-data-pipeline extension surface).
+
+All hot-path functions are native Column expressions (split / regexp /
+hash built-ins) so they whole-stage-codegen; nothing here drops to
+Python. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars) but generic over any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the DuckDB oracle can
+# reproduce the exact same scoring in SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "with", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: array<string> (empty strings removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_sql(text: str) -> str:
+    # len(list_filter(...)) mirrors the empty-token removal.
+    return f"len(list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> ''))"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct chunks.
+
+    A deterministic regex approximation of byte-pair tokenizer output
+    size (letters runs, digit runs, single punct), useful for token
+    budgeting without shipping a tokenizer to executors.
+    """
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are language-marker stopwords."""
+    toks = tokens(F.lower(text))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-hit count for one language (the language-ID signal)."""
+    toks = tokens(F.lower(text))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-hit counts, 'und' if no hits.
+
+    Ties break by the fixed language order en > es > fr > de
+    (deterministic, oracle-reproducible).
+    """
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # priority-order fold: a later language replaces only on STRICT
+    # improvement, so earlier languages win ties (en > es > fr > de)
+    for lang in LANG_MARKERS:
+        score = lang_score(text, lang)
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(text: str) -> str:
+    """DuckDB twin of :func:`lang_id` (same markers, same tie-break)."""
+    def score(lang: str) -> str:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(list_filter(regexp_split_to_array(lower({text}), '\\s+'),"
+            f" t -> t <> ''), t -> t IN ({markers})))"
+        )
+
+    s = {lang: score(lang) for lang in LANG_MARKERS}
+    return (
+        f"CASE WHEN greatest({s['en']},{s['es']},{s['fr']},{s['de']}) = 0 THEN 'und' "
+        f"WHEN {s['en']} >= greatest({s['es']},{s['fr']},{s['de']}) THEN 'en' "
+        f"WHEN {s['es']} >= greatest({s['fr']},{s['de']}) THEN 'es' "
+        f"WHEN {s['fr']} >= {s['de']} THEN 'fr' "
+        f"ELSE 'de' END"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality score in [0,1].
+
+    0.4·length-score (chars/1000 capped at 1) + 0.3·(1 − punct ratio)
+    + 0.3·stopword-coverage (en-marker ratio capped at 3× of 0.1).
+    Pure arithmetic → identical in SQL.
+    """
+    n = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    punct_ratio = punct / F.greatest(n, F.lit(1.0))
+    length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text, "en") * 10.0, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * (1.0 - punct_ratio) + F.lit(0.3) * stop_score,
+        6,
+    )
+
+
+def quality_score_sql(text: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    toks = f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t <> '')"
+    stop_ratio = (
+        f"(len(list_filter({toks}, t -> t IN ({markers})))::DOUBLE "
+        f"/ greatest(len({toks}), 1))"
+    )
+    n = f"length({text})::DOUBLE"
+    punct = f"length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    return (
+        f"round(0.4 * least({n}/1000.0, 1.0) "
+        f"+ 0.3 * (1.0 - {punct}/greatest({n},1.0)) "
+        f"+ 0.3 * least({stop_ratio} * 10.0, 1.0), 6)"
+    )
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Exact-dup detection key; md5 is identical across Spark and DuckDB so
+    the oracle can reproduce it bit-for-bit.
+    """
+    return F.md5(normalized(text))
+
+
+def fingerprint_md5_sql(text: str) -> str:
+    return f"md5(trim(regexp_replace(lower({text}), '\\s+', ' ', 'g')))"
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (n-grams) of the normalized text: array<string>.
+
+    The unit set for MinHash / Jaccard near-dup. Uses transform over a
+    token array — stays JVM-side.
+    """
+    toks = tokens(normalized(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the normalized text's characters.
+
+    h = Σ code(c_i)·base^(n-1-i) mod p, computed with F.aggregate —
+    JVM-side fold, no UDF. (No SQL oracle twin: driver rows-only check.)
+    """
+    chars = F.split(normalized(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

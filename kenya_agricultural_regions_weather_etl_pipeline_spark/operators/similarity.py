@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (extension surface).
+
+Two paths, per the scale contract:
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query set against the corpus, compute cosine JVM-side, rank with a
+  window. Baseline + oracle-checkable.
+- :func:`cosine_topk_lsh` — sign-LSH (random hyperplane) bucketed
+  approximate search: probes only matching buckets, so corpus-side work
+  drops by ~2^n_bits. The 100 TB path (IVF-style coarse quantization
+  would follow the same join shape with k-means centroids).
+
+All vector math is double-precision JVM expressions
+(functions/vectors.py) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double_array
+
+
+def _hyperplane(dim: int, bit: int, n_bits: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component signs.
+
+    Derived from a fixed integer mix (no RNG → reproducible across
+    runs/engines). Values in {-1.0, +1.0}.
+    """
+    out = []
+    for d in range(dim):
+        h = (d * 2654435761 + bit * 40503 + 12345) & 0xFFFFFFFF
+        h ^= h >> 16
+        out.append(1.0 if (h & 1) == 0 else -1.0)
+    return out
+
+
+def sign_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane sign sketch → integer bucket id in [0, 2^n_bits)."""
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b, n_bits)
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast(query) ⋈ corpus + window rank.
+
+    Output: (query_id, vec_id, cos_sim, rank) — cos_sim rounded to 6dp
+    for cross-engine hash stability; ranking uses full precision.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: join only within matching sign-LSH buckets.
+
+    Recall < 1.0 by design; at scale, multi-probe (flip one bit) can be
+    added by exploding the query bucket into its 1-bit neighborhood.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
+    ).withColumn("bucket", sign_bucket(F.col("cvec"), n_bits, dim))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("bucket", sign_bucket(F.col("qvec"), n_bits, dim))
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

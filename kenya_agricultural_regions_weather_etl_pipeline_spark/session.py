@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference pipeline has no engine of its own (pandas eager + remote
+Postgres planner, SURVEY.md §4); here every knob we set is the Spark
+equivalent of something the reference hand-rolled:
+
+- AQE replaces any hand-tuning of shuffle sizes (and handles skewed keys
+  at 100 TB: ``skewJoin.enabled``).
+- ``shuffle.partitions`` sized for the local[32] test harness; on a real
+  cluster AQE coalesces / splits at runtime so the static number matters
+  less.
+- Arrow enabled so any pandas_udf path is vectorized.
+- ``nanosAsLong`` lets Spark read parquet TIMESTAMP(NANOS) columns
+  (the driver-generated ``events`` table) as int64 nanoseconds; we
+  convert explicitly (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session handed to us (including the
+# driver's): safe, idempotent, and required for correct reads of the testdata.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores ts as TIMESTAMP(NANOS): unreadable by the
+    # vectorized parquet reader unless surfaced as long (we convert).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # pin the session clock so any LTZ<->NTZ hop is wall-clock-stable
+    # regardless of host timezone (oracle runs on naive timestamps)
+    "spark.sql.session.timeZone": "UTC",
+    # Catalyst runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Scan-level pruning (defaults, pinned for clarity).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply idempotent runtime confs to an externally-provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; never fail a query over tuning.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "kenya-weather-spark", cpus: str | None = None) -> SparkSession:
+    """Build the local test session (local[$SPARK_GRAFT_CPUS], default all cores).
+
+    On a real cluster only the sql.* confs below apply; master/memory come
+    from the cluster manager.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
