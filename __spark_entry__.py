@@ -33,6 +33,9 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  #
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (  # noqa: E402
     load_table,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming import (  # noqa: E402
+    micro_batch as ST,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (  # noqa: E402
     apply_runtime_confs,
 )
@@ -51,14 +54,6 @@ def _fm(x, m: float):
 
 def _fm_sql(x: str, m: float) -> str:
     return f"({x} - floor({x}/{m})*{m})"
-
-
-_MEMSINK_N = [0]
-
-
-def _next_sink() -> str:
-    _MEMSINK_N[0] += 1
-    return f"kw_sink_{os.getpid()}_{_MEMSINK_N[0]}"
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +142,7 @@ def p1_agronomic_derivations(spark, sf_dir):
     column exprs (vs the reference's row-wise pandas apply,
     /root/reference/daily_weather_etl_kenya.py:315-318)."""
     ev = load_table(spark, sf_dir, "events")
-    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    t = W.round_half_up(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
     h = F.col("event_id") % 101
     return ev.select(
         "event_id",
@@ -161,7 +156,7 @@ def p1_agronomic_derivations(spark, sf_dir):
 
 
 def _p1_oracle() -> str:
-    t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
+    t = W.round_half_up_sql(f"-10 + {_fm_sql('value', 70.0)}", 2)
     h = "(event_id % 101)"
     return f"""
 SELECT event_id,
@@ -221,8 +216,8 @@ def p8_rounding(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(x, 2).alias("disc_price_2"),
-        F.round(x * (1 + F.col("l_tax")), 4).alias("charged_4"),
+        W.round_half_up(x, 2).alias("disc_price_2"),
+        W.round_half_up(x * (1 + F.col("l_tax")), 4).alias("charged_4"),
     )
 
 
@@ -503,97 +498,14 @@ def st1_windowed_counts(spark, sf_dir):
     """Structured Streaming availableNow micro-batch: tumbling 1h window
     agg over event time (SURVEY.md §2.7); result equals the batch GROUP BY."""
     apply_runtime_confs(spark)
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # nanos (nanosAsLong)
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-    name = _next_sink()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return ST.run_windowed_counts(spark, sf_dir, window="1 hour")
 
 
 def st2_stream_dedup(spark, sf_dir):
     """Streaming keyed dedup of replays via dropDuplicatesWithinWatermark
     (the streaming twin of the upsert invariant; rows-only check)."""
     apply_runtime_confs(spark)
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    deduped = (
-        stream.withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
-    )
-    name = _next_sink()
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return ST.run_stream_dedup(spark, sf_dir, ["user_id", "event_type"])
 
 
 def mm1_multimodal_features(spark, sf_dir):
@@ -766,10 +678,10 @@ FROM lineitem
 SELECT event_id, epoch_us(ts) AS ts_us, date_trunc('second', ts) AS ts_sec
 FROM events
 """,
-        "p8_rounding": """
+        "p8_rounding": f"""
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 2) AS disc_price_2,
-       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged_4
+       {W.round_half_up_sql('l_extendedprice * (1 - l_discount)', 2)} AS disc_price_2,
+       {W.round_half_up_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS charged_4
 FROM lineitem
 """,
         "r1_dedup_keep_first": """
@@ -928,9 +840,9 @@ FROM documents GROUP BY source
         "x9_fingerprint": f"""
 SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
 """,
-        "st1_windowed_counts": """
+        "st1_windowed_counts": f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events, {W.round_half_up_sql('sum(value)', 4)} AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "e2e_weather_sim": _e2e_oracle(),

@@ -17,6 +17,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_half_up(x: Column, n: int) -> Column:
+    """Deterministic round-half-up: floor(x·10ⁿ + 0.5)/10ⁿ (+0.0 kills −0.0).
+
+    ``F.round`` on doubles and DuckDB ``round()`` disagree on half-way
+    ties (HALF_UP vs HALF_EVEN dialects) and on negative zero — SURVEY.md
+    §5d. Writing the SAME explicit IEEE formula on both sides makes the
+    result bit-identical in any engine.
+    """
+    s = float(10**n)
+    return F.floor(x * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
+
+
+def round_half_up_sql(x: str, n: int) -> str:
+    """Verbatim SQL twin of :func:`round_half_up` for DuckDB oracles."""
+    s = float(10**n)
+    return f"(floor(({x}) * {s} + 0.5) / {s} + 0.0)"
+
+
 def heat_index(temp: Column, humidity: Column) -> Column:
     """Simplified heat index (Rothfusz-style regression).
 
@@ -37,7 +55,7 @@ def heat_index(temp: Column, humidity: Column) -> Column:
         + F.lit(0.00072546) * t * h * h
         + F.lit(-0.000003582) * t * t * h * h
     )
-    return F.when(t < 27, t).otherwise(F.round(poly, 2))
+    return F.when(t < 27, t).otherwise(round_half_up(poly, 2))
 
 
 def heat_index_sql(temp: str, humidity: str) -> str:
@@ -49,7 +67,7 @@ def heat_index_sql(temp: str, humidity: str) -> str:
         f"+ -0.0164248277778*{h}*{h} + 0.002211732*{t}*{t}*{h} "
         f"+ 0.00072546*{t}*{h}*{h} + -0.000003582*{t}*{t}*{h}*{h}"
     )
-    return f"CASE WHEN {t} < 27 THEN {t} ELSE round({poly}, 2) END"
+    return f"CASE WHEN {t} < 27 THEN {t} ELSE {round_half_up_sql(poly, 2)} END"
 
 
 def dew_point(temp: Column, humidity: Column) -> Column:
@@ -62,12 +80,12 @@ def dew_point(temp: Column, humidity: Column) -> Column:
     """
     a, b = 17.27, 237.7
     alpha = (F.lit(a) * temp) / (F.lit(b) + temp) + humidity / F.lit(100.0)
-    return F.round((F.lit(b) * alpha) / (F.lit(a) - alpha), 2)
+    return round_half_up((F.lit(b) * alpha) / (F.lit(a) - alpha), 2)
 
 
 def dew_point_sql(temp: str, humidity: str) -> str:
     alpha = f"((17.27*{temp})/(237.7+{temp}) + {humidity}/100.0)"
-    return f"round((237.7*{alpha})/(17.27-{alpha}), 2)"
+    return round_half_up_sql(f"(237.7*{alpha})/(17.27-{alpha})", 2)
 
 
 def is_favorable_temp(temp: Column) -> Column:
@@ -121,6 +139,7 @@ def heat_index_pandas_udf():
     native expression above is the production path (JVM codegen beats
     even Arrow-batched Python by avoiding the serialization hop).
     """
+    import numpy as np
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
@@ -136,7 +155,8 @@ def heat_index_pandas_udf():
             + 0.002211732 * temp**2 * humidity
             + 0.00072546 * temp * humidity**2
             + -0.000003582 * temp**2 * humidity**2
-        ).round(2)
+        )
+        poly = np.floor(poly * 100.0 + 0.5) / 100.0 + 0.0  # round_half_up twin
         return poly.where(temp >= 27, temp)
 
     return _heat_index

@@ -13,15 +13,71 @@ Structured Streaming expresses the same semantics natively:
 
 Scale notes: state is keyed by (window/event key) and pruned by the
 watermark — memory-bounded regardless of stream length; shuffle is the
-usual keyed exchange per micro-batch.
+usual keyed exchange per micro-batch. On a real cluster the same code
+reads a directory of thousands of files with ``maxFilesPerTrigger``
+pacing the backlog.
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.weather import round_half_up
+
+# Raw on-disk schema of the driver-generated events table: ``ts`` is
+# parquet TIMESTAMP(NANOS) surfaced as int64 via nanosAsLong
+# (see sources/tables.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_SINK_N = [0]
+
+
+def _unique_sink(prefix: str) -> str:
+    _SINK_N[0] += 1
+    return f"{prefix}_{os.getpid()}_{_SINK_N[0]}"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table with event-time ``ts``.
+
+    FileStreamSource requires a DIRECTORY, not a file — we point it at
+    the scale-factor dir and glob-filter to the single events parquet
+    (on a cluster this is a directory of many files and the glob is a
+    no-op). ``ts`` int64-nanos → TIMESTAMP_NTZ by pure epoch arithmetic,
+    identical to the batch loader (sources/tables.py).
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (LTZ), not NTZ; with the session pinned
+    # to UTC (session.py) timestamp_micros is wall-clock-identical to the
+    # batch loader's NTZ arithmetic.
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
 
 
 def windowed_event_counts(
@@ -39,45 +95,15 @@ def windowed_event_counts(
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("event_type"),
             F.col("n_events"),
             F.col("sum_value"),
         )
     )
-
-
-def run_available_now(
-    spark: SparkSession,
-    events_parquet_dir: str,
-    schema,
-    window: str = "1 hour",
-    sink_table: str = "stream_counts",
-) -> DataFrame:
-    """Execute the micro-batch stream to completion and return the result.
-
-    readStream(parquet) → windowed agg → memory sink (complete mode) —
-    ``availableNow`` processes the full backlog then stops, exactly the
-    reference's externally-triggered daily run.
-    """
-    stream = (
-        spark.readStream.schema(schema).parquet(events_parquet_dir)
-    )
-    agg = windowed_event_counts(stream, window=window)
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink_table)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink_table)
 
 
 def dedup_within_watermark(
@@ -88,23 +114,40 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_dedup_available_now(
-    spark: SparkSession,
-    events_parquet_dir: str,
-    schema,
-    keys: list[str],
-    sink_table: str = "stream_dedup",
-) -> DataFrame:
-    stream = spark.readStream.schema(schema).parquet(events_parquet_dir)
-    deduped = dedup_within_watermark(stream, keys)
+def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFrame]:
+    """availableNow → memory sink, unique query name, await, return table."""
+    name = _unique_sink(prefix)
+    spark = df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
-            deduped.writeStream.format("memory")
-            .queryName(sink_table)
-            .outputMode("append")
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink_table)
+    return name, spark.table(name)
+
+
+def run_windowed_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Execute the micro-batch windowed agg to completion (st1)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, window=window)
+    _, out = _run_to_memory(agg, "complete", "st1")
+    return out
+
+
+def run_stream_dedup(
+    spark: SparkSession, sf_dir: str, keys: list[str]
+) -> DataFrame:
+    """Execute the streaming keyed dedup to completion (st2)."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(stream, keys).select(
+        "user_id", "event_type", "event_id"
+    )
+    _, out = _run_to_memory(deduped, "append", "st2")
+    return out
