@@ -351,13 +351,18 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 def b1_broadcast_join(spark, sf_dir):
-    """Explicit broadcast hash join against a small dim (S3 pattern —
-    the 15-row region dict, /root/reference/daily_weather_etl_kenya.py:27-43)."""
+    """Explicit broadcast hash join against a genuinely BOUNDED dim (S3
+    pattern — the 15-row region dict,
+    /root/reference/daily_weather_etl_kenya.py:27-43). nation is fixed at
+    25 rows at every SF; the supplier join carries no hint so AQE picks
+    the strategy as supplier grows with SF."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
@@ -425,9 +430,11 @@ def x2_minhash_lsh_pairs(spark, sf_dir):
 
 
 def x3_ngram_jaccard_pairs(spark, sf_dir):
-    """EXACT word-3-gram Jaccard near-dup pairs via shingle inverted index."""
+    """EXACT word-3-gram Jaccard near-dup pairs via shingle inverted index,
+    hot-shingle capped (df > 50 dropped before the self-join) so a
+    stop-shingle can't make the join quadratic at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.4)
+    return D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.4, max_shingle_df=50)
 
 
 def x4_simhash_pairs(spark, sf_dir):
@@ -757,9 +764,11 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """,
         "b1_broadcast_join": """
-SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
+SELECT n_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
 """,
         "w1_topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
@@ -789,12 +798,16 @@ FROM documents GROUP BY 1
         "x3_ngram_jaccard_pairs": f"""
 WITH toks AS (
   SELECT doc_id, {jacc_toks} AS l FROM documents
-), sh AS (
+), sh0 AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
          ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
     END)) AS sh
   FROM toks
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (

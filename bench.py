@@ -1,0 +1,73 @@
+"""Benchmark harness: times every `__spark_entry__.queries()` entry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line on stdout:
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` write format so every
+output column is actually computed (a bare .count() would let Catalyst
+prune the projections we want to measure). Streaming queries
+materialize inside their callable; the noop write over the memory-sink
+result is then trivial, so their cost is captured too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("kw-bench", cpus=cpus)
+
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            failures[name] = traceback.format_exc(limit=2).splitlines()[-1]
+            print(f"[bench] FAILED {name}: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -64,14 +64,25 @@ def dedup_keep_latest(df: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
 def _minhash_signature(sh: Column, num_hashes: int) -> Column:
     """num_hashes-wide MinHash signature of a shingle array.
 
-    hᵢ(S) = min over shingles of xxhash64(shingle, seed=i). xxhash64 is
-    a JVM built-in → the whole signature is one codegen'd expression.
+    hᵢ(S) = min over shingles of xxhash64(shingle, seed=i), computed as
+    ONE ``F.aggregate`` fold: per shingle all seeds hash at once and the
+    running minima update via ``zip_with(least)``. The naive form — one
+    ``array_min(transform(...))`` per seed — references the shingle
+    array num_hashes times, and CollapseProject happily inlines the
+    whole shingling expression into each reference: O(num_hashes ×
+    tokens) *re-tokenizations* per row (measured 150 s at sf0.1 vs ~3 s
+    for this fold).
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long")] * num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -96,29 +107,30 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         _minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes).alias("sig"),
     )
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    # Explode the band ids FIRST: the Generate node is a CollapseProject
+    # barrier, so the expensive `sig` fold is evaluated once per row and
+    # the per-band bucket below slices the materialized array attribute.
+    banded = (
+        sigs.select(
+            "id",
+            "sig",
+            F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+        )
+        .withColumn(
+            "bucket",
+            F.xxhash64(
+                F.col("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows)),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            ),
+        )
+        .select("id", "sig", "band", "bucket")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -156,6 +168,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
     block_on_prefix: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs via shingle inverted index.
@@ -165,13 +178,31 @@ def ngram_jaccard_pairs(
     of shared shingles → Jaccard = inter / (|A|+|B|−inter).
     SQL-expressible (DuckDB oracle twin in __spark_entry__).
 
-    At 100 TB, add ``block_on_prefix`` (join also on a source/lang/prefix
-    blocking key) to bound the inverted-index fanout of stop-shingles.
+    ``max_shingle_df`` is the 100 TB safety valve: a stop-shingle shared
+    by 1M docs makes the self-join quadratic (10¹² candidate rows). We
+    drop shingles with document frequency > max_shingle_df BEFORE both
+    the size computation and the join — the hot-shingle list is tiny, so
+    it broadcasts and the exclusion is an anti-join with no extra
+    shuffle of the index. Semantics become "Jaccard over non-ubiquitous
+    shingles", mirrored exactly in the DuckDB oracle. For corpora where
+    near-dups share rare shingles (the point of near-dup detection) the
+    capped measure is the same measure.
+
+    ``block_on_prefix`` optionally also joins on a cheap blocking key to
+    bound fanout further (not used by the oracle-checked query).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -196,25 +227,46 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the whitespace tokens of the normalized text.
 
     Per token: h = xxhash64(token); for each bit, +1 if set else −1;
-    fingerprint bit i = 1 iff the sum is > 0. Implemented as a JVM-side
-    fold over bit positions (no UDF).
+    fingerprint bit i = 1 iff the sum is > 0.
+
+    Implemented as ONE ``F.aggregate`` fold with a ``bits``-wide int
+    array accumulator — each token's per-bit ±1 contribution is computed
+    once and added component-wise. (The naive form — one aggregate per
+    bit — re-walks the token array 64 times and builds a 64×-duplicated
+    expression tree that risks codegen fallback; measured ~5× slower.)
     """
+
+    def mask(i: int) -> int:
+        return (1 << i) if i < 63 else -(2**63)  # sign bit as Java long
+
     toks = F.filter(F.split(normalized(text), " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_sum(i: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_val = F.lit(1 << i) if i < 63 else F.lit(-(2**63))
-        out = out + F.when(bit_sum(i) > 0, bit_val).otherwise(F.lit(0))
-    return out
+    # counts[i] = Σ over tokens of (bit i set ? +1 : −1), one pass
+    counts = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fingerprint = Σ bit-values where the count is positive
+    bit_vals = F.array(*[F.lit(mask(i)).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bit_vals,
+            lambda c, bv: F.when(c > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_pairs(
@@ -233,23 +285,22 @@ def simhash_pairs(
     """
     fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
     width = 64 // n_blocks
-    blocked = fp.select(
-        "id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("fp", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "fp", "bk.blk", "bk.key")
+    # explode block ids first (Generate = CollapseProject barrier) so the
+    # simhash fold runs once per row, not once per block
+    blocked = (
+        fp.select(
+            "id",
+            "fp",
+            F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
+        )
+        .withColumn(
+            "key",
+            F.expr(f"shiftrightunsigned(fp, blk * {width})").bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
+        .select("id", "fp", "blk", "key")
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
