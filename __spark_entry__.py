@@ -30,8 +30,20 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  #
     similarity as S,
     topk as K,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (  # noqa: E402
+    _hyperplane,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans import (  # noqa: E402
+    weather_pipeline as WP,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
+    AGRICULTURAL_REGIONS,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (  # noqa: E402
     load_table,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.weather_api import (  # noqa: E402
+    fixture_payloads,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming import (  # noqa: E402
     micro_batch as ST,
@@ -491,10 +503,37 @@ def x9_fingerprint(spark, sf_dir):
 
 
 def x9b_rolling_hash(spark, sf_dir):
-    """Polynomial rolling-hash fingerprint — JVM fold, engine-specific
-    (rows-only check)."""
+    """Polynomial rolling-hash fingerprint — JVM F.aggregate fold
+    (DuckDB list_reduce twin reproduces the mod-poly fold exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.rolling_hash(F.col("text")).alias("rhash"))
+
+
+def x5c_lsh_recall(spark, sf_dir):
+    """Recall of the sign-LSH approximate top-k (x5b) against the exact
+    brute-force top-k (x5): the instrumentation that justifies shipping
+    the approximate path at 100 TB."""
+    exact = x5_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = x5b_cosine_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+def x10_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, sign-LSH blocked (the oracle
+    reproduces the deterministic hyperplane buckets in SQL). The 0.4
+    threshold is the synthetic corpus's near-dup regime — its max cross
+    cosine is ~0.51."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_dup_pairs(emb, threshold=0.4, n_bits=8)
 
 
 # ---------------------------------------------------------------------------
@@ -600,6 +639,240 @@ GROUP BY region, year, month
 """
 
 
+def e2e_weather_pipeline(spark, sf_dir):
+    """THE reference pipeline end-to-end (S1 partition-per-region source →
+    S2 nested flatten → E1 quarantine → F4 null-tolerant access → S3
+    broadcast dim join → R1 dedup → F1/F2 validation → P1-P6 derivations
+    → P9 pinned extraction ts → P10 ordered load projection), against the
+    deterministic fixture payloads
+    (/root/reference/daily_weather_etl_kenya.py:136-340). The DuckDB
+    oracle re-derives every column from the same raw JSON documents."""
+    batch, _ = WP.pipeline_frame(spark, days=3)
+    return batch.withColumn(
+        "date_str", F.date_format("date", "yyyy-MM-dd")
+    ).drop("date")
+
+
+def qv1_quality_verdict(spark, sf_dir):
+    """The reference's warn-only data-quality verdict
+    (/root/reference/daily_weather_etl_kenya.py:471-531) as ONE fused
+    aggregation pass + threshold booleans — completeness (A1), null
+    counts (A2), range plausibility (A3), total (A4)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quality import (
+        fused_quality_report,
+    )
+
+    batch, _ = WP.pipeline_frame(spark, days=3)
+    report = fused_quality_report(batch)
+    return report.select(
+        "total_records",
+        "unique_region",
+        "min_temperature",
+        "max_temperature",
+        "null_temperature",
+        "null_humidity",
+        "null_pressure",
+        (F.col("unique_region") >= 15).alias("completeness_ok"),
+        (
+            (F.col("min_temperature") >= -10) & (F.col("max_temperature") <= 60)
+        ).alias("range_ok"),
+        (
+            (F.col("null_temperature") == 0)
+            & (F.col("null_humidity") == 0)
+            & (F.col("null_pressure") == 0)
+        ).alias("nulls_ok"),
+    )
+
+
+def _weather_pipeline_cte() -> str:
+    """Shared DuckDB CTE chain re-deriving the pipeline from the raw
+    fixture JSON (same documents the Spark source emits, inlined as
+    VALUES — they are deterministic, no RNG)."""
+    payload_vals = ",\n".join(
+        "('%s', '%s')" % (r, p.replace("'", "''")) for r, p in fixture_payloads(3)
+    )
+    dim_vals = ",\n".join(
+        f"('{r}', {c['lat']}, {c['lon']})" for r, c in AGRICULTURAL_REGIONS.items()
+    )
+
+    def js(path: str) -> str:
+        return f"json_extract_string(raw, '$.{path}')"
+
+    return f"""
+WITH raw(region, raw) AS (VALUES {payload_vals}),
+dim(region, latitude, longitude) AS (VALUES {dim_vals}),
+valid AS (SELECT * FROM raw WHERE json_valid(raw)),
+flat0 AS (
+  SELECT region,
+         CAST({js('main.temp')} AS DOUBLE)        AS temperature,
+         CAST({js('main.feels_like')} AS DOUBLE)  AS feels_like,
+         CAST({js('main.temp_min')} AS DOUBLE)    AS temp_min,
+         CAST({js('main.temp_max')} AS DOUBLE)    AS temp_max,
+         CAST({js('main.pressure')} AS INTEGER)   AS pressure,
+         CAST({js('main.humidity')} AS INTEGER)   AS humidity,
+         CAST({js('visibility')} AS INTEGER)      AS visibility,
+         CAST({js('wind.speed')} AS DOUBLE)       AS wind_speed,
+         CAST({js('wind.deg')} AS INTEGER)        AS wind_direction,
+         CAST({js('clouds.all')} AS INTEGER)      AS cloudiness,
+         {js('weather[0].main')}                  AS weather_main,
+         {js('weather[0].description')}           AS weather_description,
+         COALESCE(CAST({js('rain."1h"')} AS DOUBLE), 0.0) AS rainfall_1h,
+         COALESCE(CAST({js('rain."3h"')} AS DOUBLE), 0.0) AS rainfall_3h,
+         make_timestamp(CAST({js('sys.sunrise')} AS BIGINT) * 1000000) AS sunrise,
+         make_timestamp(CAST({js('sys.sunset')} AS BIGINT) * 1000000)  AS sunset,
+         make_timestamp(CAST({js('dt')} AS BIGINT) * 1000000) AS data_timestamp,
+         TIMESTAMP '2024-01-15 06:00:00' AS extraction_timestamp
+  FROM valid
+  WHERE json_extract(raw, '$.dt') IS NOT NULL
+),
+flat AS (
+  SELECT flat0.*, dim.latitude, dim.longitude
+  FROM flat0 LEFT JOIN dim USING (region)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY region, data_timestamp
+        ORDER BY extraction_timestamp ASC, temperature ASC) AS rn
+    FROM flat) WHERE rn = 1
+),
+validated AS (
+  SELECT * FROM deduped
+  WHERE temperature >= -5 AND temperature <= 50
+    AND humidity >= 0 AND humidity <= 100
+),
+loaded AS (
+  SELECT region, latitude, longitude, temperature, feels_like, temp_min,
+         temp_max, pressure, humidity, visibility, wind_speed,
+         wind_direction, cloudiness, weather_main, weather_description,
+         rainfall_1h, rainfall_3h, sunrise, sunset, data_timestamp,
+         extraction_timestamp,
+         {W.heat_index_sql('temperature', 'humidity')} AS heat_index,
+         {W.dew_point_sql('temperature', 'humidity')}  AS dew_point,
+         (temperature >= 18 AND temperature <= 28)     AS is_favorable_temp,
+         (humidity > 70)                               AS is_high_humidity,
+         {W.rainfall_category_sql('rainfall_1h')}      AS rainfall_category,
+         strftime(data_timestamp, '%Y-%m-%d')          AS date_str,
+         CAST(hour(data_timestamp) AS INT)             AS hour,
+         CAST(month(data_timestamp) AS INT)            AS month,
+         CAST(year(data_timestamp) AS INT)             AS year
+  FROM validated
+)
+"""
+
+
+def _e2e_pipeline_oracle() -> str:
+    return _weather_pipeline_cte() + "SELECT * FROM loaded"
+
+
+def _qv1_oracle() -> str:
+    return (
+        _weather_pipeline_cte()
+        + """
+SELECT count(*) AS total_records,
+       count(DISTINCT region) AS unique_region,
+       min(temperature) AS min_temperature,
+       max(temperature) AS max_temperature,
+       CAST(sum(CASE WHEN temperature IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_temperature,
+       CAST(sum(CASE WHEN humidity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_humidity,
+       CAST(sum(CASE WHEN pressure IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pressure,
+       (count(DISTINCT region) >= 15) AS completeness_ok,
+       (min(temperature) >= -10 AND max(temperature) <= 60) AS range_ok,
+       (sum(CASE WHEN temperature IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN humidity IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN pressure IS NULL THEN 1 ELSE 0 END) = 0) AS nulls_ok
+FROM loaded
+"""
+    )
+
+
+X5_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def _sign_bucket_sql(vec: str, n_bits: int, dim: int = 64) -> str:
+    """DuckDB twin of operators.similarity.sign_bucket — the hyperplanes
+    are deterministic ±1 literals, so the bucket id is SQL-expressible."""
+    terms = []
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b, n_bits)
+        arr = "[" + ",".join(str(p) for p in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _x5b_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), qb AS (
+  SELECT query_id, qv, {_sign_bucket_sql('qv', 4)} AS bucket FROM q
+), cb AS (
+  SELECT vec_id, cv, {_sign_bucket_sql('cv', 4)} AS bucket FROM c
+), scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM cb JOIN qb USING (bucket)
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def _x5c_oracle() -> str:
+    return f"""
+WITH exact AS ({X5_ORACLE}),
+approx AS ({_x5b_oracle()}),
+hit AS (
+  SELECT e.query_id, e.vec_id FROM exact e
+  JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / (SELECT count(*) FROM exact), 4) AS recall
+"""
+
+
+def _x10_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+), bucketed AS (
+  SELECT id, vec, {_sign_bucket_sql('vec', 8)} AS bucket FROM v
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -634,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_simhash_pairs": x4_simhash_pairs,
         "x5_cosine_topk": x5_cosine_topk,
         "x5b_cosine_topk_lsh": x5b_cosine_topk_lsh,
+        "x5c_lsh_recall": x5c_lsh_recall,
+        "x10_embedding_dup_pairs": x10_embedding_dup_pairs,
         "x6_lang_id": x6_lang_id,
         "x7_quality_score": x7_quality_score,
         "x8_token_stats": x8_token_stats,
@@ -643,13 +918,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st2_stream_dedup": st2_stream_dedup,
         "mm1_multimodal_features": mm1_multimodal_features,
         "e2e_weather_sim": e2e_weather_sim,
+        "e2e_weather_pipeline": e2e_weather_pipeline,
+        "qv1_quality_verdict": qv1_quality_verdict,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins (identical output column names/types). Queries absent
-    here (x2, x4, x5b, x9b, st2, mm1) are engine-specific or approximate →
-    driver records the weaker rows-only check."""
+    here (x2, x4, st2, mm1) are engine-specific (xxhash64 signatures /
+    streaming state / binary fixtures) → driver records the weaker
+    rows-only check."""
     jacc_toks = (
         "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
         "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
@@ -822,21 +1100,19 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.4
 """,
-        "x5_cosine_topk": """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-), scored AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(cv, qv)
-           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
-  FROM c CROSS JOIN q
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= 10
+        "x5_cosine_topk": X5_ORACLE,
+        "x5b_cosine_topk_lsh": _x5b_oracle(),
+        "x5c_lsh_recall": _x5c_oracle(),
+        "x10_embedding_dup_pairs": _x10_oracle(),
+        "e2e_weather_pipeline": _e2e_pipeline_oracle(),
+        "qv1_quality_verdict": _qv1_oracle(),
+        "x9b_rolling_hash": """
+SELECT doc_id, list_reduce(
+  [0::BIGINT] || list_transform(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+    c -> ascii(c)::BIGINT),
+  (acc, x) -> (acc * 257 + x) % 1000000007) AS rhash
+FROM documents
 """,
         "x6_lang_id": f"""
 SELECT doc_id, {T.lang_id_sql('text')} AS pred_lang FROM documents

@@ -59,6 +59,32 @@ def transform(flat: DataFrame) -> DataFrame:
     )
 
 
+def pipeline_frame(
+    spark: SparkSession,
+    days: int = 3,
+    extraction_ts: datetime | None = None,
+    use_datasource: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The full E→T lineage as one lazy plan, no side effects.
+
+    raw source (S1) → PERMISSIVE parse + quarantine (E1) → nested flatten
+    with null-tolerant access and pinned extraction ts (S2/F4/P9) →
+    broadcast region-dim join (S3) → dedup/validate/derive (R1/F1/F2/
+    P1-P6) → ordered 30-col load projection (P10).
+
+    Returns ``(batch, corrupt)`` — the load-ready frame and the
+    quarantined raw rows (/root/reference/daily_weather_etl_kenya.py:193-201).
+    """
+    raw = read_raw(spark, days=days, use_datasource=use_datasource)
+    parsed = parse_raw(raw)
+    corrupt = parsed.filter(F.col("_corrupt")).select("region", "raw")
+    flat = flatten(parsed, extraction_ts)
+    # broadcast the 15-row region dim for coordinates (S3)
+    flat = flat.join(F.broadcast(regions_df(spark)), "region", "left")
+    batch = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+    return batch, corrupt
+
+
 def run_batch(
     spark: SparkSession,
     table_path: str,
@@ -71,15 +97,10 @@ def run_batch(
     Returns the collected quality verdict (the reference's
     data_quality_check, warn-only, :471-531).
     """
-    raw = read_raw(spark, days=days, use_datasource=use_datasource)
-    parsed = parse_raw(raw)
-    n_corrupt = parsed.filter(F.col("_corrupt")).count()
-    flat = flatten(parsed, extraction_ts)
-
-    # broadcast the 15-row region dim for coordinates (S3)
-    flat = flat.join(F.broadcast(regions_df(spark)), "region", "left")
-
-    batch = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+    batch, corrupt = pipeline_frame(
+        spark, days=days, extraction_ts=extraction_ts, use_datasource=use_datasource
+    )
+    n_corrupt = corrupt.count()
 
     # fail only if ALL regions failed (E1 policy :203-207)
     if batch.isEmpty():

@@ -111,22 +111,35 @@ try:  # Spark 4 Python Data Source API (pyspark.sql.datasource)
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _RegionPartition(InputPartition):
-        def __init__(self, region: str, days: int):
+        def __init__(self, region: str, days: int, edge_cases: bool):
             self.region = region
             self.days = days
+            self.edge_cases = edge_cases
 
     class WeatherApiReader(DataSourceReader):
         def __init__(self, options):
             self.days = int(options.get("days", 3))
+            self.edge_cases = options.get("edge_cases", "true") == "true"
 
         def partitions(self):
             # one partition per region — the distributed analogue of the
             # reference's sequential per-region loop (:143)
-            return [_RegionPartition(r, self.days) for r in AGRICULTURAL_REGIONS]
+            return [
+                _RegionPartition(r, self.days, self.edge_cases)
+                for r in AGRICULTURAL_REGIONS
+            ]
 
         def read(self, partition):
+            # emits the SAME row set as fixture_payloads(): day-0 duplicate
+            # per region (exercises R1 dedup) and one malformed document
+            # (exercises the E1 quarantine), deterministic — no RNG
             for day in range(partition.days):
-                yield (partition.region, synthesize_raw_payload(partition.region, day))
+                payload = synthesize_raw_payload(partition.region, day)
+                yield (partition.region, payload)
+                if partition.edge_cases and day == 0:
+                    yield (partition.region, payload)
+            if partition.edge_cases and partition.region == "Nakuru":
+                yield (partition.region, '{"this is": not valid json')
 
     class WeatherApiDataSource(DataSource):
         """`spark.read.format("weather_api")` — partition-per-region source.
@@ -196,8 +209,8 @@ def flatten(parsed: DataFrame, extraction_ts: datetime | None = None) -> DataFra
     def epoch_ntz(col):
         # pure epoch arithmetic on an NTZ base: no session-timezone
         # dependence (unlike timestamp_seconds, which yields LTZ)
-        return F.timestampadd(
-            "SECOND", col.cast("int"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_add(
+            "SECOND", col.cast("long"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
         )
 
     return good.select(

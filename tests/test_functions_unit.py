@@ -1,0 +1,167 @@
+"""SURVEY.md §5 unit/property tests: the P1/P2/P5 derivations against
+pure-Python evaluations of the reference formulas
+(/root/reference/daily_weather_etl_kenya.py:342-390), the pandas_udf
+twin against the native expression, the rolling hash against a Python
+fold, and the run_batch pipeline (idempotent upsert + verdict shape).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import weather as W
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import text as T
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.weather_pipeline import (
+    run_batch,
+)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    s = float(10**n)
+    return math.floor(x * s + 0.5) / s + 0.0
+
+
+def _ref_heat_index(t: float, h: float) -> float:
+    """Reference calculate_heat_index semantics
+    (/root/reference/daily_weather_etl_kenya.py:342-363), with the
+    engine's deterministic half-up rounding."""
+    if t < 27:
+        return t
+    poly = (
+        -8.78469475556
+        + 1.61139411 * t
+        + 2.33854883889 * h
+        + -0.14611605 * t * h
+        + -0.012308094 * t * t
+        + -0.0164248277778 * h * h
+        + 0.002211732 * t * t * h
+        + 0.00072546 * t * h * h
+        + -0.000003582 * t * t * h * h
+    )
+    return _round_half_up(poly, 2)
+
+
+def _ref_dew_point(t: float, h: float) -> float:
+    """Reference calculate_dew_point semantics
+    (/root/reference/daily_weather_etl_kenya.py:365-377)."""
+    a, b = 17.27, 237.7
+    alpha = (a * t) / (b + t) + h / 100.0
+    return _round_half_up((b * alpha) / (a - alpha), 2)
+
+
+def _ref_rainfall_category(r: float) -> str:
+    """Reference categorize_rainfall semantics
+    (/root/reference/daily_weather_etl_kenya.py:379-390)."""
+    if r == 0:
+        return "No Rain"
+    if r < 2.5:
+        return "Light Rain"
+    if r < 10:
+        return "Moderate Rain"
+    if r < 50:
+        return "Heavy Rain"
+    return "Very Heavy Rain"
+
+
+def _grid():
+    """Deterministic (temp, humidity, rainfall) sample grid covering the
+    guard boundary (t=27), range edges, ties, and negatives."""
+    temps = [-5.0, 0.0, 12.34, 18.0, 26.99, 27.0, 27.005, 28.0, 35.5, 41.9, 50.0]
+    hums = [0.0, 1.0, 33.0, 50.0, 70.0, 70.5, 99.0, 100.0]
+    rains = [0.0, 0.1, 2.49, 2.5, 9.99, 10.0, 49.9, 50.0, 120.0]
+    rows = []
+    for i, t in enumerate(temps):
+        for j, h in enumerate(hums):
+            rows.append((t, h, rains[(i * len(hums) + j) % len(rains)]))
+    return rows
+
+
+def test_p1_p2_p5_match_reference_formulas(spark):
+    rows = _grid()
+    df = spark.createDataFrame(rows, "t double, h double, r double")
+    got = (
+        df.select(
+            "t",
+            "h",
+            "r",
+            W.heat_index(F.col("t"), F.col("h")).alias("hi"),
+            W.dew_point(F.col("t"), F.col("h")).alias("dp"),
+            W.rainfall_category(F.col("r")).alias("rc"),
+        )
+        .orderBy("t", "h", "r")
+        .collect()
+    )
+    for row in got:
+        assert row.hi == pytest.approx(_ref_heat_index(row.t, row.h), abs=0), (
+            f"heat_index({row.t},{row.h})"
+        )
+        assert row.dp == pytest.approx(_ref_dew_point(row.t, row.h), abs=0), (
+            f"dew_point({row.t},{row.h})"
+        )
+        assert row.rc == _ref_rainfall_category(row.r), f"rainfall({row.r})"
+
+
+def test_pandas_udf_twin_equals_native(spark):
+    """The Arrow pandas_udf heat-index twin must agree bit-for-bit with
+    the native Column expression (functions/weather.py docstring claim)."""
+    rows = [(t, h, r) for t, h, r in _grid()]
+    df = spark.createDataFrame(rows, "t double, h double, r double")
+    udf = W.heat_index_pandas_udf()
+    out = df.select(
+        (W.heat_index(F.col("t"), F.col("h")) - udf(F.col("t"), F.col("h"))).alias("d")
+    ).agg(F.max(F.abs(F.col("d"))).alias("max_d")).collect()[0]
+    assert out.max_d == 0.0
+
+
+def test_rolling_hash_matches_python_fold(spark):
+    samples = ["hello world", "a", "The  QUICK   brown fox", "", "123 !?"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = {
+        r.text: r.h
+        for r in df.select(
+            "text", T.rolling_hash(F.col("text")).alias("h")
+        ).collect()
+    }
+    for s in samples:
+        norm = " ".join(s.lower().split())
+        acc = 0
+        for ch in norm:
+            acc = (acc * 257 + ord(ch)) % 1_000_000_007
+        assert got[s] == acc, f"rolling_hash({s!r})"
+
+
+def test_run_batch_idempotent_upsert(spark, tmp_path):
+    """The full pipeline writes a keyed table; re-running the same batch
+    must not duplicate rows (the ON CONFLICT upsert invariant,
+    /root/reference/daily_weather_etl_kenya.py:425-451)."""
+    path = str(tmp_path / "weather_table")
+    v1 = run_batch(spark, path, days=3)
+    n1 = spark.read.parquet(path).count()
+    v2 = run_batch(spark, path, days=3)
+    n2 = spark.read.parquet(path).count()
+    assert n1 == n2 > 0
+    assert v1["corrupt_quarantined"] == 1
+    assert set(v1) == set(v2)
+    assert v1["completeness_ok"] in (True, False)
+    # uniqueness invariant on the merge key
+    dup = (
+        spark.read.parquet(path)
+        .groupBy("region", "data_timestamp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_lsh_recall_floor(spark, sf01):
+    """x5b's measured recall vs exact top-k must clear a stated floor
+    (VERDICT r1: 'recall is never measured')."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["x5c_lsh_recall"](spark, sf01).collect()[0]
+    assert row.n_exact == 80
+    assert row.recall >= 0.2, f"sign-LSH recall collapsed: {row.recall}"
