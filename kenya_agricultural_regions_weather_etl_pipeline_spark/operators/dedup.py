@@ -191,30 +191,41 @@ def ngram_jaccard_pairs(
     ``block_on_prefix`` optionally also joins on a cheap blocking key to
     bound fanout further (not used by the oracle-checked query).
     """
-    sh = df.select(
+    from pyspark.storagelevel import StorageLevel
+
+    # Materialize the inverted index ONCE (MEMORY_AND_DISK): the query
+    # references it from four branches (hot-shingle agg, both join
+    # sides, per-doc sizes), and shingling is the expensive scan — at
+    # 100 TB you would write this index to storage for the same reason.
+    base = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = base
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("sh")
+            base.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_df)
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # carry |shingles(doc)| on each index row (one extra int through the
+    # join) instead of re-joining a separate sizes relation twice
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
         )
