@@ -554,6 +554,30 @@ def st2_stream_dedup(spark, sf_dir):
     return ST.run_stream_dedup(spark, sf_dir, ["user_id", "event_type"])
 
 
+def st3_session_windows(spark, sf_dir):
+    """Structured Streaming session windows (dynamic-gap event-time
+    windows, F.session_window): a session closes after 30 min of
+    inactivity. The DuckDB oracle is the classic batch gaps-and-islands
+    formulation (lag → new-session flag → cumulative sum)."""
+    apply_runtime_confs(spark)
+    return ST.run_session_windows(spark, sf_dir, gap="30 minutes")
+
+
+def x8b_bpe_token_stats(spark, sf_dir):
+    """BPE-ish subword-proxy token budgeting per source (regex chunk
+    count — alnum runs + single punct; RE2-safe pattern, exact twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+        )
+    )
+
+
 def mm1_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata → Arrow-batched
     mapInPandas feature extraction (decode STUBBED, deterministic;
@@ -916,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9b_rolling_hash": x9b_rolling_hash,
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
+        "st3_session_windows": st3_session_windows,
+        "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
@@ -1133,6 +1159,35 @@ SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {W.round_half_up_sql('sum(value)', 4)} AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "st3_session_windows": f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+        "x8b_bpe_token_stats": f"""
+SELECT source, count(*) AS n_docs,
+       round(avg({T.bpe_ish_token_count_sql('text')}), 4) AS avg_bpe_tokens,
+       CAST(sum({T.bpe_ish_token_count_sql('text')}) AS BIGINT) AS sum_bpe_tokens
+FROM documents GROUP BY source
 """,
         "e2e_weather_sim": _e2e_oracle(),
     }

@@ -37,19 +37,24 @@ def token_count_sql(text: str) -> str:
     return f"len(list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> ''))"
 
 
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish subword proxy: count of word/number/punct chunks.
 
     A deterministic regex approximation of byte-pair tokenizer output
-    size (letters runs, digit runs, single punct), useful for token
-    budgeting without shipping a tokenizer to executors.
+    size (alnum runs + single non-space punct), useful for token
+    budgeting without shipping a tokenizer to executors. Uses
+    ``regexp_extract_all`` (a codegen-able JVM regex built-in, and the
+    pattern avoids lookarounds so DuckDB's RE2 oracle matches it
+    verbatim).
     """
-    return F.size(
-        F.filter(
-            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def bpe_ish_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_ISH_PATTERN}'))"
 
 
 def char_count(text: Column) -> Column:

@@ -106,6 +106,51 @@ def windowed_event_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key session windows over event time: a session closes after
+    ``gap`` of inactivity; window end = last event + gap.
+
+    ``F.session_window`` is Spark's native dynamic-gap window — the
+    streaming generalization of the reference's per-day rollup
+    (/root/reference/daily_weather_etl_kenya.py:483-524). Works on batch
+    and streaming frames; the batch twin equals the classic
+    gaps-and-islands SQL (lag → new-session flag → cumulative sum),
+    which is the DuckDB oracle.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            F.col(key),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def run_session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Execute the streaming session-window agg to completion (st3)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_windows(stream, gap=gap)
+    _, out = _run_to_memory(agg, "complete", "st3")
+    return out
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -165,3 +165,24 @@ def test_lsh_recall_floor(spark, sf01):
     row = entrymod.queries()["x5c_lsh_recall"](spark, sf01).collect()[0]
     assert row.n_exact == 80
     assert row.recall >= 0.2, f"sign-LSH recall collapsed: {row.recall}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf01):
+    """MinHash est_jaccard (x2) must track the exact n-gram Jaccard (x3
+    machinery, uncapped) on the pairs both report — the instrumentation
+    that justifies the sketch at scale."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import dedup as D
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf01, "documents")
+    est = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    exact = D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.2)
+    joined = est.join(exact, ["id_a", "id_b"]).select(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("err")
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("err").alias("mae")
+    ).collect()[0]
+    assert stats.n > 0
+    assert stats.mae < 0.2, f"minhash estimate drifted: MAE={stats.mae}"

@@ -1,0 +1,89 @@
+"""Physical-plan contracts: the properties that make these queries
+scale-safe at 100 TB must actually show up in the optimized plan —
+pushed filters, pruned scans, broadcast joins on bounded dims, top-k
+without full sort, window-group-limit pushdown. Guards against silent
+plan regressions (a correct-but-full-scan query is a perf bug).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf01, name: str, mode: str = "formatted") -> str:
+    df = entrymod.queries()[name](spark, sf01)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
+def test_f1_filter_pushed_to_scan(spark, sf01):
+    plan = _plan(spark, sf01, "f1_range_filter")
+    assert "PushedFilters: [" in plan
+    # the range predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_f3_scan_prunes_columns(spark, sf01):
+    plan = _plan(spark, sf01, "f3_date_filter")
+    # projection needs 3 columns; the scan must not read the other 13
+    rs = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert rs, plan
+    assert "l_extendedprice" not in rs[0]
+    assert "l_comment" not in rs[0]
+    assert "l_shipdate" in rs[0]
+
+
+def test_q1_scan_prunes_columns(spark, sf01):
+    plan = _plan(spark, sf01, "q1_pricing_summary")
+    rs = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert rs and "l_comment" not in rs[0]
+
+
+def test_q3_topk_avoids_full_sort(spark, sf01):
+    plan = _plan(spark, sf01, "q3_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_bounded_dims(spark, sf01):
+    plan = _plan(spark, sf01, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+
+
+def test_b1_broadcasts_only_the_bounded_dim(spark, sf01):
+    plan = _plan(spark, sf01, "b1_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_w1_window_group_limit_pushdown(spark, sf01):
+    plan = _plan(spark, sf01, "w1_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_x3_hot_shingle_filter_precedes_self_join(spark, sf01):
+    plan = _plan(spark, sf01, "x3_ngram_jaccard_pairs")
+    # the df-cap exclusion is a broadcast anti join, not a shuffle
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_x5_broadcasts_query_side(spark, sf01):
+    plan = _plan(spark, sf01, "x5_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf01):
+    """No query may plan an unbroadcast cartesian product."""
+    for name in entrymod.queries():
+        if name.startswith(("st", "mm")) or name.startswith("e2e") or name == "qv1_quality_verdict":
+            continue  # streaming/materializing queries execute on build
+        plan = _plan(spark, sf01, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["p1_agronomic_derivations", "p8_rounding", "x6_lang_id"])
+def test_scalar_derivations_stay_in_codegen(spark, sf01, name):
+    """Scalar hot paths must not plan Python evaluation."""
+    plan = _plan(spark, sf01, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
