@@ -450,9 +450,11 @@ def x3_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def x4_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs with pigeonhole blocking (rows-only check)."""
+    """SimHash near-dup pairs, 64-bit / 4-block / hamming≤3 pigeonhole
+    blocking — exact under the guarantee (rows-only check: xxhash64
+    fingerprints are engine-specific)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=12)
+    return D.simhash_pairs(docs, max_hamming=3)
 
 
 def x5_cosine_topk(spark, sf_dir):
@@ -552,6 +554,44 @@ def st2_stream_dedup(spark, sf_dir):
     (the streaming twin of the upsert invariant; rows-only check)."""
     apply_runtime_confs(spark)
     return ST.run_stream_dedup(spark, sf_dir, ["user_id", "event_type"])
+
+
+def a5_rollup(spark, sf_dir):
+    """Hierarchical subtotal aggregation (ROLLUP grouping sets) over the
+    documents corpus — the multi-granularity rollup a quality dashboard
+    runs in one pass instead of three."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def x5d_cosine_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantized approximate top-k (deterministic codebook →
+    cell assignment → n_probe probe → exact rerank); fully
+    oracle-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=2)
+
+
+def st4_stateful_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator: applyInPandasWithState
+    per-key running totals (explicit GroupState, Arrow-batched). Over
+    the finite availableNow backlog the emission equals the batch
+    GROUP BY — the oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_keyed_running_totals(spark, sf_dir)
 
 
 def st3_session_windows(spark, sf_dir):
@@ -941,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,
+        "st4_stateful_running_totals": st4_stateful_running_totals,
+        "a5_rollup": a5_rollup,
+        "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
         "e2e_weather_sim": e2e_weather_sim,
@@ -1182,6 +1225,48 @@ SELECT min(ts) AS session_start,
        count(*) AS n_events,
        {W.round_half_up_sql('sum(value)', 4)} AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "st4_stateful_running_totals": f"""
+SELECT user_id, count(*) AS n_events,
+       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
+FROM events GROUP BY user_id
+""",
+        "a5_rollup": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+""",
+        "x5d_cosine_topk_ivf": f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, qvec, centroid_id AS cell FROM (
+    SELECT q.query_id, q.qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM assigned JOIN probes USING (cell)
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
 """,
         "x8b_bpe_token_stats": f"""
 SELECT source, count(*) AS n_docs,

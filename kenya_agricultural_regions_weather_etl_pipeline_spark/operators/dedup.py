@@ -252,48 +252,72 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
     toks = F.filter(F.split(normalized(text), " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # counts[i] = Σ over tokens of (bit i set ? +1 : −1), one pass
-    counts = F.aggregate(
+    # ones[i] = Σ over tokens of bit i of the hash; slot `bits` counts
+    # tokens. Extracting the bit as (h >> i) & 1 is branch-free (the ±1
+    # CASE WHEN form costs ~2× in interpreted higher-order eval); the
+    # sign test becomes 2·ones[i] > n  ⇔  Σ(±1) > 0. Arithmetic shift
+    # 1-fills for the sign bit, the & 1 keeps only the bit.
+    ones = F.aggregate(
         hashes,
-        F.array(*[F.lit(0)] * bits),
+        F.array(*([F.lit(0)] * (bits + 1))),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.when(h.bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
                     for i in range(bits)
-                ]
+                ],
+                F.lit(1),
             ),
             lambda a, b: a + b,
         ),
     )
-    # fingerprint = Σ bit-values where the count is positive
+    # fingerprint = Σ bit-values where 2·ones[i] > n, with n let-bound
+    # via the single-element-transform trick (ones referenced once)
     bit_vals = F.array(*[F.lit(mask(i)).cast("long") for i in range(bits)])
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            bit_vals,
-            lambda c, bv: F.when(c > 0, bv).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    return F.flatten(
+        F.transform(
+            F.array(ones),
+            lambda o: F.array(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(o, 1, bits),
+                        bit_vals,
+                        lambda c, bv: F.when(
+                            c * 2 > F.element_at(o, bits + 1), bv
+                        ).otherwise(F.lit(0).cast("long")),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )[0]
 
 
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs under a Hamming-distance bound.
+    """SimHash near-dup pairs under a Hamming-distance bound — EXACT
+    under the pigeonhole guarantee.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into ``n_blocks``
-    16-bit blocks; any pair within ``max_hamming`` (< n_blocks·1) must
-    agree on ≥1 block → join per block key, then exact Hamming filter
-    via bit_count(xor). Avoids the O(n²) cross join.
+    Split the 64-bit fingerprint into ``n_blocks`` equal blocks; a pair
+    with hamming ≤ max_hamming has fewer differing bits than blocks, so
+    at least one block matches exactly → join per block key, then exact
+    Hamming filter via bit_count(xor). No O(n²) cross join. The
+    guarantee REQUIRES ``max_hamming < n_blocks`` (the classic 64-bit /
+    4-block / hamming≤3 configuration) — enforced, because a larger
+    bound silently degrades to partial recall.
     """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks}); raise n_blocks or lower the bound"
+        )
     fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
     width = 64 // n_blocks
     # explode block ids first (Generate = CollapseProject barrier) so the
@@ -325,8 +349,9 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup shuffle: the xor is free, the shuffle isn't
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -86,6 +86,83 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style coarse-quantized approximate top-k.
+
+    Inverted-file search without a trained quantizer: the first
+    ``n_centroids`` corpus vectors act as the coarse codebook (a
+    deterministic stand-in for k-means centroids — same join shape,
+    reproducible, oracle-expressible). Every corpus vector is assigned
+    to its nearest centroid (one broadcast pass over the tiny codebook);
+    each query probes its ``n_probe`` nearest cells and reranks
+    exactly within them. Corpus-side work per query drops by
+    ~n_centroids/n_probe; at 100 TB the cell assignment is computed
+    once at ingest and the probe join is a partition-pruned read.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
+    )
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            to_double_array(F.col(vec_col)).alias("cent_vec"),
+        )
+    )
+    # assign: nearest centroid per corpus vector (broadcast codebook)
+    w_c = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        c.join(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("cvec"), F.col("cent_vec")))
+        .withColumn("cell_rank", F.row_number().over(w_c))
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cvec", F.col("centroid_id").alias("cell"))
+    )
+    # probe: n_probe nearest cells per query
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("qvec"), F.col("cent_vec")))
+        .withColumn("cell_rank", F.row_number().over(w_q))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
+    )
+    # exact rerank within probed cells only
+    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

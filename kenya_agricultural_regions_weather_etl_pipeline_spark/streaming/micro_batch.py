@@ -159,6 +159,54 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def keyed_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (n_events, sum_value) carried in explicit GroupState
+    across micro-batches, emitted each batch.
+
+    This is the escape hatch for stateful semantics the built-in
+    operators can't express (the built-ins cover SURVEY §2.7; this
+    demonstrates the custom path). Arrow-batched — the only Python on
+    an executor here is the per-group fold. Over a finite availableNow
+    backlog the final emission per key equals the batch GROUP BY, which
+    is the DuckDB oracle.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def fold(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                # round_half_up twin (functions/weather.round_half_up)
+                "sum_value": [math.floor(s * 1e4 + 0.5) / 1e4 + 0.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_keyed_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the custom stateful operator to completion (st4)."""
+    stream = read_events_stream(spark, sf_dir)
+    totals = keyed_running_totals(stream.select("user_id", "value"))
+    _, out = _run_to_memory(totals, "append", "st4")
+    return out
+
+
 def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFrame]:
     """availableNow → memory sink, unique query name, await, return table."""
     name = _unique_sink(prefix)
