@@ -626,6 +626,20 @@ def mm1_multimodal_features(spark, sf_dir):
     return MM.extract_features(media)
 
 
+def mm2_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: mapInPandas row explosion, one row
+    per sampled frame (decode stubbed; cardinality/ts/length are exact
+    and oracle-checked via SQL arithmetic over the synthetic assets)."""
+    media = MM.synthetic_media(spark, 64)
+    frames = MM.sample_frames(media, every_ms=200)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.length("frame_payload").cast("int").alias("frame_bytes"),
+    )
+
+
 def e2e_weather_sim(spark, sf_dir):
     """End-to-end weather-transform parity run (SURVEY.md §3.2) on
     pseudo-weather derived deterministically from events: validate (F1/F2)
@@ -986,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
+        "mm2_frame_sample": mm2_frame_sample,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
         "qv1_quality_verdict": qv1_quality_verdict,
@@ -1273,6 +1288,18 @@ SELECT source, count(*) AS n_docs,
        round(avg({T.bpe_ish_token_count_sql('text')}), 4) AS avg_bpe_tokens,
        CAST(sum({T.bpe_ish_token_count_sql('text')}) AS BIGINT) AS sum_bpe_tokens
 FROM documents GROUP BY source
+""",
+        "mm2_frame_sample": """
+WITH v AS (
+  SELECT range AS asset_id, (range * 40)::INT AS duration_ms
+  FROM range(64) WHERE range % 3 = 2
+), f AS (
+  SELECT asset_id, CAST(unnest(range(greatest(duration_ms // 200, 1))) AS INT) AS frame_idx
+  FROM v
+)
+SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
+       (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
+FROM f
 """,
         "e2e_weather_sim": _e2e_oracle(),
     }

@@ -132,6 +132,62 @@ def extract_features(
     ).mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def _stub_frame_decode(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB frame extraction: deterministic fake frame payloads.
+
+    >>> REAL IMPLEMENTATION WOULD: demux the container and decode every
+    >>> Nth frame (ffmpeg/pyav) — not shipped in this container.
+    """
+    return [payload + b":" + str(k).encode() for k in range(n_frames)]
+
+
+def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Video frame sampling via mapInPandas — one row per sampled frame.
+
+    The row-EXPLOSION batch shape is the production plumbing: each input
+    asset yields ``max(1, duration_ms // every_ms)`` frame rows, built
+    inside the Arrow batch without driver involvement. Decode is
+    stubbed (deterministic), the schema/shape/cardinality are real —
+    and SQL-derivable, so the plumbing has an exact oracle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_payload": [],
+            }
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n_frames = max(1, int(dur) // every_ms)
+                for k, frame in enumerate(
+                    _stub_frame_decode(bytes(payload), n_frames)
+                ):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(k * every_ms)
+                    out["frame_payload"].append(frame)
+            yield pd.DataFrame(out)
+
+    video = media.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload", "duration_ms"
+    )
+    return video.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator — STUB: raises on execution.
 

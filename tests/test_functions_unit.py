@@ -186,3 +186,33 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf01):
     ).collect()[0]
     assert stats.n > 0
     assert stats.mae < 0.2, f"minhash estimate drifted: MAE={stats.mae}"
+
+
+def test_streaming_parquet_file_sink(spark, sf01, tmp_path):
+    """availableNow stream -> partitioned parquet file sink with
+    checkpoint; restart with same checkpoint is a no-op (exactly-once)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            windowed_event_counts(read_events_stream(spark, sf01))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()  # same checkpoint: no new data, no duplicate output
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
