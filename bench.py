@@ -54,6 +54,9 @@ def main() -> int:
         except Exception:
             failures[name] = traceback.format_exc(limit=2).splitlines()[-1]
             print(f"[bench] FAILED {name}: {failures[name]}", file=sys.stderr)
+        # measure each query from a clean slate: no cross-query cache
+        # advantage, no accumulated persisted state inflating later ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {

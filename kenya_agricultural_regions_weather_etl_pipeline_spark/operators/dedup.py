@@ -131,6 +131,10 @@ def minhash_lsh_pairs(
         )
         .select("id", "sig", "band", "bucket")
     )
+    # same index-materialization rationale as simhash_pairs/ngram pairs
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -336,6 +340,11 @@ def simhash_pairs(
         )
         .select("id", "fp", "blk", "key")
     )
+    # materialize the block index once: a broadcast self-join otherwise
+    # evaluates the fingerprint scan on BOTH the build and stream sides
+    from pyspark.storagelevel import StorageLevel
+
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -371,10 +380,17 @@ def embedding_cosine_dup_pairs(
     from .similarity import sign_bucket
     from ..functions.vectors import cosine, to_double_array
 
-    v = df.select(
-        F.col(id_col).alias("id"),
-        to_double_array(F.col(vec_col)).alias("vec"),
-    ).withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
+    from pyspark.storagelevel import StorageLevel
+
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            to_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
+        # self-join: materialize once or the 8-plane sketch runs on both sides
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(

@@ -221,7 +221,11 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFram
             .start()
         )
         q.awaitTermination()
-    return name, spark.table(name)
+    # materialize off the memory sink and drop it: repeated streaming
+    # runs in one session must not accumulate sink tables/state
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return name, out
 
 
 def run_windowed_counts(
