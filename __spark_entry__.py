@@ -382,6 +382,42 @@ def b1_broadcast_join(spark, sf_dir):
     )
 
 
+def j1_asof_join(spark, sf_dir):
+    """As-of join: for every 'click' event, the most recent 'view' at or
+    before it for the same user — union + forward-fill window, one
+    shuffle (operators/asof.py). Oracle: correlated max() subquery."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.asof import (
+        asof_join_ts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join_ts(clicks, views, "user_id", "ts", "asof_view_ts").select(
+        "event_id", "user_id", "ts", "asof_view_ts"
+    )
+
+
+def a6_pivot(spark, sf_dir):
+    """Pivot / crosstab: order counts by priority x status, fixed value
+    list so the plan is one pass of conditional aggregation (the
+    SQL-expressible pivot form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
 def w1_topk_per_group(spark, sf_dir):
     """Grouped top-k via row_number window (WindowGroupLimit pushdown)."""
     o = load_table(spark, sf_dir, "orders")
@@ -976,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_regional_revenue": q5_regional_revenue,
         "b1_broadcast_join": b1_broadcast_join,
+        "j1_asof_join": j1_asof_join,
+        "a6_pivot": a6_pivot,
         "w1_topk_per_group": w1_topk_per_group,
         "set1_anti_join": set1_anti_join,
         "u1_union_agg": u1_union_agg,
@@ -1131,6 +1169,20 @@ FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "j1_asof_join": """
+SELECT c.event_id, c.user_id, c.ts,
+       (SELECT max(v.ts) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id
+          AND v.ts <= c.ts) AS asof_view_ts
+FROM events c WHERE c.event_type = 'click'
+""",
+        "a6_pivot": """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
 """,
         "w1_topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (

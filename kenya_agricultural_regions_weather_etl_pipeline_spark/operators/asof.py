@@ -1,0 +1,51 @@
+"""As-of (most-recent-prior) join — the time-series lookup Spark has no
+built-in operator for.
+
+Semantics: for every left row, attach the greatest right-side event time
+``ts <= left.ts`` within the same key (DuckDB ``ASOF JOIN`` semantics).
+
+Spark-first design: NOT a per-row correlated lookup (quadratic) and NOT
+a range cross-join. Union the two sides tagged, sort once per key, and
+forward-fill the right timestamp with ``last(ignorenulls)`` over an
+unbounded-preceding window — ONE shuffle on the key, linear work,
+skew-safe under AQE. This is the standard distributed as-of shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_ts(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    out_col: str = "asof_ts",
+) -> DataFrame:
+    """Attach to each left row the max right ``ts_col`` <= its own, per key.
+
+    ``left`` and ``right`` need columns (key, ts_col); extra left columns
+    pass through. Right rows at the same timestamp as a left row DO
+    match (<= semantics, like DuckDB ASOF JOIN's >=).
+    """
+    l_tag = left.withColumn("__src", F.lit(1)).withColumn(
+        "__rts", F.lit(None).cast(left.schema[ts_col].dataType)
+    )
+    r_tag = (
+        right.select(key, ts_col)
+        .distinct()
+        .withColumn("__src", F.lit(0))
+        .withColumn("__rts", F.col(ts_col))
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at the same ts (src 0 < 1), so a
+    # same-timestamp right event is visible to the left row
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(out_col, F.last("__rts", ignorenulls=True).over(w))
+    return filled.filter(F.col("__src") == 1).drop("__src", "__rts")
