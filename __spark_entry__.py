@@ -418,6 +418,47 @@ def a6_pivot(spark, sf_dir):
     )
 
 
+def b2_salted_join(spark, sf_dir):
+    """Skew-mitigated join: lineitem ⋈ orders with an 8-way salt on the
+    hot key (operators/skew.py). The result is IDENTICAL to the plain
+    join — the oracle is the unsalted SQL — but each hot key spreads
+    over 8 reducers."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = salted_join(
+        li, o, li.l_orderkey, o.o_orderkey, F.col("l_linenumber"), n_salt=8
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        W.round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+    )
+
+
+def sql1_quality_sql(spark, sf_dir):
+    """The spark.sql(...) entry point (SURVEY §3.3): the reference's
+    three data-quality queries (/root/reference/daily_weather_etl_kenya.py:483-524)
+    fused into ONE SQL statement over a registered view."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT count(DISTINCT l_suppkey)              AS unique_suppliers,
+               sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+               min(l_quantity)                        AS min_qty,
+               max(l_quantity)                        AS max_qty,
+               count(*)                               AS total_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        """
+    )
+
+
 def w1_topk_per_group(spark, sf_dir):
     """Grouped top-k via row_number window (WindowGroupLimit pushdown)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1014,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_broadcast_join": b1_broadcast_join,
         "j1_asof_join": j1_asof_join,
         "a6_pivot": a6_pivot,
+        "b2_salted_join": b2_salted_join,
+        "sql1_quality_sql": sql1_quality_sql,
         "w1_topk_per_group": w1_topk_per_group,
         "set1_anti_join": set1_anti_join,
         "u1_union_agg": u1_union_agg,
@@ -1183,6 +1226,22 @@ SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
+""",
+        "b2_salted_join": f"""
+SELECT o_orderstatus, count(*) AS n_items,
+       {W.round_half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+        "sql1_quality_sql": """
+SELECT count(DISTINCT l_suppkey) AS unique_suppliers,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       count(*) AS total_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
 """,
         "w1_topk_per_group": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (

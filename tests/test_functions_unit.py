@@ -216,3 +216,27 @@ def test_streaming_parquet_file_sink(spark, sf01, tmp_path):
     run()  # same checkpoint: no new data, no duplicate output
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_cosine_pandas_udf_matches_native(spark, sf01):
+    """The Arrow cosine twin must agree with the JVM fold to float
+    tolerance (numpy pairwise summation vs sequential fold)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine,
+        cosine_pandas_udf,
+        to_double_array,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf01, "embeddings").limit(200)
+    a = emb.select(F.col("vec_id").alias("ida"), to_double_array(F.col("embedding")).alias("va"))
+    b = emb.select((F.col("vec_id") + 1).alias("idb"), to_double_array(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, a.ida == b.idb)
+    udf = cosine_pandas_udf()
+    out = pairs.select(
+        (cosine(F.col("va"), F.col("vb")) - udf(F.col("va"), F.col("vb"))).alias("d")
+    ).agg(F.max(F.abs(F.col("d"))).alias("max_d")).collect()[0]
+    assert out.max_d < 1e-12
