@@ -304,6 +304,18 @@ def a4_group_counts(spark, sf_dir):
     )
 
 
+def a7_quantiles(spark, sf_dir):
+    """Exact continuous quantiles per group (SQL `percentile`, linear
+    interpolation — DuckDB twin is quantile_cont). At 100 TB swap in
+    approx_percentile (t-digest sketch, no per-group sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        W.round_half_up(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        W.round_half_up(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def s2_json_access(spark, sf_dir):
     """S2: nested JSON field access
     (/root/reference/daily_weather_etl_kenya.py:157-188) over events.props."""
@@ -1049,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_null_counts": a2_null_counts,
         "a3_min_max": a3_min_max,
         "a4_group_counts": a4_group_counts,
+        "a7_quantiles": a7_quantiles,
         "s2_json_access": s2_json_access,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_regional_revenue": q5_regional_revenue,
@@ -1179,6 +1192,13 @@ FROM lineitem
 SELECT o_orderstatus, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_total
 FROM orders GROUP BY o_orderstatus
+""",
+        "a7_quantiles": f"""
+SELECT l_returnflag,
+       {W.round_half_up_sql('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
+       {W.round_half_up_sql('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
 """,
         "s2_json_access": """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n

@@ -40,8 +40,10 @@ def main() -> int:
 
     spark = get_spark("kw-bench", cpus=cpus)
 
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen + Python-worker-pool warm-up outside the timed region
+    # (interpreter boot is environment cost, not query cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

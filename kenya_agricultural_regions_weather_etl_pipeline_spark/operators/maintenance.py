@@ -1,0 +1,40 @@
+"""Table maintenance: small-file compaction.
+
+The 100 TB failure mode this addresses: a streaming sink or a
+many-task write leaves thousands of tiny parquet files per partition;
+scans then pay per-file open/footer cost and lose row-group pruning.
+Compaction rewrites the table at a controlled file count.
+
+Local-filesystem swap (shutil/os.rename); on HDFS/S3 the same two-phase
+write-then-swap runs through the filesystem API / an atomic prefix
+flip. Spark refuses to overwrite a path it is lazily reading, hence the
+temp-dir two-phase shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite the parquet table at ``path`` into ``target_files`` files
+    (per partition directory when ``partition_by`` is given). Returns
+    the row count of the compacted table (cheap invariant check for the
+    caller)."""
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df = spark.read.parquet(path)
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path).count()

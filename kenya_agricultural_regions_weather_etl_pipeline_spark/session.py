@@ -37,6 +37,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # Scan-level pruning (defaults, pinned for clarity).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime row-level join filtering: build a bloom filter from the
+    # selective side and push it into the big side's scan (big wins on
+    # 100 TB star joins; pinned on).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -240,3 +240,24 @@ def test_cosine_pandas_udf_matches_native(spark, sf01):
         (cosine(F.col("va"), F.col("vb")) - udf(F.col("va"), F.col("vb"))).alias("d")
     ).agg(F.max(F.abs(F.col("d"))).alias("max_d")).collect()[0]
     assert out.max_d < 1e-12
+
+
+def test_compact_parquet(spark, sf01, tmp_path):
+    """Small-file compaction: rewrite keeps every row, cuts file count."""
+    import glob
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.maintenance import (
+        compact_parquet,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf01, "events").select("event_id", "user_id", "value")
+    ev.repartition(32).write.parquet(path)
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    n_rows = compact_parquet(spark, path, target_files=2)
+    n_after = len(glob.glob(f"{path}/*.parquet"))
+    assert n_rows == ev.count()
+    assert n_before == 32 and n_after == 2
