@@ -1,0 +1,85 @@
+"""Hypothesis property tests (SURVEY §5c): engine expressions vs the
+reference formulas evaluated in pure Python on GENERATED inputs, one
+Spark job per test (hypothesis drives the value lists, not the jobs).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import weather as W
+
+_spark = [None]
+
+
+def _get_spark():
+    # session-per-module (hypothesis examples reuse it)
+    if _spark[0] is None:
+        from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
+
+        _spark[0] = get_spark("kw-hypo", cpus="4")
+    return _spark[0]
+
+
+def _round_half_up(x: float, n: int) -> float:
+    s = float(10**n)
+    return math.floor(x * s + 0.5) / s + 0.0
+
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=50), st.integers(0, 6))
+def test_round_half_up_matches_python(xs, n):
+    spark = _get_spark()
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r.y
+        for r in df.select(W.round_half_up(F.col("x"), n).alias("y"))
+        .orderBy("x")
+        .collect()
+    ]
+    want = [_round_half_up(x, n) for x in sorted(xs)]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-5, max_value=50, allow_nan=False),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_heat_index_property(pairs):
+    spark = _get_spark()
+    df = spark.createDataFrame(pairs, "t double, h double")
+    rows = df.select(
+        "t", "h", W.heat_index(F.col("t"), F.col("h")).alias("hi")
+    ).collect()
+    for r in rows:
+        if r.t < 27:
+            assert r.hi == r.t
+        else:
+            poly = (
+                -8.78469475556
+                + 1.61139411 * r.t
+                + 2.33854883889 * r.h
+                + -0.14611605 * r.t * r.h
+                + -0.012308094 * r.t * r.t
+                + -0.0164248277778 * r.h * r.h
+                + 0.002211732 * r.t * r.t * r.h
+                + 0.00072546 * r.t * r.h * r.h
+                + -0.000003582 * r.t * r.t * r.h * r.h
+            )
+            assert r.hi == _round_half_up(poly, 2)

@@ -1,0 +1,102 @@
+"""True incremental-state checks: the stateful streaming operators must
+produce batch-equivalent answers when the backlog arrives as MANY
+micro-batches (maxFilesPerTrigger=1), not one — state merge across
+batches is what single-batch availableNow runs never exercise.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import load_table
+from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+    EVENTS_RAW_SCHEMA,
+    keyed_running_totals,
+    windowed_event_counts,
+)
+
+
+def _fragmented_events_dir(spark, sf01, tmp_path, n_files=4):
+    """events split into n parquet files, raw int64-nanos schema."""
+    path = str(tmp_path / "events_frag")
+    raw = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf01)
+    )
+    raw.repartition(n_files).write.parquet(path)
+    return path
+
+
+def _stream(spark, path, max_files=1):
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .format("parquet")
+        .load(path)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def _run(df, mode, name):
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) >= 4, "expected multiple micro-batches"
+    out = df.sparkSession.table(name).localCheckpoint(eager=True)
+    df.sparkSession.catalog.dropTempView(name)
+    return out
+
+
+def test_windowed_counts_multi_batch_equals_batch(spark, sf01, tmp_path):
+    path = _fragmented_events_dir(spark, sf01, tmp_path)
+    stream_out = _run(
+        windowed_event_counts(_stream(spark, path)), "complete", "inc_st1"
+    )
+    batch_in = _stream_like_batch(spark, path)
+    batch_out = windowed_event_counts(batch_in)
+    assert stream_out.exceptAll(batch_out).isEmpty()
+    assert batch_out.exceptAll(stream_out).isEmpty()
+
+
+def test_running_totals_multi_batch_equals_batch(spark, sf01, tmp_path):
+    path = _fragmented_events_dir(spark, sf01, tmp_path)
+    emitted = _run(
+        keyed_running_totals(_stream(spark, path).select("user_id", "value")),
+        "append",
+        "inc_st4",
+    )
+    # append mode emits one row per key per batch; the running total is
+    # monotone in n_events, so the final state is the per-key max row
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "sum_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+    )
+    batch = (
+        _stream_like_batch(spark, path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = final.join(batch.withColumnRenamed("n_events", "n_batch"), "user_id")
+    assert j.filter(F.col("n_events") != F.col("n_batch")).isEmpty()
+    assert final.count() == batch.count()
+
+
+def _stream_like_batch(spark, path):
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
