@@ -530,6 +530,16 @@ def x2_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def x2b_minhash_verified(spark, sf_dir):
+    """The 100 TB dedup pipeline: MinHash-LSH candidates → EXACT Jaccard
+    verification on candidates only (no self-join). Rows-only check
+    (candidates derive from engine-specific xxhash64); a pytest pins the
+    verifier against the inverted-index exact measure."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return D.ngram_jaccard_verify(docs, cand).filter(F.col("jaccard") >= 0.4)
+
+
 def x3_ngram_jaccard_pairs(spark, sf_dir):
     """EXACT word-3-gram Jaccard near-dup pairs via shingle inverted index,
     hot-shingle capped (df > 50 dropped before the self-join) so a
@@ -1075,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_agg": u1_union_agg,
         "x1_dedup_exact": x1_dedup_exact,
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
+        "x2b_minhash_verified": x2b_minhash_verified,
         "x3_ngram_jaccard_pairs": x3_ngram_jaccard_pairs,
         "x4_simhash_pairs": x4_simhash_pairs,
         "x5_cosine_topk": x5_cosine_topk,

@@ -238,6 +238,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard on CANDIDATE pairs only — the LSH-then-verify scale
+    pattern.
+
+    The full inverted-index self-join (:func:`ngram_jaccard_pairs`) is
+    exact but inherently superlinear when duplication is dense (measured
+    ~16× time on a 10× corpus that was 90% near-copies); production runs
+    MinHash-LSH (:func:`minhash_lsh_pairs`) for candidates and this
+    verifier for the exact measure. Per pair: two hash-joins to attach
+    the shingle sets, then ``array_intersect``/``array_union`` JVM-side
+    — no explode, no self-join, linear in |pairs|.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("shset"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the whitespace tokens of the normalized text.
 

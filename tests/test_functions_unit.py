@@ -261,3 +261,21 @@ def test_compact_parquet(spark, sf01, tmp_path):
     n_after = len(glob.glob(f"{path}/*.parquet"))
     assert n_rows == ev.count()
     assert n_before == 32 and n_after == 2
+
+
+def test_jaccard_verify_agrees_with_inverted_index(spark, sf01):
+    """Two independent exact-Jaccard implementations (per-pair
+    array_intersect verify vs inverted-index self-join) must agree
+    bit-for-bit on the pairs both cover."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import dedup as D
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf01, "documents")
+    exact = D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.2)  # uncapped
+    verified = D.ngram_jaccard_verify(
+        docs, exact.select("id_a", "id_b")
+    ).withColumnRenamed("jaccard", "j2")
+    j = exact.join(verified, ["id_a", "id_b"])
+    assert j.count() == exact.count() > 0
+    assert j.filter(F.col("jaccard") != F.col("j2")).isEmpty()
