@@ -64,6 +64,7 @@ def pipeline_frame(
     days: int = 3,
     extraction_ts: datetime | None = None,
     use_datasource: bool = True,
+    observations: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The full E→T lineage as one lazy plan, no side effects.
 
@@ -81,7 +82,20 @@ def pipeline_frame(
     flat = flatten(parsed, extraction_ts)
     # broadcast the 15-row region dim for coordinates (S3)
     flat = flat.join(F.broadcast(regions_df(spark)), "region", "left")
-    batch = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+    if observations is not None:
+        # E5 observability: the reference logs row counts at every step
+        # (/root/reference/daily_weather_etl_kenya.py:300-306); the Spark
+        # equivalent is Observation metrics — collected as a side effect
+        # of the SAME action, no extra pass over the data.
+        from pyspark.sql import Observation
+
+        o_flat, o_batch = Observation(), Observation()
+        observations["flat"], observations["batch"] = o_flat, o_batch
+        flat = flat.observe(o_flat, F.count(F.lit(1)).alias("rows_flat"))
+        batch = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+        batch = batch.observe(o_batch, F.count(F.lit(1)).alias("rows_loaded"))
+    else:
+        batch = transform(flat).select(*WEATHER_LOAD_COLUMNS)
     return batch, corrupt
 
 
@@ -97,8 +111,13 @@ def run_batch(
     Returns the collected quality verdict (the reference's
     data_quality_check, warn-only, :471-531).
     """
+    obs: dict = {}
     batch, corrupt = pipeline_frame(
-        spark, days=days, extraction_ts=extraction_ts, use_datasource=use_datasource
+        spark,
+        days=days,
+        extraction_ts=extraction_ts,
+        use_datasource=use_datasource,
+        observations=obs,
     )
     n_corrupt = corrupt.count()
 
@@ -121,4 +140,7 @@ def run_batch(
     report = fused_quality_report(table).collect()[0]
     verdict = quality_verdict(report)
     verdict["corrupt_quarantined"] = n_corrupt
+    # step-count observability (E5): harvested from the write action
+    verdict["rows_flat"] = obs["flat"].get["rows_flat"]
+    verdict["rows_loaded"] = obs["batch"].get["rows_loaded"]
     return verdict

@@ -279,3 +279,25 @@ def test_jaccard_verify_agrees_with_inverted_index(spark, sf01):
     j = exact.join(verified, ["id_a", "id_b"])
     assert j.count() == exact.count() > 0
     assert j.filter(F.col("jaccard") != F.col("j2")).isEmpty()
+
+
+def test_run_batch_observation_metrics(spark, tmp_path):
+    """E5 observability: step counts harvested via Observation from the
+    write action itself (no extra scan)."""
+    v = run_batch(spark, str(tmp_path / "t"), days=2)
+    assert v["rows_flat"] > v["rows_loaded"] > 0  # dedup+validation removed rows
+
+
+def test_json_sink_source_roundtrip(spark, tmp_path):
+    """JSON write -> schema'd JSON read roundtrip of the flattened
+    weather frame (the reference's wire format is JSON)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.weather_pipeline import (
+        pipeline_frame,
+    )
+
+    batch, _ = pipeline_frame(spark, days=2, use_datasource=False)
+    path = str(tmp_path / "json_sink")
+    batch.write.json(path)
+    back = spark.read.schema(batch.schema).json(path)
+    assert back.count() == batch.count()
+    assert back.exceptAll(batch).isEmpty()
