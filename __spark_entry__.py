@@ -641,6 +641,21 @@ def x10_embedding_dup_pairs(spark, sf_dir):
 # streaming + multimodal + end-to-end
 # ---------------------------------------------------------------------------
 
+def x11_train_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test assignment
+    (md5-bucket per-mille thresholds, operators/sampling.py): stable
+    under re-sharding — the anti-leakage split a training pipeline
+    needs. Exact DuckDB twin."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
 def st1_windowed_counts(spark, sf_dir):
     """Structured Streaming availableNow micro-batch: tumbling 1h window
     agg over event time (SURVEY.md §2.7); result equals the batch GROUP BY."""
@@ -1097,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_token_stats": x8_token_stats,
         "x9_fingerprint": x9_fingerprint,
         "x9b_rolling_hash": x9b_rolling_hash,
+        "x11_train_split": x11_train_split,
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,
@@ -1354,6 +1370,13 @@ FROM documents GROUP BY source
 """,
         "x9_fingerprint": f"""
 SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
+""",
+        "x11_train_split": """
+SELECT doc_id,
+       CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
+            WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
         "st1_windowed_counts": f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -43,13 +43,11 @@ def synthesize_raw_payload(region: str, day: int, seed_salt: int = 0) -> str:
     or humidity (must be filtered); duplicates/malformed docs are added
     by the fixture builder, not here.
     """
-    h = abs(hash((region, day, seed_salt))) % 10_000
-    # hash() is salted per-process; use a deterministic mix instead:
+    # deterministic mix (builtin hash() is salted per-process)
     m = 0
     for ch in region:
         m = (m * 131 + ord(ch)) % 1_000_003
     m = (m + day * 7919 + seed_salt * 104729) % 1_000_003
-    del h
 
     temp = round(12.0 + (m % 300) / 10.0, 2)  # 12.0 .. 41.9
     if m % 37 == 0:
