@@ -485,6 +485,23 @@ def w1_topk_per_group(spark, sf_dir):
     )
 
 
+def w2_running_total(spark, sf_dir):
+    """Cumulative window aggregation: per-customer running order total in
+    deterministic (date, orderkey) order — ROWS UNBOUNDED PRECEDING, one
+    shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        W.round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
 def set1_anti_join(spark, sf_dir):
     """Anti join: customers with no orders (set-difference semantics)."""
     c = load_table(spark, sf_dir, "customer")
@@ -1096,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_salted_join": b2_salted_join,
         "sql1_quality_sql": sql1_quality_sql,
         "w1_topk_per_group": w1_topk_per_group,
+        "w2_running_total": w2_running_total,
         "set1_anti_join": set1_anti_join,
         "u1_union_agg": u1_union_agg,
         "x1_dedup_exact": x1_dedup_exact,
@@ -1296,6 +1314,14 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
   FROM orders) WHERE rank <= 3
+""",
+        "w2_running_total": f"""
+SELECT o_custkey, o_orderkey,
+       {W.round_half_up_sql(
+           "sum(o_totalprice) OVER (PARTITION BY o_custkey "
+           "ORDER BY o_orderdate ASC, o_orderkey ASC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
+FROM orders
 """,
         "set1_anti_join": """
 SELECT c_custkey, c_name FROM customer
