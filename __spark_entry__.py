@@ -412,6 +412,22 @@ def j1_asof_join(spark, sf_dir):
     )
 
 
+def j2_range_join(spark, sf_dir):
+    """Range join (±30 min) via time-bucket banding — equi-join on
+    (key, bucket) with 3-bucket neighborhood explode + exact filter, not
+    an O(n·m) theta join. Oracle: correlated inequality count."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.asof import (
+        range_join_count,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return range_join_count(clicks, views, "user_id", "ts", 1800, "n_nearby_views")
+
+
 def a6_pivot(spark, sf_dir):
     """Pivot / crosstab: order counts by priority x status, fixed value
     list so the plan is one pass of conditional aggregation (the
@@ -871,7 +887,9 @@ def qv1_quality_verdict(spark, sf_dir):
         fused_quality_report,
     )
 
-    batch, _ = WP.pipeline_frame(spark, days=3)
+    # fixture path (no Python datasource hop): S1 evidence lives in
+    # e2e_weather_pipeline; this query is about the quality layer
+    batch, _ = WP.pipeline_frame(spark, days=3, use_datasource=False)
     report = fused_quality_report(batch)
     return report.select(
         "total_records",
@@ -1109,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": q5_regional_revenue,
         "b1_broadcast_join": b1_broadcast_join,
         "j1_asof_join": j1_asof_join,
+        "j2_range_join": j2_range_join,
         "a6_pivot": a6_pivot,
         "b2_salted_join": b2_salted_join,
         "sql1_quality_sql": sql1_quality_sql,
@@ -1284,6 +1303,17 @@ SELECT c.event_id, c.user_id, c.ts,
         WHERE v.event_type = 'view' AND v.user_id = c.user_id
           AND v.ts <= c.ts) AS asof_view_ts
 FROM events c WHERE c.event_type = 'click'
+""",
+        "j2_range_join": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts,
+       CAST((SELECT count(*) FROM v
+             WHERE v.user_id = c.user_id
+               AND abs(CAST(floor(epoch(v.ts)) AS BIGINT)
+                       - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 1800) AS BIGINT)
+         AS n_nearby_views
+FROM c
 """,
         "a6_pivot": """
 SELECT o_orderpriority,

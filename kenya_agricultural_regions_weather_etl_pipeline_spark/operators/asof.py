@@ -17,6 +17,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    tol_seconds: int,
+    out_col: str = "n_in_range",
+) -> DataFrame:
+    """Count right-side events within ±``tol_seconds`` of each left row,
+    per key — a range join WITHOUT the O(n·m) theta join.
+
+    Banding: bucket both sides by ``floor(epoch / tol)``; any pair
+    within tolerance differs by at most one bucket, so the right side
+    explodes into its 3-bucket neighborhood and the join is a plain
+    equi-join on (key, bucket) + an exact |Δt| filter. Shuffle is keyed
+    by (key, bucket) — linear, skew handled by AQE. (Same shape as the
+    LSH band joins; this is how interval joins survive 100 TB.)
+    """
+    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(tol_seconds))
+    l_b = left.withColumn("__b", lb)
+    r_b = right.select(
+        key, F.col(ts_col).alias("__rts"), lb.alias("__rb")
+    ).withColumn("__b", F.explode(F.array(F.col("__rb") - 1, F.col("__rb"), F.col("__rb") + 1)))
+    joined = l_b.join(r_b.drop("__rb"), [key, "__b"], "left").withColumn(
+        "__hit",
+        (
+            F.abs(
+                F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__rts"))
+            )
+            <= tol_seconds
+        ).cast("int"),
+    )
+    group_cols = [c for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(out_col))
+    )
+
+
 def asof_join_ts(
     left: DataFrame,
     right: DataFrame,
