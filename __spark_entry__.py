@@ -527,6 +527,34 @@ def set1_anti_join(spark, sf_dir):
     )
 
 
+def set2_intersect(spark, sf_dir):
+    """INTERSECT set semantics: customers ordering in both 1995 and 1996
+    (distinct-ified hash semi-join under the hood)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+def set3_semi_join(spark, sf_dir):
+    """Left semi join (EXISTS): suppliers with at least one lineitem
+    shipped in 1996 — no fact-side row multiplication."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
 def u1_union_agg(spark, sf_dir):
     """UNION ALL of two filtered branches + re-aggregation."""
     o = load_table(spark, sf_dir, "orders")
@@ -1134,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_per_group": w1_topk_per_group,
         "w2_running_total": w2_running_total,
         "set1_anti_join": set1_anti_join,
+        "set2_intersect": set2_intersect,
+        "set3_semi_join": set3_semi_join,
         "u1_union_agg": u1_union_agg,
         "x1_dedup_exact": x1_dedup_exact,
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
@@ -1356,6 +1386,22 @@ FROM orders
         "set1_anti_join": """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "set2_intersect": """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+""",
+        "set3_semi_join": """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s.s_suppkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
 """,
         "u1_union_agg": """
 WITH u AS (
