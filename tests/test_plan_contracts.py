@@ -87,3 +87,42 @@ def test_scalar_derivations_stay_in_codegen(spark, sf01, name):
     plan = _plan(spark, sf01, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf01, tmp_path):
+    """Bucketing both join sides on the key co-locates them: the join
+    plan must contain NO shuffle exchange (the 100 TB pattern for
+    repeated large-x-large joins on a stable key)."""
+    import pyspark.sql.functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS b_{name}")
+        (
+            load_table(spark, sf01, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / f"b_{name}"))
+            .saveAsTable(f"b_{name}")
+        )
+    try:
+        li, o = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # and the answer is still right
+        n = joined.agg(F.sum("n")).collect()[0][0]
+        assert n == load_table(spark, sf01, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
