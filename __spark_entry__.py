@@ -352,6 +352,23 @@ def q3_top_revenue_orders(spark, sf_dir):
     )
 
 
+def q2_brand_revenue(spark, sf_dir):
+    """part ⋈ lineitem revenue rollup per brand — the SF-scaling dim join
+    left to AQE (contrast b1's explicit broadcast of the BOUNDED dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            W.round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q5_regional_revenue(spark, sf_dir):
     """Multi-way join through the star schema with broadcast dims."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1151,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_group_counts": a4_group_counts,
         "a7_quantiles": a7_quantiles,
         "s2_json_access": s2_json_access,
+        "q2_brand_revenue": q2_brand_revenue,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_regional_revenue": q5_regional_revenue,
         "b1_broadcast_join": b1_broadcast_join,
@@ -1297,6 +1315,13 @@ FROM lineitem GROUP BY l_returnflag
         "s2_json_access": """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
 FROM events GROUP BY 1
+""",
+        "q2_brand_revenue": f"""
+SELECT p_brand,
+       {W.round_half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
 """,
         "q3_top_revenue_orders": """
 SELECT o_orderkey, o_orderpriority,
