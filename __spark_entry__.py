@@ -743,9 +743,17 @@ def st1_windowed_counts(spark, sf_dir):
 
 def st2_stream_dedup(spark, sf_dir):
     """Streaming keyed dedup of replays via dropDuplicatesWithinWatermark
-    (the streaming twin of the upsert invariant; rows-only check)."""
+    (the streaming twin of the upsert invariant). Key projection makes
+    the surviving set deterministic → oracle = SELECT DISTINCT."""
     apply_runtime_confs(spark)
     return ST.run_stream_dedup(spark, sf_dir, ["user_id", "event_type"])
+
+
+def st5_stream_static_join(spark, sf_dir):
+    """Stream ⋈ broadcast static dim + windowless rollup: per-batch
+    stateless join, result equals the batch join over the backlog."""
+    apply_runtime_confs(spark)
+    return ST.run_stream_static_join(spark, sf_dir)
 
 
 def a5_rollup(spark, sf_dir):
@@ -1201,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,
+        "st5_stream_static_join": st5_stream_static_join,
         "st4_stateful_running_totals": st4_stateful_running_totals,
         "a5_rollup": a5_rollup,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
@@ -1215,9 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins (identical output column names/types). Queries absent
-    here (x2, x4, st2, mm1) are engine-specific (xxhash64 signatures /
-    streaming state / binary fixtures) → driver records the weaker
-    rows-only check."""
+    here (x2, x2b, x4, mm1) are engine-specific (xxhash64 signatures /
+    binary payload hashes) → driver records the weaker rows-only check."""
     jacc_toks = (
         "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
         "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
@@ -1509,6 +1517,19 @@ FROM documents
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {W.round_half_up_sql('sum(value)', 4)} AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "st2_stream_dedup": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+        "st5_stream_static_join": f"""
+WITH dim AS (
+  SELECT range::INT AS bucket, 'SEG' || (range % 5)::VARCHAR AS segment
+  FROM range(15)
+)
+SELECT segment, count(*) AS n_events,
+       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
+FROM events JOIN dim ON (user_id % 15) = bucket
+GROUP BY segment
 """,
         "st3_session_windows": f"""
 WITH o AS (

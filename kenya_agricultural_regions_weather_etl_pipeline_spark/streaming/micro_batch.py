@@ -241,10 +241,39 @@ def run_windowed_counts(
 def run_stream_dedup(
     spark: SparkSession, sf_dir: str, keys: list[str]
 ) -> DataFrame:
-    """Execute the streaming keyed dedup to completion (st2)."""
+    """Execute the streaming keyed dedup to completion (st2).
+
+    Projects the KEY columns only: which replica survives is
+    processing-order-dependent, but the surviving key set over a
+    single-batch availableNow backlog is exactly the distinct keys —
+    SQL-expressible, so st2 is oracle-checked (SELECT DISTINCT). Keys
+    evicted by the watermark could re-emit only in a LATER micro-batch,
+    which a one-file backlog never has."""
     stream = read_events_stream(spark, sf_dir)
-    deduped = dedup_within_watermark(stream, keys).select(
-        "user_id", "event_type", "event_id"
-    )
+    deduped = dedup_within_watermark(stream, keys).select(*keys)
     _, out = _run_to_memory(deduped, "append", "st2")
+    return out
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static-dim join + agg (st5): every micro-batch joins
+    against the broadcast static side with no stream-side state; result
+    over the finite backlog equals the batch join — the oracle."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    dim_schema = StructType(
+        [StructField("bucket", IntegerType()), StructField("segment", StringType())]
+    )
+    dim = spark.createDataFrame(
+        [(i, f"SEG{i % 5}") for i in range(15)], dim_schema
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.withColumn(
+        "bucket", (F.col("user_id") % 15).cast("int")
+    ).join(F.broadcast(dim), "bucket")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.sum("value"), 4).alias("sum_value"),
+    )
+    _, out = _run_to_memory(agg, "complete", "st5")
     return out
