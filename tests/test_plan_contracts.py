@@ -126,3 +126,25 @@ def test_bucketed_join_avoids_shuffle(spark, sf01, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf01, tmp_path):
+    """S4: date-partitioned parquet + a partition-column predicate must
+    prune at planning time (PartitionFilters on the scan, only matching
+    partition dirs read) — the replacement for the reference's b-tree
+    indexes (/root/reference/daily_weather_etl_kenya.py:116-119)."""
+    import pyspark.sql.functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    path = str(tmp_path / "li_part")
+    li = load_table(spark, sf01, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("ship_year") == 1995)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ship_year" in plan
+    assert df.count() == li.filter(F.col("ship_year") == 1995).count() > 0
