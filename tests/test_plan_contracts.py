@@ -148,3 +148,10 @@ def test_partitioned_write_prunes_on_read(spark, sf01, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(ship_year" in plan
     assert df.count() == li.filter(F.col("ship_year") == 1995).count() > 0
+
+
+def test_q1_whole_stage_codegen(spark, sf01):
+    """The flagship agg must run inside WholeStageCodegen spans (scalar
+    exprs fused into generated loops, no interpreted hot path)."""
+    plan = _plan(spark, sf01, "q1_pricing_summary")
+    assert "WholeStageCodegen" in plan
