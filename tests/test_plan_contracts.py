@@ -152,6 +152,7 @@ def test_partitioned_write_prunes_on_read(spark, sf01, tmp_path):
 
 def test_q1_whole_stage_codegen(spark, sf01):
     """The flagship agg must run inside WholeStageCodegen spans (scalar
-    exprs fused into generated loops, no interpreted hot path)."""
-    plan = _plan(spark, sf01, "q1_pricing_summary")
-    assert "WholeStageCodegen" in plan
+    exprs fused into generated loops, no interpreted hot path). Simple
+    explain marks codegen stages with '*(n)'."""
+    plan = _plan(spark, sf01, "q1_pricing_summary", mode="simple")
+    assert "*(1)" in plan
