@@ -152,7 +152,10 @@ def test_partitioned_write_prunes_on_read(spark, sf01, tmp_path):
 
 def test_q1_whole_stage_codegen(spark, sf01):
     """The flagship agg must run inside WholeStageCodegen spans (scalar
-    exprs fused into generated loops, no interpreted hot path). Simple
-    explain marks codegen stages with '*(n)'."""
-    plan = _plan(spark, sf01, "q1_pricing_summary", mode="simple")
-    assert "*(1)" in plan
+    exprs fused into generated loops, no interpreted hot path). AQE only
+    finalizes (and codegen-wraps) the plan on execution, so run it
+    first; the final plan marks codegen stages with '*(n)'."""
+    df = entrymod.queries()["q1_pricing_summary"](spark, sf01)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(1)" in plan
