@@ -655,6 +655,13 @@ def x6_lang_id(spark, sf_dir):
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def x6b_lang_id_ngram(spark, sf_dir):
+    """Character-n-gram language ID (trigram occurrence argmax) — the
+    n-gram-heuristic variant alongside the stopword-marker x6."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id_ngram(F.col("text")).alias("pred_lang"))
+
+
 def x7_quality_score(spark, sf_dir):
     """Composite text quality score (length/punct/stopword ratios)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1201,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5c_lsh_recall": x5c_lsh_recall,
         "x10_embedding_dup_pairs": x10_embedding_dup_pairs,
         "x6_lang_id": x6_lang_id,
+        "x6b_lang_id_ngram": x6b_lang_id_ngram,
         "x7_quality_score": x7_quality_score,
         "x8_token_stats": x8_token_stats,
         "x9_fingerprint": x9_fingerprint,
@@ -1493,6 +1501,9 @@ FROM documents
 """,
         "x6_lang_id": f"""
 SELECT doc_id, {T.lang_id_sql('text')} AS pred_lang FROM documents
+""",
+        "x6b_lang_id_ngram": f"""
+SELECT doc_id, {T.lang_id_ngram_sql('text')} AS pred_lang FROM documents
 """,
         "x7_quality_score": f"""
 SELECT doc_id, {T.quality_score_sql('text')} AS q_score FROM documents

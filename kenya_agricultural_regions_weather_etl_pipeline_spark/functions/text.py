@@ -113,6 +113,62 @@ def lang_id_sql(text: str) -> str:
     )
 
 
+# Characteristic character-trigrams per language (tiny, deterministic —
+# chosen for mutual distinctiveness so the oracle reproduces the scoring).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "to "),
+    "es": ("que", "los", "ción", "ado", "de "),
+    "fr": ("les", "des", "ait", "eur", "ent"),
+    "de": ("der", "ich", "und", "sch", "ein"),
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring: length-difference trick
+    ((len(s) − len(replace(s, t, ''))) / len(t)) — pure JVM string ops,
+    identical formula in any SQL engine."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Character-n-gram language ID: argmax of characteristic-trigram
+    occurrence counts over the lowercased text, 'und' when nothing hits.
+    Ties break en > es > fr > de (fixed order, oracle-reproducible)."""
+    low = F.lower(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, tris in LANG_TRIGRAMS.items():
+        score = sum((_occurrences(low, t) for t in tris), F.lit(0.0))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_ngram_sql(text: str) -> str:
+    """DuckDB twin of :func:`lang_id_ngram`."""
+    def occ(t: str) -> str:
+        esc = t.replace("'", "''")
+        return (
+            f"((length(lower({text})) - length(replace(lower({text}), '{esc}', '')))"
+            f" / {len(t)})"
+        )
+
+    def score(lang: str) -> str:
+        return "(" + " + ".join(occ(t) for t in LANG_TRIGRAMS[lang]) + ")"
+
+    s = {lang: score(lang) for lang in LANG_TRIGRAMS}
+    return (
+        f"CASE WHEN greatest({s['en']},{s['es']},{s['fr']},{s['de']}) <= 0 THEN 'und' "
+        f"WHEN {s['en']} >= greatest({s['es']},{s['fr']},{s['de']}) THEN 'en' "
+        f"WHEN {s['es']} >= greatest({s['fr']},{s['de']}) THEN 'es' "
+        f"WHEN {s['fr']} >= {s['de']} THEN 'fr' "
+        f"ELSE 'de' END"
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite document quality score in [0,1].
 
