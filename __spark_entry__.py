@@ -1160,6 +1160,53 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 """
 
 
+def e2e_corpus_clean(spark, sf_dir):
+    """End-to-end training-corpus cleaning pipeline: exact dedup
+    (md5 fingerprint, keep lowest doc_id) → quality floor → language
+    gate → per-source token-budget rollup. One lazy lineage; every
+    stage reuses the oracle-checked primitives (x9/x7/x6/x8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    cleaned = deduped.filter(T.quality_score(F.col("text")) >= 0.5).filter(
+        T.lang_id(F.col("text")) == "en"
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("sum_tokens"),
+        F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("avg_quality"),
+    )
+
+
+def _e2e_corpus_oracle() -> str:
+    return f"""
+WITH fp AS (
+  SELECT doc_id, source, text, {T.fingerprint_md5_sql('text')} AS fp
+  FROM documents
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+    FROM fp) WHERE rn = 1
+), cleaned AS (
+  SELECT * FROM deduped
+  WHERE {T.quality_score_sql('text')} >= 0.5
+    AND {T.lang_id_sql('text')} = 'en'
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
+       round(avg({T.quality_score_sql('text')}), 6) AS avg_quality
+FROM cleaned GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1226,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_sample": mm2_frame_sample,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
+        "e2e_corpus_clean": e2e_corpus_clean,
         "qv1_quality_verdict": qv1_quality_verdict,
     }
 
@@ -1626,4 +1674,5 @@ SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
 FROM f
 """,
         "e2e_weather_sim": _e2e_oracle(),
+        "e2e_corpus_clean": _e2e_corpus_oracle(),
     }
