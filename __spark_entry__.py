@@ -535,6 +535,27 @@ def w2_running_total(spark, sf_dir):
     )
 
 
+def w3_lag_delta(spark, sf_dir):
+    """LAG window functions: per-customer order-over-order price delta and
+    inter-order day gap. One shuffle on the partition key; LAG itself is
+    evaluated inside the sorted window pass (no second shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        W.round_half_up(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("price_delta"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date"), 1).over(w),
+        ).cast("int").alias("days_since_prev"),
+    )
+
+
 def set1_anti_join(spark, sf_dir):
     """Anti join: customers with no orders (set-difference semantics)."""
     c = load_table(spark, sf_dir, "customer")
@@ -780,6 +801,56 @@ def a5_rollup(spark, sf_dir):
             "n_docs",
             "sum_chars",
         )
+    )
+
+
+def a8_cube(spark, sf_dir):
+    """CUBE grouping sets over the documents corpus: every (source, lang)
+    margin in one shuffle. avg is derived from exact integer sum/count with
+    a single double division so both engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("_sum"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            W.round_half_up(
+                F.col("_sum").cast("double") / F.col("n_docs"), 2
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def x12_top_bigrams(spark, sf_dir):
+    """Corpus bigram vocabulary (tokenizer-prep stat): tokenize, form
+    adjacent word pairs with an indexed ``transform`` lambda (JVM
+    higher-order function, no Python), explode, count, global top-50 with a
+    deterministic tiebreak. Partial (map-side) aggregation collapses the
+    per-partition counts before the single hash shuffle on the bigram, and
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — no global
+    sort. At 100 TB this is the shape of a vocabulary-building pass: the
+    shuffle carries one row per distinct bigram per partition, not one per
+    occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
     )
 
 
@@ -1241,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql1_quality_sql": sql1_quality_sql,
         "w1_topk_per_group": w1_topk_per_group,
         "w2_running_total": w2_running_total,
+        "w3_lag_delta": w3_lag_delta,
         "set1_anti_join": set1_anti_join,
         "set2_intersect": set2_intersect,
         "set3_semi_join": set3_semi_join,
@@ -1267,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st5_stream_static_join": st5_stream_static_join,
         "st4_stateful_running_totals": st4_stateful_running_totals,
         "a5_rollup": a5_rollup,
+        "a8_cube": a8_cube,
+        "x12_top_bigrams": x12_top_bigrams,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
@@ -1472,6 +1546,18 @@ SELECT o_custkey, o_orderkey,
            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
 FROM orders
 """,
+        "w3_lag_delta": f"""
+SELECT o_custkey, o_orderkey,
+       {W.round_half_up_sql(
+           "o_totalprice - lag(o_totalprice, 1) OVER "
+           "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)", 2)}
+           AS price_delta,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE), 1) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+""",
         "set1_anti_join": """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1622,6 +1708,23 @@ FROM events GROUP BY user_id
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (source, lang)
+""",
+        "a8_cube": f"""
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       {W.round_half_up_sql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 2)}
+           AS avg_chars
+FROM documents GROUP BY CUBE (source, lang)
+""",
+        "x12_top_bigrams": """
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
 """,
         "x5d_cosine_topk_ivf": f"""
 WITH c AS (
