@@ -784,6 +784,15 @@ def st5_stream_static_join(spark, sf_dir):
     return ST.run_stream_static_join(spark, sf_dir)
 
 
+def st6_foreach_batch_upsert(spark, sf_dir):
+    """foreachBatch keyed merge into a Parquet target (the streaming
+    ON CONFLICT DO UPDATE twin): each micro-batch merges last-write-wins
+    per (user_id, event_type); final table = batch per-key argmax, the
+    exact oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_foreach_batch_upsert(spark, sf_dir)
+
+
 def a5_rollup(spark, sf_dir):
     """Hierarchical subtotal aggregation (ROLLUP grouping sets) over the
     documents corpus — the multi-granularity rollup a quality dashboard
@@ -1337,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,
         "st5_stream_static_join": st5_stream_static_join,
+        "st6_foreach_batch_upsert": st6_foreach_batch_upsert,
         "st4_stateful_running_totals": st4_stateful_running_totals,
         "a5_rollup": a5_rollup,
         "a8_cube": a8_cube,
@@ -1665,6 +1675,13 @@ FROM events GROUP BY 1, 2
 """,
         "st2_stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "st6_foreach_batch_upsert": """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
 """,
         "st5_stream_static_join": f"""
 WITH dim AS (

@@ -255,6 +255,94 @@ def run_stream_dedup(
     return out
 
 
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target: str,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> None:
+    """``foreachBatch`` keyed merge into a Parquet target — the streaming
+    twin of the reference's ``ON CONFLICT DO UPDATE`` load
+    (/root/reference/daily_weather_etl_kenya.py:392-468).
+
+    Each micro-batch: read the current target, union the batch, keep the
+    greatest-``order_cols`` row per key, atomically overwrite. The merged
+    frame is localCheckpoint-ed BEFORE the overwrite so the write never
+    reads the path it is replacing. Runs to completion (availableNow).
+
+    Scale notes: at 100 TB the target is date-partitioned and the merge
+    uses dynamic partition overwrite (``write_merged_partitioned``) so a
+    micro-batch rewrites only the partitions it touches; the merge itself
+    is one shuffle on the key. Exactly-once comes from the checkpointed
+    batch ids: re-running a batch re-derives the same merged table
+    (the merge is idempotent), which is the foreachBatch contract.
+    """
+    from pyspark.errors import AnalysisException
+
+    data_path = os.path.join(target, "data")
+    cols = list(dict.fromkeys([*keys, *order_cols, *payload_cols]))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.select(*cols)
+        try:
+            cur = sp.read.parquet(data_path).unionByName(cur)
+        except AnalysisException:
+            pass  # first batch: target does not exist yet
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        merged = (
+            cur.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(data_path)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the foreachBatch upsert to completion (st6) and return the
+    final merged table: the latest event per (user_id, event_type), i.e.
+    the reference's last-write-wins invariant held continuously by a
+    stream. Over a finite backlog this equals the batch per-key argmax —
+    the DuckDB oracle (row_number over epoch_ns(ts) DESC, event_id DESC).
+    """
+    import shutil
+
+    stream = read_events_stream(spark, sf_dir)
+    target = tempfile.mkdtemp(prefix="kw_st6_")
+    try:
+        foreach_batch_upsert(
+            stream,
+            target,
+            keys=["user_id", "event_type"],
+            order_cols=["ts_ns", "event_id"],
+            payload_cols=["value"],
+        )
+        out = (
+            spark.read.parquet(os.path.join(target, "data"))
+            .select("user_id", "event_type", "event_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return out
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ static-dim join + agg (st5): every micro-batch joins
     against the broadcast static side with no stream-side state; result

@@ -100,3 +100,38 @@ def _stream_like_batch(spark, path):
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
         "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
+
+
+def test_foreach_batch_upsert_multi_batch_equals_batch(spark, sf01, tmp_path):
+    """st6 state lives in the Parquet target itself: merging the backlog
+    one file per micro-batch must converge to the same per-key argmax as
+    a single batch query, whatever order the files arrive in."""
+    from pyspark.sql import Window
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        foreach_batch_upsert,
+    )
+
+    path = _fragmented_events_dir(spark, sf01, tmp_path)
+    target = str(tmp_path / "st6_target")
+    foreach_batch_upsert(
+        _stream(spark, path),
+        target,
+        keys=["user_id", "event_type"],
+        order_cols=["ts_ns", "event_id"],
+        payload_cols=["value"],
+    )
+    merged = spark.read.parquet(target + "/data").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        _stream_like_batch(spark, path)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+    assert merged.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(merged).isEmpty()
