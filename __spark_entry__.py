@@ -504,6 +504,35 @@ def sql1_quality_sql(spark, sf_dir):
     )
 
 
+def q6_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery: orders above half the global max
+    price, counted per priority. Catalyst plans the subquery as its own
+    tiny job and injects the result as a literal — no join, no second
+    scan of the filtered side. max/2 keeps the threshold exact in
+    floating point on both engines (avg would be order-sensitive)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders_v
+        WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders_v)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def a9_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch distinct (A1's 100 TB swap-in): no exact
+    per-key shuffle, fixed-size sketch merged map-side. Engine-specific
+    estimate → no SQL oracle; the error bound vs exact countDistinct is
+    pinned by a pytest (tests/test_functions_unit.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
 def w1_topk_per_group(spark, sf_dir):
     """Grouped top-k via row_number window (WindowGroupLimit pushdown)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1319,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_pivot": a6_pivot,
         "b2_salted_join": b2_salted_join,
         "sql1_quality_sql": sql1_quality_sql,
+        "q6_scalar_subquery": q6_scalar_subquery,
+        "a9_approx_distinct": a9_approx_distinct,
         "w1_topk_per_group": w1_topk_per_group,
         "w2_running_total": w2_running_total,
         "w3_lag_delta": w3_lag_delta,
@@ -1530,6 +1561,12 @@ SELECT o_orderstatus, count(*) AS n_items,
        {W.round_half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
+""",
+        "q6_scalar_subquery": """
+SELECT o_orderpriority, count(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+GROUP BY o_orderpriority
 """,
         "sql1_quality_sql": """
 SELECT count(DISTINCT l_suppkey) AS unique_suppliers,

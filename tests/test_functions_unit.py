@@ -301,3 +301,21 @@ def test_json_sink_source_roundtrip(spark, tmp_path):
     back = spark.read.schema(batch.schema).json(path)
     assert back.count() == batch.count()
     assert back.exceptAll(batch).isEmpty()
+
+
+def test_approx_distinct_error_bound(spark, sf01):
+    """a9: the HLL++ sketch must land within 5x its configured 1% rsd of
+    the exact distinct counts (self-validation for the no-oracle query)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf01, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_o"),
+        F.countDistinct("l_orderkey").alias("e_o"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_p"),
+        F.countDistinct("l_partkey").alias("e_p"),
+    ).first()
+    assert abs(row.a_o - row.e_o) / row.e_o < 0.05
+    assert abs(row.a_p - row.e_p) / row.e_p < 0.05
