@@ -159,3 +159,35 @@ def test_q1_whole_stage_codegen(spark, sf01):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan and "*(1)" in plan
+
+
+def test_x12_topk_avoids_full_sort(spark, sf01):
+    """x12's top-50 must compile to TakeOrderedAndProject, and its
+    aggregation must have a partial (map-side) phase before the shuffle."""
+    plan = _plan(spark, sf01, "x12_top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q6_scalar_subquery_is_not_a_join(spark, sf01):
+    """The scalar subquery must inject a literal, not join the two scans."""
+    plan = _plan(spark, sf01, "q6_scalar_subquery")
+    assert "Join" not in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
+
+
+def test_w3_single_window_exchange(spark, sf01):
+    """Both LAG columns share one (partition, order) spec: exactly one
+    shuffle exchange and one Window node, not two."""
+    plan = _plan(spark, sf01, "w3_lag_delta")
+    # tree lines are "NodeName (id)": exactly one shuffle, one Window node
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Window (") == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_a9_sketch_has_partial_aggregation(spark, sf01):
+    """HLL sketches merge map-side: a partial aggregate phase must exist
+    (the shuffle carries fixed-size sketches, not rows)."""
+    plan = _plan(spark, sf01, "a9_approx_distinct")
+    assert "partial" in plan.lower()
