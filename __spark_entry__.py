@@ -892,6 +892,36 @@ def x12_top_bigrams(spark, sf_dir):
     )
 
 
+def x13_doc_frequency(spark, sf_dir):
+    """Per-term document frequency + IDF (stopword detection / tokenizer
+    prep): ``array_distinct`` dedups terms inside each row BEFORE the
+    explode — the per-doc distinct costs zero shuffle; the only exchange
+    is the term-count groupBy (carrying one row per distinct term per
+    partition after partial agg). The corpus size joins in as a
+    broadcast 1-row frame, so IDF needs no second scan and no
+    driver-side collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("term")
+    )
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "df",
+            W.round_half_up(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1382,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_rollup": a5_rollup,
         "a8_cube": a8_cube,
         "x12_top_bigrams": x12_top_bigrams,
+        "x13_doc_frequency": x13_doc_frequency,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
@@ -1779,6 +1810,18 @@ WITH toks AS (
 )
 SELECT bigram, count(*) AS n FROM bg
 GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+""",
+        "x13_doc_frequency": f"""
+WITH terms AS (
+  SELECT unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS term
+  FROM documents
+), dfc AS (
+  SELECT term, count(*) AS df FROM terms GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, df,
+       {W.round_half_up_sql("ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS idf
+FROM dfc, n
+ORDER BY df DESC, term ASC LIMIT 100
 """,
         "x5d_cosine_topk_ivf": f"""
 WITH c AS (
