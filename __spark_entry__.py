@@ -892,6 +892,21 @@ def x12_top_bigrams(spark, sf_dir):
     )
 
 
+def x14_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (iterative hash-min
+    label propagation) over the exact Jaccard pair graph x3 emits —
+    turns pairwise matches into duplicate GROUPS (component = min
+    doc_id), the step before canonical-document selection. Oracle:
+    recursive-CTE transitive closure over the same pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.4, max_shingle_df=50
+    )
+    return D.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component")
+    )
+
+
 def x13_doc_frequency(spark, sf_dir):
     """Per-term document frequency + IDF (stopword detection / tokenizer
     prep): ``array_distinct`` dedups terms inside each row BEFORE the
@@ -1413,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_cube": a8_cube,
         "x12_top_bigrams": x12_top_bigrams,
         "x13_doc_frequency": x13_doc_frequency,
+        "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
@@ -1432,7 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
         "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
     )
-    return {
+    d = {
         "q1_pricing_summary": Q1_ORACLE,
         "f1_range_filter": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_discount
@@ -1876,3 +1892,22 @@ FROM f
         "e2e_weather_sim": _e2e_oracle(),
         "e2e_corpus_clean": _e2e_corpus_oracle(),
     }
+    # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
+    # as the edge list and takes the transitive closure recursively.
+    d["x14_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS id FROM edges
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+    return d

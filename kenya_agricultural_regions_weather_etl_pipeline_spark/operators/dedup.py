@@ -444,3 +444,56 @@ def embedding_cosine_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup clustering: connected components of the near-dup pair graph
+    by iterative min-label propagation (the DataFrame form of Pregel's
+    hash-min). Pair generators (minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_pairs, embedding_cosine_dup_pairs) emit EDGES; picking one
+    canonical document per duplicate group needs the transitive closure —
+    this operator supplies it: ``component`` = min node id reachable.
+
+    Each round every node adopts the minimum label in its closed
+    neighborhood; converges in O(graph diameter) rounds (near-dup graphs
+    are unions of near-cliques, so diameter is tiny). Per round: one
+    shuffle for the neighbor join + one for the min-groupBy, with labels
+    localCheckpoint-ed to truncate the growing lineage (an iterative
+    driver loop is the legitimate exception to "no driver-side loops" —
+    the DATA never leaves executors; only the 1-row convergence probe
+    returns). At 100 TB swap in alternating large-star/small-star
+    (Kiveris et al.) — the min-propagation core is identical.
+
+    Returns (id, component). Nodes = endpoints of ``edges``; isolated
+    documents are by definition their own singleton cluster and need no
+    rows here.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)  # computed once, joined every round
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -319,3 +319,20 @@ def test_approx_distinct_error_bound(spark, sf01):
     ).first()
     assert abs(row.a_o - row.e_o) / row.e_o < 0.05
     assert abs(row.a_p - row.e_p) / row.e_p < 0.05
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """x14 core: a path graph 1-2-3-4 plus an isolated pair 10-11 must
+    collapse to components {1,1,1,1} and {10,10} — label propagation has
+    to cross multiple hops, not just adopt the direct neighbor."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.lbl) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
