@@ -23,10 +23,15 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  #
     vectors as V,
     weather as W,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  # noqa: E402
+    redact as RD,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  # noqa: E402
     dedup as D,
     merge as M,
     multimodal as MM,
+    packing as PK,
+    sampling as SMP,
     similarity as S,
     topk as K,
 )
@@ -937,6 +942,90 @@ def x13_doc_frequency(spark, sf_dir):
     )
 
 
+def x15_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (corpus rebalancing):
+    content-hash bucket < per-stratum threshold
+    (operators/sampling.py:stratified_hash_sample). Pure map-side
+    filter — no shuffle, no RNG, stable under re-sharding; the exact
+    DuckDB twin reproduces the assignment bit-for-bit."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        F.col("text"),
+        "lang",
+        {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+def x16_doc_chunks(spark, sf_dir):
+    """Context-window chunking: overlapping 50-token windows (stride 40)
+    per document via per-row transform + posexplode
+    (operators/packing.py:chunk_documents) — a pure narrow map stage,
+    no shuffle, no Python. Exact DuckDB twin via LATERAL unnest."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=50, overlap=10)
+
+
+def x17_sequence_packing(spark, sf_dir):
+    """Sequence packing to a 256-token budget: cumulative-sum bucketing
+    per language (operators/packing.py:pack_sequences) — the
+    deterministic, window-shaped form of greedy packing (one shuffle on
+    the partition key). Exact DuckDB twin with the same window."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, T.token_count(F.col("text")), budget=256, partition_col="lang"
+    )
+
+
+def x18_pii_redaction(spark, sf_dir):
+    """PII redaction (pre-training hygiene): phone → <PHONE>, digit runs
+    → <NUM>, email → <EMAIL> in customer comments, plus keep-last-4
+    masking of the phone column and per-row audit counts
+    (functions/redact.py) — all JVM regexp built-ins sharing one regex
+    dialect with the DuckDB oracle."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        redact as R,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    counts = R.pii_counts(F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        R.redact_text(F.col("c_name")).alias("clean_name"),
+        R.mask_keep_last(F.col("c_name")).alias("masked_name"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_digit_runs"].alias("n_digit_runs"),
+    )
+
+
+def x19_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4× storage cut for the
+    ANN index): per-vector scale = max|v|/127, explicit half-up code
+    rounding (functions/vectors.py:quantize_int8); codes serialized to
+    a CSV string so the oracle hash-compares exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.to_double_array(F.col("embedding"))
+    codes, scale = V.quantize_int8(v)
+    return emb.select(
+        "vec_id",
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
+        W.round_half_up(scale, 9).alias("scale"),
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1430,6 +1519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_doc_frequency": x13_doc_frequency,
         "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
+        "x15_stratified_sample": x15_stratified_sample,
+        "x16_doc_chunks": x16_doc_chunks,
+        "x17_sequence_packing": x17_sequence_packing,
+        "x18_pii_redaction": x18_pii_redaction,
+        "x19_embedding_quantize": x19_embedding_quantize,
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
         "mm2_frame_sample": mm2_frame_sample,
@@ -1448,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
         "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
     )
+    QCODES, QSCALE = V.quantize_int8_sql("embedding::DOUBLE[]")
     d = {
         "q1_pricing_summary": Q1_ORACLE,
         "f1_range_filter": """
@@ -1838,6 +1933,35 @@ SELECT term, df,
        {W.round_half_up_sql("ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS idf
 FROM dfc, n
 ORDER BY df DESC, term ASC LIMIT 100
+""",
+        "x15_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {SMP.stratified_hash_sample_sql(
+            "text",
+            "lang",
+            {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25},
+            default_rate=0.1,
+        )}
+""",
+        "x16_doc_chunks": PK.chunk_documents_sql(chunk_size=50, overlap=10),
+        "x17_sequence_packing": PK.pack_sequences_sql(
+            "documents", T.token_count_sql("text"), budget=256
+        ),
+        "x18_pii_redaction": f"""
+SELECT c_custkey,
+       {RD.redact_text_sql('c_name')} AS clean_name,
+       {RD.mask_keep_last_sql('c_name')} AS masked_name,
+       CAST(len(regexp_extract_all(c_name, '{RD.PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(
+           regexp_replace(c_name, '{RD.PHONE_RE}', '{RD.PHONE_TOKEN}', 'g'),
+           '{RD.DIGIT_RUN_RE}')) AS INT) AS n_digit_runs
+FROM customer
+""",
+        "x19_embedding_quantize": f"""
+SELECT vec_id,
+       array_to_string({QCODES}, ',') AS codes,
+       {W.round_half_up_sql(QSCALE, 9)} AS scale
+FROM embeddings
 """,
         "x5d_cosine_topk_ivf": f"""
 WITH c AS (

@@ -36,6 +36,7 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
     from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("kw-bench", cpus=cpus)
@@ -44,6 +45,12 @@ def main() -> int:
     # (interpreter boot is environment cost, not query cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
+    # warm the noop committer + shuffle-write path once; the first noop
+    # write in a session otherwise pays ~2-3s of JVM class-load/codegen
+    # that would be misattributed to whichever query runs first
+    spark.range(1024).groupBy((F.col("id") % 7).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -65,3 +65,32 @@ def cosine_sql(a: str, b: str) -> str:
         f"(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
     )
+
+
+def quantize_int8(v: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: (codes, scale).
+
+    ``scale = max|vᵢ| / 127``; ``code = floor(vᵢ/scale + 0.5)`` (explicit
+    half-up — the one rounding formula both engines compute identically
+    on doubles). A zero vector quantizes to zeros with scale 0. This is
+    the storage/ANN-compression step of an embedding pipeline: 4× smaller
+    than float32, and the whole derivation is a narrow JVM expression —
+    at 100 TB it fuses into the ingest scan with no shuffle.
+    """
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    codes = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return codes, scale
+
+
+def quantize_int8_sql(v: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`quantize_int8` on a DOUBLE[] expression."""
+    amax = f"list_max(list_transform({v}, x -> abs(x)))"
+    scale = f"({amax} / 127.0)"
+    codes = (
+        f"CASE WHEN {amax} = 0.0 THEN list_transform({v}, x -> 0) "
+        f"ELSE list_transform({v}, x -> CAST(floor(x / {scale} + 0.5) AS INT)) END"
+    )
+    return codes, scale

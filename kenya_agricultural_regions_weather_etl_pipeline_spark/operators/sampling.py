@@ -46,3 +46,51 @@ def hash_split(
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(list(fractions)[-1]))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages).
+
+    Keeps a row iff its content-hash bucket falls under the stratum's
+    per-mille threshold — a pure map-side filter: NO shuffle, NO RNG
+    state, and the sample is stable under re-partitioning (unlike
+    ``DataFrame.sampleBy``, whose Bernoulli draw depends on row order
+    within partitions). At 100 TB this composes with predicate pushdown:
+    the filter sits directly on the scan.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1].
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {rate}")
+    bucket = split_bucket(key)
+    threshold = None
+    for name, rate in rates.items():
+        cond = F.col(strata_col) == name
+        mille = round(rate * MILLE)
+        threshold = (
+            F.when(cond, mille)
+            if threshold is None
+            else threshold.when(cond, mille)
+        )
+    threshold = threshold.otherwise(round(default_rate * MILLE))
+    return df.filter(bucket < threshold)
+
+
+def stratified_hash_sample_sql(
+    key: str, strata_col: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    """DuckDB twin of :func:`stratified_hash_sample`'s keep-predicate."""
+    whens = " ".join(
+        f"WHEN '{name}' THEN {round(rate * MILLE)}" for name, rate in rates.items()
+    )
+    return (
+        f"{split_bucket_sql(key)} < (CASE {strata_col} {whens} "
+        f"ELSE {round(default_rate * MILLE)} END)"
+    )

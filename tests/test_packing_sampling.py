@@ -1,0 +1,133 @@
+"""Invariant tests for the training-pipeline preprocessing operators:
+chunking (coverage + overlap), sequence packing (budget property),
+stratified sampling (determinism + rate), int8 quantization (error
+bound), PII redaction (idempotence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+    redact as R,
+    vectors as V,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+    stratified_hash_sample,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_chunks_cover_every_token_in_order(spark):
+    """De-overlapped chunk concat reconstructs the original token stream."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(137))), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, chunk_size=50, overlap=10).toPandas()
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        rebuilt: list[str] = []
+        for _, row in grp.iterrows():
+            toks = row.chunk_text.split(" ") if row.chunk_text else []
+            assert len(toks) == row.n_tokens
+            # all but the first chunk repeat the previous chunk's 10-token tail
+            rebuilt.extend(toks if not rebuilt else toks[10:])
+        original = df.filter(F.col("doc_id") == doc_id).head().text.split(" ")
+        assert rebuilt == original
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_packing_budget_property(spark, sf01):
+    """Every pack except a key's last holds ≥ budget tokens only when a
+    single doc overflows it; pack ids are dense from 0 per key."""
+    docs = load_table(spark, sf01, "documents")
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    packed = pack_sequences(
+        docs, token_count(F.col("text")), budget=256, partition_col="lang"
+    ).toPandas()
+    for lang, grp in packed.groupby("lang"):
+        sums = grp.groupby("pack_id").n_tokens.sum().sort_index()
+        assert sums.index[0] == 0
+        assert list(sums.index) == list(range(len(sums)))
+        # cumulative bucketing: every non-final pack crosses its budget
+        # boundary with its last doc, so it holds > budget - max_doc tokens
+        max_doc = grp.n_tokens.max()
+        for pack_id, total in sums.items():
+            if pack_id != sums.index[-1]:
+                assert total > 256 - max_doc
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf01):
+    docs = load_table(spark, sf01, "documents")
+    rates = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}
+    a = stratified_hash_sample(docs, F.col("text"), "lang", rates, 0.1)
+    b = stratified_hash_sample(
+        docs.repartition(7), F.col("text"), "lang", rates, 0.1
+    )
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # stable under re-partitioning
+    kept = a.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    total = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, rate in rates.items():
+        frac = kept.get(lang, 0) / total[lang]
+        assert abs(frac - rate) < 0.2, f"{lang}: {frac} vs {rate}"
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    df = spark.createDataFrame([(1, "x", "en")], "id long, text string, lang string")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, F.col("text"), "lang", {"en": 1.5})
+
+
+def test_quantize_int8_error_bound(spark, sf01):
+    """Dequantized values lie within scale/2 of the original (half-up
+    rounding bound), and codes stay in [-127, 127]."""
+    emb = load_table(spark, sf01, "embeddings").limit(200)
+    codes, scale = V.quantize_int8(V.to_double_array(F.col("embedding")))
+    checked = emb.select(
+        F.array_max(
+            F.zip_with(
+                F.transform(codes, lambda c: c.cast("double") * scale),
+                V.to_double_array(F.col("embedding")),
+                lambda dq, x: F.abs(dq - x),
+            )
+        ).alias("max_err"),
+        scale.alias("scale"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_code"),
+    ).toPandas()
+    assert (checked.max_err <= checked.scale / 2 + 1e-12).all()
+    assert (checked.max_code <= 127).all()
+
+
+def test_redaction_idempotent_and_masks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.io or 12-345-678-9012 acct 1234567"),
+            (2, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    once = df.select(R.redact_text(F.col("text")).alias("t"))
+    twice = once.select(R.redact_text(F.col("t")).alias("t"))
+    assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+    cleaned = once.head().t
+    assert "<EMAIL>" in cleaned and "<PHONE>" in cleaned and "<NUM>" in cleaned
+    assert "9012" not in cleaned and "corp.io" not in cleaned
+    masked = df.select(R.mask_keep_last(F.col("text"), 4).alias("m")).collect()
+    assert masked[1].m == "*******here"
