@@ -94,3 +94,15 @@ def quantize_int8_sql(v: str) -> tuple[str, str]:
         f"ELSE list_transform({v}, x -> CAST(floor(x / {scale} + 0.5) AS INT)) END"
     )
     return codes, scale
+
+
+def cosine_given_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the norms precomputed by the caller.
+
+    Higher-order array folds are interpreted (not codegen'd), so in a
+    pair-join each vector's norm should be computed ONCE before the join
+    instead of once per pair — a 3× cut in fold work at identical float
+    semantics (same sequential fold, same operation order, bit-identical
+    result; only the evaluation site moves).
+    """
+    return dot(a, b) / (na * nb)

@@ -418,7 +418,7 @@ def embedding_cosine_dup_pairs(
     almost surely share the bucket; exact cosine verifies.
     """
     from .similarity import sign_bucket
-    from ..functions.vectors import cosine, to_double_array
+    from ..functions.vectors import cosine_given_norms, norm, to_double_array
 
     from pyspark.storagelevel import StorageLevel
 
@@ -428,6 +428,10 @@ def embedding_cosine_dup_pairs(
             to_double_array(F.col(vec_col)).alias("vec"),
         )
         .withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
+        # norm once per vector, not once per candidate pair (identical
+        # fold → bit-identical cosine; folds are interpreted, so this is
+        # the dominant cost in the pair join)
+        .withColumn("nrm", norm(F.col("vec")))
         # self-join: materialize once or the 8-plane sketch runs on both sides
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -440,7 +444,12 @@ def embedding_cosine_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -473,12 +482,16 @@ def connected_components(
     documents are by definition their own singleton cluster and need no
     rows here.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # materialize the edge list BEFORE symmetrizing: the union has two
+    # branches, and each would otherwise re-run the (expensive) upstream
+    # pair-generation plan — checkpoint first so it runs exactly once
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
     )
+    sym = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     nodes = sym.select(F.col("s").alias("id")).distinct()
     labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)  # computed once, joined every round
+    sym = sym.localCheckpoint(eager=True)  # joined every round
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["s"] == labels["id"]).select(
             F.col("d").alias("id"), F.col("lbl")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import cosine, cosine_given_norms, norm, to_double_array
 
 
 def _hyperplane(dim: int, bit: int, n_bits: int) -> list[float]:
@@ -36,17 +36,40 @@ def _hyperplane(dim: int, bit: int, n_bits: int) -> list[float]:
 
 
 def sign_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane sign sketch → integer bucket id in [0, 2^n_bits)."""
-    bucket = F.lit(0)
-    for b in range(n_bits):
-        plane = _hyperplane(dim, b, n_bits)
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+    """Random-hyperplane sign sketch → integer bucket id in [0, 2^n_bits).
+
+    All ``n_bits`` projections run in ONE fold over the vector with an
+    array accumulator (the naive per-bit form re-walks the vector
+    ``n_bits`` times). Each plane's partial sums still accumulate in the
+    same d=0..dim-1 sequential order, so the result is bit-identical to
+    the per-plane fold and the SQL oracle's ``list_dot_product``.
+    """
+    # planes[d][b]: sign of plane b at dimension d
+    planes = F.array(
+        *[
+            F.array(
+                *[F.lit(_hyperplane(dim, b, n_bits)[d]) for b in range(n_bits)]
+            )
+            for d in range(dim)
+        ]
+    )
+    per_dim = F.zip_with(vec, planes, lambda x, pl: F.transform(pl, lambda p: x * p))
+    projs = F.aggregate(
+        per_dim,
+        F.array_repeat(F.lit(0.0), n_bits),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda s, x: s + x),
+    )
+    # single reference to `projs` (an 8-wide re-reference would re-run
+    # the interpreted fold once per bit): weight positive projections by
+    # their bit value and sum
+    weights = F.array(*[F.lit(1 << b) for b in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(
+            projs, weights, lambda p, bit: F.when(p > 0, bit).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def cosine_topk_bruteforce(
@@ -64,12 +87,15 @@ def cosine_topk_bruteforce(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("cnrm", norm(F.col("cvec")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("qnrm", norm(F.col("qvec")))
     scored = c.join(F.broadcast(q)).withColumn(
-        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+        "sim_full",
+        cosine_given_norms(
+            F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("vec_id").asc()
@@ -123,8 +149,14 @@ def cosine_topk_ivf(
         F.col("cent_sim").desc(), F.col("centroid_id").asc()
     )
     assigned = (
-        c.join(F.broadcast(cent))
-        .withColumn("cent_sim", cosine(F.col("cvec"), F.col("cent_vec")))
+        c.withColumn("cnrm", norm(F.col("cvec")))
+        .join(F.broadcast(cent.withColumn("cent_nrm", norm(F.col("cent_vec")))))
+        .withColumn(
+            "cent_sim",
+            cosine_given_norms(
+                F.col("cvec"), F.col("cent_vec"), F.col("cnrm"), F.col("cent_nrm")
+            ),
+        )
         .withColumn("cell_rank", F.row_number().over(w_c))
         .filter(F.col("cell_rank") == 1)
         .select("vec_id", "cvec", F.col("centroid_id").alias("cell"))
@@ -144,9 +176,19 @@ def cosine_topk_ivf(
         .filter(F.col("cell_rank") <= n_probe)
         .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
     )
-    # exact rerank within probed cells only
-    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
-        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+    # exact rerank within probed cells only (norms precomputed per side,
+    # not per candidate pair — same fold, same float result)
+    scored = (
+        assigned.withColumn("cnrm", norm(F.col("cvec")))
+        .join(
+            F.broadcast(probes.withColumn("qnrm", norm(F.col("qvec")))), "cell"
+        )
+        .withColumn(
+            "sim_full",
+            cosine_given_norms(
+                F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("vec_id").asc()
@@ -180,13 +222,20 @@ def cosine_topk_lsh(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
-    ).withColumn("bucket", sign_bucket(F.col("cvec"), n_bits, dim))
+    ).withColumn("bucket", sign_bucket(F.col("cvec"), n_bits, dim)).withColumn(
+        "cnrm", norm(F.col("cvec"))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qvec"),
-    ).withColumn("bucket", sign_bucket(F.col("qvec"), n_bits, dim))
+    ).withColumn("bucket", sign_bucket(F.col("qvec"), n_bits, dim)).withColumn(
+        "qnrm", norm(F.col("qvec"))
+    )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "sim_full", cosine(F.col("cvec"), F.col("qvec"))
+        "sim_full",
+        cosine_given_norms(
+            F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("vec_id").asc()
