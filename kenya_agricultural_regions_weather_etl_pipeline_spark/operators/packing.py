@@ -125,12 +125,16 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tokens).over(w)
-    return df.select(
+    # project n_tokens FIRST, then window over the column — reusing the
+    # raw expression inside the window frame would evaluate the (possibly
+    # expensive) token count twice per row
+    sized = df.select(partition_col, order_col, n_tokens.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
         partition_col,
         order_col,
-        n_tokens.alias("n_tokens"),
-        F.floor((cum - n_tokens) / F.lit(budget)).cast("int").alias("pack_id"),
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int").alias("pack_id"),
     )
 
 

@@ -191,3 +191,42 @@ def test_a9_sketch_has_partial_aggregation(spark, sf01):
     (the shuffle carries fixed-size sketches, not rows)."""
     plan = _plan(spark, sf01, "a9_approx_distinct")
     assert "partial" in plan.lower()
+
+
+def test_x15_sample_filter_is_map_side(spark, sf01):
+    """Stratified sampling must plan as scan+filter: no Exchange, no
+    Python eval — the predicate composes with pushdown at scale."""
+    plan = _plan(spark, sf01, "x15_stratified_sample")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x16_chunking_is_narrow(spark, sf01):
+    """Chunking is a pure map stage: generate/explode but NO shuffle."""
+    plan = _plan(spark, sf01, "x16_doc_chunks")
+    assert "Generate" in plan  # posexplode
+    assert "Exchange" not in plan
+
+
+def test_x17_packing_single_shuffle(spark, sf01):
+    """Sequence packing shuffles exactly once (the per-key window), and
+    the token count is projected before the window (not evaluated twice)."""
+    plan = _plan(spark, sf01, "x17_sequence_packing", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert plan.count("split(text") == 1
+
+
+def test_x18_redaction_stays_in_codegen(spark, sf01):
+    """Regex redaction is JVM-side, no Python eval, no shuffle."""
+    plan = _plan(spark, sf01, "x18_pii_redaction")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode marks codegen'd nodes with a leading '*'
+    assert "* Project" in plan
+
+
+def test_x19_quantization_is_narrow(spark, sf01):
+    plan = _plan(spark, sf01, "x19_embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
