@@ -1026,6 +1026,76 @@ def x19_embedding_quantize(spark, sf_dir):
     )
 
 
+def x20_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model quality score (perplexity proxy): corpus
+    term frequencies → per-document mean token log-probability. Two
+    aggregations (vocab counts, corpus total) and one term-level join;
+    at 100 TB the vocab join is a plain shuffle join keyed by term and
+    the corpus total rides in as a broadcast 1-row frame — no
+    driver-side collect anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("corpus_tokens"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            W.round_half_up(
+                F.avg(F.log(F.col("tf") / F.col("corpus_tokens"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+def w4_moving_average(spark, sf_dir):
+    """Sliding-frame window: 4-event moving average of `value` per user
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), deterministic ordering
+    by (ts, event_id). One shuffle on user_id; the frame is bounded so
+    window state is O(4) per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        W.round_half_up(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
+
+
+def a10_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the a5/a8 generalization: per-source,
+    per-lang, and grand-total rows in ONE pass (no union of 3 scans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, 'ALL') AS source,
+               COALESCE(lang, 'ALL') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
+def st7_stream_stream_join(spark, sf_dir):
+    """Stream ⋈ stream event-time join with watermark-bounded state
+    (click→purchase attribution within 30 min); equals the batch join
+    over the finite backlog — the exact oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_stream_stream_join(spark, sf_dir)
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1520,6 +1590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x15_stratified_sample": x15_stratified_sample,
+        "x20_unigram_lm_score": x20_unigram_lm_score,
+        "w4_moving_average": w4_moving_average,
+        "a10_grouping_sets": a10_grouping_sets,
+        "st7_stream_stream_join": st7_stream_stream_join,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -1944,6 +2018,46 @@ WHERE {SMP.stratified_hash_sample_sql(
         )}
 """,
         "x16_doc_chunks": PK.chunk_documents_sql(chunk_size=50, overlap=10),
+        "x20_unigram_lm_score": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*) AS tf FROM toks GROUP BY term
+), total AS (SELECT sum(tf) AS corpus_tokens FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       {W.round_half_up_sql(
+           "avg(ln(CAST(tf AS DOUBLE) / corpus_tokens))", 4
+       )} AS avg_logprob
+FROM toks JOIN vocab USING (term), total
+GROUP BY doc_id
+""",
+        "w4_moving_average": f"""
+SELECT event_id, user_id,
+       {W.round_half_up_sql(
+           "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+           "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 6
+       )} AS mov_avg
+FROM events
+""",
+        "a10_grouping_sets": """
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+""",
+        "st7_stream_stream_join": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
         "x17_sequence_packing": PK.pack_sequences_sql(
             "documents", T.token_count_sql("text"), budget=256
         ),

@@ -365,3 +365,59 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = _run_to_memory(agg, "complete", "st5")
     return out
+
+
+def click_purchase_join(clicks_src: DataFrame, purchases_src: DataFrame) -> DataFrame:
+    """Stream ⋈ stream event-time join lineage (st7): click→purchase
+    attribution within 30 minutes per user.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time gap, so Spark can size and PRUNE the join state — without
+    the time bound the state would grow unboundedly. Works identically
+    on batch inputs (watermarks become no-ops) — the oracle path.
+    """
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        purchases_src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "delay_us"
+        ),
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of :func:`click_purchase_join`; over the finite
+    backlog the append-mode result equals the batch join — the oracle."""
+    joined = click_purchase_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    _, out = _run_to_memory(joined, "append", "st7")
+    return out

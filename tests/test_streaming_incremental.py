@@ -135,3 +135,50 @@ def test_foreach_batch_upsert_multi_batch_equals_batch(spark, sf01, tmp_path):
     )
     assert merged.exceptAll(batch).isEmpty()
     assert batch.exceptAll(merged).isEmpty()
+
+
+def _time_ordered_fragments(spark, sf01, tmp_path, n_files=4):
+    """events split into n parquet files by TIME RANGE, written in
+    ascending order (FileStreamSource processes by mod-time, so batches
+    arrive in event-time order — required for a stream-stream join test:
+    randomly-ordered fragments would put whole quartiles behind the
+    watermark and the join would legitimately drop them)."""
+    import time as _time
+
+    path = str(tmp_path / "events_ordered")
+    raw = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf01)
+    )
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    for i in range(n_files):
+        a = lo + (hi - lo) * i // n_files
+        b = hi + 1 if i == n_files - 1 else lo + (hi - lo) * (i + 1) // n_files
+        raw.filter((F.col("ts") >= a) & (F.col("ts") < b)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)  # distinct mod-times => deterministic file order
+    return path
+
+
+def test_stream_stream_join_multi_batch_equals_batch(spark, sf01, tmp_path):
+    """st7: the click->purchase join must find every pair even when the
+    two sides arrive over many micro-batches (cross-batch join state),
+    matching the batch join exactly."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        click_purchase_join,
+    )
+
+    path = _time_ordered_fragments(spark, sf01, tmp_path)
+    stream_out = _run(
+        click_purchase_join(_stream(spark, path), _stream(spark, path)),
+        "append",
+        "inc_st7",
+    )
+    batch_in = _stream_like_batch(spark, path)
+    batch_out = click_purchase_join(batch_in, batch_in)
+    assert stream_out.exceptAll(batch_out).isEmpty()
+    assert batch_out.exceptAll(stream_out).isEmpty()
+    assert stream_out.count() > 0
