@@ -1096,6 +1096,42 @@ def st7_stream_stream_join(spark, sf_dir):
     return ST.run_stream_stream_join(spark, sf_dir)
 
 
+def x21_repetition_score(spark, sf_dir):
+    """Boilerplate/repetition quality signals (Gopher-style): per-doc
+    duplicate-trigram fraction (narrow array expression, no shuffle) +
+    top-bigram share (two partial-agg groupBys). The C4/Gopher-class
+    filter a pre-training pipeline runs on every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(docs)
+
+
+def set4_full_outer(spark, sf_dir):
+    """FULL OUTER reconciliation: customers vs order activity — which
+    keys exist on one side only (the audit query upsert pipelines run
+    after a merge). Grouped to a 3-row verdict so the operator is the
+    join itself, not a giant row dump."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    status = (
+        F.when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        j.select(status.alias("status"), "n_orders")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("total_orders"),
+        )
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1594,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_moving_average": w4_moving_average,
         "a10_grouping_sets": a10_grouping_sets,
         "st7_stream_stream_join": st7_stream_stream_join,
+        "x21_repetition_score": x21_repetition_score,
+        "set4_full_outer": set4_full_outer,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -2041,6 +2079,51 @@ SELECT event_id, user_id,
            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 6
        )} AS mov_avg
 FROM events
+""",
+        "x21_repetition_score": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         CAST(greatest(len(t) - 2, 0) AS INT) AS n_trigrams,
+         CASE WHEN len(t) < 3 THEN 0.0
+              ELSE {W.round_half_up_sql(
+                  "1.0 - CAST(len(list_distinct("
+                  "list_transform(range(1, len(t) - 1),"
+                  " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+                  ")) AS DOUBLE) / (len(t) - 2)", 6
+              )} END AS trigram_dup_frac
+  FROM toks
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), per AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, {W.round_half_up_sql(
+      "CAST(max(c) AS DOUBLE) / sum(c)", 6
+  )} AS top_bigram_frac
+  FROM per GROUP BY doc_id
+)
+SELECT tri.doc_id, n_trigrams, trigram_dup_frac,
+       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
+""",
+        "set4_full_outer": """
+SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+FROM (
+  SELECT CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
+              WHEN c.c_custkey IS NULL THEN 'order_only'
+              ELSE 'both' END AS status,
+         o.n_orders
+  FROM customer c
+  FULL OUTER JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+)
+GROUP BY status
 """,
         "a10_grouping_sets": """
 SELECT COALESCE(source, 'ALL') AS source,

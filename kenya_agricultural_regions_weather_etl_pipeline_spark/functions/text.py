@@ -262,3 +262,67 @@ def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Col
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+def word_trigrams_of_t() -> Column:
+    """Adjacent word 3-grams over a column named ``t`` (token array) —
+    indexed JVM ``transform`` lambda, no Python, no shuffle."""
+    return F.expr(
+        "transform(slice(t, 1, greatest(size(t)-2, 0)),"
+        " (x, i) -> concat(x, ' ', t[i+1], ' ', t[i+2]))"
+    )
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals per document.
+
+    - ``trigram_dup_frac``: 1 − distinct-trigram/trigram ratio — a pure
+      narrow expression (``array_distinct`` on the per-row trigram
+      array), zero shuffle.
+    - ``top_bigram_frac``: share of all bigram slots taken by the single
+      most frequent bigram — two keyed aggregations (doc_id×bigram,
+      then doc_id), partial-agg friendly.
+
+    Heavily templated/boilerplate documents score high on both; a
+    training-data filter drops rows above a threshold. Output:
+    (id_col, n_trigrams, trigram_dup_frac, top_bigram_frac).
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("t")
+    )
+    tri = toks.select(
+        F.col(id_col), word_trigrams_of_t().alias("tg")
+    ).select(
+        id_col,
+        F.size(F.col("tg")).alias("n_trigrams"),
+        F.when(F.size(F.col("tg")) == 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.size(F.array_distinct(F.col("tg"))) / F.size(F.col("tg"))
+        )
+        .alias("trigram_dup_frac"),
+    )
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                " (x, i) -> concat(x, \' \', t[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    from .weather import round_half_up
+
+    return tri.join(top, id_col, "left").select(
+        id_col,
+        "n_trigrams",
+        round_half_up(F.col("trigram_dup_frac"), 6).alias("trigram_dup_frac"),
+        round_half_up(
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
