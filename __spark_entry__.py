@@ -1132,6 +1132,40 @@ def set4_full_outer(spark, sf_dir):
     )
 
 
+def x22_decontamination(spark, sf_dir):
+    """Benchmark decontamination: which eval-split documents share a word
+    5-gram with any train-split document (operators/dedup.py:
+    cross_corpus_contamination over the x11 content-addressed split).
+    The train shingle set stays distributed — one shingle-keyed shuffle
+    join, no broadcast of the big side."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") != "train")
+    return D.cross_corpus_contamination(train, test, k_shingle=5)
+
+
+def q7_correlated_subquery(spark, sf_dir):
+    """Correlated scalar-aggregate subquery (orders 1.5× above their
+    customer's average): Catalyst decorrelates into one aggregate +
+    join instead of a per-row subquery execution — the optimizer
+    surface a SQL front-end user exercises constantly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q7")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_q7 o
+        WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                              FROM orders_q7 o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1632,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st7_stream_stream_join": st7_stream_stream_join,
         "x21_repetition_score": x21_repetition_score,
         "set4_full_outer": set4_full_outer,
+        "x22_decontamination": x22_decontamination,
+        "q7_correlated_subquery": q7_correlated_subquery,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -2110,6 +2146,37 @@ WITH toks AS (
 SELECT tri.doc_id, n_trigrams, trigram_dup_frac,
        COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
 FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
+""",
+        "x22_decontamination": """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM s
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 3),
+                             i -> array_to_string(l[i:i+4], ' '))
+    END)) AS sh
+  FROM toks
+), tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+te AS (SELECT doc_id, sh FROM sh WHERE split = 'eval')
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM te JOIN tr USING (sh)
+GROUP BY doc_id
+""",
+        "q7_correlated_subquery": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
 """,
         "set4_full_outer": """
 SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders

@@ -510,3 +510,39 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: test/eval documents sharing ≥1 word
+    k-shingle with ANY training document.
+
+    The standard pre-training hygiene pass (eval-set leakage detection):
+    build the distinct train-side shingle set, inverted-index join the
+    test side against it, count shared shingles per test doc. Both sides
+    shuffle once keyed by shingle; the train set is deduplicated before
+    the join so multiplicity is 1 and the count is exactly "distinct
+    shingles of this test doc that appear anywhere in train". At 100 TB
+    the train shingle set is the big side — it stays distributed (no
+    broadcast), and a document-frequency cap on stop-shingles composes
+    exactly as in :func:`ngram_jaccard_pairs`.
+
+    Returns (id_col, n_shared_shingles), test docs with ≥1 hit.
+    """
+    tr = train.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
+    ).distinct()
+    te = test.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    )
+    return (
+        te.join(tr, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
