@@ -1166,6 +1166,56 @@ def q7_correlated_subquery(spark, sf_dir):
     )
 
 
+def e2e_training_prep(spark, sf_dir):
+    """The COMPLETE pre-training data-prep pipeline as one lazy lineage:
+    exact dedup (md5, keep lowest id) → content-addressed split →
+    benchmark decontamination (drop train docs sharing a 5-gram with the
+    eval split) → context-window chunking (50/10) → sequence packing to
+    a 256-token budget per language → pack manifest. Every stage is an
+    oracle-checked primitive (x1/x11/x22/x16/x17); the output is the
+    small (lang, pack) manifest a trainer's data loader would read.
+    Shuffles: dedup window, contamination join, packing window, final
+    rollup — each keyed, no broadcast of any SF-scaling side."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        docs.select("doc_id", "lang", "text", T.fingerprint_md5(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    split = hash_split(
+        deduped, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    train = split.filter(F.col("split") == "train")
+    evals = split.filter(F.col("split") != "train")
+    contaminated = D.cross_corpus_contamination(
+        train=evals, test=train, k_shingle=5
+    ).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    chunks = chunk_documents(clean, chunk_size=50, overlap=10)
+    with_lang = chunks.join(clean.select("doc_id", "lang"), "doc_id")
+    packed = pack_sequences(
+        with_lang,
+        F.col("n_tokens"),
+        budget=256,
+        partition_col="lang",
+        order_col=["doc_id", "chunk_id"],
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1668,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set4_full_outer": set4_full_outer,
         "x22_decontamination": x22_decontamination,
         "q7_correlated_subquery": q7_correlated_subquery,
+        "e2e_training_prep": e2e_training_prep,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -2177,6 +2228,63 @@ FROM orders o
 WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
                       FROM orders o2
                       WHERE o2.o_custkey = o.o_custkey)
+""",
+        "e2e_training_prep": """
+WITH deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id ASC) AS rn
+    FROM documents) WHERE rn = 1
+), split AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
+              THEN 'train' ELSE 'eval' END AS split
+  FROM deduped
+), toks5 AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM split
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 3),
+                             i -> array_to_string(l[i:i+4], ' '))
+    END)) AS sh
+  FROM toks5
+), contaminated AS (
+  SELECT DISTINCT te.doc_id
+  FROM (SELECT doc_id, sh FROM sh WHERE split = 'train') te
+  JOIN (SELECT DISTINCT sh FROM sh WHERE split = 'eval') tr USING (sh)
+), clean AS (
+  SELECT s.doc_id, s.lang, s.text FROM split s
+  WHERE s.split = 'train'
+    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), ctoks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM clean
+), sized AS (
+  SELECT doc_id, lang, t, len(t) AS n,
+         greatest(1, CAST(ceil((len(t) - 10) / 40.0) AS INT)) AS n_chunks
+  FROM ctoks
+), chunks AS (
+  SELECT doc_id, lang, CAST(u.i AS INT) AS chunk_id,
+         CAST(least(50, n - u.i*40) AS INT) AS n_tokens
+  FROM sized, LATERAL unnest(range(0, n_chunks)) AS u(i)
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id, chunk_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / 256) AS INT) AS pack_id
+  FROM chunks
+)
+SELECT lang, pack_id, count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY lang, pack_id
 """,
         "set4_full_outer": """
 SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders

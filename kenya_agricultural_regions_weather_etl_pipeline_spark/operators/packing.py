@@ -110,7 +110,7 @@ def pack_sequences(
     n_tokens: Column,
     budget: int,
     partition_col: str = "lang",
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """Assign each row a ``pack_id`` so packs hold ~``budget`` tokens.
 
@@ -120,19 +120,20 @@ def pack_sequences(
     larger than ``budget`` get a pack of their own (the bucket index
     still advances past them).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(partition_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # project n_tokens FIRST, then window over the column — reusing the
     # raw expression inside the window frame would evaluate the (possibly
     # expensive) token count twice per row
-    sized = df.select(partition_col, order_col, n_tokens.alias("n_tokens"))
+    sized = df.select(partition_col, *order_cols, n_tokens.alias("n_tokens"))
     cum = F.sum("n_tokens").over(w)
     return sized.select(
         partition_col,
-        order_col,
+        *order_cols,
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int").alias("pack_id"),
     )
