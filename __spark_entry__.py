@@ -1216,6 +1216,109 @@ def e2e_training_prep(spark, sf_dir):
     )
 
 
+def q8_not_exists(spark, sf_dir):
+    """NOT EXISTS correlated subquery (customers with no open 'F'-status
+    order): Catalyst rewrites it to a left-anti hash join — no per-row
+    subquery execution, one shuffle on the key, skew-safe under AQE."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q8")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q8")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_q8 c
+        WHERE NOT EXISTS (SELECT 1 FROM orders_q8 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+def w5_rank_functions(spark, sf_dir):
+    """The full ranking-function surface in one window: rank,
+    dense_rank, percent_rank, cume_dist, ntile(4) over each customer's
+    orders by price. Single shuffle on o_custkey; ordering made total
+    with the orderkey tiebreak so every engine agrees row-for-row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def a11_filtered_agg(spark, sf_dir):
+    """FILTER-clause aggregates: several differently-predicated
+    aggregates in ONE scan/shuffle (the idiom replacing N self-joins or
+    N passes). Spark and DuckDB both implement the ANSI FILTER clause."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_a11")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               CAST(sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS BIGINT)
+                 AS qty_high_tax,
+               count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00')
+                 AS n_recent
+        FROM lineitem_a11
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def x23_domain_mixture(spark, sf_dir):
+    """Deterministic domain-mixture up/down-weighting (epoch
+    repetition): src0 ×2.5, src1 ×0.5, everything else ×1. The
+    fractional epoch is a content-hash draw (sampling.domain_mixture) so
+    the repeated rows are IDENTICAL across runs and re-shards — the
+    property that makes a 100 TB training mixture reproducible. Explode
+    is a narrow map stage; the only shuffle is the audit rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = SMP.domain_mixture(
+        docs,
+        F.col("text"),
+        "source",
+        {"src0": 2.5, "src1": 0.5},
+        default_weight=1.0,
+    )
+    return mixed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.sum("n_chars").cast("bigint").alias("chars_out"),
+    )
+
+
+def x24_c4_filters(spark, sf_dir):
+    """C4-style rule filtering (too-short docs, word-soup mean token
+    length) as a per-language audit: flags are pure narrow expressions
+    on the scan — at 100 TB this is the map-side gate in front of every
+    other corpus op, and the rollup is the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = T.c4_filter_flags(F.col("text"))
+    return (
+        docs.select(
+            "lang",
+            flags["flag_too_short"].cast("int").alias("s"),
+            flags["flag_bad_word_len"].cast("int").alias("b"),
+            flags["keep"].cast("int").alias("k"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").cast("bigint").alias("n_too_short"),
+            F.sum("b").cast("bigint").alias("n_bad_word_len"),
+            F.sum("k").cast("bigint").alias("n_keep"),
+        )
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1719,6 +1822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_decontamination": x22_decontamination,
         "q7_correlated_subquery": q7_correlated_subquery,
         "e2e_training_prep": e2e_training_prep,
+        "q8_not_exists": q8_not_exists,
+        "w5_rank_functions": w5_rank_functions,
+        "a11_filtered_agg": a11_filtered_agg,
+        "x23_domain_mixture": x23_domain_mixture,
+        "x24_c4_filters": x24_c4_filters,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -2285,6 +2393,68 @@ WITH deduped AS (
 SELECT lang, pack_id, count(*) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed GROUP BY lang, pack_id
+""",
+        "q8_not_exists": """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+""",
+        "w5_rank_functions": """
+SELECT o_orderkey, o_custkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+        "a11_filtered_agg": """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS BIGINT)
+         AS qty_high_tax,
+       count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00')
+         AS n_recent
+FROM lineitem
+GROUP BY l_returnflag
+""",
+        "x23_domain_mixture": f"""
+WITH copies AS (
+  SELECT doc_id, source, n_chars,
+         {SMP.domain_mixture_sql_copies(
+             "text", "source", {"src0": 2.5, "src1": 0.5}, 1.0
+         )} AS n_copies
+  FROM documents
+), exploded AS (
+  SELECT doc_id, source, n_chars
+  FROM copies, LATERAL unnest(range(0, n_copies)) AS u(i)
+  WHERE n_copies > 0
+)
+SELECT source, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_rows_out,
+       CAST(sum(n_chars) AS BIGINT) AS chars_out
+FROM exploded GROUP BY source
+""",
+        "x24_c4_filters": f"""
+WITH flags AS (
+  SELECT lang,
+         (len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) < 15)
+           AS too_short,
+         ({T.mean_token_len_sql("text")} < 3.0
+          OR {T.mean_token_len_sql("text")} > 10.0) AS bad_word_len
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(sum(CASE WHEN bad_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_word_len,
+       CAST(sum(CASE WHEN NOT (too_short OR bad_word_len) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM flags GROUP BY lang
 """,
         "set4_full_outer": """
 SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders

@@ -326,3 +326,45 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
             F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+# C4-style rule filters (https://arxiv.org/abs/1910.10683 §2.2 describes
+# the public recipe): cheap per-document predicates a crawl-cleaning
+# pipeline evaluates on every row. All thresholds are explicit args so
+# the DuckDB oracle can restate them verbatim.
+
+def mean_token_len(text: Column) -> Column:
+    """Mean token length: total non-space chars / token count (0 for
+    empty docs). Fold-free — array_join + length, not an aggregate."""
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.length(F.array_join(toks, "")).cast("double") / F.size(toks)
+    )
+
+
+def mean_token_len_sql(text: str) -> str:
+    toks = f"list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> '')"
+    return (
+        f"(CASE WHEN len({toks}) = 0 THEN 0.0 "
+        f"ELSE length(array_to_string({toks}, ''))::DOUBLE / len({toks}) END)"
+    )
+
+
+def c4_filter_flags(
+    text: Column,
+    min_tokens: int = 15,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+) -> dict[str, Column]:
+    """C4-class keep/drop flags: too-short docs and word-soup/gibberish
+    (mean token length outside a human-text band). Returns named flag
+    Columns plus the composite ``keep``; callers aggregate or filter."""
+    n = token_count(text)
+    mlen = mean_token_len(text)
+    too_short = n < min_tokens
+    bad_word_len = (mlen < min_mean_len) | (mlen > max_mean_len)
+    return {
+        "flag_too_short": too_short,
+        "flag_bad_word_len": bad_word_len,
+        "keep": ~(too_short | bad_word_len),
+    }

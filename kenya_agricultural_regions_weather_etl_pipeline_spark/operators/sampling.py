@@ -83,6 +83,65 @@ def stratified_hash_sample(
     return df.filter(bucket < threshold)
 
 
+def domain_mixture(
+    df: DataFrame,
+    key: Column,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic domain up/down-weighting via epoch repetition.
+
+    Pre-training mixtures repeat high-value domains fractionally (e.g.
+    Wikipedia ×2.5, web crawl ×0.5). Each row gets
+    ``n_copies = floor(w) + [bucket < frac_per_mille]`` — the fractional
+    epoch is a content-hash draw, so the SAME documents repeat on every
+    run and under any re-partitioning (an RNG would re-sample per run,
+    breaking reproducible training corpora). Rows then explode into
+    ``epoch`` copies 0..n_copies-1: a narrow map stage, no shuffle; at
+    100 TB the output feeds straight into the pack/shard writer.
+    """
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
+    bucket = split_bucket(key)
+    n_copies = None
+    for name, w in weights.items():
+        cond = F.col(domain_col) == name
+        expr = F.lit(int(w)) + (bucket < round((w - int(w)) * MILLE)).cast("int")
+        n_copies = F.when(cond, expr) if n_copies is None else n_copies.when(cond, expr)
+    dw = default_weight
+    default_expr = F.lit(int(dw)) + (bucket < round((dw - int(dw)) * MILLE)).cast("int")
+    n_copies = (
+        default_expr if n_copies is None else n_copies.otherwise(default_expr)
+    )
+    return (
+        df.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+        .drop("n_copies")
+    )
+
+
+def domain_mixture_sql_copies(
+    key: str, domain_col: str, weights: dict[str, float], default_weight: float = 1.0
+) -> str:
+    """DuckDB twin of the per-row ``n_copies`` expression."""
+    whens = " ".join(
+        f"WHEN '{name}' THEN {int(w)} + (CASE WHEN {split_bucket_sql(key)} < "
+        f"{round((w - int(w)) * MILLE)} THEN 1 ELSE 0 END)"
+        for name, w in weights.items()
+    )
+    dw = default_weight
+    default = (
+        f"{int(dw)} + (CASE WHEN {split_bucket_sql(key)} < "
+        f"{round((dw - int(dw)) * MILLE)} THEN 1 ELSE 0 END)"
+    )
+    return f"(CASE {domain_col} {whens} ELSE {default} END)"
+
+
 def stratified_hash_sample_sql(
     key: str, strata_col: str, rates: dict[str, float], default_rate: float = 0.0
 ) -> str:

@@ -230,3 +230,29 @@ def test_x19_quantization_is_narrow(spark, sf01):
     plan = _plan(spark, sf01, "x19_embedding_quantize")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q8_not_exists_plans_as_anti_join(spark, sf01):
+    plan = _plan(spark, sf01, "q8_not_exists")
+    # Catalyst must decorrelate NOT EXISTS into a left-anti join, not a
+    # per-row subquery; any join strategy is fine as long as it's anti
+    assert "LeftAnti" in plan
+
+
+def test_x23_mixture_explode_is_narrow(spark, sf01):
+    plan = _plan(spark, sf01, "x23_domain_mixture")
+    # the epoch repetition (Generate/explode) must run before any
+    # exchange — no shuffle feeds the explode itself. Formatted-plan
+    # node ids are post-order: lower id = earlier in the dataflow.
+    import re
+
+    gen = re.search(r"Generate \((\d+)\)", plan)
+    exchanges = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert gen and exchanges
+    assert int(gen.group(1)) < min(exchanges), plan
+
+
+def test_x24_flags_stay_in_codegen(spark, sf01):
+    plan = _plan(spark, sf01, "x24_c4_filters")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
