@@ -1319,6 +1319,84 @@ def x24_c4_filters(spark, sf_dir):
     )
 
 
+def x25_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF (keyword extraction): one
+    doc×term aggregation, a term-keyed DF rollup joined back (shuffle
+    join on term — never broadcast: vocabulary scales with the corpus),
+    the corpus size as a broadcast 1-row frame, and a per-doc window
+    rank. Ordering key is the 6-dp-rounded score with a term tiebreak so
+    every engine ranks identically (same parity argument as x13)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            W.round_half_up(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def w6_value_windows(spark, sf_dir):
+    """first_value / last_value / nth_value over an explicit frame (each
+    event vs its user's cheapest/priciest/2nd event): one shuffle on the
+    partition key; the full-partition frame is what forces the window to
+    buffer — bounded per user, so state is O(events-per-user), not
+    O(corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("value").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first_value(F.col("event_id")).over(w).alias("cheapest_event"),
+        F.last_value(F.col("event_id")).over(w).alias("priciest_event"),
+        F.nth_value(F.col("event_id"), 2).over(w).alias("second_event"),
+    )
+
+
+def a12_stats_aggregates(spark, sf_dir):
+    """Statistical aggregate surface: stddev/variance/correlation/
+    covariance per group in one pass (all are partial-agg friendly
+    moment sketches — map-side combine keeps the shuffle at one row per
+    (group, moment)). Rounded at 4 dp on both sides: the moments are
+    float sums whose last bits depend on reduction order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        W.round_half_up(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        W.round_half_up(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        W.round_half_up(
+            F.corr("l_quantity", "l_extendedprice"), 4
+        ).alias("corr_qty_price"),
+        W.round_half_up(
+            F.covar_samp("l_discount", "l_tax"), 4
+        ).alias("covar_disc_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1827,6 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_filtered_agg": a11_filtered_agg,
         "x23_domain_mixture": x23_domain_mixture,
         "x24_c4_filters": x24_c4_filters,
+        "x25_tfidf_top_terms": x25_tfidf_top_terms,
+        "w6_value_windows": w6_value_windows,
+        "a12_stats_aggregates": a12_stats_aggregates,
         "x16_doc_chunks": x16_doc_chunks,
         "x17_sequence_packing": x17_sequence_packing,
         "x18_pii_redaction": x18_pii_redaction,
@@ -2455,6 +2536,50 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(CASE WHEN NOT (too_short OR bad_word_len) THEN 1 ELSE 0 END) AS BIGINT)
          AS n_keep
 FROM flags GROUP BY lang
+""",
+        "x25_tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), total AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         {W.round_half_up_sql("tf * ln(n_docs::DOUBLE / df)", 6)} AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN total
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+""",
+        "w6_value_windows": """
+SELECT event_id, user_id,
+       first_value(event_id)  OVER w AS cheapest_event,
+       last_value(event_id)   OVER w AS priciest_event,
+       nth_value(event_id, 2) OVER w AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY value ASC NULLS FIRST, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+        "a12_stats_aggregates": f"""
+SELECT l_returnflag,
+       {W.round_half_up_sql("stddev_samp(l_quantity)", 4)} AS sd_qty,
+       {W.round_half_up_sql("var_samp(l_quantity)", 4)} AS var_qty,
+       {W.round_half_up_sql("corr(l_quantity, l_extendedprice)", 4)}
+         AS corr_qty_price,
+       {W.round_half_up_sql("covar_samp(l_discount, l_tax)", 4)}
+         AS covar_disc_tax,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
 """,
         "set4_full_outer": """
 SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
