@@ -1192,15 +1192,22 @@ def e2e_training_prep(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn", "fp")
     )
+    # checkpoint the dedup+split frame: train/eval filters, the
+    # contamination join AND the post-chunk lang join-back all re-run
+    # this subtree otherwise (5× the dedup window at sf0.1 — measured
+    # 35s → ~8s). Same discipline a cluster job applies with a
+    # persisted intermediate table between pipeline stages.
     split = hash_split(
         deduped, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
-    )
+    ).localCheckpoint(eager=True)
     train = split.filter(F.col("split") == "train")
     evals = split.filter(F.col("split") != "train")
     contaminated = D.cross_corpus_contamination(
         train=evals, test=train, k_shingle=5
     ).select("doc_id")
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean = train.join(
+        contaminated, "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
     chunks = chunk_documents(clean, chunk_size=50, overlap=10)
     with_lang = chunks.join(clean.select("doc_id", "lang"), "doc_id")
     packed = pack_sequences(
@@ -1458,6 +1465,22 @@ def mm2_frame_sample(spark, sf_dir):
         "frame_idx",
         "frame_ts_ms",
         F.length("frame_payload").cast("int").alias("frame_bytes"),
+    )
+
+
+def mm3_audio_segments(spark, sf_dir):
+    """Audio segmentation plumbing: mapInPandas row explosion into
+    overlapping 400ms/300ms windows (decode stubbed; cardinality,
+    timestamps and payload lengths are exact SQL arithmetic over the
+    synthetic assets — same oracle pattern as mm2)."""
+    media = MM.synthetic_media(spark, 64)
+    segs = MM.segment_audio(media, win_ms=400, hop_ms=300)
+    return segs.select(
+        "asset_id",
+        "segment_idx",
+        "start_ms",
+        "end_ms",
+        F.length("segment_payload").cast("int").alias("segment_bytes"),
     )
 
 
@@ -1915,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8b_bpe_token_stats": x8b_bpe_token_stats,
         "mm1_multimodal_features": mm1_multimodal_features,
         "mm2_frame_sample": mm2_frame_sample,
+        "mm3_audio_segments": mm3_audio_segments,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
         "e2e_corpus_clean": e2e_corpus_clean,
@@ -2679,6 +2703,22 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "mm3_audio_segments": """
+WITH a AS (
+  SELECT range AS asset_id, (range * 40)::INT AS duration_ms
+  FROM range(64) WHERE range % 3 = 1
+), s AS (
+  SELECT asset_id, duration_ms,
+         CAST(unnest(range(greatest((duration_ms + 299) // 300, 1))) AS INT)
+           AS segment_idx
+  FROM a
+)
+SELECT asset_id, segment_idx,
+       (segment_idx * 300)::INT AS start_ms,
+       least(segment_idx * 300 + 400, duration_ms)::INT AS end_ms,
+       (18 + length(segment_idx::VARCHAR))::INT AS segment_bytes
+FROM s
 """,
         "e2e_weather_sim": _e2e_oracle(),
         "e2e_corpus_clean": _e2e_corpus_oracle(),

@@ -188,6 +188,67 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
     return video.mapInPandas(batches, FRAME_SCHEMA)
 
 
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("segment_idx", IntegerType(), False),
+        StructField("start_ms", IntegerType(), False),
+        StructField("end_ms", IntegerType(), False),
+        StructField("segment_payload", BinaryType()),
+    ]
+)
+
+
+def _stub_segment_decode(payload: bytes, n_segments: int) -> list[bytes]:
+    """STUB audio slicing: deterministic fake segment payloads.
+
+    >>> REAL IMPLEMENTATION WOULD: decode (soundfile/librosa), resample,
+    >>> and slice PCM windows — audio libs are not in this container.
+    """
+    return [payload + b":" + str(k).encode() for k in range(n_segments)]
+
+
+def segment_audio(
+    media: DataFrame, win_ms: int = 400, hop_ms: int = 300
+) -> DataFrame:
+    """Audio windowing via mapInPandas — overlapping fixed-length
+    segments (the ASR/audio-embedding batch shape: win 25ms/hop 10ms in
+    real pipelines). One input asset explodes into
+    ``max(1, ceil(duration_ms / hop_ms))`` rows inside the Arrow batch;
+    cardinality/timestamps are exact SQL arithmetic (oracle-checkable),
+    decode is stubbed like the other media ops.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "segment_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "segment_payload": [],
+            }
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur = int(dur)
+                n_seg = max(1, -(-dur // hop_ms))
+                for k, seg in enumerate(
+                    _stub_segment_decode(bytes(payload), n_seg)
+                ):
+                    out["asset_id"].append(aid)
+                    out["segment_idx"].append(k)
+                    out["start_ms"].append(k * hop_ms)
+                    out["end_ms"].append(min(k * hop_ms + win_ms, dur))
+                    out["segment_payload"].append(seg)
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("media_type") == "audio").select(
+        "asset_id", "payload", "duration_ms"
+    )
+    return audio.mapInPandas(batches, SEGMENT_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator — STUB: raises on execution.
 
