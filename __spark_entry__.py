@@ -1468,6 +1468,15 @@ def mm2_frame_sample(spark, sf_dir):
     )
 
 
+def st8_jsonl_ingest(spark, sf_dir):
+    """Streaming JSONL ingest → stateful per-lang aggregate across
+    multiple genuine micro-batches (maxFilesPerTrigger=1 over a 4-file
+    backlog); equals the batch aggregate over the finite backlog — the
+    exact oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_jsonl_ingest(spark, sf_dir)
+
+
 def mm3_audio_segments(spark, sf_dir):
     """Audio segmentation plumbing: mapInPandas row explosion into
     overlapping 400ms/300ms windows (decode stubbed; cardinality,
@@ -1939,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_multimodal_features": mm1_multimodal_features,
         "mm2_frame_sample": mm2_frame_sample,
         "mm3_audio_segments": mm3_audio_segments,
+        "st8_jsonl_ingest": st8_jsonl_ingest,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
         "e2e_corpus_clean": e2e_corpus_clean,
@@ -2703,6 +2713,12 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "st8_jsonl_ingest": """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
 """,
         "mm3_audio_segments": """
 WITH a AS (

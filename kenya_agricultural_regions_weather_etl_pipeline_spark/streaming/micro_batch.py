@@ -421,3 +421,52 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = _run_to_memory(joined, "append", "st7")
     return out
+
+
+def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL ingest (st8): the continuous-crawl-drop shape.
+
+    Documents are materialized as newline-delimited JSON (the format
+    crawler/export pipelines actually land), then consumed by a
+    FileStreamSource with an EXPLICIT schema and ``maxFilesPerTrigger=1``
+    so the backlog replays as several genuine micro-batches — the
+    per-lang aggregate must carry state across batches, not just window
+    one batch. Over the finite backlog the result equals the batch
+    aggregate: the exact DuckDB oracle.
+    """
+    import shutil
+
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    src = tempfile.mkdtemp(prefix="kw_st8_")
+    try:
+        # 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        write_jsonl(docs.repartition(4), src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.json")
+            .json(src)
+        )
+        agg = stream.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        # _run_to_memory checkpoints eagerly, so the source dir can be
+        # deleted as soon as it returns
+        _, out = _run_to_memory(agg, "complete", "st8")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out

@@ -182,3 +182,16 @@ def test_stream_stream_join_multi_batch_equals_batch(spark, sf01, tmp_path):
     assert stream_out.exceptAll(batch_out).isEmpty()
     assert batch_out.exceptAll(stream_out).isEmpty()
     assert stream_out.count() > 0
+
+
+def test_jsonl_ingest_runs_twice_in_one_session(spark, sf01):
+    # memory-sink names must be unique per run and the temp source dirs
+    # cleaned up — a second invocation in the same session must not
+    # collide with the first's sink table or checkpoint
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_jsonl_ingest,
+    )
+
+    a = {tuple(r) for r in run_jsonl_ingest(spark, sf01).collect()}
+    b = {tuple(r) for r in run_jsonl_ingest(spark, sf01).collect()}
+    assert a == b and len(a) > 0
