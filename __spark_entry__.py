@@ -1404,6 +1404,54 @@ def a12_stats_aggregates(spark, sf_dir):
     )
 
 
+def q9_returned_revenue(spark, sf_dir):
+    """TPC-H-Q10-style 4-way join (customer ⋈ orders ⋈ lineitem ⋈
+    nation): the join-reordering/pushdown surface. Filters sit on the
+    scan side of every join; nation (25 rows, bounded) broadcasts; the
+    orders⋈lineitem join keys on orderkey where both sides are
+    SF-scaling — a shuffle join AQE can re-plan. Top-20 by revenue
+    compiles to TakeOrderedAndProject, not a full sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(W.round_half_up(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def w7_time_range_window(spark, sf_dir):
+    """RANGE-frame window over event time: each event's trailing-1-hour
+    per-user activity (count + sum). Unlike the ROWS frames (w4), the
+    frame bound is a VALUE offset — Spark needs a numeric ordering key,
+    so the timestamp drops to epoch seconds; DuckDB states the same
+    frame as RANGE BETWEEN INTERVAL. One shuffle on user_id; frame state
+    is bounded by events-per-hour-per-user, not partition size."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        W.round_half_up(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
 def x5d_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized approximate top-k (deterministic codebook →
     cell assignment → n_probe probe → exact rerank); fully
@@ -1949,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_sample": mm2_frame_sample,
         "mm3_audio_segments": mm3_audio_segments,
         "st8_jsonl_ingest": st8_jsonl_ingest,
+        "q9_returned_revenue": q9_returned_revenue,
+        "w7_time_range_window": w7_time_range_window,
         "e2e_weather_sim": e2e_weather_sim,
         "e2e_weather_pipeline": e2e_weather_pipeline,
         "e2e_corpus_clean": e2e_corpus_clean,
@@ -2713,6 +2763,30 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "q9_returned_revenue": f"""
+SELECT c_custkey, c_name, n_name,
+       {W.round_half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "w7_time_range_window": f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       {W.round_half_up_sql("sum(value) OVER w", 4)} AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,
         "st8_jsonl_ingest": """
 SELECT lang, count(*) AS n_docs,

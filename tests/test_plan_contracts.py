@@ -256,3 +256,15 @@ def test_x24_flags_stay_in_codegen(spark, sf01):
     plan = _plan(spark, sf01, "x24_c4_filters")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q9_broadcasts_nation_and_takeordered(spark, sf01):
+    plan = _plan(spark, sf01, "q9_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the SF-scaling sides must NOT broadcast
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:.+\n)*?)\n", plan):
+        blob = m.group(0)
+        assert "lineitem" not in blob and "orders.parquet" not in blob
