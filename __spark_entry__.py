@@ -1461,6 +1461,25 @@ def x5d_cosine_topk_ivf(spark, sf_dir):
     return S.cosine_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=2)
 
 
+def x5e_ivf_recall(spark, sf_dir):
+    """Recall of the IVF approximate top-k (x5d) against the exact
+    brute-force top-k (x5) — the same instrumentation x5c provides for
+    sign-LSH: an approximation you haven't measured is one you can't
+    ship at 100 TB."""
+    exact = x5_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = x5d_cosine_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 def st4_stateful_running_totals(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState
     per-key running totals (explicit GroupState, Arrow-batched). Over
@@ -1970,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_doc_frequency": x13_doc_frequency,
         "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
+        "x5e_ivf_recall": x5e_ivf_recall,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
         "w4_moving_average": w4_moving_average,
@@ -2813,6 +2833,20 @@ FROM s
         "e2e_weather_sim": _e2e_oracle(),
         "e2e_corpus_clean": _e2e_corpus_oracle(),
     }
+    # x5e composes the exact (x5) and IVF (x5d) oracles the same way the
+    # Spark query composes the two DataFrame lineages.
+    d["x5e_ivf_recall"] = f"""
+WITH exact AS ({X5_ORACLE}),
+approx AS ({d["x5d_cosine_topk_ivf"].strip()}),
+hit AS (
+  SELECT e.query_id, e.vec_id FROM exact e
+  JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / (SELECT count(*) FROM exact), 4) AS recall
+"""
     # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
     # as the edge list and takes the transitive closure recursively.
     d["x14_dedup_clusters"] = f"""
