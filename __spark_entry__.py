@@ -1461,6 +1461,27 @@ def x5d_cosine_topk_ivf(spark, sf_dir):
     return S.cosine_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=2)
 
 
+def set5_except_all(spark, sf_dir):
+    """EXCEPT ALL multiset difference (churn analysis: 1995 order slots
+    not re-filled in 1996, multiplicity preserved): Spark plans a
+    left-anti-style hash difference that keeps duplicate counts — the
+    bag semantics INTERSECT/EXCEPT DISTINCT lose."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return (
+        y95.exceptAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lost_slots"))
+    )
+
+
 def x5e_ivf_recall(spark, sf_dir):
     """Recall of the IVF approximate top-k (x5d) against the exact
     brute-force top-k (x5) — the same instrumentation x5c provides for
@@ -1990,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x5e_ivf_recall": x5e_ivf_recall,
+        "set5_except_all": set5_except_all,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
         "w4_moving_average": w4_moving_average,
@@ -2783,6 +2805,21 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "set5_except_all": """
+WITH y95 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+), y96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), diff AS (
+  SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96
+)
+SELECT o_custkey, count(*) AS n_lost_slots
+FROM diff GROUP BY o_custkey
 """,
         "q9_returned_revenue": f"""
 SELECT c_custkey, c_name, n_name,

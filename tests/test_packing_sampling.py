@@ -131,3 +131,66 @@ def test_redaction_idempotent_and_masks(spark):
     assert "9012" not in cleaned and "corp.io" not in cleaned
     masked = df.select(R.mask_keep_last(F.col("text"), 4).alias("m")).collect()
     assert masked[1].m == "*******here"
+
+
+def test_domain_mixture_deterministic_and_bounded(spark, sf01):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    docs = load_table(spark, sf01, "documents").select("doc_id", "source", "text")
+    mixed = domain_mixture(
+        docs, F.col("text"), "source", {"src0": 2.5, "src1": 0.0}, 1.0
+    )
+    a = mixed.groupBy("source").count().collect()
+    b = domain_mixture(
+        docs.repartition(13), F.col("text"), "source", {"src0": 2.5, "src1": 0.0}, 1.0
+    ).groupBy("source").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # re-shard stable
+    rows = {r["source"]: r["count"] for r in a}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert "src1" not in rows  # weight 0 drops the domain entirely
+    assert 2 * n0 <= rows["src0"] <= 3 * n0  # 2.5x within floor/ceil bounds
+    # epochs are 0..n_copies-1 per doc
+    epochs = (
+        mixed.filter(F.col("source") == "src0")
+        .groupBy("doc_id")
+        .agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    bad = epochs.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    assert bad.count() == 0
+
+
+def test_domain_mixture_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    df = spark.range(1).select(F.col("id"), F.lit("a").alias("d"))
+    with _pytest.raises(ValueError):
+        domain_mixture(df, F.col("id").cast("string"), "d", {"a": -1.0})
+
+
+def test_c4_flags_edge_cases(spark):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.text import (
+        c4_filter_flags,
+    )
+
+    df = spark.createDataFrame(
+        [("", ), ("word " * 20,), ("a " * 30,), ("supercalifragilistic " * 20,)],
+        ["text"],
+    )
+    flags = c4_filter_flags(F.col("text"))
+    rows = df.select(
+        flags["flag_too_short"].alias("s"),
+        flags["flag_bad_word_len"].alias("b"),
+        flags["keep"].alias("k"),
+    ).collect()
+    empty, normal, short_words, long_words = rows
+    assert empty["s"] and not empty["k"]          # empty doc: too short
+    assert normal["k"]                            # 20x 4-char words: keep
+    assert short_words["b"] and not short_words["k"]   # mean len 1 < 3
+    assert long_words["b"] and not long_words["k"]     # mean len 20 > 10
