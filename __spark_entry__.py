@@ -1501,6 +1501,15 @@ def x5e_ivf_recall(spark, sf_dir):
     )
 
 
+def st9_sliding_windows(spark, sf_dir):
+    """Sliding/hopping window streaming agg (1h window, 30min hop —
+    each event feeds 2 overlapping windows); equals the batch sliding
+    aggregate over the finite backlog. The oracle expands each event
+    into its 2 bucket starts explicitly."""
+    apply_runtime_confs(spark)
+    return ST.run_sliding_counts(spark, sf_dir)
+
+
 def st4_stateful_running_totals(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState
     per-key running totals (explicit GroupState, Arrow-batched). Over
@@ -1999,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9b_rolling_hash": x9b_rolling_hash,
         "x11_train_split": x11_train_split,
         "st1_windowed_counts": st1_windowed_counts,
+        "st9_sliding_windows": st9_sliding_windows,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,
         "st5_stream_static_join": st5_stream_static_join,
@@ -2365,6 +2375,19 @@ FROM documents
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, {W.round_half_up_sql('sum(value)', 4)} AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "st9_sliding_windows": f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, event_type, value
+  FROM events
+), s AS (
+  SELECT unnest([b0, b0 - INTERVAL '30 minutes']) AS window_start,
+         event_type, value
+  FROM b
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
+FROM s GROUP BY 1, 2
 """,
         "st2_stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events

@@ -81,18 +81,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event_type over event time ``ts``.
+    """Tumbling (or, with ``slide``, sliding/hopping) window counts/sums
+    per event_type over event time ``ts``.
 
     Works on BOTH a batch and a streaming DataFrame (the watermark is a
-    no-op in batch) — the batch twin is the driver-oracle check.
+    no-op in batch) — the batch twin is the driver-oracle check. With
+    ``slide`` < ``window`` each event lands in window/slide overlapping
+    windows (Spark expands them inside the same Generate operator).
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        src.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             round_half_up(F.sum("value"), 4).alias("sum_value"),
@@ -469,4 +476,17 @@ def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, out = _run_to_memory(agg, "complete", "st8")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def run_sliding_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Execute the sliding-window agg to completion (st9): 1h windows
+    hopping every 30min, so each event contributes to 2 windows. State
+    per key is window/slide concurrent windows — still bounded by the
+    watermark, not the stream length."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, window=window, slide=slide)
+    _, out = _run_to_memory(agg, "complete", "st9")
     return out
