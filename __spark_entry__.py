@@ -321,6 +321,19 @@ def a7_quantiles(spark, sf_dir):
     )
 
 
+def a13_approx_quantiles(spark, sf_dir):
+    """approx_percentile sketch per group — the a7 swap-in at 100 TB
+    (mergeable per-partition digests, no per-group sort/buffer). The
+    sketch is engine-specific → rows-only driver check; the error
+    bound vs the exact a7 percentiles is pinned by pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def s2_json_access(spark, sf_dir):
     """S2: nested JSON field access
     (/root/reference/daily_weather_etl_kenya.py:157-188) over events.props."""
@@ -2022,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x5e_ivf_recall": x5e_ivf_recall,
         "set5_except_all": set5_except_all,
+        "a13_approx_quantiles": a13_approx_quantiles,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
         "w4_moving_average": w4_moving_average,

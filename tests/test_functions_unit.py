@@ -336,3 +336,24 @@ def test_connected_components_multi_hop_chain(spark):
         (r.id, r.lbl) for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_approx_quantile_error_bound(spark, sf01):
+    """a13: the percentile digest (accuracy 10000) must land within 1%
+    relative error of the exact per-group percentiles (self-validation
+    for the no-oracle sketch query)."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in entrymod.queries()["a13_approx_quantiles"](spark, sf01).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in entrymod.queries()["a7_quantiles"](spark, sf01).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a_col, e_col in (("p50_approx", "p50"), ("p90_approx", "p90")):
+            rel = abs(approx[k][a_col] - exact[k][e_col]) / exact[k][e_col]
+            assert rel < 0.01, (k, a_col, rel)

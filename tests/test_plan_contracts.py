@@ -268,3 +268,14 @@ def test_q9_broadcasts_nation_and_takeordered(spark, sf01):
     for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:.+\n)*?)\n", plan):
         blob = m.group(0)
         assert "lineitem" not in blob and "orders.parquet" not in blob
+
+
+@pytest.mark.parametrize(
+    "name", ["w5_rank_functions", "w6_value_windows", "w7_time_range_window"]
+)
+def test_window_queries_single_exchange(spark, sf01, name):
+    """All window columns in each query share one (partition, order,
+    frame) spec family: one shuffle exchange, no duplicated Window
+    scans."""
+    plan = _plan(spark, sf01, name)
+    assert plan.count("Exchange (") == 1, plan
