@@ -321,6 +321,15 @@ def a7_quantiles(spark, sf_dir):
     )
 
 
+def j3_fuzzy_join(spark, sf_dir):
+    """Fuzzy (edit-distance) matching over part names: distinct-value
+    pairs within 2 Levenshtein edits, blocked on the first token
+    (operators/dedup.edit_distance_pairs) — entity resolution's typo
+    join, linear-ish via blocking instead of O(n²) all-pairs."""
+    part = load_table(spark, sf_dir, "part")
+    return D.edit_distance_pairs(part, "p_name", max_dist=2)
+
+
 def a13_approx_quantiles(spark, sf_dir):
     """approx_percentile sketch per group — the a7 swap-in at 100 TB
     (mergeable per-partition digests, no per-group sort/buffer). The
@@ -2036,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5e_ivf_recall": x5e_ivf_recall,
         "set5_except_all": set5_except_all,
         "a13_approx_quantiles": a13_approx_quantiles,
+        "j3_fuzzy_join": j3_fuzzy_join,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
         "w4_moving_average": w4_moving_average,
@@ -2842,6 +2852,16 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "j3_fuzzy_join": """
+WITH vals AS (
+  SELECT DISTINCT p_name AS v FROM part
+), blocked AS (
+  SELECT v, regexp_split_to_array(v, '\\s+')[1] AS blk FROM vals
+)
+SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
+FROM blocked a JOIN blocked b USING (blk)
+WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2
 """,
         "set5_except_all": """
 WITH y95 AS (

@@ -546,3 +546,44 @@ def cross_corpus_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Fuzzy string matching: distinct-value pairs within ``max_dist``
+    Levenshtein edits, blocked to keep the join linear-ish.
+
+    The classic entity-resolution primitive (typo variants, OCR noise,
+    near-identical product names). All-pairs edit distance is O(n²·L²);
+    the block key (default: first token — same-typo strings rarely
+    disagree on it) bounds candidates to same-block pairs, exactly like
+    the LSH band trick for Jaccard. At 100 TB: dedup values FIRST
+    (edit distance cares about distinct strings, not row multiplicity
+    — typically orders of magnitude fewer), then one shuffle on the
+    block key; `levenshtein` runs JVM-side in codegen.
+
+    Returns (name_a, name_b, dist) with name_a < name_b.
+    """
+    vals = df.select(F.col(text_col).alias("v")).distinct()
+    block = (
+        block_col
+        if block_col is not None
+        else F.split(F.col("v"), r"\s+", 2).getItem(0)
+    )
+    blocked = vals.select("v", block.alias("blk")).localCheckpoint(eager=True)
+    a = blocked.select(F.col("v").alias("name_a"), "blk")
+    b = blocked.select(F.col("v").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
