@@ -321,6 +321,60 @@ def a7_quantiles(spark, sf_dir):
     )
 
 
+def sql2_star_join_sql(spark, sf_dir):
+    """Pure-SQL multi-table star join (the front-end a reference user
+    migrating their quality SQL actually writes): supplier revenue per
+    nation, 4 tables, registered views — Catalyst plans it identically
+    to the DataFrame form (broadcast bounded dim, shuffle the rest)."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql2")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(DISTINCT s.s_suppkey) AS n_suppliers,
+               -- sum in exact DECIMAL (2dp price x 2dp discount = 4dp,
+               -- lossless), so the total is reduction-order-independent;
+               -- a double sum here flips half-cent boundaries per engine
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem_sql2 l
+        JOIN orders_sql2 o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_sql2 s ON l.l_suppkey = s.s_suppkey
+        JOIN nation_sql2 n   ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
+def u2_union_by_name(spark, sf_dir):
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns by COLUMN NAME and null-fills the missing ones — the append
+    of a v2 feed that added a column to a v1 backlog (positional UNION
+    would silently mis-bind). Aggregated to a per-version audit."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("feed_version")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("v2").alias("feed_version"),
+        F.col("o_orderpriority").alias("priority"),  # new in v2
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .groupBy("feed_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("priority").isNull().cast("int")).cast("bigint").alias(
+                "n_null_priority"
+            ),
+            W.round_half_up(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
 def j3_fuzzy_join(spark, sf_dir):
     """Fuzzy (edit-distance) matching over part names: distinct-value
     pairs within 2 Levenshtein edits, blocked on the first token
@@ -2046,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set5_except_all": set5_except_all,
         "a13_approx_quantiles": a13_approx_quantiles,
         "j3_fuzzy_join": j3_fuzzy_join,
+        "sql2_star_join_sql": sql2_star_join_sql,
+        "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
         "w4_moving_average": w4_moving_average,
@@ -2852,6 +2908,35 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "sql2_star_join_sql": """
+SELECT n.n_name,
+       count(DISTINCT s.s_suppkey) AS n_suppliers,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+""",
+        "u2_union_by_name": """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, 'v1' AS feed_version, NULL AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, o_totalprice, 'v2' AS feed_version,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+), u AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT feed_version, count(*) AS n_rows,
+       CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority,
+       (floor(sum(o_totalprice) * 100 + 0.5) / 100 + 0.0) AS sum_total
+FROM u GROUP BY feed_version
 """,
         "j3_fuzzy_join": """
 WITH vals AS (
