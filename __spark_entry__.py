@@ -321,6 +321,42 @@ def a7_quantiles(spark, sf_dir):
     )
 
 
+def s3_map_props(spark, sf_dir):
+    """MAP-type surface: parse the events props JSON into
+    map<string,int>, explode to (key, value) rows, aggregate per key —
+    the semi-structured property-bag pattern (schema-free keys with
+    typed values). The parse+explode is narrow; one shuffle on key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,int>")
+        ).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def a6b_unpivot(spark, sf_dir):
+    """Unpivot/melt: the wide per-priority (F/O/P) count frame back to
+    long (priority, status, n) rows — DataFrame.unpivot compiles to an
+    Expand node (one pass, rows×3, no shuffle beyond the source agg)."""
+    wide = a6_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    ).select(
+        "o_orderpriority",
+        F.upper(F.substring("status_col", 3, 1)).alias("status"),
+        "n",
+    )
+
+
 def sql2_star_join_sql(spark, sf_dir):
     """Pure-SQL multi-table star join (the front-end a reference user
     migrating their quality SQL actually writes): supplier revenue per
@@ -2101,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_approx_quantiles": a13_approx_quantiles,
         "j3_fuzzy_join": j3_fuzzy_join,
         "sql2_star_join_sql": sql2_star_join_sql,
+        "s3_map_props": s3_map_props,
+        "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
         "x20_unigram_lm_score": x20_unigram_lm_score,
@@ -2908,6 +2946,34 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "s3_map_props": """
+WITH kv AS (
+  SELECT unnest(list_transform(json_keys(props),
+           k -> {'k': k,
+                 'v': CAST(json_extract_string(props, '$.' || k) AS INT)}))
+           AS e
+  FROM events
+)
+SELECT e.k AS key, count(*) AS n,
+       CAST(sum(e.v) AS BIGINT) AS sum_val,
+       min(e.v) AS min_val,
+       max(e.v) AS max_val
+FROM kv GROUP BY e.k
+""",
+        "a6b_unpivot": """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+UNION ALL
+SELECT o_orderpriority, 'O' AS status, n_o AS n FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P' AS status, n_p AS n FROM wide
 """,
         "sql2_star_join_sql": """
 SELECT n.n_name,
