@@ -195,3 +195,57 @@ def test_jsonl_ingest_runs_twice_in_one_session(spark, sf01):
     a = {tuple(r) for r in run_jsonl_ingest(spark, sf01).collect()}
     b = {tuple(r) for r in run_jsonl_ingest(spark, sf01).collect()}
     assert a == b and len(a) > 0
+
+
+def test_checkpoint_resume_accumulates_state(spark, sf01, tmp_path):
+    """Exactly-once recovery: stop a windowed-agg stream after a first
+    backlog, land MORE files, restart with the SAME checkpoint dir —
+    the resumed query must fold the new data into the recovered state
+    (equal to one batch pass over everything), not reprocess or drop."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    raw = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf01)
+    )
+    half1 = raw.filter(F.col("event_id") % 2 == 0)
+    half2 = raw.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("append").parquet(src)
+
+    def run_once(name):
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(src)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+        agg = windowed_event_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+
+    first = run_once("ckpt_a")
+    assert first.count() > 0
+    half2.write.mode("append").parquet(src)
+    resumed = run_once("ckpt_b")
+
+    batch = windowed_event_counts(
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    )
+    assert resumed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(resumed).isEmpty()
