@@ -1165,6 +1165,42 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def x26_bigram_lm_score(spark, sf_dir):
+    """Bigram LM quality score: per-doc mean conditional log-prob
+    ln(c(w1,w2)/c(w1)) under corpus counts — the x20 unigram model's
+    next step (catches scrambled-but-common-words text unigrams miss).
+    Bigram extraction is a narrow per-row transform (x12's trick); then
+    two corpus aggregations and two keyed joins (bigram, w1) — all
+    shuffle joins, nothing broadcast except nothing: vocab scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i+1]))"
+            )
+        ).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = toks.select(F.explode("t").alias("w1"))
+    cw = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    return (
+        bg.join(cbg, "bg")
+        .join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            W.round_half_up(
+                F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 4
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
 def w4_moving_average(spark, sf_dir):
     """Sliding-frame window: 4-event moving average of `value` per user
     (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), deterministic ordering
@@ -2138,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_fuzzy_join": j3_fuzzy_join,
         "sql2_star_join_sql": sql2_star_join_sql,
         "s3_map_props": s3_map_props,
+        "x26_bigram_lm_score": x26_bigram_lm_score,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -2946,6 +2983,32 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "x26_bigram_lm_score": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), bgw AS (
+  SELECT doc_id, bg, regexp_split_to_array(bg, ' ')[1] AS w1 FROM bg
+), cbg AS (
+  SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg
+), uni AS (
+  SELECT unnest(t) AS w1 FROM toks
+), cw AS (
+  SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       {W.round_half_up_sql("avg(ln(c_bg::DOUBLE / c_w1))", 4)}
+         AS avg_bigram_logprob
+FROM bgw JOIN cbg USING (bg) JOIN cw USING (w1)
+GROUP BY doc_id
 """,
         "s3_map_props": """
 WITH kv AS (
