@@ -38,3 +38,27 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return spark.read.parquet(path).count()
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep: list[str],
+) -> tuple[int, int]:
+    """Retention: drop whole partition directories whose value is not in
+    ``keep`` (the daily-table expiry the reference would eventually need
+    — its Postgres table grows forever, daily_weather_etl_kenya.py:78-113).
+
+    Partition-dir deletion is METADATA-RATE work: no row rewrite, no
+    shuffle — the reason date-partitioned layout (S4) beats b-tree
+    indexes for time-series retention at 100 TB. Returns
+    (n_dropped_partitions, remaining_rows).
+    """
+    keep_set = {f"{partition_col}={v}" for v in keep}
+    dropped = 0
+    for entry in os.listdir(path):
+        if entry.startswith(f"{partition_col}=") and entry not in keep_set:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped += 1
+    return dropped, spark.read.parquet(path).count()

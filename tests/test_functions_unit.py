@@ -357,3 +357,26 @@ def test_approx_quantile_error_bound(spark, sf01):
         for a_col, e_col in (("p50_approx", "p50"), ("p90_approx", "p90")):
             rel = abs(approx[k][a_col] - exact[k][e_col]) / exact[k][e_col]
             assert rel < 0.01, (k, a_col, rel)
+
+
+def test_expire_partitions(spark, sf01, tmp_path):
+    """Retention drops whole partition dirs (metadata-rate, no rewrite)
+    and the surviving table equals a filter of the original."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.maintenance import (
+        expire_partitions,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    path = str(tmp_path / "li_part")
+    li = load_table(spark, sf01, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").parquet(path)
+    years = sorted(r["ship_year"] for r in li.select("ship_year").distinct().collect())
+    keep = [str(y) for y in years[-2:]]
+    dropped, remaining = expire_partitions(spark, path, "ship_year", keep)
+    assert dropped == len(years) - 2
+    expected = li.filter(F.col("ship_year").isin([int(k) for k in keep])).count()
+    assert remaining == expected > 0
