@@ -1165,6 +1165,38 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def e2e_corpus_report(spark, sf_dir):
+    """Per-source corpus health report in ONE fused pass — the
+    dashboard a data curator reads before every training run: doc
+    count, exact-dup rate (corpus-wide fingerprint counts joined back),
+    mean quality score, token volume, language spread. One fingerprint
+    aggregation + one keyed join + one rollup; every per-doc signal is
+    a narrow codegen'd expression on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).alias("tok"),
+    )
+    fpc = enriched.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        enriched.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_fp") > 1).cast("int")).cast("bigint").alias(
+                "n_dup_docs"
+            ),
+            W.round_half_up(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("tok").cast("bigint").alias("sum_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def x26_bigram_lm_score(spark, sf_dir):
     """Bigram LM quality score: per-doc mean conditional log-prob
     ln(c(w1,w2)/c(w1)) under corpus counts — the x20 unigram model's
@@ -2175,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql2_star_join_sql": sql2_star_join_sql,
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
+        "e2e_corpus_report": e2e_corpus_report,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -2983,6 +3016,24 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "e2e_corpus_report": f"""
+WITH enriched AS (
+  SELECT doc_id, source, lang,
+         {T.fingerprint_md5_sql("text")} AS fp,
+         {T.quality_score_sql("text")} AS q,
+         {T.token_count_sql("text")} AS tok
+  FROM documents
+), fpc AS (
+  SELECT fp, count(*) AS n_fp FROM enriched GROUP BY fp
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       {W.round_half_up_sql("avg(q)", 4)} AS avg_quality,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM enriched JOIN fpc USING (fp)
+GROUP BY source
 """,
         "x26_bigram_lm_score": f"""
 WITH toks AS (
