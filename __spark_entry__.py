@@ -1165,6 +1165,40 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def r3_table_diff(spark, sf_dir):
+    """Keyed table diff — the anti-entropy audit after any merge/backfill
+    (which keys were added / removed / changed / unchanged between two
+    table versions). Simulated versions: orders before/after a price
+    restatement of odd keys plus a tail of new keys. ONE full-outer join
+    on the key, status derived from null-ness + value compare, rolled up
+    to a 4-row verdict. At 100 TB both sides shuffle once on the key;
+    nothing broadcasts; AQE handles any hot-key skew."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 9).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 1, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    j = old.alias("a").join(
+        new.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            F.col("a.o_totalprice") != F.col("b.o_totalprice"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
 def e2e_corpus_report(spark, sf_dir):
     """Per-source corpus health report in ONE fused pass — the
     dashboard a data curator reads before every training run: doc
@@ -2208,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
         "e2e_corpus_report": e2e_corpus_report,
+        "r3_table_diff": r3_table_diff,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -3016,6 +3051,23 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "r3_table_diff": """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 9
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), j AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, count(*) AS n_keys FROM j GROUP BY status
 """,
         "e2e_corpus_report": f"""
 WITH enriched AS (
