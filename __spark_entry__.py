@@ -1165,6 +1165,34 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def w8_forward_fill(spark, sf_dir):
+    """Forward-fill (LOCF) over a gappy sensor series: last non-null
+    value per user up to each event — F.last(ignorenulls=True) over a
+    trailing unbounded frame / DuckDB IGNORE NULLS. Gaps are synthesized
+    deterministically (every 5th event) since the source is dense. The
+    time-series imputation every IoT/weather pipeline runs; one shuffle
+    on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 def r3_table_diff(spark, sf_dir):
     """Keyed table diff — the anti-entropy audit after any merge/backfill
     (which keys were added / removed / changed / unchanged between two
@@ -2243,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x26_bigram_lm_score": x26_bigram_lm_score,
         "e2e_corpus_report": e2e_corpus_report,
         "r3_table_diff": r3_table_diff,
+        "w8_forward_fill": w8_forward_fill,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -3051,6 +3080,19 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "w8_forward_fill": """
+WITH gappy AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id
+         ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM gappy
 """,
         "r3_table_diff": """
 WITH old AS (
