@@ -1165,6 +1165,33 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def e2e_dedup_survivors(spark, sf_dir):
+    """The dedup DECISION a cleaning pipeline ships: cluster the exact
+    near-dup pair graph (x3 → x14's connected components), keep one
+    canonical doc per cluster (component = min doc_id), and report the
+    corpus-level verdict: docs in, clustered, clusters, survivors out.
+    All counts are 1-row aggregate frames crossJoined — no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.4, max_shingle_df=50
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cstats = cc.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.countDistinct("lbl").alias("n_clusters"),
+    )
+    return totals.crossJoin(cstats).select(
+        "n_docs",
+        "n_clustered",
+        "n_clusters",
+        # survivors = untouched docs + one canonical per cluster
+        (F.col("n_docs") - F.col("n_clustered") + F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_survivors"),
+    )
+
+
 def w8_forward_fill(spark, sf_dir):
     """Forward-fill (LOCF) over a gappy sensor series: last non-null
     value per user up to each event — F.last(ignorenulls=True) over a
@@ -2272,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_corpus_report": e2e_corpus_report,
         "r3_table_diff": r3_table_diff,
         "w8_forward_fill": w8_forward_fill,
+        "e2e_dedup_survivors": e2e_dedup_survivors,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -3317,5 +3345,15 @@ WITH RECURSIVE pairs AS (
   SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
 )
 SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+    # the dedup decision composes x14's closure with the corpus total
+    d["e2e_dedup_survivors"] = f"""
+WITH cc AS ({d["x14_dedup_clusters"].strip()}),
+t AS (SELECT count(*) AS n_docs FROM documents),
+c AS (SELECT count(*) AS n_clustered,
+             count(DISTINCT component) AS n_clusters FROM cc)
+SELECT n_docs, n_clustered, n_clusters,
+       CAST(n_docs - n_clustered + n_clusters AS BIGINT) AS n_survivors
+FROM t CROSS JOIN c
 """
     return d
