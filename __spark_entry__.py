@@ -1165,6 +1165,64 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def x35_source_vocab_overlap(spark, sf_dir):
+    """Cross-source vocabulary Jaccard matrix (corpus drift / domain
+    similarity): per-source distinct term sets → term-keyed
+    inverted-index self-join for intersections (pairs form only where a
+    term is shared — same sparsity trick as x3), set sizes joined back,
+    Jaccard as an exact integer ratio. O(sources²) output rows is tiny;
+    the work scales with the term-source index, not pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("term"),
+    ).distinct()
+    sizes = terms.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = terms.select(F.col("source").alias("src_a"), "term")
+    b = terms.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("n_terms", "n_a")
+        .join(sizes.withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("n_terms", "n_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            W.round_half_up(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+def p12_local_time(spark, sf_dir):
+    """Timezone conversion surface: UTC event times localized to
+    Africa/Nairobi (the reference's region — its Airflow schedule is
+    Nairobi 06:00) via convert_timezone on TIMESTAMP_NTZ, rolled up to
+    a local hour-of-day activity profile. Oracle uses the constant +3h
+    offset — Kenya observes no DST, so the IANA rule and the constant
+    agree for every instant in the data."""
+    ev = load_table(spark, sf_dir, "events")
+    local = F.convert_timezone(F.lit("UTC"), F.lit("Africa/Nairobi"), F.col("ts"))
+    return (
+        ev.select(F.hour(local).alias("local_hour"), "value")
+        .groupBy("local_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            W.round_half_up(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def e2e_dedup_survivors(spark, sf_dir):
     """The dedup DECISION a cleaning pipeline ships: cluster the exact
     near-dup pair graph (x3 → x14's connected components), keep one
@@ -2300,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_table_diff": r3_table_diff,
         "w8_forward_fill": w8_forward_fill,
         "e2e_dedup_survivors": e2e_dedup_survivors,
+        "p12_local_time": p12_local_time,
+        "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -3108,6 +3168,35 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "x35_source_vocab_overlap": f"""
+WITH terms AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n_terms FROM terms GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM terms a JOIN terms b USING (term)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter,
+       {W.round_half_up_sql(
+           "n_inter::DOUBLE / (sa.n_terms + sb.n_terms - n_inter)", 6)}
+         AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+""",
+        "p12_local_time": f"""
+SELECT CAST(extract(hour FROM ts + INTERVAL 3 HOUR) AS INT) AS local_hour,
+       count(*) AS n_events,
+       {W.round_half_up_sql("avg(value)", 4)} AS avg_value
+FROM events
+GROUP BY 1
 """,
         "w8_forward_fill": """
 WITH gappy AS (
