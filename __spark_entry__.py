@@ -1165,6 +1165,24 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def q10_having_filter(spark, sf_dir):
+    """GROUP BY ... HAVING: repeat customers (>25 orders) with their
+    spend — the post-aggregation predicate Catalyst plans as a Filter
+    ABOVE the aggregate (never pushed into the scan, unlike WHERE);
+    decimal-exact spend sum so the output is reduction-order-proof."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q10")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_spend
+        FROM orders_q10
+        GROUP BY o_custkey
+        HAVING count(*) > 25
+        """
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2360,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_dedup_survivors": e2e_dedup_survivors,
         "p12_local_time": p12_local_time,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
+        "q10_having_filter": q10_having_filter,
         "a6b_unpivot": a6b_unpivot,
         "u2_union_by_name": u2_union_by_name,
         "x15_stratified_sample": x15_stratified_sample,
@@ -3168,6 +3187,14 @@ WITH v AS (
 SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
        (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
 FROM f
+""",
+        "q10_having_filter": """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 25
 """,
         "x35_source_vocab_overlap": f"""
 WITH terms AS (
