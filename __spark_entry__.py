@@ -1183,6 +1183,140 @@ def q10_having_filter(spark, sf_dir):
     )
 
 
+def r4_scd2_dimension(spark, sf_dir):
+    """SCD Type-2 dimension build from a change log — the warehouse
+    pattern behind every slowly-changing region/station attribute table
+    (ref keeps only latest state via upsert, daily_weather_etl_kenya.py:
+    467-490; SCD2 is the history-preserving superset). Change log =
+    orders per customer ordered by (date, key); runs of identical
+    o_orderpriority collapse via gaps-and-islands (row_number minus
+    per-value row_number), then valid_from/valid_to come from lead()
+    over the island starts. Two window passes + one aggregation, all
+    partitioned by the dimension key — one shuffle on o_custkey that
+    every step reuses; no join, no broadcast, scale-indifferent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_val = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    runs = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.row_number().over(w_all) - F.row_number().over(w_val)).alias(
+            "island"
+        ),
+    )
+    islands = runs.groupBy("o_custkey", "o_orderpriority", "island").agg(
+        F.min("o_orderdate").alias("vf"),
+        F.min("o_orderkey").alias("k0"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    # tiebreak same-day attribute flips by the island's first order key —
+    # (vf, island) alone is ambiguous since island ids are only unique
+    # per (custkey, priority)
+    w_k = Window.partitionBy("o_custkey").orderBy(
+        F.col("vf").asc(), F.col("k0").asc()
+    )
+    return islands.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("attr_value"),
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("vf").over(w_k), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        "n_changes",
+        F.lead("vf").over(w_k).isNull().alias("is_current"),
+    )
+
+
+def w9_resample_gapfill(spark, sf_dir):
+    """Regular-interval resampling with gap fill — turn an irregular
+    event stream into a dense per-user hourly series (the step before
+    any rolling statistic or seasonal model on sensor data). Per-user
+    hourly counts; the dense hour grid comes from sequence()+explode
+    over each user's [min,max] span (generated, not joined against a
+    calendar table — no second scan); missing hours LOCF-filled with
+    last(ignorenulls) and flagged. Integer counts only, so the result
+    is reduction-order-proof. One shuffle on user_id reused by the
+    grid join and the fill window; grid width is bounded by the time
+    span, not the data volume, so a 1000× scale-up widens partitions
+    but never the per-user row count."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").isNull().alias("was_gap"),
+        F.last("n", ignorenulls=True)
+        .over(w_fill)
+        .cast("bigint")
+        .alias("events_filled"),
+    )
+
+
+def x27_chunk_dedup(spark, sf_dir):
+    """Duplicate-span removal stats at chunk granularity — the C4
+    'remove repeated spans' step adapted to unstructured text: docs are
+    cut into consecutive 10-token chunks (pure per-row higher-order
+    exprs: sequence → slice → array_join, no Python), chunk texts are
+    counted corpus-wide by distinct containing doc, and each doc
+    reports how many of its chunks are corpus-duplicates. One narrow
+    explode, one hash aggregation on chunk_text, one keyed join back —
+    the same shape as exact dedup (x1) but at sub-document granularity,
+    so a 100 TB corpus shuffles chunk hashes, never full texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(
+        # empty docs yield no chunks (sequence(0,-1) would run backwards)
+        F.size("t") > 0
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(t) / 10.0) AS INT)"
+                " - 1), i -> array_join(slice(t, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    dfreq = chunks.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        chunks.join(dfreq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("df") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2414,6 +2548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_weather_pipeline": e2e_weather_pipeline,
         "e2e_corpus_clean": e2e_corpus_clean,
         "qv1_quality_verdict": qv1_quality_verdict,
+        "r4_scd2_dimension": r4_scd2_dimension,
+        "w9_resample_gapfill": w9_resample_gapfill,
+        "x27_chunk_dedup": x27_chunk_dedup,
     }
 
 
@@ -3471,5 +3608,75 @@ c AS (SELECT count(*) AS n_clustered,
 SELECT n_docs, n_clustered, n_clusters,
        CAST(n_docs - n_clustered + n_clusters AS BIGINT) AS n_survivors
 FROM t CROSS JOIN c
+"""
+    d["r4_scd2_dimension"] = """
+WITH runs AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                              ORDER BY o_orderdate ASC, o_orderkey ASC)
+           AS island
+  FROM orders
+), islands AS (
+  SELECT o_custkey, o_orderpriority, island,
+         min(o_orderdate) AS vf, min(o_orderkey) AS k0,
+         count(*) AS n_changes
+  FROM runs GROUP BY o_custkey, o_orderpriority, island
+)
+SELECT o_custkey,
+       o_orderpriority AS attr_value,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY o_custkey
+                               ORDER BY vf ASC, k0 ASC),
+                '%Y-%m-%d') AS valid_to,
+       n_changes,
+       lead(vf) OVER (PARTITION BY o_custkey
+                      ORDER BY vf ASC, k0 ASC) IS NULL AS is_current
+FROM islands
+"""
+    d["w9_resample_gapfill"] = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         count(*) AS n
+  FROM events GROUP BY user_id, h
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       hr.n IS NULL AS was_gap,
+       CAST(last_value(hr.n IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS events_filled
+FROM grid g
+LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+"""
+    d["x27_chunk_dedup"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')))
+           AS chunk_text
+  FROM toks
+), dfreq AS (
+  SELECT chunk_text, count(DISTINCT doc_id) AS df
+  FROM chunks GROUP BY chunk_text
+)
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM chunks c JOIN dfreq d USING (chunk_text)
+GROUP BY c.doc_id
 """
     return d
