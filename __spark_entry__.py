@@ -1317,6 +1317,77 @@ def x27_chunk_dedup(spark, sf_dir):
     )
 
 
+def q11_funnel(spark, sf_dir):
+    """Ordered-step funnel (view → click → purchase): users counted at
+    each stage only if the step happened strictly AFTER their previous
+    step's first occurrence — the product-analytics query behind every
+    conversion dashboard. Each stage is filter → per-user min(ts) →
+    join to the prior stage; the event_type filters reach the parquet
+    scan, every join is keyed on user_id (one co-partitioned shuffle
+    chain), and the final 3-row union aggregates single counts. At
+    100 TB the stage frames shrink monotonically, so each successive
+    join is cheaper than the last; nothing broadcasts except the
+    1-row counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage_count(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(s1, "1_view")
+        .unionAll(stage_count(s2, "2_click"))
+        .unionAll(stage_count(s3, "3_purchase"))
+    )
+
+
+def q12_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, activity
+    bucketed by whole weeks since that day, distinct users per
+    (cohort, week offset) — the growth-analytics staple. One per-user
+    min() aggregation, one keyed join back to events, one distinct
+    aggregation; all date arithmetic at DAY granularity (integer
+    datediff / 7) so timestamp-precision dialects can't disagree.
+    The user_id shuffle from the first aggregation is reused by the
+    join; the final agg shuffles (cohort_day, week) which is bounded
+    by the calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.to_date("t0"), "yyyy-MM-dd").alias(
+                "cohort_day"
+            ),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("t0")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2551,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_scd2_dimension": r4_scd2_dimension,
         "w9_resample_gapfill": w9_resample_gapfill,
         "x27_chunk_dedup": x27_chunk_dedup,
+        "q11_funnel": q11_funnel,
+        "q12_cohort_retention": q12_cohort_retention,
     }
 
 
@@ -3678,5 +3751,38 @@ SELECT c.doc_id, count(*) AS n_chunks,
          AS n_dup_chunks
 FROM chunks c JOIN dfreq d USING (chunk_text)
 GROUP BY c.doc_id
+"""
+    d["q11_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_click' AS stage, count(*) AS n_users FROM s2
+UNION ALL
+SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
+"""
+    d["q12_cohort_retention"] = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT strftime(CAST(f.t0 AS DATE), '%Y-%m-%d') AS cohort_day,
+       CAST(floor(date_diff('day', CAST(f.t0 AS DATE),
+                            CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY cohort_day, week_offset
 """
     return d
