@@ -1388,6 +1388,78 @@ def q12_cohort_retention(spark, sf_dir):
     )
 
 
+def x28_tf_cosine_pairs(spark, sf_dir):
+    """All-pairs document similarity over an inverted index — the
+    DISCO/all-pairs-similarity-search shape: 5-token shingle term
+    frequencies per doc (shingles are near-unique, so the term-keyed
+    self-join fans out per shared span, not per shared word), a
+    document-frequency cap (df ≤ 1% of corpus, floor 2) that kills
+    any boilerplate-span quadratic blowup, then integer tf·tf dot
+    products and an INTEGER cosine threshold test (25·dot² ≥
+    9·‖a‖²·‖b‖², i.e. cos ≥ 0.6) — no float ever enters, so the
+    result is reduction-order-proof. Norms are computed over the full
+    surviving shingle set, so a single shared span can never fake a
+    high cosine. The planted near-dups clear 0.9 while the background
+    stays below 0.5. At 100 TB: postings scale linearly with tokens,
+    the join touches only co-occurring spans, and the df cap bounds
+    the worst term's fanout — the same knob x3 uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-4, 0)),"
+                " (x, i) -> concat_ws(' ', slice(t, i+1, 5)))"
+            )
+        ).alias("term"),
+    )
+    # postings are consumed by 4 branches (dfreq, norms, both join
+    # sides): checkpoint so the explode+agg runs once, not per branch
+    tf = (
+        sh.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    capped = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") * 100 <= F.col("n_docs")) | (F.col("df") <= 2)
+        )
+        .select("doc_id", "term", "tf")
+        .localCheckpoint(eager=True)
+    )
+    norms = capped.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    dots = (
+        capped.alias("a")
+        .join(capped.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n2", "n2_a")
+        .join(norms.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n2", "n2_b")
+        .filter(
+            F.lit(25) * F.col("dot") * F.col("dot")
+            >= F.lit(9) * F.col("n2_a") * F.col("n2_b")
+        )
+        .select("id_a", "id_b", F.col("dot").cast("bigint").alias("dot"))
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2624,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x27_chunk_dedup": x27_chunk_dedup,
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
+        "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
     }
 
 
@@ -3784,5 +3857,41 @@ SELECT strftime(CAST(f.t0 AS DATE), '%Y-%m-%d') AS cohort_day,
        count(DISTINCT e.user_id) AS n_users
 FROM events e JOIN first_seen f USING (user_id)
 GROUP BY cohort_day, week_offset
+"""
+    d["x28_tf_cosine_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+                               i -> array_to_string(t[i:i+4], ' ')))
+           AS term
+  FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), capped AS (
+  SELECT tf.doc_id, tf.term, tf.tf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE dfreq.df * 100 <= nd.n_docs OR dfreq.df <= 2
+), norms AS (
+  SELECT doc_id, sum(tf * tf) AS n2 FROM capped GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM capped a JOIN capped b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE 25 * dot * dot >= 9 * na.n2 * nb.n2
 """
     return d
