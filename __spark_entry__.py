@@ -1460,6 +1460,36 @@ def x28_tf_cosine_pairs(spark, sf_dir):
     )
 
 
+def r5_merge_cdc(spark, sf_dir):
+    """Multi-clause MERGE INTO (Delta/Iceberg semantics) applied to a
+    CDC change feed: matched deletes drop, matched upserts replace,
+    unmatched upserts insert, untouched target rows pass through —
+    the general form of the reference's ON CONFLICT DO UPDATE upsert
+    (daily_weather_etl_kenya.py:422-452), which handles only the
+    update clause. Feed synthesized deterministically from orders:
+    keys %7 → delete, else %3 → +5%% restatement, %11 → brand-new
+    keys. ONE full-outer join on the key (operators/merge.apply_cdc);
+    the multiplication is a single IEEE op so the full merged table
+    hash-matches without rounding tricks."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter((k % 7 == 0) | (k % 3 == 0)).select(
+        "o_orderkey",
+        F.when(k % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+    )
+    ins = base.filter(k % 11 == 0).select(
+        (k + F.lit(100000000)).alias("o_orderkey"),
+        F.lit("upsert").alias("op"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    return M.apply_cdc(base, upd.unionByName(ins), "o_orderkey")
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2697,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
+        "r5_merge_cdc": r5_merge_cdc,
     }
 
 
@@ -3893,5 +3924,28 @@ FROM dots
 JOIN norms na ON na.doc_id = id_a
 JOIN norms nb ON nb.doc_id = id_b
 WHERE 25 * dot * dot >= 9 * na.n2 * nb.n2
+"""
+    d["r5_merge_cdc"] = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+              ELSE 'upsert' END AS op,
+         o_totalprice * 1.05 AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         'upsert' AS op,
+         o_totalprice + 1.0 AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 11 = 0
+)
+SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+            ELSE t.o_totalprice END AS o_totalprice
+FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+WHERE c.o_orderkey IS NULL OR c.op <> 'delete'
 """
     return d

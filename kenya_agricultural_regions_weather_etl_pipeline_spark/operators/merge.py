@@ -45,6 +45,46 @@ def merge_last_write_wins(
     )
 
 
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Multi-clause MERGE (Delta/Iceberg ``MERGE INTO`` semantics) on
+    plain DataFrames: apply a CDC change feed to a keyed target.
+
+    ``changes`` carries the key, an ``op`` column (``'upsert'`` |
+    ``'delete'``) and the full payload. Clause semantics:
+
+    - matched + op='delete'  → row removed (WHEN MATCHED ... DELETE)
+    - matched + op='upsert'  → payload replaces target (… UPDATE SET *)
+    - unmatched + op='upsert'→ payload inserted (WHEN NOT MATCHED INSERT)
+    - unmatched + op='delete'→ no-op
+    - target rows without a change row pass through untouched
+
+    One full-outer join on the key — the same single-shuffle shape as
+    a table-format MERGE's find-touched-files phase, minus the file
+    rewrite (callers persist via write_merged_partitioned). At 100 TB
+    the join shuffles both sides once on the key; AQE splits any hot
+    key. Payload column set must match the target's.
+    """
+    t = target.alias("t")
+    c = changes.alias("c")
+    payload = [f for f in target.columns if f != key]
+    joined = t.join(c, F.col(f"t.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = F.col(f"c.{key}").isNull() | (F.col(f"c.{op_col}") != "delete")
+    pick = [
+        F.coalesce(F.col(f"c.{key}"), F.col(f"t.{key}")).alias(key)
+    ] + [
+        F.when(F.col(f"c.{key}").isNotNull(), F.col(f"c.{p}"))
+        .otherwise(F.col(f"t.{p}"))
+        .alias(p)
+        for p in payload
+    ]
+    return joined.filter(keep).select(*pick)
+
+
 def write_merged_partitioned(
     merged: DataFrame,
     path: str,

@@ -380,3 +380,27 @@ def test_expire_partitions(spark, sf01, tmp_path):
     assert dropped == len(years) - 2
     expected = li.filter(F.col("ship_year").isin([int(k) for k in keep])).count()
     assert remaining == expected > 0
+
+
+def test_apply_cdc_clause_semantics(spark):
+    """Each MERGE clause class: matched-delete drops, matched-upsert
+    replaces, unmatched-upsert inserts, unmatched-delete no-ops,
+    untouched rows pass through."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.merge import (
+        apply_cdc,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "delete", 0.0),    # matched delete
+            (2, "upsert", 99.0),   # matched update
+            (4, "upsert", 40.0),   # unmatched insert
+            (5, "delete", 0.0),    # unmatched delete -> no-op
+        ],
+        ["k", "op", "v"],
+    )
+    got = sorted(map(tuple, apply_cdc(target, changes, "k").collect()))
+    assert got == [(2, 99.0), (3, 30.0), (4, 40.0)]
