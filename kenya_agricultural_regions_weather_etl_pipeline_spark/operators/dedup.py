@@ -488,10 +488,21 @@ def connected_components(
     e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
         eager=True
     )
+    # near-dup graphs are usually tiny relative to the corpus that
+    # produced them: size the per-round parallelism to the edge count
+    # (50k edges/partition) instead of paying 32-partition shuffle
+    # latency per iteration on a 25-edge graph. Large graphs keep full
+    # parallelism — the count is free (e0 is already materialized).
+    n_edges = e0.count()
+    parts = max(1, min(32, n_edges // 50_000 + 1))
     sym = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     nodes = sym.select(F.col("s").alias("id")).distinct()
-    labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)  # joined every round
+    labels = (
+        nodes.withColumn("lbl", F.col("id"))
+        .repartition(parts, "id")
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.repartition(parts, "s").localCheckpoint(eager=True)  # joined every round
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["s"] == labels["id"]).select(
             F.col("d").alias("id"), F.col("lbl")
