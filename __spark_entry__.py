@@ -49,6 +49,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.weather_api import (  # noqa: E402
     fixture_payloads,
+    synthesize_raw_payload,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming import (  # noqa: E402
     micro_batch as ST,
@@ -1490,6 +1491,41 @@ def r5_merge_cdc(spark, sf_dir):
     return M.apply_cdc(base, upd.unionByName(ins), "o_orderkey")
 
 
+def st10_weather_stream(spark, sf_dir):
+    """Custom Python STREAMING DataSource (§2.7 × S1): the simulated
+    weather feed as a day-per-micro-batch, partition-per-region
+    stream (sources/weather_api.WeatherStreamDataSource), consumed to
+    backlog exhaustion and rolled up per region. Offsets are day
+    counters, so replay/recovery is exact; reads run executor-side
+    exactly like the batch Python DataSource. Oracle = the same
+    deterministic fixture payloads evaluated in Python and inlined as
+    VALUES (the e2e_weather_pipeline pattern)."""
+    apply_runtime_confs(spark)
+    return ST.run_weather_stream(spark, days=3)
+
+
+def _st10_oracle() -> str:
+    """Expected per-region rollup computed from the SAME deterministic
+    payload generator the stream emits — inlined as VALUES."""
+    import json as _json
+
+    rows = []
+    for region in AGRICULTURAL_REGIONS:
+        temps = [
+            _json.loads(synthesize_raw_payload(region, day))["main"]["temp"]
+            for day in range(3)
+        ]
+        rows.append((region, len(temps), max(temps)))
+    values = ",\n  ".join(
+        f"('{r}', {n}::BIGINT, {t!r}::DOUBLE)" for r, n, t in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + "\n) AS t(region, n_docs, max_temp)"
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2728,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_cohort_retention": q12_cohort_retention,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
+        "st10_weather_stream": st10_weather_stream,
     }
 
 
@@ -3948,4 +3985,5 @@ SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
 FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
 WHERE c.o_orderkey IS NULL OR c.op <> 'delete'
 """
+    d["st10_weather_stream"] = _st10_oracle()
     return d

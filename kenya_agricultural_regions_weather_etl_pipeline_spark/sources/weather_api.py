@@ -157,15 +157,82 @@ try:  # Spark 4 Python Data Source API (pyspark.sql.datasource)
         def reader(self, schema):
             return WeatherApiReader(self.options)
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class WeatherStreamReader(DataSourceStreamReader):
+        """Micro-batch stream of the same simulated per-region feed:
+        one DAY of payloads per micro-batch, one input partition per
+        region within each batch — the streaming twin of the batch
+        partition-per-region scan. Offsets are day counters, so
+        recovery/replay (partitions(start, end)) is exact and
+        deterministic; ``read`` runs executor-side like the batch path
+        (NOT the driver-side SimpleDataSourceStreamReader variant —
+        a live feed would poll the API from executors in parallel)."""
+
+        def __init__(self, options):
+            self.max_days = int(options.get("days", 3))
+
+        def initialOffset(self) -> dict:
+            return {"day": 0}
+
+        def latestOffset(self) -> dict:
+            # one day of data becomes available per micro-batch until
+            # the backlog is exhausted; then the offset stops advancing
+            if not hasattr(self, "_cur"):
+                self._cur = 0
+            self._cur = min(self._cur + 1, self.max_days)
+            return {"day": self._cur}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _StreamSlice(r, start["day"], end["day"])
+                for r in AGRICULTURAL_REGIONS
+            ]
+
+        def read(self, partition):
+            for day in range(partition.day_from, partition.day_to):
+                yield (partition.region, synthesize_raw_payload(partition.region, day))
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class _StreamSlice(InputPartition):
+        def __init__(self, region: str, day_from: int, day_to: int):
+            self.region = region
+            self.day_from = day_from
+            self.day_to = day_to
+
+    class WeatherStreamDataSource(DataSource):
+        """`spark.readStream.format("weather_stream")` — day-per-batch,
+        partition-per-region streaming source."""
+
+        @classmethod
+        def name(cls):
+            return "weather_stream"
+
+        def schema(self):
+            return "region string, raw string"
+
+        def streamReader(self, schema):
+            return WeatherStreamReader(self.options)
+
     HAS_DATASOURCE_API = True
 except Exception:  # pragma: no cover - older pyspark
     WeatherApiDataSource = None  # type: ignore[assignment]
+    WeatherStreamDataSource = None  # type: ignore[assignment]
     HAS_DATASOURCE_API = False
 
 
 def register_weather_source(spark: SparkSession) -> bool:
     if HAS_DATASOURCE_API and WeatherApiDataSource is not None:
         spark.dataSource.register(WeatherApiDataSource)
+        return True
+    return False
+
+
+def register_weather_stream(spark: SparkSession) -> bool:
+    if HAS_DATASOURCE_API and WeatherStreamDataSource is not None:
+        spark.dataSource.register(WeatherStreamDataSource)
         return True
     return False
 

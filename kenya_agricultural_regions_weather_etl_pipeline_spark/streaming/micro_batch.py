@@ -512,3 +512,75 @@ def run_sliding_counts(
     agg = windowed_event_counts(stream, window=window, slide=slide)
     _, out = _run_to_memory(agg, "complete", "st9")
     return out
+
+
+def run_weather_stream(
+    spark: SparkSession, days: int = 3, timeout_s: float = 120.0
+) -> DataFrame:
+    """st10: consume the custom Python streaming source
+    (sources/weather_api.WeatherStreamDataSource — day-per-batch,
+    partition-per-region) to backlog exhaustion and return the
+    per-region rollup (doc count + max temperature).
+
+    The source's offset is a day counter that stops advancing at the
+    backlog end, so "done" is observable as the sink reaching
+    days × 15 documents; we poll for that, then stop — the streaming
+    analogue of the reference's one-day batch pull, run ``days``
+    times. Deterministic: payloads are the same fixture documents the
+    batch path reads, so the final aggregate is exactly oracle-able.
+    """
+    import time
+
+    from ..schemas import RAW_WEATHER_SCHEMA
+    from ..sources.weather_api import register_weather_stream
+
+    if not register_weather_stream(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource stream API unavailable")
+    stream = (
+        spark.readStream.format("weather_stream")
+        .option("days", str(days))
+        .load()
+    )
+    doc = F.from_json(F.col("raw"), RAW_WEATHER_SCHEMA)
+    agg = (
+        stream.select("region", doc["main"]["temp"].alias("temperature"))
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("temperature").alias("max_temp"),
+        )
+    )
+    name = _unique_sink("st10")
+    expected = days * 15
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("n_docs").alias("n"))
+                    .collect()[0]["n"]
+                )
+                if got == expected:
+                    break
+                time.sleep(0.25)
+            else:  # pragma: no cover
+                q.stop()
+                raise TimeoutError(f"st10 backlog not drained: {got}/{expected}")
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
