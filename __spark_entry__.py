@@ -1526,6 +1526,38 @@ def _st10_oracle() -> str:
     )
 
 
+def sql3_top_supplier_sql(spark, sf_dir):
+    """TPC-H Q15 shape in pure SQL: a revenue-per-supplier CTE consumed
+    twice — once as the row source, once inside a scalar MAX subquery
+    that selects the champion supplier(s). Catalyst plans the scalar
+    subquery as a one-row broadcast into the filter, so the CTE's
+    aggregate runs twice at worst (or once under CTE reuse); either
+    way the only wide op is the s_suppkey aggregation. Revenue summed
+    in DECIMAL so the total — and therefore WHO wins — is
+    reduction-order-independent (a float sum could flip the argmax)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql3"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_sql3"
+    )
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))) AS total_revenue
+          FROM lineitem_sql3
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier_sql3 s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
 def x35_source_vocab_overlap(spark, sf_dir):
     """Cross-source vocabulary Jaccard matrix (corpus drift / domain
     similarity): per-source distinct term sets → term-keyed
@@ -2765,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
         "st10_weather_stream": st10_weather_stream,
+        "sql3_top_supplier_sql": sql3_top_supplier_sql,
     }
 
 
@@ -3986,4 +4019,17 @@ FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
 WHERE c.o_orderkey IS NULL OR c.op <> 'delete'
 """
     d["st10_weather_stream"] = _st10_oracle()
+    d["sql3_top_supplier_sql"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
     return d

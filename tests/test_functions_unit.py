@@ -404,3 +404,33 @@ def test_apply_cdc_clause_semantics(spark):
     )
     got = sorted(map(tuple, apply_cdc(target, changes, "k").collect()))
     assert got == [(2, 99.0), (3, 30.0), (4, 40.0)]
+
+
+def test_weather_stream_reader_offsets_and_slices():
+    """Pure-Python contract of the custom streaming source: offsets
+    advance one day per batch and clamp at the backlog end; a
+    (start, end] range fans out to one slice per region, each yielding
+    exactly (end-start) deterministic documents."""
+    import json
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (
+        AGRICULTURAL_REGIONS,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.weather_api import (
+        WeatherStreamReader,
+        synthesize_raw_payload,
+    )
+
+    r = WeatherStreamReader({"days": "2"})
+    assert r.initialOffset() == {"day": 0}
+    assert r.latestOffset() == {"day": 1}
+    assert r.latestOffset() == {"day": 2}
+    assert r.latestOffset() == {"day": 2}  # clamps: backlog exhausted
+
+    slices = r.partitions({"day": 0}, {"day": 2})
+    assert len(slices) == len(AGRICULTURAL_REGIONS)
+    rows = list(r.read(slices[0]))
+    assert len(rows) == 2
+    region, raw = rows[0]
+    assert raw == synthesize_raw_payload(region, 0)
+    assert json.loads(raw)["region"] == region
