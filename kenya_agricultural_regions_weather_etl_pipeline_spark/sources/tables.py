@@ -9,16 +9,23 @@ callers should filter/select on the returned DataFrame *before* any
 action so Catalyst can prune. At cluster scale the same loader works on
 a directory of thousands of files; nothing here materializes.
 
-``events.ts`` special case: the generator wrote parquet
-TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark's parquet reader
-rejects ([PARQUET_TYPE_ILLEGAL]). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as int64
-nanoseconds; we expose BOTH the raw ``ts_ns`` long and a
-``ts`` TIMESTAMP_NTZ derived by pure arithmetic from the epoch (no
-session-timezone dependence, exactly DuckDB's microsecond truncation).
+``events.ts`` special case: the generator's physical parquet type for
+``ts`` has changed across testdata generations — TIMESTAMP(NANOS,
+isAdjustedToUTC=false) (unreadable by Spark's vectorized reader unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` surfaces it as int64
+nanos) in one, plain TIMESTAMP(MICROS) in another.  We therefore
+normalize by INSPECTION, not assumption: ``events_ts_unit`` reads the
+parquet footer (driver-side, one file, no data scan) and ``load_table``
+always exposes BOTH a raw ``ts_ns`` int64-nanos column and a ``ts``
+TIMESTAMP_NTZ, whatever the on-disk unit.  DuckDB reads the same bytes
+as a naive TIMESTAMP either way, so the oracle twin is
+``epoch_ns(ts)`` / ``ts`` unchanged.
 """
 
 from __future__ import annotations
+
+import glob as _glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,32 +46,77 @@ TABLES = (
 )
 
 
-def _events_with_ntz_ts(df: DataFrame) -> DataFrame:
-    """int64-nanos ``ts`` → TIMESTAMP_NTZ via epoch arithmetic.
+def events_ts_unit(path: str) -> str:
+    """Physical time unit of ``events.ts`` ('ns' | 'us' | 'ms') read from
+    the parquet footer — driver-side metadata only, no data scan.
 
-    ``timestampadd`` on a TIMESTAMP_NTZ base is timezone-free, so the
-    result equals DuckDB's naive TIMESTAMP for the same parquet bytes
-    regardless of the session timezone.  Integer ``div`` (not ``/``)
-    avoids double-precision loss on 1.7e18-scale nanos.
+    ``path`` is the events parquet file or a directory of part files
+    (the cluster layout).  Defaults to 'us' if the footer is
+    unreachable (e.g. object-store path local pyarrow can't open) —
+    the unit of the current generator output.
     """
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn(
+    try:
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            parts = sorted(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            if not parts:
+                return "us"
+            p = parts[0]
+        t = pq.read_schema(p).field("ts").type
+        return getattr(t, "unit", "us")
+    except Exception:
+        return "us"
+
+
+def raw_ts_to_micros_sql(unit: str, col: str = "ts_ns") -> str:
+    """SQL expr converting a raw int64 ``ts`` of ``unit`` to epoch MICROS.
+
+    Integer ``div``/``*`` (not ``/``) avoids double-precision loss on
+    1.7e18-scale nanos.
+    """
+    return {
+        "ns": f"{col} div 1000",
+        "us": f"{col}",
+        "ms": f"{col} * 1000",
+    }[unit]
+
+
+def _events_normalize_ts(df: DataFrame, unit_if_raw: str = "ns") -> DataFrame:
+    """Expose BOTH ``ts`` TIMESTAMP_NTZ and ``ts_ns`` int64-nanos,
+    whatever the physical read produced.
+
+    - bigint ``ts``: the nanosAsLong surface of TIMESTAMP(NANOS) —
+      ``timestampadd`` on an NTZ base is timezone-free, so the result
+      equals DuckDB's naive TIMESTAMP for the same parquet bytes
+      regardless of session timezone.
+    - timestamp/timestamp_ntz ``ts``: native micros read — derive the
+      raw-nanos twin arithmetically (session TZ pinned UTC makes the
+      NTZ→LTZ hop wall-clock-identical).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        micros = raw_ts_to_micros_sql(unit_if_raw)
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts",
             F.expr(
-                "timestampadd(MICROSECOND, ts_ns div 1000, "
+                f"timestampadd(MICROSECOND, {micros}, "
                 "timestamp_ntz '1970-01-01 00:00:00')"
             ),
         )
-    )
+    return df.withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ."""
+    """Load one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ
+    + raw ``ts_ns``."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = _events_with_ntz_ts(df)
+    if name == "events":
+        df = _events_normalize_ts(df)
     return df
 
 

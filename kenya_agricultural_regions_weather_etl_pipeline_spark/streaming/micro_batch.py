@@ -34,10 +34,12 @@ from pyspark.sql.types import (
 )
 
 from ..functions.weather import round_half_up
+from ..sources.tables import events_ts_unit, raw_ts_to_micros_sql
 
 # Raw on-disk schema of the driver-generated events table: ``ts`` is
-# parquet TIMESTAMP(NANOS) surfaced as int64 via nanosAsLong
-# (see sources/tables.py).
+# read as int64 whatever the physical parquet timestamp unit is
+# (TIMESTAMP(NANOS) via nanosAsLong, or TIMESTAMP(MICROS) directly);
+# the unit is detected from the footer (see sources/tables.py).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -57,26 +59,41 @@ def _unique_sink(prefix: str) -> str:
     return f"{prefix}_{os.getpid()}_{_SINK_N[0]}"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of the events table with event-time ``ts``.
 
     FileStreamSource requires a DIRECTORY, not a file — we point it at
     the scale-factor dir and glob-filter to the single events parquet
     (on a cluster this is a directory of many files and the glob is a
-    no-op). ``ts`` int64-nanos → TIMESTAMP_NTZ by pure epoch arithmetic,
+    no-op). The raw int64 ``ts`` unit (ns/us/ms) is detected from the
+    parquet footer and converted to TIMESTAMP by pure epoch arithmetic,
     identical to the batch loader (sources/tables.py).
+    ``max_files_per_trigger`` paces a multi-file backlog into multiple
+    micro-batches — the knob that, in append mode, lets each batch's
+    watermark flush the previous batch's closed windows.
     """
-    raw = (
+    import glob as _glob
+
+    matches = sorted(_glob.glob(os.path.join(sf_dir, glob)))
+    unit = events_ts_unit(matches[0] if matches else sf_dir)
+    reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     # Watermarks require TIMESTAMP (LTZ), not NTZ; with the session pinned
     # to UTC (session.py) timestamp_micros is wall-clock-identical to the
     # batch loader's NTZ arithmetic.
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        "ts", F.timestamp_micros(F.expr(raw_ts_to_micros_sql(unit)))
     )
 
 

@@ -189,19 +189,59 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf01):
 
 
 def test_streaming_parquet_file_sink(spark, sf01, tmp_path):
-    """availableNow stream -> partitioned parquet file sink with
-    checkpoint; restart with same checkpoint is a no-op (exactly-once)."""
+    """availableNow stream -> parquet file sink (append mode) with
+    checkpoint; restart with same checkpoint is a no-op (exactly-once).
+
+    Append mode only emits a window once a LATER batch's watermark
+    passes its end — a single-file backlog is one micro-batch and
+    flushes nothing. So stage the events as two time-ordered files and
+    pace with maxFilesPerTrigger=1: batch 1's watermark (maxTs(file A)
+    - 2h) finalizes file A's closed windows.
+    """
+    import os
+    import shutil
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        events_ts_unit,
+        raw_ts_to_micros_sql,
+    )
     from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        EVENTS_RAW_SCHEMA,
         read_events_stream,
         windowed_event_counts,
     )
+
+    raw = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf01)
+    )
+    unit = events_ts_unit(os.path.join(sf01, "events.parquet"))
+    raw = raw.withColumn("ts", F.expr(raw_ts_to_micros_sql(unit, "ts")))
+    cut_us = 1705708800 * 10**6  # 2024-01-20T00:00:00Z, ~2/3 through the month
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for name, pred in [("a", F.col("ts") < cut_us), ("b", F.col("ts") >= cut_us)]:
+        stage = str(tmp_path / f"stage_{name}")
+        raw.filter(pred).coalesce(1).write.parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        shutil.move(os.path.join(stage, part), str(indir / f"{name}.parquet"))
+    # FileStreamSource orders new files by (mtime, path): make A older.
+    os.utime(str(indir / "a.parquet"), (1, 1))
 
     out = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
 
     def run():
         q = (
-            windowed_event_counts(read_events_stream(spark, sf01))
+            windowed_event_counts(
+                read_events_stream(
+                    spark, str(indir), glob="*.parquet", max_files_per_trigger=1
+                )
+            )
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)

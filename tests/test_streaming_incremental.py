@@ -10,7 +10,11 @@ import tempfile
 
 import pyspark.sql.functions as F
 
-from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import load_table
+from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+    events_ts_unit,
+    load_table,
+    raw_ts_to_micros_sql,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
     EVENTS_RAW_SCHEMA,
     keyed_running_totals,
@@ -18,16 +22,26 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch
 )
 
 
-def _fragmented_events_dir(spark, sf01, tmp_path, n_files=4):
-    """events split into n parquet files, raw int64-nanos schema."""
-    path = str(tmp_path / "events_frag")
+def _raw_events_micros(spark, sf01):
+    """Raw int64-``ts`` events read, normalized to epoch-MICROS whatever
+    the physical parquet unit (footer-detected) — the canonical unit
+    for test-staged fragment files."""
+    import os
+
     raw = (
         spark.read.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf01)
     )
-    raw.repartition(n_files).write.parquet(path)
+    unit = events_ts_unit(os.path.join(sf01, "events.parquet"))
+    return raw.withColumn("ts", F.expr(raw_ts_to_micros_sql(unit, "ts")))
+
+
+def _fragmented_events_dir(spark, sf01, tmp_path, n_files=4):
+    """events split into n parquet files, raw int64-micros schema."""
+    path = str(tmp_path / "events_frag")
+    _raw_events_micros(spark, sf01).repartition(n_files).write.parquet(path)
     return path
 
 
@@ -39,7 +53,7 @@ def _stream(spark, path, max_files=1):
         .load(path)
     )
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        "ts", F.timestamp_micros(F.col("ts_ns"))
     )
 
 
@@ -98,7 +112,7 @@ def test_running_totals_multi_batch_equals_batch(spark, sf01, tmp_path):
 def _stream_like_batch(spark, path):
     raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        "ts", F.timestamp_micros(F.col("ts_ns"))
     )
 
 
@@ -146,12 +160,7 @@ def _time_ordered_fragments(spark, sf01, tmp_path, n_files=4):
     import time as _time
 
     path = str(tmp_path / "events_ordered")
-    raw = (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf01)
-    )
+    raw = _raw_events_micros(spark, sf01)
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
     for i in range(n_files):
         a = lo + (hi - lo) * i // n_files
@@ -204,12 +213,7 @@ def test_checkpoint_resume_accumulates_state(spark, sf01, tmp_path):
     (equal to one batch pass over everything), not reprocess or drop."""
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
-    raw = (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf01)
-    )
+    raw = _raw_events_micros(spark, sf01)
     half1 = raw.filter(F.col("event_id") % 2 == 0)
     half2 = raw.filter(F.col("event_id") % 2 == 1)
     half1.write.mode("append").parquet(src)
@@ -220,7 +224,7 @@ def test_checkpoint_resume_accumulates_state(spark, sf01, tmp_path):
             .format("parquet")
             .load(src)
             .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_ns")))
         )
         agg = windowed_event_counts(stream)
         q = (
@@ -245,7 +249,7 @@ def test_checkpoint_resume_accumulates_state(spark, sf01, tmp_path):
         spark.read.schema(EVENTS_RAW_SCHEMA)
         .parquet(src)
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_ns")))
     )
     assert resumed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(resumed).isEmpty()
