@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..functions.text import normalized, shingles
 
@@ -489,11 +490,16 @@ def connected_components(
         eager=True
     )
     # near-dup graphs are usually tiny relative to the corpus that
-    # produced them: size the per-round parallelism to the edge count
-    # (50k edges/partition) instead of paying 32-partition shuffle
-    # latency per iteration on a 25-edge graph. Large graphs keep full
-    # parallelism — the count is free (e0 is already materialized).
+    # produced them: size the strategy to the edge count (free — e0 is
+    # already materialized). Below the threshold the whole graph fits
+    # in driver memory with room to spare, and a union-find there costs
+    # milliseconds where every distributed min-propagation round costs
+    # two shuffle jobs of pure scheduling overhead — the same
+    # runtime-adaptivity argument as AQE's broadcast demotion. Above
+    # it, the distributed loop runs with parallelism sized to the data.
     n_edges = e0.count()
+    if n_edges <= 200_000:
+        return _driver_union_find(e0)
     parts = max(1, min(32, n_edges // 50_000 + 1))
     sym = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     nodes = sym.select(F.col("s").alias("id")).distinct()
@@ -521,6 +527,41 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(e0: DataFrame) -> DataFrame:
+    """Small-graph fast path for ``connected_components``: collect the
+    (already-materialized, size-checked) edge list and run path-halving
+    union-find on the driver; component label = min id in the set —
+    identical semantics to distributed min-propagation."""
+    id_type = e0.schema["s"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in e0.collect():
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("lbl", id_type)]
+    )
+    rows = [(x, comp_min[r]) for x, r in roots.items()]
+    return e0.sparkSession.createDataFrame(rows, out_schema)
 
 
 def cross_corpus_contamination(
