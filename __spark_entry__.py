@@ -1610,6 +1610,83 @@ def x35_source_vocab_overlap(spark, sf_dir):
     )
 
 
+def x29_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd (k-means) assignment iteration over the
+    embedding corpus — the building block of clustering-based curation
+    (semantic dedup buckets, domain discovery; also how the x5d IVF
+    index's centroids would be trained). Seeds = the K lowest-vec_id
+    embeddings (deterministic). Assignment broadcasts the K-row
+    centroid table against every vector; squared-L2 is one
+    zip_with/aggregate fold (JVM codegen, no UDF); argmin is
+    min(struct(dist, cid)) under one vec_id shuffle. At 100 TB this is
+    the canonical N×K broadcast-assign shape — the centroid side never
+    grows with the corpus, so no second large shuffle exists. Output is
+    integer-only (cluster sizes + member-id ranges) so cross-engine
+    parity is exact even though distances are floating."""
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+
+
+def x31_length_curriculum(spark, sf_dir):
+    """Length-based curriculum tiers: per-doc whitespace token count →
+    corpus quartile tier (shortest quarter = Q1 … longest = Q4), the
+    batching/curriculum split step of a training-data pipeline.
+
+    Integer-exact by construction: the cumulative distribution lives on
+    the DISTINCT count values (cardinality bounded by max doc length,
+    not corpus size — the only global-ordered window runs over that
+    tiny frame), and tier boundaries compare 4·cum against k·total in
+    integers, so no float fraction exists anywhere and cross-engine
+    parity is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(T.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("n_tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_cum = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    cum = hist.withColumn("cum", F.sum("n_docs").over(w_cum)).crossJoin(
+        F.broadcast(total)
+    )
+    tiered = cum.withColumn(
+        "tier",
+        F.when(4 * F.col("cum") <= F.col("total"), "Q1")
+        .when(2 * F.col("cum") <= F.col("total"), "Q2")
+        .when(4 * F.col("cum") <= 3 * F.col("total"), "Q3")
+        .otherwise("Q4"),
+    )
+    return tiered.groupBy("tier").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
 def p12_local_time(spark, sf_dir):
     """Timezone conversion surface: UTC event times localized to
     Africa/Nairobi (the reference's region — its Airflow schedule is
@@ -2765,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_forward_fill": w8_forward_fill,
         "e2e_dedup_survivors": e2e_dedup_survivors,
         "p12_local_time": p12_local_time,
+        "x29_kmeans_step": x29_kmeans_step,
+        "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
         "a6b_unpivot": a6b_unpivot,
@@ -3592,6 +3671,41 @@ SELECT o_custkey, count(*) AS n_orders,
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) > 25
+""",
+        "x29_kmeans_step": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+  FROM e CROSS JOIN c
+)
+SELECT cid, count(*) AS n_members,
+       min(vec_id) AS min_member, max(vec_id) AS max_member
+FROM d WHERE rn = 1
+GROUP BY cid
+""",
+        "x31_length_curriculum": f"""
+WITH hist AS (
+  SELECT {T.token_count_sql('text')} AS n_tok, count(*) AS n_docs
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT n_tok, n_docs,
+         sum(n_docs) OVER (ORDER BY n_tok) AS cum,
+         (SELECT sum(n_docs) FROM hist) AS total
+  FROM hist
+)
+SELECT CASE WHEN 4 * cum <= total THEN 'Q1'
+            WHEN 2 * cum <= total THEN 'Q2'
+            WHEN 4 * cum <= 3 * total THEN 'Q3'
+            ELSE 'Q4' END AS tier,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+FROM cum GROUP BY 1
 """,
         "x35_source_vocab_overlap": f"""
 WITH terms AS (
