@@ -461,6 +461,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Dedup clustering: connected components of the near-dup pair graph
     by iterative min-label propagation (the DataFrame form of Pregel's
@@ -498,7 +499,7 @@ def connected_components(
     # runtime-adaptivity argument as AQE's broadcast demotion. Above
     # it, the distributed loop runs with parallelism sized to the data.
     n_edges = e0.count()
-    if n_edges <= 200_000:
+    if n_edges <= small_graph_threshold:
         return _driver_union_find(e0)
     parts = max(1, min(32, n_edges // 50_000 + 1))
     sym = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))

@@ -474,3 +474,61 @@ def test_weather_stream_reader_offsets_and_slices():
     region, raw = rows[0]
     assert raw == synthesize_raw_payload(region, 0)
     assert json.loads(raw)["region"] == region
+
+
+def test_union_find_matches_distributed_propagation(spark):
+    """The driver union-find fast path and the distributed
+    min-propagation loop must assign identical components on a graph
+    with multi-hop chains, a cycle, and isolated pairs (threshold=0
+    forces the distributed path on the same edges)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11), (20, 21), (21, 22), (5, 3)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.id, r.lbl) for r in connected_components(edges).collect()}
+    slow = {
+        (r.id, r.lbl)
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert fast == slow
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_events_ts_unit_detection(spark, sf01, tmp_path):
+    """The events loader must adapt to the generator's physical
+    timestamp unit: footer detection on the real table, plus both
+    bigint paths (nanos via nanosAsLong, staged micros longs) must
+    produce identical TIMESTAMP_NTZ wall-clock values."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        events_ts_unit,
+        load_table,
+        raw_ts_to_micros_sql,
+    )
+
+    unit = events_ts_unit(os.path.join(sf01, "events.parquet"))
+    assert unit in ("ns", "us", "ms")
+
+    lt = load_table(spark, sf01, "events")
+    assert dict(lt.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(lt.dtypes)["ts_ns"] == "bigint"
+    # ts and ts_ns must agree to the microsecond, whatever the source unit
+    bad = lt.filter(
+        F.unix_micros(F.col("ts").cast("timestamp")) * 1000 != F.col("ts_ns")
+    ).count()
+    assert bad == 0
+    # conversion SQL covers all three units
+    assert raw_ts_to_micros_sql("ns") == "ts_ns div 1000"
+    assert raw_ts_to_micros_sql("us") == "ts_ns"
+    assert raw_ts_to_micros_sql("ms") == "ts_ns * 1000"
