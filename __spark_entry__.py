@@ -2400,6 +2400,37 @@ def mm3_audio_segments(spark, sf_dir):
     )
 
 
+def mm4_media_dedup(spark, sf_dir):
+    """Content-addressed media dedup — the multimodal twin of x1: byte-
+    identical payloads collapse to one canonical asset. The content key
+    is md5 over the OPAQUE binary column, computed JVM-side with zero
+    decode and zero Python; the shuffle carries the 32-hex digest, never
+    the payload, so at 100 TB the exchange is content-key-sized while
+    the (huge) media bytes stay columnar in the scan. Assets 64..95
+    repeat the payloads of 0..31 (deterministic re-keying), so copy
+    groups of size 2 exist; asset metadata (media_type etc.) differs
+    between copies — only the bytes define identity."""
+    media = MM.synthetic_media(spark, 96).withColumn(
+        "payload",
+        F.encode(
+            F.concat(
+                F.lit("BLOB:"),
+                F.lpad((F.col("asset_id") % 64).cast("string"), 12, "0"),
+            ),
+            "utf-8",
+        ),
+    )
+    return (
+        media.withColumn("content_key", F.md5(F.col("payload")))
+        .groupBy("content_key")
+        .agg(
+            F.min("asset_id").alias("canonical_asset_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max(F.length("payload")).cast("int").alias("payload_bytes"),
+        )
+    )
+
+
 def e2e_weather_sim(spark, sf_dir):
     """End-to-end weather-transform parity run (SURVEY.md §3.2) on
     pseudo-weather derived deterministically from events: validate (F1/F2)
@@ -2874,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_multimodal_features": mm1_multimodal_features,
         "mm2_frame_sample": mm2_frame_sample,
         "mm3_audio_segments": mm3_audio_segments,
+        "mm4_media_dedup": mm4_media_dedup,
         "st8_jsonl_ingest": st8_jsonl_ingest,
         "q9_returned_revenue": q9_returned_revenue,
         "w7_time_range_window": w7_time_range_window,
@@ -3937,6 +3969,20 @@ SELECT asset_id, segment_idx,
        least(segment_idx * 300 + 400, duration_ms)::INT AS end_ms,
        (18 + length(segment_idx::VARCHAR))::INT AS segment_bytes
 FROM s
+""",
+        "mm4_media_dedup": """
+WITH media AS (
+  SELECT range AS asset_id,
+         md5('BLOB:' || lpad((range % 64)::VARCHAR, 12, '0'))
+           AS content_key,
+         (5 + 12)::INT AS payload_bytes
+  FROM range(96)
+)
+SELECT content_key,
+       min(asset_id) AS canonical_asset_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       max(payload_bytes) AS payload_bytes
+FROM media GROUP BY content_key
 """,
         "e2e_weather_sim": _e2e_oracle(),
         "e2e_corpus_clean": _e2e_corpus_oracle(),
