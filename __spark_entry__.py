@@ -1504,6 +1504,49 @@ def r5_merge_cdc(spark, sf_dir):
     return M.apply_cdc(base, upd.unionByName(ins), "o_orderkey")
 
 
+def r6_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance — the 100 TB form of
+    the reference's daily append (daily_weather_etl_kenya.py:62): a new
+    day's partial aggregates fold into the standing rollup by the
+    combiner law agg(A∪B) = merge(agg(A), agg(B)), so each refresh pays
+    for the delta, never the history. History = events before Jan 25,
+    delta = the rest; both sides produce identical (event_type, day)
+    partials, merge is one union + one key shuffle
+    (operators/merge.merge_partial_aggregates). Value sums carry
+    DECIMAL through the merge — reduction-order-independent, so the
+    incremental result EQUALS the full recompute (the oracle) exactly;
+    avg is derived from merged partials, never merged itself."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25").cast("timestamp_ntz")
+
+    def partials(df):
+        return df.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+
+    merged = M.merge_partial_aggregates(
+        partials(ev.filter(F.col("ts") < cut)),
+        partials(ev.filter(F.col("ts") >= cut)),
+        keys=["event_type", "day"],
+        sum_cols=["n_events", "sv"],
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        W.round_half_up(F.col("sv").cast("double"), 4).alias("sum_value"),
+        W.round_half_up(
+            F.col("sv").cast("double") / F.col("n_events"), 6
+        ).alias("avg_value"),
+    )
+
+
 def st10_weather_stream(spark, sf_dir):
     """Custom Python STREAMING DataSource (§2.7 × S1): the simulated
     weather feed as a day-per-micro-batch, partition-per-region
@@ -2920,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_cohort_retention": q12_cohort_retention,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
+        "r6_incremental_rollup": r6_incremental_rollup,
         "st10_weather_stream": st10_weather_stream,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
     }
@@ -4190,6 +4234,19 @@ SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
             ELSE t.o_totalprice END AS o_totalprice
 FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
 WHERE c.o_orderkey IS NULL OR c.op <> 'delete'
+"""
+    d["r6_incremental_rollup"] = f"""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       {W.round_half_up_sql(
+           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 4)}
+         AS sum_value,
+       {W.round_half_up_sql(
+           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+         AS avg_value
+FROM events
+GROUP BY 1, 2
 """
     d["st10_weather_stream"] = _st10_oracle()
     d["sql3_top_supplier_sql"] = """

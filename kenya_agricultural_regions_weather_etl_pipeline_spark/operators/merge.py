@@ -100,3 +100,34 @@ def write_merged_partitioned(
     spark = merged.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_partial_aggregates(
+    rollup: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a new batch's
+    partial aggregates into an existing rollup WITHOUT recomputing
+    history — the scale form of the reference's daily append
+    (/root/reference/daily_weather_etl_kenya.py:62,422-452), where each
+    day's run must only pay for that day's data.
+
+    Works because algebraic aggregates (sum/count/min/max) obey the
+    combiner law: agg(A ∪ B) = merge(agg(A), agg(B)) — the same
+    property Spark's own partial (map-side) aggregation exploits.
+    Derived measures (avg = sum/count) must be computed FROM the merged
+    partials, never merged themselves. Sums over floating columns must
+    be carried as DECIMAL in the rollup so the merge is
+    reduction-order-independent — a double sum would drift from a
+    full recompute by accumulation order.
+
+    Cost: one union + one shuffle on the rollup key, sized by
+    |rollup keys| + |delta|, independent of total history volume.
+    """
+    return (
+        rollup.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
