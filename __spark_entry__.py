@@ -1653,6 +1653,39 @@ def x35_source_vocab_overlap(spark, sf_dir):
     )
 
 
+def x32_remove_repeated_spans(spark, sf_dir):
+    """Intra-document repeated-span REMOVAL (the C4 cleanup x27 only
+    measures): cut each doc into consecutive 10-token chunks, keep each
+    chunk's FIRST occurrence within the doc, reassemble the cleaned
+    text — all as per-row higher-order array expressions
+    (transform/slice/filter-with-index/array_join). ZERO shuffles and
+    zero Python: the whole transform is a narrow map stage that scales
+    embarrassingly; the first-occurrence test is array_position(chunks,
+    c) = i+1, O(chunks²) per doc but chunks ≈ tokens/10 stays tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+        .withColumn(
+            "chunks",
+            F.expr(
+                "CASE WHEN size(t) <= 0 THEN cast(array() as array<string>) "
+                "ELSE transform(sequence(0, cast(ceil(size(t) / 10.0) AS INT)"
+                " - 1), i -> array_join(slice(t, i * 10 + 1, 10), ' ')) END"
+            ),
+        )
+        .withColumn(
+            "kept",
+            F.expr("filter(chunks, (c, i) -> array_position(chunks, c) = i + 1)"),
+        )
+        .select(
+            "doc_id",
+            F.size("chunks").alias("n_chunks"),
+            (F.size("chunks") - F.size("kept")).alias("n_removed"),
+            F.array_join("kept", " ").alias("cleaned_text"),
+        )
+    )
+
+
 def x29_kmeans_step(spark, sf_dir):
     """One distributed Lloyd (k-means) assignment iteration over the
     embedding corpus — the building block of clustering-based curation
@@ -2917,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_dedup_survivors": e2e_dedup_survivors,
         "p12_local_time": p12_local_time,
         "x29_kmeans_step": x29_kmeans_step,
+        "x32_remove_repeated_spans": x32_remove_repeated_spans,
         "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
@@ -3747,6 +3781,29 @@ SELECT o_custkey, count(*) AS n_orders,
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) > 25
+""",
+        "x32_remove_repeated_spans": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(t) / 10.0) AS INT)),
+                        i -> array_to_string(t[(i*10+1):(i*10+10)], ' '))
+           AS chunks
+  FROM toks
+), kept AS (
+  SELECT doc_id, chunks,
+         list_filter(chunks, (c, i) -> list_position(chunks, c) = i) AS k
+  FROM chunked
+)
+SELECT doc_id,
+       CAST(len(chunks) AS INT) AS n_chunks,
+       CAST(len(chunks) - len(k) AS INT) AS n_removed,
+       array_to_string(k, ' ') AS cleaned_text
+FROM kept
 """,
         "x29_kmeans_step": """
 WITH e AS (

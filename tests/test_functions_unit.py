@@ -532,3 +532,26 @@ def test_events_ts_unit_detection(spark, sf01, tmp_path):
     assert raw_ts_to_micros_sql("ns") == "ts_ns div 1000"
     assert raw_ts_to_micros_sql("us") == "ts_ns"
     assert raw_ts_to_micros_sql("ms") == "ts_ns * 1000"
+
+
+def test_merge_partial_aggregates_combiner_law(spark):
+    """Folding partials from any split of the data must equal the
+    aggregate over the union (r6 core), including keys present on only
+    one side and a second incremental fold."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.merge import (
+        merge_partial_aggregates,
+    )
+
+    def partials(rows):
+        df = spark.createDataFrame(rows, "k string, v long")
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    a = [("x", 1), ("x", 2), ("y", 10)]
+    b = [("x", 4), ("z", 7)]
+    c = [("y", 5)]
+    m1 = merge_partial_aggregates(partials(a), partials(b), ["k"], ["n", "s"])
+    m2 = merge_partial_aggregates(m1, partials(c), ["k"], ["n", "s"])
+    got = {(r.k, r.n, r.s) for r in m2.collect()}
+    assert got == {("x", 3, 7), ("y", 2, 15), ("z", 1, 7)}
