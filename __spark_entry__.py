@@ -2770,8 +2770,15 @@ WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
 ), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-), qb AS (
+), qb0 AS (
   SELECT query_id, qv, {_sign_bucket_sql('qv', 4)} AS bucket FROM q
+), qb AS (
+  -- multi-probe: the exact bucket plus each 1-bit flip (Hamming-1)
+  SELECT query_id, qv,
+         unnest(list_distinct(list_append(
+           list_transform(range(4), i -> xor(bucket, (1 << i))),
+           bucket))) AS bucket
+  FROM qb0
 ), cb AS (
   SELECT vec_id, cv, {_sign_bucket_sql('cv', 4)} AS bucket FROM c
 ), scored AS (

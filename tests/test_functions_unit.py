@@ -164,7 +164,8 @@ def test_lsh_recall_floor(spark, sf01):
 
     row = entrymod.queries()["x5c_lsh_recall"](spark, sf01).collect()[0]
     assert row.n_exact == 80
-    assert row.recall >= 0.2, f"sign-LSH recall collapsed: {row.recall}"
+    # multi-probe (Hamming-1) sign-LSH measured 0.49 at sf0.01
+    assert row.recall >= 0.4, f"sign-LSH recall collapsed: {row.recall}"
 
 
 def test_minhash_estimates_track_exact_jaccard(spark, sf01):
