@@ -575,6 +575,38 @@ def j2_range_join(spark, sf_dir):
     return range_join_count(clicks, views, "user_id", "ts", 1800, "n_nearby_views")
 
 
+def j4_interval_overlap_join(spark, sf_dir):
+    """Interval×interval overlap join (sessions vs campaigns shape):
+    deterministic integer intervals derived from events — even event_ids
+    form set A, odd form B; [s, e] = [epoch_sec, epoch_sec +
+    60 + id%3600]. Banded per (user_id, hour): each interval explodes
+    into covered hour bands, pairs equi-join on (user, band) + exact
+    overlap predicate, and each pair is emitted only in its
+    overlap-START band so no dedup pass exists
+    (operators/asof.interval_overlap_join). The oracle is the direct
+    overlap theta join — tiny at sf0.01, quadratic-free here."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        # integer div: ts_ns is 1.7e18-scale, float division would lose
+        # precision past double's 53-bit mantissa
+        F.expr("ts_ns div 1000000000").alias("s"),
+    )
+    ev = ev.withColumn("e", F.col("s") + 60 + F.col("id") % 3600)
+    a = ev.filter(F.col("id") % 2 == 0)
+    b = ev.filter(F.col("id") % 2 == 1)
+    return interval_overlap_join(a, b, "user_id").select(
+        "user_id",
+        "a_id",
+        "b_id",
+        F.col("overlap").cast("bigint").alias("overlap_sec"),
+    )
+
+
 def a6_pivot(spark, sf_dir):
     """Pivot / crosstab: order counts by priority x status, fixed value
     list so the plan is one pass of conditional aggregation (the
@@ -2948,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set5_except_all": set5_except_all,
         "a13_approx_quantiles": a13_approx_quantiles,
         "j3_fuzzy_join": j3_fuzzy_join,
+        "j4_interval_overlap_join": j4_interval_overlap_join,
         "sql2_star_join_sql": sql2_star_join_sql,
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
@@ -4016,6 +4049,21 @@ WITH vals AS (
 SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
 FROM blocked a JOIN blocked b USING (blk)
 WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2
+""",
+        "j4_interval_overlap_join": """
+WITH iv AS (
+  -- epoch_us // 1e6 truncates like Spark's integer div
+  -- (epoch(ts)::BIGINT would ROUND the fractional second)
+  SELECT user_id, event_id AS id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + 60 + event_id % 3600 AS e
+  FROM events
+), a AS (SELECT * FROM iv WHERE id % 2 = 0),
+   b AS (SELECT * FROM iv WHERE id % 2 = 1)
+SELECT a.user_id, a.id AS a_id, b.id AS b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE a.s <= b.e AND b.s <= a.e
 """,
         "set5_except_all": """
 WITH y95 AS (

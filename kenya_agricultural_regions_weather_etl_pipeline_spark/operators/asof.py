@@ -88,3 +88,64 @@ def asof_join_ts(
     )
     filled = u.withColumn(out_col, F.last("__rts", ignorenulls=True).over(w))
     return filled.filter(F.col("__src") == 1).drop("__src", "__rts")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    start_col: str = "s",
+    end_col: str = "e",
+    band: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (the two-sided generalization of
+    the point-in-range j2): emit every (a, b) pair sharing a key whose
+    [s, e] intervals overlap, WITHOUT a theta join.
+
+    Each interval explodes into the coarse ``band``s it covers; pairs
+    equi-join on (key, band) plus the exact overlap predicate. A pair
+    overlapping across several shared bands would duplicate, so it is
+    emitted ONLY in the band containing the overlap's START
+    (floor(max(s_a, s_b) / band)) — the classic dedup-free banding
+    trick: no distinct, no second shuffle. Cost scales with
+    Σ intervals×bands_covered, not |A|×|B|; band width trades explode
+    fan-out against candidates per bucket, exactly like j2.
+
+    Inputs need (key, start_col, end_col, id); output carries both ids,
+    the key, and the overlap length.
+    """
+    def banded(df, side):
+        return df.select(
+            F.col(key),
+            F.col("id").alias(f"{side}_id"),
+            F.col(start_col).alias(f"{side}_s"),
+            F.col(end_col).alias(f"{side}_e"),
+        ).withColumn(
+            "band",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{side}_s") / band),
+                    F.floor(F.col(f"{side}_e") / band),
+                )
+            ),
+        )
+
+    aa, bb = banded(a, "a"), banded(b, "b")
+    overlap_start = F.greatest(F.col("a_s"), F.col("b_s"))
+    return (
+        aa.join(bb, [key, "band"])
+        .filter(
+            (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (F.col("band") == F.floor(overlap_start / band))
+        )
+        .select(
+            key,
+            "a_id",
+            "b_id",
+            (
+                F.least(F.col("a_e"), F.col("b_e"))
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+            ).alias("overlap"),
+        )
+    )
