@@ -1579,6 +1579,25 @@ def r6_incremental_rollup(spark, sf_dir):
     )
 
 
+def st11_weather_stream_etl(spark, sf_dir):
+    """The reference DAG in its TRUE operating mode (§2.7 × §3.1): each
+    micro-batch is one scheduled day from the day-offset streaming
+    source; the FULL E→T transform runs inside foreachBatch (each day
+    IS a batch — exactly the reference's daily Airflow run, and the
+    reason foreachBatch is correct here: the R1 keep-first dedup window
+    can't run on a continuous stream); days merge into the keyed
+    weather table by last-write-wins with dynamic partition overwrite —
+    the streaming ON CONFLICT DO UPDATE
+    (daily_weather_etl_kenya.py:62,422-452). Final table == the 3-day
+    batch pipeline output, so the oracle is e2e_weather_pipeline's,
+    verbatim."""
+    apply_runtime_confs(spark)
+    merged = ST.run_weather_stream_etl(spark, days=3)
+    return merged.withColumn(
+        "date_str", F.date_format("date", "yyyy-MM-dd")
+    ).drop("date")
+
+
 def st10_weather_stream(spark, sf_dir):
     """Custom Python STREAMING DataSource (§2.7 × S1): the simulated
     weather feed as a day-per-micro-batch, partition-per-region
@@ -3039,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
         "st10_weather_stream": st10_weather_stream,
+        "st11_weather_stream_etl": st11_weather_stream_etl,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
     }
 
@@ -4361,6 +4381,8 @@ FROM events
 GROUP BY 1, 2
 """
     d["st10_weather_stream"] = _st10_oracle()
+    # st11's merged table equals the batch pipeline output exactly
+    d["st11_weather_stream_etl"] = _e2e_pipeline_oracle()
     d["sql3_top_supplier_sql"] = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,

@@ -601,3 +601,98 @@ def run_weather_stream(
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+def run_weather_stream_etl(
+    spark: SparkSession, days: int = 3, timeout_s: float = 180.0
+) -> DataFrame:
+    """st11: the reference DAG in its TRUE operating mode — each
+    micro-batch is one scheduled day (the day-offset streaming source),
+    runs the FULL E→T transform (parse → quarantine → flatten → region
+    dim join → dedup/validate/derive → ordered load projection) inside
+    ``foreachBatch``, and merges into the keyed weather table by
+    last-write-wins — the streaming ``ON CONFLICT DO UPDATE``
+    (/root/reference/daily_weather_etl_kenya.py:62,422-452).
+
+    foreachBatch is the right tool because the transform needs batch
+    operators a continuous stream can't run (the R1 keep-first dedup
+    window); each day IS a batch, exactly like the reference's daily
+    Airflow run. Day partitions land via dynamic partition overwrite,
+    so a replayed day rewrites ONE partition. The final table equals
+    the 3-day batch pipeline output — the same DuckDB oracle.
+    """
+    import time
+
+    from ..operators.merge import merge_last_write_wins, write_merged_partitioned
+    from ..plans.weather_pipeline import transform
+    from ..schemas import WEATHER_KEY, WEATHER_LOAD_COLUMNS
+    from ..sources.regions import regions_df
+    from ..sources.weather_api import (
+        flatten,
+        parse_raw,
+        register_weather_stream,
+    )
+
+    if not register_weather_stream(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource stream API unavailable")
+    target = tempfile.mkdtemp(prefix="st11_weather_")
+
+    def one_day(raw_batch: DataFrame, batch_id: int) -> None:
+        parsed = parse_raw(raw_batch)
+        flat = flatten(parsed).join(
+            F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
+        )
+        day = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+        try:
+            existing = raw_batch.sparkSession.read.parquet(target).select(
+                *WEATHER_LOAD_COLUMNS
+            )
+            merged = merge_last_write_wins(
+                existing, day, list(WEATHER_KEY), "extraction_timestamp"
+            )
+        except Exception:
+            merged = day
+        write_merged_partitioned(merged, target, ["date"])
+
+    stream = (
+        spark.readStream.format("weather_stream").option("days", str(days)).load()
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream.writeStream.foreachBatch(one_day)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            # drained = the source's offset has reached the backlog end
+            # (day == days; the reader clamps there) AND the latest
+            # trigger processed zero rows — i.e. the last DATA batch has
+            # committed. Row-count polling would need the validation
+            # drop count, which belongs to the transform, not the drain.
+            import re as _re
+
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                lp = q.lastProgress
+                if lp:
+                    # endOffset may arrive as a dict, JSON, or Python
+                    # repr ({'day': 3}) — extract the day count textually
+                    m = _re.search(r"\d+", str(lp["sources"][0]["endOffset"]))
+                    if (
+                        m is not None
+                        and int(m.group()) == days
+                        and lp["numInputRows"] == 0
+                    ):
+                        break
+                time.sleep(0.25)
+            else:  # pragma: no cover
+                q.stop()
+                raise TimeoutError("st11 backlog not drained")
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(target).select(*WEATHER_LOAD_COLUMNS)
