@@ -2482,10 +2482,17 @@ def x8b_bpe_token_stats(spark, sf_dir):
 
 def mm1_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata → Arrow-batched
-    mapInPandas feature extraction (decode STUBBED, deterministic;
-    rows-only check)."""
+    mapInPandas feature extraction. The decode is STUBBED (FNV-1a fold
+    over the payload bytes → 8-dim fake feature vector) but
+    deterministic, so the WHOLE path — batch shape, schema, per-row
+    decode, norm formatting — has an exact DuckDB twin (unicode() +
+    list_reduce replicate the byte fold). Only the xxhash64 payload
+    fingerprint is engine-specific; it stays in the operator but out of
+    the oracle-checked projection."""
     media = MM.synthetic_media(spark, 64)
-    return MM.extract_features(media)
+    return MM.extract_features(media).select(
+        "asset_id", "media_type", "payload_bytes", "feature_dim", "feature_norm"
+    )
 
 
 def mm2_frame_sample(spark, sf_dir):
@@ -4145,6 +4152,36 @@ SELECT asset_id, segment_idx,
        least(segment_idx * 300 + 400, duration_ms)::INT AS end_ms,
        (18 + length(segment_idx::VARCHAR))::INT AS segment_bytes
 FROM s
+""",
+        "mm1_multimodal_features": """
+WITH media AS (
+  SELECT range AS asset_id,
+         ['image','audio','video'][(range % 3 + 1)::INT] AS media_type,
+         'BLOB:' || lpad(range::VARCHAR, 12, '0') AS payload
+  FROM range(64)
+), cp AS (
+  SELECT asset_id, media_type, payload,
+         list_transform(regexp_split_to_array(payload, ''),
+                        c -> unicode(c)::BIGINT) AS b
+  FROM media
+), acc AS (
+  -- FNV-1a fold, replicating operators/multimodal._stub_decode
+  SELECT asset_id, media_type, payload,
+         list_reduce(list_prepend(2166136261::BIGINT, b),
+                     (a, x) -> (xor(a, x) * 16777619) % 4294967296) AS h
+  FROM cp
+), f AS (
+  SELECT asset_id, media_type, payload,
+         list_transform(range(8), i -> ((h >> (i % 24)) & 255) / 255.0)
+           AS feats
+  FROM acc
+)
+SELECT asset_id, media_type,
+       length(payload)::INT AS payload_bytes,
+       len(feats)::INT AS feature_dim,
+       printf('%.6f', sqrt(list_sum(list_transform(feats, x -> x*x))))
+         AS feature_norm
+FROM f
 """,
         "mm4_media_dedup": """
 WITH media AS (
