@@ -253,3 +253,30 @@ def test_checkpoint_resume_accumulates_state(spark, sf01, tmp_path):
     )
     assert resumed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(resumed).isEmpty()
+
+
+def test_weather_stream_etl_partition_layout(spark):
+    """st11: the streaming daily ETL must land one date=... partition
+    per scheduled day (dynamic partition overwrite granularity) and one
+    row per (region, data_timestamp) key — the upsert invariant."""
+    import os
+    import re
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_weather_stream_etl,
+    )
+
+    merged = run_weather_stream_etl(spark, days=2)
+    # table path is recoverable from the DataFrame's file listing
+    a_file = merged.inputFiles()[0]
+    root = re.sub(r"/date=.*$", "", a_file.replace("file:", ""))
+    parts = sorted(d for d in os.listdir(root) if d.startswith("date="))
+    assert len(parts) == 2, parts
+    dup = (
+        merged.groupBy("region", "data_timestamp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert merged.count() > 0
