@@ -95,3 +95,27 @@ def test_shard_writer_exact_count_and_order(spark, sf01, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution at the STORAGE layer (the reference's ALTER TABLE
+    ADD COLUMN twin): older parquet files lack a column added later;
+    mergeSchema=true reads the union schema with nulls backfilled, and
+    the new column's filter still prunes correctly."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(path)
+    spark.range(5, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("new").alias("tag"),
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "v", "tag"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("tag").isNull()).count() == 5
+    assert merged.filter(F.col("tag") == "new").count() == 5
