@@ -125,9 +125,21 @@ def run_batch(
     if batch.isEmpty():
         raise RuntimeError("extraction produced no valid rows — aborting run")
 
-    # keyed last-write-wins merge into the partitioned table (S5/R2)
+    # keyed last-write-wins merge into the partitioned table (S5/R2).
+    # Only partitions the batch TOUCHES participate: existing rows are
+    # filtered to the batch's dates (partition-pruned scan), and dynamic
+    # overwrite then rewrites exactly those partitions — a replayed day
+    # re-reads and rewrites ONE day, never the table's history. The
+    # distinct-dates probe is a tiny driver-side collect, same class as
+    # an AQE statistics read.
+    batch = batch.localCheckpoint(eager=True)  # branch reuse: dates + merge
+    touched = [r[0] for r in batch.select("date").distinct().collect()]
     try:
-        existing = spark.read.parquet(table_path).select(*WEATHER_LOAD_COLUMNS)
+        existing = (
+            spark.read.parquet(table_path)
+            .filter(F.col("date").isin(touched))
+            .select(*WEATHER_LOAD_COLUMNS)
+        )
         merged = merge_last_write_wins(
             existing, batch, list(WEATHER_KEY), "extraction_timestamp"
         )

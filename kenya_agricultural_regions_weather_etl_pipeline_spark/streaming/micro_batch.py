@@ -642,10 +642,19 @@ def run_weather_stream_etl(
         flat = flatten(parsed).join(
             F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
         )
-        day = transform(flat).select(*WEATHER_LOAD_COLUMNS)
+        day = transform(flat).select(*WEATHER_LOAD_COLUMNS).localCheckpoint(
+            eager=True
+        )
+        # merge ONLY against the partitions this batch touches, so the
+        # dynamic overwrite rewrites exactly those day partitions —
+        # historical days are never re-read or re-written (run_batch
+        # applies the same pruning)
+        touched = [r[0] for r in day.select("date").distinct().collect()]
         try:
-            existing = raw_batch.sparkSession.read.parquet(target).select(
-                *WEATHER_LOAD_COLUMNS
+            existing = (
+                raw_batch.sparkSession.read.parquet(target)
+                .filter(F.col("date").isin(touched))
+                .select(*WEATHER_LOAD_COLUMNS)
             )
             merged = merge_last_write_wins(
                 existing, day, list(WEATHER_KEY), "extraction_timestamp"
