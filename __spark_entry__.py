@@ -2509,6 +2509,23 @@ def mm2_frame_sample(spark, sf_dir):
     )
 
 
+def mm5_resize_images(spark, sf_dir):
+    """Image-resize plumbing: mapInPandas over the opaque binary
+    payloads (resample STUBBED deterministically — payload tagged with
+    the target box; real codec pluggable via resize_fn). Output size
+    arithmetic and rewritten metadata are exact SQL over the synthetic
+    assets, so the whole Arrow path is value-checked like mm1."""
+    media = MM.synthetic_media(spark, 64).filter(F.col("media_type") == "image")
+    resized = MM.resize_images(media, 256, 256)
+    return resized.select(
+        "asset_id",
+        "media_type",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("payload_bytes"),
+    )
+
+
 def st8_jsonl_ingest(spark, sf_dir):
     """Streaming JSONL ingest → stateful per-lang aggregate across
     multiple genuine micro-batches (maxFilesPerTrigger=1 over a 4-file
@@ -3049,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_sample": mm2_frame_sample,
         "mm3_audio_segments": mm3_audio_segments,
         "mm4_media_dedup": mm4_media_dedup,
+        "mm5_resize_images": mm5_resize_images,
         "st8_jsonl_ingest": st8_jsonl_ingest,
         "q9_returned_revenue": q9_returned_revenue,
         "w7_time_range_window": w7_time_range_window,
@@ -4182,6 +4200,17 @@ SELECT asset_id, media_type,
        printf('%.6f', sqrt(list_sum(list_transform(feats, x -> x*x))))
          AS feature_norm
 FROM f
+""",
+        "mm5_resize_images": """
+WITH media AS (
+  SELECT range AS asset_id, 'image' AS media_type,
+         'BLOB:' || lpad(range::VARCHAR, 12, '0') AS payload
+  FROM range(64) WHERE range % 3 = 0
+)
+SELECT asset_id, media_type,
+       256 AS width, 256 AS height,
+       (length(payload) + length(':resized:256x256'))::INT AS payload_bytes
+FROM media
 """,
         "mm4_media_dedup": """
 WITH media AS (

@@ -249,16 +249,40 @@ def segment_audio(
     return audio.mapInPandas(batches, SEGMENT_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — STUB: raises on execution.
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic fake output tagged with the target box.
 
-    Plumbing (signature/schema/partitioning) is the production shape;
-    decode requires PIL/cv2 which this container does not ship.
+    >>> REAL IMPLEMENTATION WOULD: decode with PIL/cv2, resample, and
+    >>> re-encode — neither lib ships in this container. The fake output
+    >>> is content-addressed (payload-derived), so downstream schema,
+    >>> partitioning, and size accounting are all exercised for real.
     """
+    return payload + b":resized:" + f"{width}x{height}".encode()
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize operator over the opaque binary column.
+
+    mapInPandas with the production batch shape (Arrow batches of whole
+    payloads, nothing on the driver); the decode/resample is stubbed
+    deterministically (`_stub_resize`) — pass a real ``resize_fn`` when
+    an image codec exists. Metadata (width/height) is rewritten to the
+    target box; everything else passes through. Narrow map stage: zero
+    shuffle at any scale.
+    """
+    fn = resize_fn or _stub_resize
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL/cv2) — not in container"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [fn(bytes(p), width, height) for p in pdf["payload"]]
+            out["width"] = width
+            out["height"] = height
+            yield out
 
     return media.mapInPandas(batches, media.schema)
