@@ -1054,6 +1054,61 @@ def x12_top_bigrams(spark, sf_dir):
     )
 
 
+def x33_pmi_collocations(spark, sf_dir):
+    """Collocation mining by pointwise mutual information — the
+    statistic behind tokenizer merge-pair selection (a BPE merge is a
+    high-PMI adjacent pair): PMI(a,b) = ln(c_ab·N²/(M·c_a·c_b)) over
+    adjacent-token bigrams, df-floored (c_ab ≥ 5) to kill singleton
+    noise, top-20 by (pmi, bigram). Two hash aggregations (unigrams,
+    bigrams) + two joins of the small bigram-count table to unigram
+    counts; totals ride in as broadcast 1-row frames. The log is
+    expanded to a sum of single-ln terms so no intermediate product
+    can outgrow double precision at corpus scale. TakeOrdered top-k —
+    no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    totals = toks.select(
+        F.sum(F.size("t")).alias("n_tok"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("m_big"),
+    )
+    pmi = (
+        F.log(F.col("c_ab").cast("double"))
+        + F.lit(2.0) * F.log(F.col("n_tok").cast("double"))
+        - F.log(F.col("m_big").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double"))
+    )
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            W.round_half_up(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 def x14_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (iterative hash-min
     label propagation) over the exact Jaccard pair graph x3 emits —
@@ -3034,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_local_time": p12_local_time,
         "x29_kmeans_step": x29_kmeans_step,
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
+        "x33_pmi_collocations": x33_pmi_collocations,
         "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
@@ -3866,6 +3922,36 @@ SELECT o_custkey, count(*) AS n_orders,
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) > 25
+""",
+        "x33_pmi_collocations": """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*) AS c_w FROM uni GROUP BY w
+), big AS (
+  SELECT t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(range(greatest(len(t)-1, 0))) AS r(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+), tot AS (
+  SELECT (SELECT count(*) FROM uni) AS n_tok,
+         (SELECT count(*) FROM big) AS m_big
+)
+SELECT w1 || ' ' || w2 AS bigram,
+       CAST(c_ab AS BIGINT) AS n_pair,
+       (floor((ln(c_ab::DOUBLE) + 2.0 * ln(n_tok::DOUBLE)
+               - ln(m_big::DOUBLE) - ln(a.c_w::DOUBLE)
+               - ln(b.c_w::DOUBLE)) * 1000000 + 0.5) / 1000000 + 0.0) AS pmi
+FROM bc
+JOIN uc a ON a.w = bc.w1
+JOIN uc b ON b.w = bc.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
 """,
         "x32_remove_repeated_spans": """
 WITH toks AS (
