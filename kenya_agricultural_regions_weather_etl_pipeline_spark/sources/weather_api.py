@@ -171,6 +171,11 @@ try:  # Spark 4 Python Data Source API (pyspark.sql.datasource)
 
         def __init__(self, options):
             self.max_days = int(options.get("days", 3))
+            # edge_cases=true replays the batch fixture's day-0 edge
+            # rows (duplicate doc per region + one malformed document)
+            # so streaming R1 dedup / E1 quarantine are exercised; off
+            # by default to keep the plain-feed consumers exact
+            self.edge_cases = options.get("edge_cases", "false") == "true"
 
         def initialOffset(self) -> dict:
             return {"day": 0}
@@ -185,22 +190,31 @@ try:  # Spark 4 Python Data Source API (pyspark.sql.datasource)
 
         def partitions(self, start: dict, end: dict):
             return [
-                _StreamSlice(r, start["day"], end["day"])
+                _StreamSlice(r, start["day"], end["day"], self.edge_cases)
                 for r in AGRICULTURAL_REGIONS
             ]
 
         def read(self, partition):
             for day in range(partition.day_from, partition.day_to):
-                yield (partition.region, synthesize_raw_payload(partition.region, day))
+                payload = synthesize_raw_payload(partition.region, day)
+                yield (partition.region, payload)
+                if getattr(partition, "edge_cases", False) and day == 0:
+                    yield (partition.region, payload)  # replayed doc (R1)
+                    if partition.region == "Nakuru":
+                        # malformed document (E1 quarantine)
+                        yield (partition.region, '{"this is": not valid json')
 
         def commit(self, end: dict) -> None:
             pass
 
     class _StreamSlice(InputPartition):
-        def __init__(self, region: str, day_from: int, day_to: int):
+        def __init__(
+            self, region: str, day_from: int, day_to: int, edge_cases: bool = False
+        ):
             self.region = region
             self.day_from = day_from
             self.day_to = day_to
+            self.edge_cases = edge_cases
 
     class WeatherStreamDataSource(DataSource):
         """`spark.readStream.format("weather_stream")` — day-per-batch,

@@ -639,6 +639,13 @@ def run_weather_stream_etl(
 
     def one_day(raw_batch: DataFrame, batch_id: int) -> None:
         parsed = parse_raw(raw_batch)
+        # E1 quarantine, streaming edition: malformed docs land in a
+        # side output (append — batch_id makes replays idempotent via
+        # the checkpoint, matching the reference's per-region failure
+        # log, daily_weather_etl_kenya.py:193-201) instead of vanishing
+        corrupt = parsed.filter(F.col("_corrupt")).select("region", "raw")
+        if not corrupt.isEmpty():
+            corrupt.write.mode("append").parquet(target + "_quarantine")
         flat = flatten(parsed).join(
             F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
         )
@@ -664,7 +671,13 @@ def run_weather_stream_etl(
         write_merged_partitioned(merged, target, ["date"])
 
     stream = (
-        spark.readStream.format("weather_stream").option("days", str(days)).load()
+        spark.readStream.format("weather_stream")
+        .option("days", str(days))
+        # replay the batch fixture's edge rows: day-0 duplicate per
+        # region (streaming R1 dedup) + one malformed doc (E1
+        # quarantine side output)
+        .option("edge_cases", "true")
+        .load()
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:

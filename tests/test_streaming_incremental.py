@@ -280,3 +280,8 @@ def test_weather_stream_etl_partition_layout(spark):
     )
     assert dup == 0
     assert merged.count() > 0
+    # E1 side output: the day-0 malformed doc must be quarantined, not
+    # silently dropped (streaming twin of the per-region failure log)
+    quarantine = spark.read.parquet(root + "_quarantine")
+    assert quarantine.count() == 1
+    assert quarantine.first().region == "Nakuru"
