@@ -607,6 +607,47 @@ def j4_interval_overlap_join(spark, sf_dir):
     )
 
 
+def j5_scd2_pointintime(spark, sf_dir):
+    """Point-in-time dimension lookup — the query every SCD2 table
+    exists to answer: which attribute regime was in effect for this key
+    at this instant? Probes = each order's date + 40 days against the
+    priority-regime dim r4 builds. Resolved as an as-of join (union +
+    running last over (key, ts) — operators/asof.asof_join_ts), then
+    one equi-join back on (key, valid_from) for the attribute: two
+    keyed shuffles, no range explosion. Probes always resolve (a
+    customer's first regime starts at their first order, which is ≤
+    any probe). Output is an integer regime histogram; DuckDB's native
+    ASOF JOIN is the oracle — two independent as-of implementations
+    agreeing exactly."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.asof import (
+        asof_join_ts,
+    )
+
+    # zero-length regimes (same-day attribute flips: valid_to ==
+    # valid_from) are never in effect at date granularity and would
+    # double-match the (key, valid_from) join-back — drop them on BOTH
+    # engines ('yyyy-MM-dd' strings compare lexicographically)
+    dim = (
+        r4_scd2_dimension(spark, sf_dir)
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select("o_custkey", F.to_date("valid_from").alias("t"), "attr_value")
+    )
+    probes = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("probe_id"),
+        F.date_add(F.to_date("o_orderdate"), 40).alias("t"),
+    )
+    resolved = asof_join_ts(
+        probes, dim.select("o_custkey", "t"), "o_custkey", "t"
+    ).join(
+        dim.withColumnRenamed("t", "asof_ts"), ["o_custkey", "asof_ts"]
+    )
+    return resolved.groupBy("attr_value").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+    )
+
+
 def a6_pivot(spark, sf_dir):
     """Pivot / crosstab: order counts by priority x status, fixed value
     list so the plan is one pass of conditional aggregation (the
@@ -3079,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_approx_quantiles": a13_approx_quantiles,
         "j3_fuzzy_join": j3_fuzzy_join,
         "j4_interval_overlap_join": j4_interval_overlap_join,
+        "j5_scd2_pointintime": j5_scd2_pointintime,
         "sql2_star_join_sql": sql2_star_join_sql,
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
@@ -4382,6 +4424,27 @@ SELECT o_custkey,
        lead(vf) OVER (PARTITION BY o_custkey
                       ORDER BY vf ASC, k0 ASC) IS NULL AS is_current
 FROM islands
+"""
+    # j5 wraps r4's SCD build as a CTE and resolves probes with DuckDB's
+    # NATIVE ASOF JOIN — an independent as-of implementation as oracle.
+    d["j5_scd2_pointintime"] = f"""
+WITH dim0 AS ({d["r4_scd2_dimension"].strip()}),
+dim AS (
+  -- zero-length regimes (same-day flips) are never in effect
+  SELECT * FROM dim0 WHERE valid_to IS NULL OR valid_to > valid_from
+),
+probes AS (
+  SELECT o_custkey, o_orderkey AS probe_id,
+         CAST(o_orderdate AS DATE) + 40 AS t
+  FROM orders
+)
+SELECT d.attr_value,
+       count(*) AS n_probes,
+       count(DISTINCT p.o_custkey) AS n_keys
+FROM probes p
+ASOF JOIN dim d
+  ON p.o_custkey = d.o_custkey AND p.t >= CAST(d.valid_from AS DATE)
+GROUP BY d.attr_value
 """
     d["w9_resample_gapfill"] = """
 WITH hourly AS (
