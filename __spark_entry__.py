@@ -1419,6 +1419,42 @@ def w9_resample_gapfill(spark, sf_dir):
     )
 
 
+def w10_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC downsampling (the finance/sensor resample primitive):
+    per (user, hour) the first/last/max/min of ``value``. Open/close
+    are argmin/argmax by the unique (ts_ns, event_id) order expressed
+    as min/max over a struct — lexicographic struct comparison makes
+    first/last a plain HASH AGGREGATION with map-side partials, where
+    the textbook row_number formulation would shuffle every event to a
+    window sort. One exchange, carrying one row per (user, hour) per
+    partition. Values pass through untouched (no float arithmetic), so
+    cross-engine equality is exact; the oracle uses the window
+    formulation — two different algorithms, same answer."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts_ns"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.min(key)["value"].alias("open"),
+            F.max(key)["value"].alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "close",
+            "high",
+            "low",
+            "n_ticks",
+        )
+    )
+
+
 def x27_chunk_dedup(spark, sf_dir):
     """Duplicate-span removal stats at chunk granularity — the C4
     'remove repeated spans' step adapted to unstructured text: docs are
@@ -3174,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qv1_quality_verdict": qv1_quality_verdict,
         "r4_scd2_dimension": r4_scd2_dimension,
         "w9_resample_gapfill": w9_resample_gapfill,
+        "w10_ohlc_bars": w10_ohlc_bars,
         "x27_chunk_dedup": x27_chunk_dedup,
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
@@ -4445,6 +4482,26 @@ FROM probes p
 ASOF JOIN dim d
   ON p.o_custkey = d.o_custkey AND p.t >= CAST(d.valid_from AS DATE)
 GROUP BY d.attr_value
+"""
+    # w10's oracle uses the window (row_number) formulation — a
+    # different algorithm than the struct-argmin aggregation.
+    d["w10_ohlc_bars"] = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       max(value) AS high,
+       min(value) AS low,
+       count(*) AS n_ticks
+FROM r GROUP BY user_id, h
 """
     d["w9_resample_gapfill"] = """
 WITH hourly AS (
