@@ -648,6 +648,38 @@ def j5_scd2_pointintime(spark, sf_dir):
     )
 
 
+def sql4_windowed_sql(spark, sf_dir):
+    """Pure-SQL window-function query (the SQL-first twin of the
+    w-family): per-nation customer spend ranking, top-3 per nation
+    kept by filtering on the windowed rank from a derived table —
+    the portable form of QUALIFY. Spend summed in DECIMAL so the
+    ranking (and therefore WHO places top-3) is reduction-order-
+    independent; Catalyst plans rank-filter pushdown as a
+    WindowGroupLimit, so only 3 rows per nation survive the sort."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql4")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, spend, spend_rank
+        FROM (
+          SELECT n.n_name,
+                 c.c_custkey,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS spend,
+                 rank() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC,
+                            c.c_custkey ASC) AS spend_rank
+          FROM customer_sql4 c
+          JOIN orders_sql4 o ON o.o_custkey = c.c_custkey
+          JOIN nation_sql4 n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name, c.c_custkey
+        )
+        WHERE spend_rank <= 3
+        """
+    )
+
+
 def a6_pivot(spark, sf_dir):
     """Pivot / crosstab: order counts by priority x status, fixed value
     list so the plan is one pass of conditional aggregation (the
@@ -3220,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st10_weather_stream": st10_weather_stream,
         "st11_weather_stream_etl": st11_weather_stream_etl,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
+        "sql4_windowed_sql": sql4_windowed_sql,
     }
 
 
@@ -4655,6 +4688,22 @@ GROUP BY 1, 2
     d["st10_weather_stream"] = _st10_oracle()
     # st11's merged table equals the batch pipeline output exactly
     d["st11_weather_stream_etl"] = _e2e_pipeline_oracle()
+    d["sql4_windowed_sql"] = """
+SELECT n_name, c_custkey, spend, spend_rank
+FROM (
+  SELECT n.n_name, c.c_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+         rank() OVER (
+           PARTITION BY n.n_name
+           ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC,
+                    c.c_custkey ASC) AS spend_rank
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, c.c_custkey
+)
+WHERE spend_rank <= 3
+"""
     d["sql3_top_supplier_sql"] = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
