@@ -293,3 +293,35 @@ def test_no_python_eval_on_any_scalar_path(spark, sf01):
         plan = _plan(spark, sf01, name)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
             assert marker not in plan, (name, marker)
+
+
+def test_w10_ohlc_is_windowless_single_exchange(spark, sf01):
+    """w10's whole point: open/close via struct-argmin inside ONE hash
+    aggregation — no Window operator, one exchange, partial aggregation
+    present (map-side combine before the shuffle)."""
+    plan = _plan(spark, sf01, "w10_ohlc_bars")
+    assert "Window" not in plan
+    # formatted mode prints each node in the tree AND a detail section
+    assert plan.count("+- Exchange") == 1
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_x32_span_removal_is_shuffle_free(spark, sf01):
+    """x32 is a pure per-row array transform: zero exchanges."""
+    plan = _plan(spark, sf01, "x32_remove_repeated_spans")
+    assert "Exchange" not in plan
+
+
+def test_j4_interval_join_is_not_cartesian(spark, sf01):
+    """j4's banding must plan as an equi-join on (key, band) — never a
+    cartesian/broadcast-nested-loop over the interval sets."""
+    plan = _plan(spark, sf01, "j4_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql4_rank_filter_plans_as_window_group_limit(spark, sf01):
+    """sql4's QUALIFY-style rank<=3 filter must push into the window
+    sort (WindowGroupLimit), not rank everything then filter."""
+    plan = _plan(spark, sf01, "sql4_windowed_sql")
+    assert "WindowGroupLimit" in plan
