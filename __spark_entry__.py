@@ -1762,6 +1762,18 @@ def st11_weather_stream_etl(spark, sf_dir):
     ).drop("date")
 
 
+def st12_dedup_ingest(spark, sf_dir):
+    """Dedup-on-ingest (§2.7 × x1): document batches stream in one file
+    per micro-batch and merge into a fingerprint-keyed corpus keeping
+    the lowest doc_id — the incremental corpus-building loop where each
+    new crawl pays only its own merge, and a replayed batch is a no-op.
+    Keep-min is associative + idempotent, so any arrival order converges
+    to the same corpus; md5 fingerprints make the per-source survivor
+    census exactly oracle-able."""
+    apply_runtime_confs(spark)
+    return ST.run_dedup_ingest(spark, sf_dir)
+
+
 def st10_weather_stream(spark, sf_dir):
     """Custom Python STREAMING DataSource (§2.7 × S1): the simulated
     weather feed as a day-per-micro-batch, partition-per-region
@@ -3251,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_incremental_rollup": r6_incremental_rollup,
         "st10_weather_stream": st10_weather_stream,
         "st11_weather_stream_etl": st11_weather_stream_etl,
+        "st12_dedup_ingest": st12_dedup_ingest,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
         "sql4_windowed_sql": sql4_windowed_sql,
     }
@@ -4688,6 +4701,18 @@ GROUP BY 1, 2
     d["st10_weather_stream"] = _st10_oracle()
     # st11's merged table equals the batch pipeline output exactly
     d["st11_weather_stream_etl"] = _e2e_pipeline_oracle()
+    d["st12_dedup_ingest"] = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp
+), s AS (
+  SELECT d.source, d.doc_id FROM surv JOIN d USING (doc_id)
+)
+SELECT source, count(*) AS n_unique,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY source
+"""
     d["sql4_windowed_sql"] = """
 SELECT n_name, c_custkey, spend, spend_rank
 FROM (

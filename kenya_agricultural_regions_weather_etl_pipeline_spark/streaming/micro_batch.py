@@ -718,3 +718,49 @@ def run_weather_stream_etl(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(target).select(*WEATHER_LOAD_COLUMNS)
+
+
+def run_dedup_ingest(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """st12: dedup-on-ingest — the incremental corpus-building loop.
+    New document batches stream in (one file per micro-batch) and merge
+    into a deduplicated corpus keyed by content fingerprint, keeping the
+    lowest doc_id per fingerprint. The keep-min merge is associative and
+    idempotent, so ANY batch arrival order converges to the same corpus
+    — no mtime choreography needed, and a replayed batch is a no-op (the
+    exactly-once property the x1 batch dedup can't give you across
+    arriving crawls). Fingerprints are md5 (engine-portable), so the
+    final per-source survivor census has an exact DuckDB twin. At 100 TB
+    the merge shuffles fingerprints + ids per batch, never full texts —
+    payload stays columnar in the target."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tempfile.mkdtemp(prefix="st12_src_")
+    for i in range(n_files):
+        docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    enriched = (
+        stream.withColumn("fp", F.md5(F.col("text")))
+        # keep-MIN doc_id expressed through the keep-max merge helper
+        .withColumn("neg_id", -F.col("doc_id"))
+    )
+    target = tempfile.mkdtemp(prefix="st12_tgt_")
+    foreach_batch_upsert(
+        enriched,
+        target,
+        keys=["fp"],
+        order_cols=["neg_id"],
+        payload_cols=["doc_id", "source"],
+    )
+    surv = spark.read.parquet(os.path.join(target, "data"))
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
