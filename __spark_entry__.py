@@ -1338,6 +1338,52 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def q14_rolling_active_users(spark, sf_dir):
+    """DAU + rolling 7-day active users — the product-analytics staple
+    that needs DISTINCT over a sliding window (plain window sums can't
+    dedup across days). Shape: collapse to distinct (user, day) FIRST
+    (the big cardinality drop), then explode each pair into the ≤7
+    window-end days it contributes to, and countDistinct per end day.
+    The explode multiplies the already-collapsed pair set, never raw
+    events, and both aggregations are hash aggs with partials. Output
+    trimmed to fully-covered days (day ≥ min_day + 6) so every window
+    is complete. Integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    lo_hi = pairs.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.expr("day + interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("wday"),
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("wau_7d")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .crossJoin(F.broadcast(lo_hi))
+        .filter(
+            (F.col("day") >= F.expr("lo + interval 6 days"))
+            & (F.col("day") <= F.col("hi"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_7d",
+        )
+    )
+
+
 def q10_having_filter(spark, sf_dir):
     """GROUP BY ... HAVING: repeat customers (>25 orders) with their
     spend — the post-aggregation predicate Catalyst plans as a Filter
@@ -3258,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x27_chunk_dedup": x27_chunk_dedup,
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
+        "q14_rolling_active_users": q14_rolling_active_users,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
@@ -4613,6 +4660,24 @@ UNION ALL
 SELECT '2_click' AS stage, count(*) AS n_users FROM s2
 UNION ALL
 SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
+"""
+    d["q14_rolling_active_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM pairs
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY day
+), contrib AS (
+  SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS wday
+  FROM pairs
+), wau AS (
+  SELECT wday, count(DISTINCT user_id) AS wau_7d FROM contrib GROUP BY wday
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau_7d
+FROM dau d JOIN wau w ON d.day = w.wday CROSS JOIN bounds b
+WHERE d.day >= b.lo + INTERVAL 6 DAY AND d.day <= b.hi
 """
     d["q12_cohort_retention"] = """
 WITH first_seen AS (
