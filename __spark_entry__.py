@@ -1338,6 +1338,27 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def a16_hll_partial_union(spark, sf_dir):
+    """Mergeable distinct sketches — r6's incremental pattern for COUNT
+    DISTINCT, which plain partial aggregation can't give you: one
+    DataSketches HLL per day (`hll_sketch_agg`), then `hll_union_agg`
+    folds the daily sketches into the month estimate WITHOUT a recount.
+    At 100 TB the daily sketches are bytes in a rollup table; a new day
+    unions in O(sketch size), never rescanning history. Sketch bits are
+    engine-specific (rows-only check); the error bound vs exact distinct
+    is pinned by pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("est_distinct_users"),
+    )
+
+
 def q14_rolling_active_users(spark, sf_dir):
     """DAU + rolling 7-day active users — the product-analytics staple
     that needs DISTINCT over a sliding window (plain window sums can't
@@ -3305,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
         "q14_rolling_active_users": q14_rolling_active_users,
+        "a16_hll_partial_union": a16_hll_partial_union,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,

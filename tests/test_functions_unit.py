@@ -556,3 +556,25 @@ def test_merge_partial_aggregates_combiner_law(spark):
     m2 = merge_partial_aggregates(m1, partials(c), ["k"], ["n", "s"])
     got = {(r.k, r.n, r.s) for r in m2.collect()}
     assert got == {("x", 3, 7), ("y", 2, 15), ("z", 1, 7)}
+
+
+def test_hll_partial_union_error_bound(spark, sf01):
+    """a16: the union of per-day HLL sketches must estimate the true
+    month-wide distinct count within the sketch's error envelope (lgK=12
+    default => ~1.6% RSE; assert a loose 5%)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    est = entrymod.queries()["a16_hll_partial_union"](spark, sf01).collect()[0]
+    exact = (
+        load_table(spark, sf01, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert est.n_days > 1
+    assert abs(est.est_distinct_users - exact) / exact < 0.05, (
+        f"HLL union drifted: est={est.est_distinct_users} exact={exact}"
+    )
