@@ -1338,6 +1338,55 @@ def x20_unigram_lm_score(spark, sf_dir):
     return scored
 
 
+def q15_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence with lift (the recommendation-prep
+    query): part pairs ordered together, support-floored, ranked by
+    lift = P(a,b)/(P(a)P(b)). The pair join is an inverted-index
+    self-join on l_orderkey — bounded fan-out because basket size is
+    bounded (~7 lines/order), the same sparsity argument as x3's
+    shingle join, so candidates scale with Σ basket² not |parts|².
+    Lift is one multiply + one divide written identically on both
+    engines, rounded to 6dp with a pair tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_ord"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.join(part_n.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        .withColumnRenamed("c", "c_a")
+        .join(part_n.withColumnRenamed("l_partkey", "part_b"), "part_b")
+        .withColumnRenamed("c", "c_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("n_together"),
+            W.round_half_up(
+                F.col("c_ab") * F.col("n_ord").cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
 def a16_hll_partial_union(spark, sf_dir):
     """Mergeable distinct sketches — r6's incremental pattern for COUNT
     DISTINCT, which plain partial aggregation can't give you: one
@@ -3327,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_cohort_retention": q12_cohort_retention,
         "q14_rolling_active_users": q14_rolling_active_users,
         "a16_hll_partial_union": a16_hll_partial_union,
+        "q15_market_basket": q15_market_basket,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
@@ -4682,6 +4732,31 @@ UNION ALL
 SELECT '2_click' AS stage, count(*) AS n_users FROM s2
 UNION ALL
 SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
+"""
+    d["q15_market_basket"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), part_n AS (
+  SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey
+), tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_ord FROM li
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b,
+       CAST(c_ab AS BIGINT) AS n_together,
+       (floor(c_ab * CAST(n_ord AS DOUBLE) / (pa.c * pb.c)
+              * 1000000 + 0.5) / 1000000 + 0.0) AS lift
+FROM pairs
+JOIN part_n pa ON pa.l_partkey = part_a
+JOIN part_n pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 20
 """
     d["q14_rolling_active_users"] = """
 WITH pairs AS (
