@@ -2068,6 +2068,67 @@ def x29_kmeans_step(spark, sf_dir):
     )
 
 
+def x40_semantic_dedup_pairs(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): k-means
+    cluster the embeddings (x29's broadcast assignment), then search for
+    near-duplicate pairs ONLY within clusters — the candidate set scales
+    with Σ cluster² instead of corpus², and at 100 TB clusters are the
+    unit of partition pruning. Exact cosine verifies every candidate
+    (zip_with fold, JVM); pairs at cosine ≥ 0.3 survive (the synthetic
+    uniform embeddings have no true near-dups — max within-cluster
+    cosine ≈ 0.49 — so the threshold is calibrated to the top ~1% of
+    pairs; on a real corpus it would be ~0.92+ per SemDeDup). Fully
+    deterministic (seeded centroids, integer ids, 6dp-rounded scores),
+    so the DuckDB twin — same assignment, same within-cluster join —
+    matches exactly."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine_given_norms,
+        norm,
+    )
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+        .join(emb, "vec_id")
+        .withColumn("nrm", norm(F.col("v")))
+        .localCheckpoint(eager=True)  # self-joined below: assign once
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine_given_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 def x31_length_curriculum(spark, sf_dir):
     """Length-based curriculum tiers: per-doc whitespace token count →
     corpus quartile tier (shortest quarter = Q1 … longest = Q4), the
@@ -3328,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_kmeans_step": x29_kmeans_step,
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
         "x33_pmi_collocations": x33_pmi_collocations,
+        "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
         "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
@@ -4219,6 +4281,29 @@ SELECT doc_id,
        CAST(len(chunks) - len(k) AS INT) AS n_removed,
        array_to_string(k, ' ') AS cleaned_text
 FROM kept
+""",
+        "x40_semantic_dedup_pairs": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+  FROM e CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid, v FROM d WHERE rn = 1
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
 """,
         "x29_kmeans_step": """
 WITH e AS (
