@@ -1026,6 +1026,47 @@ def x11_train_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def x41_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted data selection (the FineWeb-edu/DCLM pattern,
+    public): each document's keep-probability scales with its quality
+    score — p_keep = 0.1 + 0.8·q — and the draw is the content-addressed
+    md5 per-mille bucket (x11's machinery), so selection is DETERMINISTIC,
+    re-shardable, and exactly reproducible across engines — no RNG state
+    anywhere. Census output only sums integers (the per-mille thresholds),
+    so the per-source keep-rate derives from exact sums, not a float
+    average."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        split_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    thresh = F.floor((F.lit(0.1) + F.lit(0.8) * q) * 1000 + F.lit(0.5)).cast("int")
+    scored = docs.select(
+        "source",
+        split_bucket(F.col("text")).alias("bucket"),
+        thresh.alias("mille"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("bucket") < F.col("mille")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("mille").cast("bigint").alias("sum_mille"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            W.round_half_up(
+                F.col("sum_mille") / (F.lit(1000.0) * F.col("n_docs")), 6
+            ).alias("avg_p_keep"),
+        )
+    )
+
+
 def st1_windowed_counts(spark, sf_dir):
     """Structured Streaming availableNow micro-batch: tumbling 1h window
     agg over event time (SURVEY.md §2.7); result equals the batch GROUP BY."""
@@ -3390,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
         "x33_pmi_collocations": x33_pmi_collocations,
         "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
+        "x41_quality_weighted_sample": x41_quality_weighted_sample,
         "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
@@ -4281,6 +4323,22 @@ SELECT doc_id,
        CAST(len(chunks) - len(k) AS INT) AS n_removed,
        array_to_string(k, ' ') AS cleaned_text
 FROM kept
+""",
+        "x41_quality_weighted_sample": f"""
+WITH scored AS (
+  SELECT source,
+         {SMP.split_bucket_sql('text')} AS bucket,
+         CAST(floor((0.1 + 0.8 * {T.quality_score_sql('text')}) * 1000 + 0.5)
+              AS INT) AS mille
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket < mille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       (floor(sum(mille) / (1000.0 * count(*)) * 1000000 + 0.5) / 1000000
+        + 0.0) AS avg_p_keep
+FROM scored GROUP BY source
 """,
         "x40_semantic_dedup_pairs": """
 WITH e AS (
