@@ -2227,6 +2227,32 @@ def p12_local_time(spark, sf_dir):
     )
 
 
+def e2e_semantic_curation(spark, sf_dir):
+    """The embedding-side curation DECISION (SemDeDup end-to-end):
+    cluster-pruned cosine pairs (x40) → connected components → one
+    canonical vector per semantic group → corpus verdict (vectors in,
+    grouped, groups, survivors out). Same composition shape as
+    e2e_dedup_survivors but over the vector corpus — the two decisions
+    a combined text+embedding cleaning pipeline ships. All counts are
+    1-row aggregate frames crossJoined — no collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = x40_semantic_dedup_pairs(spark, sf_dir)
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    totals = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    cstats = cc.agg(
+        F.count(F.lit(1)).alias("n_grouped"),
+        F.countDistinct("lbl").alias("n_groups"),
+    )
+    return totals.crossJoin(cstats).select(
+        "n_vecs",
+        "n_grouped",
+        "n_groups",
+        (F.col("n_vecs") - F.col("n_grouped") + F.col("n_groups"))
+        .cast("bigint")
+        .alias("n_survivors"),
+    )
+
+
 def e2e_dedup_survivors(spark, sf_dir):
     """The dedup DECISION a cleaning pipeline ships: cluster the exact
     near-dup pair graph (x3 → x14's connected components), keep one
@@ -3426,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_table_diff": r3_table_diff,
         "w8_forward_fill": w8_forward_fill,
         "e2e_dedup_survivors": e2e_dedup_survivors,
+        "e2e_semantic_curation": e2e_semantic_curation,
         "p12_local_time": p12_local_time,
         "x29_kmeans_step": x29_kmeans_step,
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
@@ -4733,6 +4760,29 @@ WITH RECURSIVE pairs AS (
   SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
 )
 SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+    # the semantic curation verdict: recursive closure over x40's pairs
+    d["e2e_semantic_curation"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({d["x40_semantic_dedup_pairs"].strip()}) AS p
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS id FROM edges
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), cc AS (
+  SELECT id, min(lbl) AS component FROM reach GROUP BY id
+), t AS (SELECT count(*) AS n_vecs FROM embeddings),
+c AS (SELECT count(*) AS n_grouped,
+             count(DISTINCT component) AS n_groups FROM cc)
+SELECT n_vecs, n_grouped, n_groups,
+       CAST(n_vecs - n_grouped + n_groups AS BIGINT) AS n_survivors
+FROM t CROSS JOIN c
 """
     # the dedup decision composes x14's closure with the corpus total
     d["e2e_dedup_survivors"] = f"""
