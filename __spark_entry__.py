@@ -680,6 +680,47 @@ def sql4_windowed_sql(spark, sf_dir):
     )
 
 
+def j6_nearest_event_join(spark, sf_dir):
+    """Nearest-event join, BOTH directions (sensor fusion: match each
+    click to its temporally closest view by the same user). Prior side
+    is the as-of union trick (j1); the NEXT side reuses the same
+    operator on NEGATED timestamps — max(-t_v) ≤ -t_c ⇔ smallest
+    t_v ≥ t_c — so one implementation serves both directions. Gaps are
+    integer microseconds; nearest = least non-null. Oracle: DuckDB's
+    native ASOF LEFT JOIN run once with >= and once with <= — again two
+    independent as-of implementations agreeing."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.asof import (
+        asof_join_ts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts_ns").alias("t")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_ns").alias("t")
+    )
+    prior = asof_join_ts(clicks, views, "user_id", "t", out_col="prior_t")
+    neg = asof_join_ts(
+        clicks.withColumn("t", -F.col("t")),
+        views.withColumn("t", -F.col("t")),
+        "user_id",
+        "t",
+        out_col="neg_next_t",
+    ).select("event_id", (-F.col("neg_next_t")).alias("next_t"))
+    gp = F.expr("(t - prior_t) div 1000")
+    gn = F.expr("(next_t - t) div 1000")
+    return (
+        prior.join(neg, "event_id")
+        .select(
+            "event_id",
+            gp.cast("bigint").alias("gap_prior_us"),
+            gn.cast("bigint").alias("gap_next_us"),
+            F.least(gp, gn).cast("bigint").alias("nearest_us"),
+        )
+    )
+
+
 def a6_pivot(spark, sf_dir):
     """Pivot / crosstab: order counts by priority x status, fixed value
     list so the plan is one pass of conditional aggregation (the
@@ -3445,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_fuzzy_join": j3_fuzzy_join,
         "j4_interval_overlap_join": j4_interval_overlap_join,
         "j5_scd2_pointintime": j5_scd2_pointintime,
+        "j6_nearest_event_join": j6_nearest_event_join,
         "sql2_star_join_sql": sql2_star_join_sql,
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
@@ -4594,6 +4636,27 @@ WITH vals AS (
 SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
 FROM blocked a JOIN blocked b USING (blk)
 WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2
+""",
+        "j6_nearest_event_join": """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT c.event_id, c.ts, vp.ts AS pt
+  FROM c ASOF LEFT JOIN v vp
+    ON c.user_id = vp.user_id AND c.ts >= vp.ts
+), n AS (
+  SELECT c.event_id, vn.ts AS nt
+  FROM c ASOF LEFT JOIN v vn
+    ON c.user_id = vn.user_id AND c.ts <= vn.ts
+)
+SELECT p.event_id,
+       epoch_us(p.ts) - epoch_us(p.pt) AS gap_prior_us,
+       epoch_us(n.nt) - epoch_us(p.ts) AS gap_next_us,
+       least(epoch_us(p.ts) - epoch_us(p.pt),
+             epoch_us(n.nt) - epoch_us(p.ts)) AS nearest_us
+FROM p JOIN n USING (event_id)
 """,
         "j4_interval_overlap_join": """
 WITH iv AS (
