@@ -1067,6 +1067,41 @@ def x11_train_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def x42_sentence_split_udtf(spark, sf_dir):
+    """Spark 4 Python UDTF surface — the TABLE-function escape hatch
+    (one input row → many output rows with custom Python logic), the
+    fourth custom-operator path after pandas_udf / applyInPandas /
+    mapInPandas. Sentences = '.'-separated non-empty trimmed pieces —
+    deliberately trivial so the SQL twin is exact and the thing under
+    test is the UDTF plumbing: registration, LATERAL join, per-row
+    fan-out. The aggregation keeps output small; on a hot path you'd
+    express THIS split natively (x16 does) — the UDTF is for logic
+    Column expressions can't say."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            pieces = [p.strip() for p in (text or "").split(".")]
+            i = 0
+            for p in pieces:
+                if p:
+                    yield i, p
+                    i += 1
+
+    spark.udtf.register("split_sentences_x42", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_x42")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(max(length(s.sentence)) AS INT) AS longest
+        FROM docs_x42 d, LATERAL split_sentences_x42(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
 def x41_quality_weighted_sample(spark, sf_dir):
     """Quality-weighted data selection (the FineWeb-edu/DCLM pattern,
     public): each document's keep-probability scales with its quality
@@ -3501,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x33_pmi_collocations": x33_pmi_collocations,
         "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
         "x41_quality_weighted_sample": x41_quality_weighted_sample,
+        "x42_sentence_split_udtf": x42_sentence_split_udtf,
         "x31_length_curriculum": x31_length_curriculum,
         "x35_source_vocab_overlap": x35_source_vocab_overlap,
         "q10_having_filter": q10_having_filter,
@@ -4392,6 +4428,21 @@ SELECT doc_id,
        CAST(len(chunks) - len(k) AS INT) AS n_removed,
        array_to_string(k, ' ') AS cleaned_text
 FROM kept
+""",
+        "x42_sentence_split_udtf": """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, '.'),
+                          p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+           p -> p <> '') AS sentences
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sentences) AS BIGINT) AS n_sentences,
+       CAST(list_max(list_transform(sentences, p -> length(p))) AS INT)
+         AS longest
+FROM s WHERE len(sentences) > 0
 """,
         "x41_quality_weighted_sample": f"""
 WITH scored AS (
