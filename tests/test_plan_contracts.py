@@ -284,11 +284,15 @@ def test_window_queries_single_exchange(spark, sf01, name):
 def test_no_python_eval_on_any_scalar_path(spark, sf01):
     """Blanket guarantee: every batch query plans with ZERO Python
     evaluation. Python appears only where it is the point — multimodal
-    decode (mm*), the stateful st4 operator, and the e2e pipelines'
-    simulated HTTP DataSource — all excluded here by the same prefixes
-    the cartesian check uses."""
+    decode (mm*), the stateful st4 operator, the e2e pipelines'
+    simulated HTTP DataSource, and the UDTF surface demo (x42, whose
+    entire purpose is the Python table-function path) — all excluded
+    here by the same prefixes the cartesian check uses."""
     for name in entrymod.queries():
-        if name.startswith(("st", "mm", "e2e")) or name == "qv1_quality_verdict":
+        if name.startswith(("st", "mm", "e2e")) or name in (
+            "qv1_quality_verdict",
+            "x42_sentence_split_udtf",
+        ):
             continue
         plan = _plan(spark, sf01, name)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
