@@ -578,3 +578,34 @@ def test_hll_partial_union_error_bound(spark, sf01):
     assert abs(est.est_distinct_users - exact) / exact < 0.05, (
         f"HLL union drifted: est={est.est_distinct_users} exact={exact}"
     )
+
+
+def test_simhash_identity_locality_separation(spark):
+    """x4's fingerprint properties: (a) case/whitespace normalization →
+    identical fingerprints; (b) one changed token out of many → SMALL
+    hamming distance (locality — the property LSH blocking relies on);
+    (c) disjoint-vocabulary text → LARGE distance."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        simhash,
+    )
+
+    base = " ".join(f"token{i}" for i in range(64))
+    near = " ".join(
+        ("CHANGED" if i == 31 else f"token{i}") for i in range(64)
+    )
+    far = " ".join(f"zweiundvierzig{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [("base", base), ("upper", base.upper()), ("spaced", "  " + base.replace(" ", "   ") + " "),
+         ("near", near), ("far", far)],
+        "name string, text string",
+    )
+    fps = {
+        r.name: r.fp
+        for r in df.select("name", simhash(F.col("text")).alias("fp")).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert fps["base"] == fps["upper"] == fps["spaced"]
+    assert 0 < ham(fps["base"], fps["near"]) <= 12, ham(fps["base"], fps["near"])
+    assert ham(fps["base"], fps["far"]) >= 16, ham(fps["base"], fps["far"])
