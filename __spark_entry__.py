@@ -988,6 +988,24 @@ def x6b_lang_id_ngram(spark, sf_dir):
     return docs.select("doc_id", T.lang_id_ngram(F.col("text")).alias("pred_lang"))
 
 
+def x36_langid_agreement(spark, sf_dir):
+    """Classifier-agreement matrix between the two lang-id
+    implementations (stopword-marker x6 vs char-trigram x6b) — the
+    instrumentation that tells you WHERE two heuristics disagree before
+    trusting either at corpus scale. Both are deterministic column
+    expressions, so even the disagreement counts are exact; one
+    doc_id join + one (a, b) aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_stopword"),
+        T.lang_id_ngram(F.col("text")).alias("lang_trigram"),
+    )
+    return preds.groupBy("lang_stopword", "lang_trigram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def x7_quality_score(spark, sf_dir):
     """Composite text quality score (length/punct/stopword ratios)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3534,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_kmeans_step": x29_kmeans_step,
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
         "x33_pmi_collocations": x33_pmi_collocations,
+        "x36_langid_agreement": x36_langid_agreement,
         "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
         "x41_quality_weighted_sample": x41_quality_weighted_sample,
         "x42_sentence_split_udtf": x42_sentence_split_udtf,
@@ -4428,6 +4447,16 @@ SELECT doc_id,
        CAST(len(chunks) - len(k) AS INT) AS n_removed,
        array_to_string(k, ' ') AS cleaned_text
 FROM kept
+""",
+        "x36_langid_agreement": f"""
+WITH preds AS (
+  SELECT doc_id,
+         {T.lang_id_sql('text')} AS lang_stopword,
+         {T.lang_id_ngram_sql('text')} AS lang_trigram
+  FROM documents
+)
+SELECT lang_stopword, lang_trigram, count(*) AS n_docs
+FROM preds GROUP BY 1, 2
 """,
         "x42_sentence_split_udtf": """
 WITH s AS (
