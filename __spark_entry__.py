@@ -239,6 +239,34 @@ def p8_rounding(spark, sf_dir):
     )
 
 
+def p13_error_safe_arithmetic(spark, sf_dir):
+    """ANSI error-safe expression surface — the expression-level twin of
+    the reference's per-value try/except (E1, daily_weather_etl_kenya.py
+    :193-201): try_divide nulls on zero denominators instead of failing
+    the job, try_cast nulls on malformed input, and the aggregation
+    simply skips the nulls. A 100 TB scan ALWAYS contains garbage rows;
+    poisoning the whole job on one of them is the failure mode this
+    surface removes."""
+    ev = load_table(spark, sf_dir, "events")
+    denom = F.col("event_id") % 7
+    parsed_int = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    safe = ev.select(
+        "event_type",
+        F.expr("try_divide(value, event_id % 7)").alias("ratio"),
+        parsed_int.alias("k_int"),
+        denom.alias("denom"),
+    )
+    return safe.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("denom") == 0).cast("int")).cast("bigint").alias("n_div_zero"),
+        F.count("ratio").cast("bigint").alias("n_ratio_ok"),
+        F.count("k_int").cast("bigint").alias("n_k_parsed"),
+        # min/max are picks, not sums — exact across engines
+        W.round_half_up(F.min("ratio"), 6).alias("min_ratio"),
+        W.round_half_up(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
 def r1_dedup_keep_first(spark, sf_dir):
     """R1: keyed dedup with deterministic keep-first
     (drop_duplicates keep='first', /root/reference/daily_weather_etl_kenya.py:304)."""
@@ -3549,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_dedup_survivors": e2e_dedup_survivors,
         "e2e_semantic_curation": e2e_semantic_curation,
         "p12_local_time": p12_local_time,
+        "p13_error_safe_arithmetic": p13_error_safe_arithmetic,
         "x29_kmeans_step": x29_kmeans_step,
         "x32_remove_repeated_spans": x32_remove_repeated_spans,
         "x33_pmi_collocations": x33_pmi_collocations,
@@ -4568,6 +4597,25 @@ SELECT src_a, src_b, n_inter,
 FROM inter
 JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
+""",
+        "p13_error_safe_arithmetic": f"""
+WITH safe AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE value / (event_id % 7) END AS ratio,
+         try_cast(json_extract_string(props, '$.k') AS INT) AS k_int,
+         event_id % 7 AS denom
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN denom = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_zero,
+       CAST(count(ratio) AS BIGINT) AS n_ratio_ok,
+       CAST(count(k_int) AS BIGINT) AS n_k_parsed,
+       {W.round_half_up_sql('min(ratio)', 6)} AS min_ratio,
+       {W.round_half_up_sql('max(ratio)', 6)} AS max_ratio
+FROM safe GROUP BY event_type
 """,
         "p12_local_time": f"""
 SELECT CAST(extract(hour FROM ts + INTERVAL 3 HOUR) AS INT) AS local_hour,
