@@ -362,6 +362,33 @@ def a7_quantiles(spark, sf_dir):
     )
 
 
+def a14_mad_robust(spark, sf_dir):
+    """Robust dispersion: median absolute deviation per group —
+    MAD = median(|x − median(x)|), the outlier-resistant alternative to
+    stddev (a12) that anomaly thresholds on dirty sensor feeds actually
+    need. Two exact-percentile passes: group medians (one buffer agg,
+    a7's shape), broadcast-joined back (the median table is
+    group-cardinality-sized), then the deviation median. Both engines
+    interpolate identically (a7 proved the parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("raw_mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            W.round_half_up(F.col("raw_mad"), 4).alias("mad"),
+            "n",
+        )
+    )
+
+
 def s3_map_props(spark, sf_dir):
     """MAP-type surface: parse the events props JSON into
     map<string,int>, explode to (key, value) rows, aggregate per key —
@@ -3564,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5e_ivf_recall": x5e_ivf_recall,
         "set5_except_all": set5_except_all,
         "a13_approx_quantiles": a13_approx_quantiles,
+        "a14_mad_robust": a14_mad_robust,
         "j3_fuzzy_join": j3_fuzzy_join,
         "j4_interval_overlap_join": j4_interval_overlap_join,
         "j5_scd2_pointintime": j5_scd2_pointintime,
@@ -3736,6 +3764,18 @@ FROM lineitem
 SELECT o_orderstatus, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_total
 FROM orders GROUP BY o_orderstatus
+""",
+        "a14_mad_robust": f"""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       {W.round_half_up_sql(
+           "quantile_cont(abs(l.l_extendedprice - m.med), 0.5)", 4)} AS mad,
+       count(*) AS n
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
 """,
         "a7_quantiles": f"""
 SELECT l_returnflag,
