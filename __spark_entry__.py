@@ -1793,6 +1793,32 @@ def w10_ohlc_bars(spark, sf_dir):
     )
 
 
+def w11_cumulative_distinct(spark, sf_dir):
+    """Running DISTINCT count (cumulative unique users by day) — not
+    window-expressible directly (count(DISTINCT) over a running frame
+    is unsupported for good reason: the state is a set, not a scalar).
+    The scalable formulation: each user collapses to their FIRST-seen
+    day (one hash agg — the big cardinality drop), new-user counts per
+    day, then a cumulative sum over the per-day table, whose size is
+    bounded by the calendar, not the corpus — so the single ordered
+    window is over ~30 rows at any data scale. Integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d0")
+    )
+    per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w_cum = Window.orderBy("d0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("bigint").alias("cum_users"),
+    )
+
+
 def x27_chunk_dedup(spark, sf_dir):
     """Duplicate-span removal stats at chunk granularity — the C4
     'remove repeated spans' step adapted to unstructured text: docs are
@@ -3656,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_scd2_dimension": r4_scd2_dimension,
         "w9_resample_gapfill": w9_resample_gapfill,
         "w10_ohlc_bars": w10_ohlc_bars,
+        "w11_cumulative_distinct": w11_cumulative_distinct,
         "x27_chunk_dedup": x27_chunk_dedup,
         "q11_funnel": q11_funnel,
         "q12_cohort_retention": q12_cohort_retention,
@@ -5071,6 +5098,20 @@ FROM probes p
 ASOF JOIN dim d
   ON p.o_custkey = d.o_custkey AND p.t >= CAST(d.valid_from AS DATE)
 GROUP BY d.attr_value
+"""
+    d["w11_cumulative_distinct"] = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT d0, count(*) AS new_users FROM first_seen GROUP BY d0
+)
+SELECT strftime(d0, '%Y-%m-%d') AS day,
+       new_users,
+       CAST(sum(new_users) OVER (ORDER BY d0
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
 """
     # w10's oracle uses the window (row_number) formulation — a
     # different algorithm than the struct-argmin aggregation.
