@@ -3014,6 +3014,28 @@ def set5_except_all(spark, sf_dir):
     )
 
 
+def set6_intersect_all(spark, sf_dir):
+    """INTERSECT ALL multiset intersection — the retention twin of
+    set5's EXCEPT ALL churn: 1995 order slots a customer RE-FILLED in
+    1996, multiplicity preserved (a customer with 3 orders in '95 and 2
+    in '96 retains min(3,2)=2 slots — bag semantics DISTINCT set ops
+    lose). Completes the multiset family."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return (
+        y95.intersectAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_retained_slots"))
+    )
+
+
 def x5e_ivf_recall(spark, sf_dir):
     """Recall of the IVF approximate top-k (x5d) against the exact
     brute-force top-k (x5) — the same instrumentation x5c provides for
@@ -3616,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x5e_ivf_recall": x5e_ivf_recall,
         "set5_except_all": set5_except_all,
+        "set6_intersect_all": set6_intersect_all,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a14_mad_robust": a14_mad_robust,
         "j3_fuzzy_join": j3_fuzzy_join,
@@ -4867,6 +4890,21 @@ SELECT a.user_id, a.id AS a_id, b.id AS b_id,
        least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
 FROM a JOIN b ON a.user_id = b.user_id
 WHERE a.s <= b.e AND b.s <= a.e
+""",
+        "set6_intersect_all": """
+WITH y95 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+), y96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), kept AS (
+  SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96
+)
+SELECT o_custkey, count(*) AS n_retained_slots
+FROM kept GROUP BY o_custkey
 """,
         "set5_except_all": """
 WITH y95 AS (
