@@ -763,8 +763,12 @@ def j6_nearest_event_join(spark, sf_dir):
         "t",
         out_col="neg_next_t",
     ).select("event_id", (-F.col("neg_next_t")).alias("next_t"))
-    gp = F.expr("(t - prior_t) div 1000")
-    gn = F.expr("(next_t - t) div 1000")
+    # truncate EACH timestamp to µs before differencing — the oracle
+    # computes epoch_us(a) - epoch_us(b), and (a - b) div 1000 disagrees
+    # with it by ±1 µs whenever ts carries true sub-µs precision, so
+    # both engines are pinned to the same µs grid
+    gp = F.expr("(t div 1000) - (prior_t div 1000)")
+    gn = F.expr("(next_t div 1000) - (t div 1000)")
     return (
         prior.join(neg, "event_id")
         .select(
@@ -1769,7 +1773,14 @@ def w10_ohlc_bars(spark, sf_dir):
     cross-engine equality is exact; the oracle uses the window
     formulation — two different algorithms, same answer."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.struct(F.col("ts_ns"), F.col("event_id"), F.col("value"))
+    # order key truncated to µs so open/close tie-breaks agree with the
+    # oracle even if events regenerate with true sub-µs precision (the
+    # oracle orders by epoch_us(ts)); event_id breaks exact-µs ties
+    key = F.struct(
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.col("event_id"),
+        F.col("value"),
+    )
     return (
         ev.groupBy(
             "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -5165,9 +5176,9 @@ FROM per_day
 WITH r AS (
   SELECT user_id, date_trunc('hour', ts) AS h, value,
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+                            ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn_a,
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
   FROM events
 )
 SELECT user_id,

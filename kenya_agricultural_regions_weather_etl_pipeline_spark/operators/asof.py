@@ -121,23 +121,29 @@ def interval_overlap_join(
             F.col(start_col).alias(f"{side}_s"),
             F.col(end_col).alias(f"{side}_e"),
         ).withColumn(
+            # integer `div`, not floor(x/double): double division loses
+            # integer precision past 2^53 (e.g. raw ts_ns inputs) and
+            # would misbucket bands / the overlap-start dedup filter.
+            # `div` truncates toward zero, which differs from floor for
+            # negatives, but it is monotone and used IDENTICALLY in all
+            # three banding sites, so bucketing stays consistent for the
+            # full integer range.
             "band",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(f"{side}_s") / band),
-                    F.floor(F.col(f"{side}_e") / band),
+                    F.expr(f"{side}_s div {band}"),
+                    F.expr(f"{side}_e div {band}"),
                 )
             ),
         )
 
     aa, bb = banded(a, "a"), banded(b, "b")
-    overlap_start = F.greatest(F.col("a_s"), F.col("b_s"))
     return (
         aa.join(bb, [key, "band"])
         .filter(
             (F.col("a_s") <= F.col("b_e"))
             & (F.col("b_s") <= F.col("a_e"))
-            & (F.col("band") == F.floor(overlap_start / band))
+            & (F.col("band") == F.expr(f"greatest(a_s, b_s) div {band}"))
         )
         .select(
             key,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,7 +144,10 @@ def run_batch(
         merged = merge_last_write_wins(
             existing, batch, list(WEATHER_KEY), "extraction_timestamp"
         )
-    except Exception:
+    except AnalysisException:
+        # first run only: the table path does not exist yet. Real read/
+        # merge failures propagate — masking them would silently replace
+        # the touched partitions with only this batch's rows.
         merged = batch
     write_merged_partitioned(merged, table_path, ["date"])
 

@@ -640,12 +640,17 @@ def run_weather_stream_etl(
     def one_day(raw_batch: DataFrame, batch_id: int) -> None:
         parsed = parse_raw(raw_batch)
         # E1 quarantine, streaming edition: malformed docs land in a
-        # side output (append — batch_id makes replays idempotent via
-        # the checkpoint, matching the reference's per-region failure
-        # log, daily_weather_etl_kenya.py:193-201) instead of vanishing
+        # side output (matching the reference's per-region failure log,
+        # daily_weather_etl_kenya.py:193-201) instead of vanishing.
+        # Written UNCONDITIONALLY (no isEmpty probe — that would cost an
+        # extra Spark job per micro-batch; an empty parquet write is one
+        # metadata-only file) to a batch_id-keyed partition with
+        # overwrite, so a crash-and-replay of this micro-batch rewrites
+        # its own quarantine slice instead of double-appending.
         corrupt = parsed.filter(F.col("_corrupt")).select("region", "raw")
-        if not corrupt.isEmpty():
-            corrupt.write.mode("append").parquet(target + "_quarantine")
+        corrupt.coalesce(1).write.mode("overwrite").parquet(
+            f"{target}_quarantine/batch_id={batch_id}"
+        )
         flat = flatten(parsed).join(
             F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
         )
@@ -657,6 +662,8 @@ def run_weather_stream_etl(
         # historical days are never re-read or re-written (run_batch
         # applies the same pruning)
         touched = [r[0] for r in day.select("date").distinct().collect()]
+        from pyspark.errors import AnalysisException
+
         try:
             existing = (
                 raw_batch.sparkSession.read.parquet(target)
@@ -666,7 +673,11 @@ def run_weather_stream_etl(
             merged = merge_last_write_wins(
                 existing, day, list(WEATHER_KEY), "extraction_timestamp"
             )
-        except Exception:
+        except AnalysisException:
+            # first batch only: the target path does not exist yet. Any
+            # OTHER failure (transient read error, schema drift) must
+            # propagate — treating it as "first batch" would silently
+            # replace the touched partitions with just this day's rows.
             merged = day
         write_merged_partitioned(merged, target, ["date"])
 
