@@ -2297,7 +2297,10 @@ def x29_kmeans_step(spark, sf_dir):
 
 def x40_semantic_dedup_pairs(spark, sf_dir):
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): k-means
-    cluster the embeddings (x29's broadcast assignment), then search for
+    cluster the embeddings with TRAINED centroids (2 Lloyd iterations
+    from deterministic lowest-vec_id seeds — operators/similarity.py's
+    lloyd_trained_centroids, whose integer-quantized update step makes
+    the trained centroids bit-identical across engines), then search for
     near-duplicate pairs ONLY within clusters — the candidate set scales
     with Σ cluster² instead of corpus², and at 100 TB clusters are the
     unit of partition pruning. Exact cosine verifies every candidate
@@ -2305,32 +2308,24 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
     uniform embeddings have no true near-dups — max within-cluster
     cosine ≈ 0.49 — so the threshold is calibrated to the top ~1% of
     pairs; on a real corpus it would be ~0.92+ per SemDeDup). Fully
-    deterministic (seeded centroids, integer ids, 6dp-rounded scores),
-    so the DuckDB twin — same assignment, same within-cluster join —
-    matches exactly."""
+    deterministic (trained-but-replayable centroids, integer ids,
+    6dp-rounded scores), so the DuckDB twin — same Lloyd replay, same
+    assignment, same within-cluster join — matches exactly."""
     from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
         cosine_given_norms,
         norm,
     )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        lloyd_assign,
+        lloyd_trained_centroids,
+    )
 
-    k = 8
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cents = lloyd_trained_centroids(emb, k=8, iters=2)
     assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
+        lloyd_assign(emb, cents)
         .join(emb, "vec_id")
         .withColumn("nrm", norm(F.col("v")))
         .localCheckpoint(eager=True)  # self-joined below: assign once
@@ -3742,6 +3737,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# One Lloyd iteration: assign every vector to its nearest c{i} centroid,
+# then recompute c{j} as the per-cluster mean. Coordinates are quantized
+# to an int64 micro-grid (floor(x·1e6 + 0.5)) before summing so the sum
+# is exact integer arithmetic — order-independent — and the mean is one
+# double division of identical integers on both engines, making trained
+# centroids bit-identical to Spark's lloyd_trained_centroids.
+_LLOYD_ITER_SQL = """
+, a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c{i} c) t{i} WHERE rn = 1
+), c{j} AS (
+  SELECT cid, list(val ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS val
+    FROM (SELECT cid, CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS q, pos
+          FROM (SELECT cid, unnest(v) AS x,
+                       unnest(range(1, len(v)+1)) AS pos FROM a{i}) u{i}) q{i}
+    GROUP BY cid, pos) g{i} GROUP BY cid
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins (identical output column names/types). Queries absent
     here (x2, x2b, x4, mm1) are engine-specific (xxhash64 signatures /
@@ -4627,19 +4645,23 @@ SELECT source,
         + 0.0) AS avg_p_keep
 FROM scored GROUP BY source
 """,
+        # 2 Lloyd iterations from the lowest-vec_id seeds; the update
+        # quantizes coordinates to an int64 micro-grid before summing so
+        # trained centroids are bit-identical to the Spark side (see
+        # operators/similarity.lloyd_trained_centroids)
         "x40_semantic_dedup_pairs": """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c AS (
+), c0 AS (
   SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
-), d AS (
-  SELECT e.vec_id, e.v, c.cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-  FROM e CROSS JOIN c
-), a AS (
-  SELECT vec_id, cid, v FROM d WHERE rn = 1
+)""" + "".join(
+            _LLOYD_ITER_SQL.format(i=i, j=i + 1) for i in range(2)
+        ) + """, a AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c2 c) fin WHERE rn = 1
 )
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        round(list_dot_product(x.v, y.v)

@@ -270,3 +270,83 @@ def cosine_topk_lsh(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def lloyd_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment: nearest centroid per vector.
+
+    ``emb`` carries (vec_id, v: array<double>), ``cents`` (cid, cv).
+    Broadcasts the K-row centroid table against the corpus; squared-L2
+    is one zip_with/aggregate fold (JVM codegen); argmin is
+    min(struct(d2, cid)) under a single vec_id shuffle — the canonical
+    N×K broadcast-assign shape (centroids never grow with the corpus).
+    """
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+def lloyd_trained_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """K-means centroids after ``iters`` Lloyd iterations from the
+    deterministic seeds (K lowest-vec_id vectors) — the trained-centroid
+    upgrade over first-K-by-id seeding (SemDeDup / IVF coarse training).
+
+    Engine-portable by construction: the update step QUANTIZES each
+    coordinate to an integer micro-grid (floor(x·1e6 + 0.5)) before
+    summing, so the per-cluster sums are exact int64 arithmetic —
+    independent of partition/accumulation order — and the new centroid
+    coordinate is one double division of identical integers on any
+    engine. A float sum here would differ across engines/partitionings
+    in the last ulp and could flip boundary assignments; the integer
+    grid removes that knife-edge entirely (≈1e-7 max quantization error
+    per coordinate, irrelevant to cluster geometry).
+
+    Scale shape: per iteration, one broadcast-assign (N×K), one
+    posexplode shuffle on (cid, pos) carrying N×dim rows of
+    (int64, int64) — the standard distributed k-means update. The K-row
+    centroid table is localCheckpoint-ed each round so the plan stays
+    flat across iterations.
+    """
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        members = lloyd_assign(emb, cents).join(emb, "vec_id")
+        upd = (
+            members.select("cid", F.posexplode("v").alias("pos", "x"))
+            .withColumn(
+                "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "val",
+                F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
+            )
+        )
+        cents = (
+            upd.groupBy("cid")
+            .agg(F.collect_list(F.struct("pos", "val")).alias("pv"))
+            .select(
+                "cid",
+                F.transform(
+                    F.array_sort("pv"), lambda s: s["val"]
+                ).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
