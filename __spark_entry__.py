@@ -3133,20 +3133,19 @@ def mm2_frame_sample(spark, sf_dir):
 
 
 def mm5_resize_images(spark, sf_dir):
-    """Image-resize plumbing: mapInPandas over the opaque binary
-    payloads (resample STUBBED deterministically — payload tagged with
-    the target box; real codec pluggable via resize_fn). Output size
-    arithmetic and rewritten metadata are exact SQL over the synthetic
-    assets, so the whole Arrow path is value-checked like mm1."""
-    media = MM.synthetic_media(spark, 64).filter(F.col("media_type") == "image")
-    resized = MM.resize_images(media, 256, 256)
-    return resized.select(
-        "asset_id",
-        "media_type",
-        "width",
-        "height",
-        F.length("payload").cast("int").alias("payload_bytes"),
-    )
+    """Image resize with a REAL codec end-to-end: the fixtures are
+    actual decodable 24-bit BMPs (functions/codecs.py, stdlib-only;
+    pixel values are a pure-integer formula), resize_images decodes,
+    nearest-neighbor-resamples, and re-encodes real pixels in Arrow
+    batches, and image_pixel_stats re-decodes the RESIZED payloads to
+    report header dims + the sum of every B+G+R byte. The oracle
+    replays the same integer pixel formula and floor-division resample
+    mapping in SQL, so a single wrong pixel anywhere in the
+    decode→resample→encode→decode chain breaks the hash. (Stub fallback
+    remains only for formats with no in-container codec.)"""
+    media = MM.synthetic_image_media(spark, 64)
+    resized = MM.resize_images(media, 64, 64)
+    return MM.image_pixel_stats(resized)
 
 
 def st8_jsonl_ingest(spark, sf_dir):
@@ -5038,16 +5037,26 @@ SELECT asset_id, media_type,
          AS feature_norm
 FROM f
 """,
+        # replays the synthetic pixel formula + the nearest-neighbor
+        # floor-division mapping (sx = x*w0 // 64) of the REAL BMP
+        # codec path; payload_bytes = 54-byte header + 64 rows of
+        # stride 192 (64*3, already 4-byte aligned) = 12342
         "mm5_resize_images": """
-WITH media AS (
-  SELECT range AS asset_id, 'image' AS media_type,
-         'BLOB:' || lpad(range::VARCHAR, 12, '0') AS payload
+WITH assets AS (
+  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
   FROM range(64) WHERE range % 3 = 0
+), px AS (
+  SELECT a,
+         ( (a*7  + ((x.range * w0) // 64) * 13 + ((y.range * h0) // 64) * 31) % 256
+         + (a*11 + ((x.range * w0) // 64) * 17 + ((y.range * h0) // 64) * 5 ) % 256
+         + (a*3  + ((x.range * w0) // 64) * 29 + ((y.range * h0) // 64) * 23) % 256
+         ) AS s
+  FROM assets, range(64) x, range(64) y
 )
-SELECT asset_id, media_type,
-       256 AS width, 256 AS height,
-       (length(payload) + length(':resized:256x256'))::INT AS payload_bytes
-FROM media
+SELECT a AS asset_id, 64 AS width, 64 AS height,
+       12342 AS payload_bytes,
+       CAST(sum(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY a
 """,
         "mm4_media_dedup": """
 WITH media AS (

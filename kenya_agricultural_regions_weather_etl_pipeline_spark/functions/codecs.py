@@ -1,0 +1,134 @@
+"""Pure-stdlib image codec: uncompressed 24-bit BMP (BI_RGB).
+
+This is the REAL decode path for the multimodal surface — no external
+image library ships in this container, but the classic Windows BMP
+format is simple enough to parse/emit with ``struct`` alone, so the
+resize operator (operators/multimodal.resize_images) can resample real
+pixels end-to-end: decode → nearest-neighbor resample → re-encode.
+Formats other than 24-bit BI_RGB BMP still fall back to the clearly
+marked deterministic stub.
+
+Layout handled (the 1987-vintage common case):
+- BITMAPFILEHEADER (14 bytes): 'BM', file size, reserved, pixel offset
+- BITMAPINFOHEADER (40 bytes): width, height (positive → bottom-up),
+  planes=1, bpp=24, compression=0 (BI_RGB)
+- pixel rows bottom-up, 3 bytes/pixel (B,G,R), each row zero-padded to
+  a 4-byte boundary
+
+The decode returns a top-down ``rows[y][x] = (b, g, r)`` grid so callers
+never see the bottom-up storage order.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_FILE_HEADER = struct.Struct("<2sIHHI")
+_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+HEADER_BYTES = _FILE_HEADER.size + _INFO_HEADER.size  # 54
+
+
+def row_stride(width: int) -> int:
+    """Bytes per stored row: 3*width rounded up to a 4-byte boundary."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def is_bmp(payload: bytes) -> bool:
+    return len(payload) >= HEADER_BYTES and payload[:2] == b"BM"
+
+
+def encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode a top-down (b, g, r) pixel grid as a 24-bit BI_RGB BMP."""
+    stride = row_stride(width)
+    size = HEADER_BYTES + stride * height
+    out = bytearray(size)
+    _FILE_HEADER.pack_into(out, 0, b"BM", size, 0, 0, HEADER_BYTES)
+    _INFO_HEADER.pack_into(
+        out, _FILE_HEADER.size, 40, width, height, 1, 24, 0,
+        stride * height, 2835, 2835, 0, 0,
+    )
+    for y in range(height):
+        # BMP stores rows bottom-up
+        base = HEADER_BYTES + (height - 1 - y) * stride
+        row = rows[y]
+        for x in range(width):
+            b, g, r = row[x]
+            off = base + x * 3
+            out[off] = b
+            out[off + 1] = g
+            out[off + 2] = r
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a 24-bit BI_RGB BMP into (width, height, top-down rows).
+
+    Raises ``ValueError`` for anything that is not an uncompressed
+    24-bit bottom-up BMP — callers use that to fall back to the stub.
+    """
+    if not is_bmp(payload):
+        raise ValueError("not a BMP payload")
+    _, _, _, _, px_off = _FILE_HEADER.unpack_from(payload, 0)
+    (hdr, width, height, planes, bpp, comp, _, _, _, _, _) = _INFO_HEADER.unpack_from(
+        payload, _FILE_HEADER.size
+    )
+    if hdr < 40 or planes != 1 or bpp != 24 or comp != 0 or height <= 0 or width <= 0:
+        raise ValueError("unsupported BMP variant (need 24-bit BI_RGB bottom-up)")
+    stride = row_stride(width)
+    if len(payload) < px_off + stride * height:
+        raise ValueError("truncated BMP payload")
+    rows = []
+    for y in range(height):
+        base = px_off + (height - 1 - y) * stride
+        rows.append(
+            [
+                (payload[base + 3 * x], payload[base + 3 * x + 1], payload[base + 3 * x + 2])
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+def resize_nearest(
+    rows: list[list[tuple[int, int, int]]],
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+) -> list[list[tuple[int, int, int]]]:
+    """Nearest-neighbor resample: dst(x, y) = src(x*src_w // dst_w,
+    y*src_h // dst_h) — pure integer index math, so the mapping is
+    reproducible in SQL (the mm5 oracle replays it with the same
+    floor-division)."""
+    return [
+        [rows[y * src_h // dst_h][x * src_w // dst_w] for x in range(dst_w)]
+        for y in range(dst_h)
+    ]
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """Decode a BMP, nearest-neighbor resample to width×height, re-encode."""
+    src_w, src_h, rows = decode_bmp(payload)
+    return encode_bmp(width, height, resize_nearest(rows, src_w, src_h, width, height))
+
+
+def synthetic_pixel(asset_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic pixel formula for the synthetic BMP fixtures.
+
+    Pure integer arithmetic so the DuckDB oracle can recompute any pixel
+    of any asset (and therefore the checksum of a resized image) in SQL.
+    """
+    return (
+        (asset_id * 7 + x * 13 + y * 31) % 256,
+        (asset_id * 11 + x * 17 + y * 5) % 256,
+        (asset_id * 3 + x * 29 + y * 23) % 256,
+    )
+
+
+def synthetic_bmp(asset_id: int, width: int, height: int) -> bytes:
+    """A real, decodable BMP whose pixels follow :func:`synthetic_pixel`."""
+    return encode_bmp(
+        width,
+        height,
+        [[synthetic_pixel(asset_id, x, y) for x in range(width)] for y in range(height)],
+    )

@@ -609,3 +609,42 @@ def test_simhash_identity_locality_separation(spark):
     assert fps["base"] == fps["upper"] == fps["spaced"]
     assert 0 < ham(fps["base"], fps["near"]) <= 12, ham(fps["base"], fps["near"])
     assert ham(fps["base"], fps["far"]) >= 16, ham(fps["base"], fps["far"])
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    raw = C.synthetic_bmp(5, 9, 7)
+    w, h, rows = C.decode_bmp(raw)
+    assert (w, h) == (9, 7)
+    # logical top-left coords survive the bottom-up storage round-trip
+    assert rows[2][5] == C.synthetic_pixel(5, 5, 2)
+    resized = C.resize_bmp(raw, 16, 12)
+    w2, h2, rr = C.decode_bmp(resized)
+    assert (w2, h2) == (16, 12)
+    # nearest-neighbor mapping is the floor-division the oracle replays
+    assert rr[11][10] == C.synthetic_pixel(5, 10 * 9 // 16, 11 * 7 // 12)
+    assert len(resized) == C.HEADER_BYTES + C.row_stride(16) * 12
+
+
+def test_bmp_codec_rejects_non_bmp():
+    import pytest
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    with pytest.raises(ValueError):
+        C.decode_bmp(b"BLOB:000000000042")
+    assert not C.is_bmp(b"BLOB:000000000042")
+
+
+def test_resize_images_stub_fallback_for_non_bmp():
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.multimodal import (
+        _real_or_stub_resize,
+    )
+
+    out = _real_or_stub_resize(b"BLOB:000000000042", 32, 32)
+    assert out.endswith(b":resized:32x32")
