@@ -1830,6 +1830,43 @@ def w11_cumulative_distinct(spark, sf_dir):
     )
 
 
+def w12_sessionize(spark, sf_dir):
+    """Batch sessionization — the classic gap-based session assignment
+    (the batch twin of st3's streaming session windows): per user,
+    events ordered by time start a NEW session whenever the gap from
+    the previous event exceeds 30 minutes; sessions then roll up to a
+    per-user profile (count / longest / total). Two stacked windows on
+    the SAME (user_id, order) key — Catalyst plans them in one sort +
+    one exchange — then two hash aggregations. Timestamps are truncated
+    to µs before differencing so both engines difference on the same
+    grid (same pinning as j6/w10). Integer-exact output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.col("t_us") - F.lag("t_us").over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_ev").cast("bigint").alias("longest_session_events"),
+        F.sum("n_ev").cast("bigint").alias("total_events"),
+    )
+
+
 def x27_chunk_dedup(spark, sf_dir):
     """Duplicate-span removal stats at chunk granularity — the C4
     'remove repeated spans' step adapted to unstructured text: docs are
@@ -2269,6 +2306,10 @@ def x29_kmeans_step(spark, sf_dir):
     grows with the corpus, so no second large shuffle exists. Output is
     integer-only (cluster sizes + member-id ranges) so cross-engine
     parity is exact even though distances are floating."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        lloyd_assign,
+    )
+
     k = 8
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2276,18 +2317,7 @@ def x29_kmeans_step(spark, sf_dir):
     cents = emb.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
-    )
+    assigned = lloyd_assign(emb, cents)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("vec_id").alias("min_member"),
@@ -3727,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_rolling_active_users": q14_rolling_active_users,
         "q15_market_basket": q15_market_basket,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
+        "w12_sessionize": w12_sessionize,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5200,6 +5231,31 @@ SELECT strftime(d0, '%Y-%m-%d') AS day,
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_users
 FROM per_day
+"""
+    d["w12_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+), per_session AS (
+  SELECT user_id, sess, count(*) AS n_ev FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_ev) AS BIGINT) AS longest_session_events,
+       CAST(sum(n_ev) AS BIGINT) AS total_events
+FROM per_session GROUP BY user_id
 """
     # w10's oracle uses the window (row_number) formulation — a
     # different algorithm than the struct-argmin aggregation.

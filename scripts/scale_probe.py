@@ -1,0 +1,123 @@
+"""Scale probe (SURVEY §9 evidence): re-run the heaviest queries on a
+locally synthesized 3× corpus and compare wall-clock against sf0.1.
+
+The 3× corpus is built by union-with-shifted-ids from sf0.1:
+- documents: 3 copies, doc_id shifted by 10M per copy, text alphabet-
+  rotated per copy so shingle spaces are DISJOINT across copies (each
+  copy contributes an independent near-dup graph — the honest "more
+  independent data" scaling; identical-text copies would instead triple
+  every doc's duplicate count and measure a different workload).
+- embeddings: 3 copies, vec_id shifted, coordinates jittered by a per-
+  copy constant (same distribution, distinct vectors).
+- every other table: symlinked from sf0.1 (unused by the probed set).
+
+st11 scales on its own axis — micro-batch count (days 3 → 9) — since
+its source is the simulated day-per-batch weather stream, not sf_dir.
+
+Usage: python scripts/scale_probe.py            # writes JSON to stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+PROBE = "/tmp/sfprobe/sf0.3x"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_probe_dir(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(PROBE):
+        shutil.rmtree(PROBE)
+    os.makedirs(PROBE)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ):
+        os.symlink(f"{BASE}/{t}.parquet", f"{PROBE}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = []
+    for c in range(3):
+        rot = ALPHA[c:] + ALPHA[:c]
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                *[
+                    F.translate(F.col("text"), ALPHA, rot).alias("text")
+                    if f == "text"
+                    else F.col(f)
+                    for f in docs.columns
+                    if f != "doc_id"
+                ],
+            ).select(*docs.columns)
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{PROBE}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    ecopies = []
+    for c in range(3):
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda e: (e + F.lit(0.0007 * c)).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(f"{PROBE}/embeddings.parquet")
+
+
+def timed(label, fn, results):
+    t0 = time.perf_counter()
+    n = fn().count()
+    dt = round(time.perf_counter() - t0, 2)
+    results[label] = {"sec": dt, "rows": n}
+    print(f"[probe] {label}: {dt}s ({n} rows)", file=sys.stderr)
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_weather_stream_etl,
+    )
+
+    spark = get_spark("scale-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    build_probe_dir(spark)
+    q = E.queries()
+    results: dict[str, dict] = {}
+    for name in (
+        "x3_ngram_jaccard_pairs",
+        "x14_dedup_clusters",
+        "e2e_training_prep",
+        "x40_semantic_dedup_pairs",
+    ):
+        spark.catalog.clearCache()
+        timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
+        spark.catalog.clearCache()
+        timed(f"{name}@3x", lambda: q[name](spark, PROBE), results)
+    timed("st11@days=3", lambda: run_weather_stream_etl(spark, days=3), results)
+    timed("st11@days=9", lambda: run_weather_stream_etl(spark, days=9), results)
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
