@@ -1867,6 +1867,95 @@ def w12_sessionize(spark, sf_dir):
     )
 
 
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — revenue locked up in small-quantity line items:
+    join each line item to its part's average quantity (a correlated
+    aggregate decorrelated to a groupBy + equi-join; the per-part agg
+    side scales with |parts| so it shuffle-joins, never broadcasts) and
+    keep rows under half the part average. The threshold is
+    engine-stable because l_quantity is integer-valued: the per-part
+    double sum is exact in any order, so avg and the comparison agree
+    bit-for-bit across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    small = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return (
+        small.join(p, small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            W.round_half_up(F.sum("l_extendedprice"), 2).alias(
+                "small_qty_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def io1_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source roundtrip (columnar-format interchange surface
+    beyond parquet/JSONL/CSV): write the documents table as ORC, read it
+    back, and aggregate per source. The oracle runs the same aggregate
+    on the original parquet — equality proves the ORC write→read path
+    is lossless for longs/strings. Spark's native ORC reader gets the
+    same pushdown/pruning treatment as parquet (vectorized reader,
+    predicate pushdown), so at 100 TB this is a supported first-class
+    storage format, not a conversion detour."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="io1_orc_")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def x43_oov_rate(spark, sf_dir):
+    """Tokenizer-prep vocabulary coverage: build the corpus top-500
+    vocabulary (term frequency, deterministic ties by term) and report
+    each source's out-of-vocabulary token rate — the statistic that
+    decides whether a tokenizer's vocab needs re-training before a new
+    source joins the mixture. The top-500 limit plans as
+    TakeOrderedAndProject (no full global sort), and the vocab side is
+    BOUNDED (500 rows) by construction, so broadcasting it is safe at
+    any corpus scale — the one case where broadcasting a derived frame
+    is correct."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(500)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        W.round_half_up(
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def x27_chunk_dedup(spark, sf_dir):
     """Duplicate-span removal stats at chunk granularity — the C4
     'remove repeated spans' step adapted to unstructured text: docs are
@@ -3758,6 +3847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_market_basket": q15_market_basket,
         "x28_tf_cosine_pairs": x28_tf_cosine_pairs,
         "w12_sessionize": w12_sessionize,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "io1_orc_roundtrip": io1_orc_roundtrip,
+        "x43_oov_rate": x43_oov_rate,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5256,6 +5348,50 @@ SELECT user_id,
        CAST(max(n_ev) AS BIGINT) AS longest_session_events,
        CAST(sum(n_ev) AS BIGINT) AS total_events
 FROM per_session GROUP BY user_id
+"""
+    d["q17_small_quantity_revenue"] = """
+WITH aq AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 + 0.0)
+         AS small_qty_revenue,
+       count(*) AS n_small
+FROM lineitem
+JOIN aq USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+"""
+    # io1's oracle aggregates the ORIGINAL parquet — equality proves the
+    # Spark ORC write->read roundtrip is lossless.
+    d["io1_orc_roundtrip"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY source
+"""
+    d["x43_oov_rate"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), vocab AS (
+  SELECT term FROM freq ORDER BY n DESC, term ASC LIMIT 500
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       (floor((CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+        + 0.0) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source
 """
     # w10's oracle uses the window (row_number) formulation — a
     # different algorithm than the struct-argmin aggregation.
