@@ -1867,6 +1867,18 @@ def w12_sessionize(spark, sf_dir):
     )
 
 
+def mm6_image_channel_stats(spark, sf_dir):
+    """REAL image feature extraction (no stub anywhere in this path):
+    decode every synthetic BMP fixture with the stdlib codec and emit
+    per-channel B/G/R byte sums — the integer core of mean-color /
+    brightness features. Per-channel verification catches a channel
+    swap that mm5's combined pixel_sum would miss. The oracle
+    recomputes each channel's closed-form sum from the synthetic pixel
+    formula in SQL."""
+    media = MM.synthetic_image_media(spark, 64)
+    return MM.image_channel_stats(media)
+
+
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape — revenue locked up in small-quantity line items:
     join each line item to its part's average quantity (a correlated
@@ -3850,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "io1_orc_roundtrip": io1_orc_roundtrip,
         "x43_oov_rate": x43_oov_rate,
+        "mm6_image_channel_stats": mm6_image_channel_stats,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5392,6 +5405,26 @@ SELECT t.source,
         + 0.0) AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.term = v.term
 GROUP BY t.source
+"""
+    # per-channel closed-form sums over the synthetic source pixels
+    # (source dims, not resized — mm6 decodes the fixtures directly)
+    d["mm6_image_channel_stats"] = """
+WITH assets AS (
+  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
+  FROM range(64) WHERE range % 3 = 0
+), px AS (
+  SELECT a, w0, h0,
+         (a*7  + x.range * 13 + y.range * 31) % 256 AS b,
+         (a*11 + x.range * 17 + y.range * 5 ) % 256 AS g,
+         (a*3  + x.range * 29 + y.range * 23) % 256 AS r
+  FROM assets, range(12) x, range(9) y
+  WHERE x.range < w0 AND y.range < h0
+)
+SELECT a AS asset_id, CAST(w0 AS INT) AS width, CAST(h0 AS INT) AS height,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(r) AS BIGINT) AS sum_r
+FROM px GROUP BY a, w0, h0
 """
     # w10's oracle uses the window (row_number) formulation — a
     # different algorithm than the struct-argmin aggregation.

@@ -385,3 +385,49 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         stats, PIXEL_STATS_SCHEMA
     )
+
+
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_r", LongType(), False),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction: decode each BMP payload and emit
+    per-channel byte sums — the integer core of a mean-color /
+    brightness feature (divide by w·h downstream). Same honest codec
+    path as image_pixel_stats, per-channel so a B/G/R swap anywhere in
+    the codec chain is caught; closed-form for the synthetic fixtures,
+    hence SQL-oracle-checkable."""
+    from ..functions import codecs as C
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "sum_b": [],
+                "sum_g": [],
+                "sum_r": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, rows = C.decode_bmp(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_b"].append(sum(px[0] for row in rows for px in row))
+                out["sum_g"].append(sum(px[1] for row in rows for px in row))
+                out["sum_r"].append(sum(px[2] for row in rows for px in row))
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        stats, CHANNEL_STATS_SCHEMA
+    )

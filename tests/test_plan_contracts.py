@@ -329,3 +329,31 @@ def test_sql4_rank_filter_plans_as_window_group_limit(spark, sf01):
     sort (WindowGroupLimit), not rank everything then filter."""
     plan = _plan(spark, sf01, "sql4_windowed_sql")
     assert "WindowGroupLimit" in plan
+
+
+def test_w12_stacked_windows_share_one_exchange(spark, sf01):
+    """Both session windows AND both rollup aggregations must reuse the
+    single user_id hash exchange — a second exchange would re-shuffle
+    the corpus per analytic step at 100 TB."""
+    plan = _plan(spark, sf01, "w12_sessionize")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_q17_scans_prune_to_join_columns(spark, sf01):
+    """Both lineitem scans (per-part average + revenue side) must prune
+    to the 3 needed columns."""
+    plan = _plan(spark, sf01, "q17_small_quantity_revenue")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_partkey" in line:
+            assert "l_returnflag" not in line
+            assert "l_shipdate" not in line
+
+
+def test_x43_broadcasts_bounded_vocab_and_topk_without_sort(spark, sf01):
+    """The 500-row vocab is the one justified broadcast of a derived
+    frame; the top-500 itself must plan as TakeOrderedAndProject, not a
+    full global sort."""
+    plan = _plan(spark, sf01, "x43_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
