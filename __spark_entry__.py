@@ -1879,6 +1879,28 @@ def mm6_image_channel_stats(spark, sf_dir):
     return MM.image_channel_stats(media)
 
 
+def s6_variant_access(spark, sf_dir):
+    """Spark 4 VARIANT type surface: semi-structured props parsed ONCE
+    into the binary VARIANT encoding (`parse_json`), then field access
+    via `variant_get` with a typed path — the modern replacement for
+    per-query JSON string re-parsing (at 100 TB, parse-once-at-ingest +
+    typed access is the difference between one decode and one decode
+    per expression). Rolled up per event_type; oracle uses DuckDB's
+    json_extract on the same strings."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape — revenue locked up in small-quantity line items:
     join each line item to its part's average quantity (a correlated
@@ -3863,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io1_orc_roundtrip": io1_orc_roundtrip,
         "x43_oov_rate": x43_oov_rate,
         "mm6_image_channel_stats": mm6_image_channel_stats,
+        "s6_variant_access": s6_variant_access,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5405,6 +5428,15 @@ SELECT t.source,
         + 0.0) AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.term = v.term
 GROUP BY t.source
+"""
+    d["s6_variant_access"] = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
 """
     # per-channel closed-form sums over the synthetic source pixels
     # (source dims, not resized — mm6 decodes the fixtures directly)
