@@ -1879,6 +1879,41 @@ def mm6_image_channel_stats(spark, sf_dir):
     return MM.image_channel_stats(media)
 
 
+def io2_python_sink_roundtrip(spark, sf_dir):
+    """Python DataSource WRITER surface (Spark 4): documents flow
+    through the manifest-committed JSONL sink (two-phase commit — task
+    part files published only by the driver's _MANIFEST write, the
+    object-store atomic-publish pattern), then back via the
+    manifest-resolving reader, and aggregate per source. The oracle
+    aggregates the original parquet: equality proves the custom sink's
+    serialize → commit → resolve → parse cycle is lossless."""
+    import tempfile
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_committed,
+        register_json_sink,
+    )
+
+    if not register_json_sink(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource writer API unavailable")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="io2_sink_")
+    docs.write.format("jsonl_commit").option("path", path).mode(
+        "append"
+    ).save()
+    back = read_committed(
+        spark, path, "doc_id long, source string, lang string, n_chars long"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def s6_variant_access(spark, sf_dir):
     """Spark 4 VARIANT type surface: semi-structured props parsed ONCE
     into the binary VARIANT encoding (`parse_json`), then field access
@@ -3886,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x43_oov_rate": x43_oov_rate,
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "s6_variant_access": s6_variant_access,
+        "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5428,6 +5464,14 @@ SELECT t.source,
         + 0.0) AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.term = v.term
 GROUP BY t.source
+"""
+    d["io2_python_sink_roundtrip"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY source
 """
     d["s6_variant_access"] = """
 SELECT event_type,

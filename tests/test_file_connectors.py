@@ -119,3 +119,37 @@ def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
     assert merged.count() == 10
     assert merged.filter(F.col("tag").isNull()).count() == 5
     assert merged.filter(F.col("tag") == "new").count() == 5
+
+
+def test_jsonl_commit_sink_manifest_isolation(spark, tmp_path):
+    """The manifest IS the committed dataset: stray part files dropped
+    into the directory (failed/speculative task leftovers) must be
+    invisible to the manifest-resolving reader."""
+    import json
+    import os
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        MANIFEST,
+        read_committed,
+        register_json_sink,
+    )
+
+    assert register_json_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.write.format("jsonl_commit").option("path", path).mode("append").save()
+
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 100
+    part_files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert sorted(manifest["files"]) == sorted(part_files)
+
+    # orphan part file from an aborted task: on disk, not in the manifest
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"id": 999999, "v": 0}\n')
+
+    back = read_committed(spark, path, "id long, v long")
+    assert back.count() == 100
+    assert back.filter("id = 999999").count() == 0
+    assert back.selectExpr("sum(v)").first()[0] == sum(2 * i for i in range(100))
