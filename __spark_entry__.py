@@ -3759,6 +3759,229 @@ FROM cleaned GROUP BY source
 """
 
 
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join customers to their URGENT orders (the priority filter lands on
+    the orders side BEFORE the join so non-matching customers survive
+    with count 0 — an inner join would silently drop the zero bucket),
+    count per customer, then regroup the counts into a histogram.
+    count(o_orderkey) counts only matched (non-null) rows, which is what
+    makes the left join's null-padding turn into a real 0. Two shuffles:
+    the join key, then the count-domain regroup whose cardinality is
+    bounded by max-orders-per-customer — tiny at any corpus scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape — distinct-supplier variety per part attribute
+    with a NOT-IN blocklist subquery (suppliers in deficit), lineitem
+    standing in for partsupp as the part↔supplier association. Catalyst
+    rewrites the NOT IN over a non-null key into a left-anti hash join;
+    the deficit set is small so AQE broadcasts it at runtime — no hint,
+    because the blocklist SCALES with the supplier table and a hard
+    broadcast would be the b1-class mistake at 100 TB. countDistinct
+    dedups map-side partially, one shuffle on (brand, type)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    assoc = li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        assoc.join(p, assoc.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: orders whose total line
+    quantity clears a threshold (the IN-subquery-with-HAVING form),
+    joined back to customer and order detail. The qualifying set is ONE
+    groupBy on l_orderkey; quantities are integer-valued so the double
+    sum is exact in any reduction order and the >150 threshold is
+    engine-stable. The join back is an equi-join AQE can broadcast
+    exactly when the survivor set is small — which IS the large-volume
+    case; order_day is formatted, not a raw timestamp, to pin the
+    cross-engine date rendering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive-predicate revenue: an OR of three
+    (brand, size-band, quantity-band) conjunction arms across the
+    part⋈lineitem join. The disjunction references both sides so it can
+    only run post-join — but each column's global envelope implied by
+    the OR (quantity ∈ [1,30], size ∈ [1,15]) is applied explicitly on
+    the source scans, the classic Q19 rewrite: row groups outside any
+    arm never reach the join. Revenue summed in DECIMAL(18,4) (2dp
+    price × discount factor) — reduction-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def q22_dormant_highvalue(spark, sf_dir):
+    """TPC-H Q22 shape — high-balance customers with no urgent orders:
+    a scalar AVG threshold + NOT-EXISTS anti join + per-nation rollup.
+    The threshold is pinned engine-portably: exact DECIMAL(18,2) sum →
+    one double cast → divide by the integer count — both engines round
+    once at the same spot, so WHICH customers clear the bar cannot
+    drift (a naive avg() of doubles could flip edge rows). The 1-row
+    threshold frame broadcasts into the filter; the urgent-order set
+    anti-joins on custkey; the 25-row nation dim broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(
+            F.broadcast(nation), dormant.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dormant"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("dormant_balance"),
+        )
+    )
+
+
+def x44_product_quantization(spark, sf_dir):
+    """Product quantization (PQ) codebook assignment — the memory-
+    compression half of IVF-PQ ANN at 100 TB: each 64-dim embedding
+    splits into M=8 contiguous 8-dim subvectors; each subvector is
+    assigned its nearest of K=4 per-subspace centroids (the slices of
+    vectors vec_id 0–3 — deterministic, replayed verbatim by the
+    oracle), turning 256 float bytes into an 8-byte code (32×).
+    Coordinates are quantized to an int64 micro-grid first so squared
+    distances are EXACT integer arithmetic — argmin and error sums are
+    reduction-order-free and bit-identical across engines. Shape: the
+    32-row centroid frame broadcasts; assignment is one scan with an
+    8-way explode and a (vec,subspace) argmin via struct-min hash agg —
+    a single shuffle sized by codes (bytes/row), never by vectors;
+    the final rollup is 32 groups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cent_sub = (
+        q.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("m"),
+            "qv",
+        )
+        .select("cid", "m", F.expr("slice(qv, m*8+1, 8)").alias("cv"))
+    )
+    data_sub = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("m"),
+        "qv",
+    ).select("vec_id", "m", F.expr("slice(qv, m*8+1, 8)").alias("dv"))
+    d2 = F.expr(
+        "aggregate(zip_with(dv, cv, (a,b) -> (a-b)*(a-b)), "
+        "CAST(0 AS BIGINT), (acc,x) -> acc + x)"
+    )
+    assigned = (
+        data_sub.join(F.broadcast(cent_sub), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("s"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("s.cid").alias("code"),
+            F.col("s.d2").alias("d2"),
+        )
+    )
+    return assigned.groupBy(
+        F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum("d2").cast("bigint").alias("total_sq_err_u"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3922,6 +4145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q18_large_volume_orders": q18_large_volume_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_dormant_highvalue": q22_dormant_highvalue,
+        "x44_product_quantization": x44_product_quantization,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5472,6 +5701,99 @@ SELECT source,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
+"""
+    d["q13_order_count_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY c_count
+"""
+    d["q16_supplier_variety"] = """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+    d["q18_large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+    d["q19_disjunctive_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+    d["q22_dormant_highvalue"] = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+), dormant AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c, thr
+  WHERE c.c_acctbal > thr.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_dormant,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS dormant_balance
+FROM dormant JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    d["x44_product_quantization"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), m_ids AS (
+  SELECT CAST(unnest(range(0,8)) AS INT) AS m
+), cent_sub AS (
+  SELECT CAST(vec_id AS INT) AS cid, m,
+         qv[m*8+1 : m*8+8] AS cv
+  FROM q, m_ids WHERE vec_id < 4
+), data_sub AS (
+  SELECT vec_id, m, qv[m*8+1 : m*8+8] AS dv
+  FROM q, m_ids
+), cand AS (
+  SELECT d.vec_id, d.m, c.cid,
+         list_sum(list_transform(range(1,9),
+           i -> (d.dv[i]-c.cv[i])*(d.dv[i]-c.cv[i]))) AS d2
+  FROM data_sub d JOIN cent_sub c ON d.m = c.m
+), assigned AS (
+  SELECT vec_id, m, cid AS code, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, cid) AS rn
+    FROM cand) t WHERE rn = 1
+)
+SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS total_sq_err_u
+FROM assigned GROUP BY m, code
 """
     d["s6_variant_access"] = """
 SELECT event_type,
