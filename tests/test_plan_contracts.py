@@ -357,3 +357,42 @@ def test_x43_broadcasts_bounded_vocab_and_topk_without_sort(spark, sf01):
     plan = _plan(spark, sf01, "x43_oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_splits_per_column_to_both_scans(spark, sf01):
+    """The Q19 rewrite: each column's envelope AND the per-column OR
+    residual must reach its parquet scan — rejected row groups never
+    pay the join."""
+    plan = _plan(spark, sf01, "q19_disjunctive_revenue")
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    # Catalyst splits the cross-table OR into per-column residuals
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in rs:
+        assert "l_shipdate" not in ln and "p_name" not in ln
+
+
+def test_q16_blocklist_plans_as_anti_join(spark, sf01):
+    """NOT IN over the non-null supplier key must become a (runtime-
+    broadcast) left-anti hash join, never a per-row subquery."""
+    plan = _plan(spark, sf01, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+
+
+def test_q22_anti_join_and_bounded_broadcasts(spark, sf01):
+    """The urgent-order NOT EXISTS is an anti join; the 1-row threshold
+    and 25-row nation dim broadcast; customer itself is never built."""
+    plan = _plan(spark, sf01, "q22_dormant_highvalue")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold frame
+    assert "BroadcastHashJoin" in plan  # nation dim
+
+
+def test_x44_centroid_frame_broadcasts(spark, sf01):
+    """The 32-row centroid-subvector frame must broadcast into the
+    assignment join — shuffling the full vector side against it would
+    be the scale bug."""
+    plan = _plan(spark, sf01, "x44_product_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
