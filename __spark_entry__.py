@@ -2822,6 +2822,17 @@ def st7_stream_stream_join(spark, sf_dir):
     return ST.run_stream_stream_join(spark, sf_dir)
 
 
+def st13_stream_outer_join(spark, sf_dir):
+    """Stream ⋈ stream LEFT OUTER event-time join (st7's missing
+    half): unmatched clicks emit null-padded once the watermark closes
+    their join window. Two genuine micro-batches — real backlog, then
+    a far-future sentinel pair that advances both watermarks and
+    forces the outer-state flush. Equals the batch LEFT JOIN — the
+    exact oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_left_outer_attribution(spark, sf_dir)
+
+
 def x21_repetition_score(spark, sf_dir):
     """Boilerplate/repetition quality signals (Gopher-style): per-doc
     duplicate-trigram fraction (narrow array expression, no shuffle) +
@@ -4010,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st10_weather_stream": st10_weather_stream,
         "st11_weather_stream_etl": st11_weather_stream_etl,
         "st12_dedup_ingest": st12_dedup_ingest,
+        "st13_stream_outer_join": st13_stream_outer_join,
         "qv1_quality_verdict": qv1_quality_verdict,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
@@ -4895,6 +4907,14 @@ SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
 FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+        "st13_stream_outer_join": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
         "x17_sequence_packing": PK.pack_sequences_sql(

@@ -469,6 +469,163 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def left_outer_attribution(
+    clicks_src: DataFrame, purchases_src: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream ⋈ stream LEFT OUTER event-time join lineage (st13): st7's
+    attribution, but clicks with NO purchase within 30 minutes ALSO
+    emit, null-padded — the abandonment half of the funnel st7 drops.
+
+    Outer emission is watermark-gated: an unmatched click can only be
+    declared unmatched once the watermark passes the end of its join
+    window (until then a matching purchase could still arrive), so both
+    sides must carry watermarks and the join condition must bound the
+    event-time gap — the same state-pruning contract as the inner join,
+    plus the null-flush on eviction. Works identically on batch inputs
+    (the left join needs no watermark) — the oracle path.
+    """
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            F.expr(
+                """
+                c_user = p_user AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + interval 30 minutes
+                """
+            ),
+            "left_outer",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).alias("delay_us"),
+        )
+    )
+
+
+def run_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-flushed LEFT OUTER stream-stream join run (st13).
+
+    The backlog replays as TWO genuine micro-batches: (1) all real
+    events, (2) a far-future sentinel click+purchase pair (user_id=-1,
+    filtered from the result) whose only job is to advance BOTH sides'
+    watermarks past every real join window, forcing the engine to evict
+    its outer state and emit the null-padded rows — the half of the
+    semantics a single-batch availableNow run can never exercise.
+    File processing order is pinned by mtime (FileStreamSource orders
+    by modification time), so the sentinel is provably last. Over the
+    finite backlog the result equals the batch LEFT JOIN: the exact
+    DuckDB oracle.
+
+    Scale shape: per-side join state is bounded by watermark horizon ×
+    arrival rate and pruned every batch. The sentinel is not a test
+    artifact — it is how a production backfill closes its final windows
+    (an EOF marker in the feed).
+    """
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    src = tempfile.mkdtemp(prefix="kw_st13_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").json(src)
+        real_files = set(_glob.glob(os.path.join(src, "*.json")))
+        # all mtimes strictly in the PAST: FileStreamSource silently
+        # ignores future-stamped files (observed: a now+120 sentinel
+        # never entered the stream), so ordering is pinned with
+        # past-only timestamps
+        now = _time.time()
+        for f in real_files:
+            os.utime(f, (now - 600, now - 600))
+        max_us = ev.agg(F.max("t_us")).first()[0]
+        # TWO sentinel batches, not one: watermark advances at the END
+        # of the batch that carries the late event, and outer-state
+        # eviction runs at the START of the next DATA batch — under
+        # availableNow there is no trailing no-data batch to do it, so
+        # a single sentinel leaves the final windows' null rows stuck
+        # in state (observed: exactly the last-click rows missing).
+        # Sentinel 2 is the batch sentinel 1's watermark flushes into.
+        seen = set(real_files)
+        for i, hours in enumerate((3, 6)):
+            sent_us = max_us + hours * 3600 * 1_000_000
+            sentinel = spark.createDataFrame(
+                [
+                    (-2 * i - 1, -1, "click", sent_us),
+                    (-2 * i - 2, -1, "purchase", sent_us),
+                ],
+                "event_id long, user_id long, event_type string, t_us long",
+            )
+            sentinel.coalesce(1).write.mode("append").json(src)
+            new = set(_glob.glob(os.path.join(src, "*.json"))) - seen
+            for f in new:
+                os.utime(f, (now - 400 + 200 * i, now - 400 + 200 * i))
+            seen |= new
+
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("t_us", LongType()),
+            ]
+        )
+
+        def one_side() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .withColumn("ts", F.timestamp_micros(F.col("t_us")))
+            )
+
+        joined = left_outer_attribution(one_side(), one_side())
+        # The sentinel filter runs on the MATERIALIZED result, not in the
+        # streaming plan: inside the plan Catalyst may legally push
+        # `user_id >= 0` below the clicks-side EventTimeWatermark node
+        # (left-side pushdown through a left outer join), which silently
+        # stops the sentinel click from ever advancing the clicks
+        # watermark — observed as exactly the last click's null row
+        # missing. Post-materialization filtering cannot affect
+        # watermark propagation.
+        _, out = _run_to_memory(joined, "append", "st13")
+        out = out.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL ingest (st8): the continuous-crawl-drop shape.
 
