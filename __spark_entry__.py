@@ -3993,6 +3993,61 @@ def x44_product_quantization(spark, sf_dir):
     )
 
 
+def x45_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction — PageRank power iteration over the
+    term co-occurrence graph (adjacent-token edges, both directions),
+    the classic graph-based keyword ranker and THE iterative-algorithm
+    surface. Three unrolled rounds where every rank update is EXACT
+    int64 arithmetic on a 1e6 micro-grid: contribution =
+    (rank·weight) div weighted-degree, damping 0.85 applied as
+    150000 + (85·inbound) div 100 — reduction-order-free, so the whole
+    fixpoint trajectory is bit-identical in DuckDB's unrolled-CTE twin.
+    Scale shape: edges + degrees are computed ONCE (two hash aggs keyed
+    by term); each iteration is one shuffle join (ranks ⋈ edges on src)
+    + one hash agg (sum by dst) — vocabulary-sized frames, never
+    broadcast (x25 discipline). On a cluster each iteration's rank
+    frame would be checkpointed to truncate lineage; 3 unrolled rounds
+    keep the plan bounded here. Top-20 plans as TakeOrderedAndProject."""
+    SCALE = 1_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                    " (x, i) -> array(array(x, t[i+1]), array(t[i+1], x))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p")[0].alias("src"), F.col("p")[1].alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
+    e2 = edges.join(wdeg, "src")  # static per-edge (weight, degree)
+    ranks = wdeg.select("src", F.lit(SCALE).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = e2.join(ranks, "src").select(
+            "dst", F.expr("(r * w) div wd").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("src"),
+                F.expr(f"{15 * SCALE // 100} + ((85 * s) div 100)")
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("src").alias("term"), F.col("r").alias("rank_u"))
+        .orderBy(F.col("rank_u").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4163,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_dormant_highvalue": q22_dormant_highvalue,
         "x44_product_quantization": x44_product_quantization,
+        "x45_textrank_keywords": x45_textrank_keywords,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -5783,6 +5839,40 @@ SELECT n_name,
          AS dormant_balance
 FROM dormant JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+    d["x45_textrank_keywords"] = """
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+), pr AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), pairs AS (
+  SELECT a AS src, b AS dst FROM pr WHERE a <> b
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pr WHERE a <> b
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst
+), wdeg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY src
+), e2 AS (
+  SELECT e.src, e.dst, e.w, d.wd FROM edges e JOIN wdeg d USING (src)
+), r0 AS (
+  SELECT src, CAST(1000000 AS BIGINT) AS r FROM wdeg
+), r1 AS (
+  SELECT e2.dst AS src,
+         150000 + (85 * sum((r0.r * e2.w) // e2.wd)) // 100 AS r
+  FROM e2 JOIN r0 USING (src) GROUP BY e2.dst
+), r2 AS (
+  SELECT e2.dst AS src,
+         150000 + (85 * sum((r1.r * e2.w) // e2.wd)) // 100 AS r
+  FROM e2 JOIN r1 USING (src) GROUP BY e2.dst
+), r3 AS (
+  SELECT e2.dst AS src,
+         150000 + (85 * sum((r2.r * e2.w) // e2.wd)) // 100 AS r
+  FROM e2 JOIN r2 USING (src) GROUP BY e2.dst
+)
+SELECT src AS term, CAST(r AS BIGINT) AS rank_u FROM r3
+ORDER BY rank_u DESC, term ASC LIMIT 20
 """
     d["x44_product_quantization"] = """
 WITH q AS (
