@@ -1867,6 +1867,20 @@ def w12_sessionize(spark, sf_dir):
     )
 
 
+def mm7_audio_segment_features(spark, sf_dir):
+    """REAL audio feature extraction (the audio twin of mm5/mm6's image
+    story — the stub is gone from this path): synthetic mono 16-bit PCM
+    WAV fixtures are decoded with the stdlib RIFF codec, windowed into
+    overlapping sample segments (40 ms win / 30 ms hop at 8 kHz), and
+    each segment's integer |amplitude| sum is emitted — the energy core
+    of a VAD/loudness feature. Every segment passes through the
+    encode→decode slice roundtrip, so any codec bug (header, stride,
+    byte order) changes sum_abs. The oracle replays the synthetic
+    sample formula and the window arithmetic in closed-form SQL."""
+    media = MM.synthetic_audio_media(spark, 64)
+    return MM.audio_segment_stats(media)
+
+
 def mm6_image_channel_stats(spark, sf_dir):
     """REAL image feature extraction (no stub anywhere in this path):
     decode every synthetic BMP fixture with the stdlib codec and emit
@@ -4210,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io1_orc_roundtrip": io1_orc_roundtrip,
         "x43_oov_rate": x43_oov_rate,
         "mm6_image_channel_stats": mm6_image_channel_stats,
+        "mm7_audio_segment_features": mm7_audio_segment_features,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -5839,6 +5854,28 @@ SELECT n_name,
          AS dormant_balance
 FROM dormant JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+    d["mm7_audio_segment_features"] = """
+WITH aud AS (
+  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
+  FROM range(0, 64) t(id) WHERE id % 3 = 1
+), seg AS (
+  SELECT asset_id, n,
+         unnest(range(0, greatest((n + 239) // 240, 1))) AS k
+  FROM aud
+), sam AS (
+  SELECT asset_id, k, n,
+         unnest(range(k * 240, least(k * 240 + 320, n))) AS i
+  FROM seg
+)
+SELECT asset_id,
+       CAST(k AS INT) AS segment_idx,
+       CAST((k * 240) // 8 AS INT) AS start_ms,
+       CAST(least(k * 240 + 320, n) // 8 AS INT) AS end_ms,
+       CAST(least(k * 240 + 320, n) - k * 240 AS INT) AS n_samples,
+       CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
+            AS BIGINT) AS sum_abs
+FROM sam GROUP BY asset_id, k, n
 """
     d["x45_textrank_keywords"] = """
 WITH toks AS (

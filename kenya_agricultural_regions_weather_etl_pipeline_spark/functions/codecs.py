@@ -132,3 +132,85 @@ def synthetic_bmp(asset_id: int, width: int, height: int) -> bytes:
         height,
         [[synthetic_pixel(asset_id, x, y) for x in range(width)] for y in range(height)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib audio codec: mono 16-bit PCM WAV (RIFF/WAVE)
+# ---------------------------------------------------------------------------
+# The REAL decode path for the audio surface, mirroring the BMP story:
+# no audio library ships in this container, but canonical PCM WAV is a
+# fixed RIFF layout that ``struct`` parses directly, so audio operators
+# can slice/aggregate real samples end-to-end. Non-PCM / multi-channel
+# payloads raise ValueError and callers fall back to the marked stub.
+
+_FMT_CHUNK = struct.Struct("<HHIIHH")
+
+
+def is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) >= 44
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM samples as a canonical 44-byte-header WAV."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    out += struct.pack("<4sI", b"fmt ", 16)
+    out += _FMT_CHUNK.pack(1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a mono 16-bit PCM WAV into (sample_rate, samples).
+
+    Walks RIFF chunks generically (fmt need not be adjacent to data;
+    odd-sized chunks are word-aligned per the RIFF spec). Raises
+    ``ValueError`` for anything that is not mono 16-bit PCM — callers
+    use that to fall back to the stub.
+    """
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits, samples = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, channels, rate, _, _, bits = _FMT_CHUNK.unpack_from(payload, pos)
+            if fmt != 1:
+                raise ValueError("unsupported WAV (need PCM)")
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("data chunk before fmt chunk")
+            if bits != 16 or channels != 1:
+                raise ValueError("unsupported WAV (need mono 16-bit)")
+            data = payload[pos : pos + csz]
+            samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+        pos += csz + (csz & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def slice_wav(payload: bytes, start: int, end: int) -> bytes:
+    """Decode, slice samples [start:end), re-encode at the same rate."""
+    rate, samples = decode_wav(payload)
+    return encode_wav(samples[start:end], rate)
+
+
+def synthetic_sample(asset_id: int, i: int) -> int:
+    """Deterministic sample formula for the synthetic WAV fixtures —
+    pure integer arithmetic a SQL oracle replays verbatim."""
+    return ((asset_id * 7919 + i * 4409) % 9973) - 4986
+
+
+def synthetic_wav(asset_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A real, decodable WAV whose samples follow :func:`synthetic_sample`."""
+    return encode_wav(
+        [synthetic_sample(asset_id, i) for i in range(n_samples)], sample_rate
+    )

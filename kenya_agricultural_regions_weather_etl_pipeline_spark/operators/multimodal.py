@@ -5,10 +5,12 @@ struct. The Spark-side plumbing — schema, partition-friendly layout,
 Arrow-batched UDF signatures, mapInPandas batch shape — is real and
 tested. The IMAGE path decodes for real: 24-bit BMP payloads go through
 a stdlib-only codec (functions/codecs.py — decode → resample →
-re-encode, pixel-level verified by mm5's oracle). Audio/video decode
-and non-BMP image formats remain STUBBED (no media libs ship in this
-container) behind deterministic fakes controlled by ``decode_fn`` /
-``resize_fn``, clearly marked below.
+re-encode, pixel-level verified by mm5's oracle). The AUDIO path also
+decodes for real: mono 16-bit PCM WAV payloads go through a stdlib RIFF
+codec (decode → PCM window slice → re-encode, sample-level verified by
+mm7's oracle). Video decode and non-BMP/non-WAV formats remain STUBBED
+(no media libs ship in this container) behind deterministic fakes
+controlled by ``decode_fn`` / ``resize_fn``, clearly marked below.
 
 Scale notes: payloads stay in executor memory only within a batch;
 `mapInPandas` streams Arrow record batches, so a 100 TB corpus of
@@ -223,6 +225,8 @@ def segment_audio(
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs as C
+
         for pdf in it:
             out: dict[str, list] = {
                 "asset_id": [],
@@ -236,9 +240,19 @@ def segment_audio(
             ):
                 dur = int(dur)
                 n_seg = max(1, -(-dur // hop_ms))
-                for k, seg in enumerate(
-                    _stub_segment_decode(bytes(payload), n_seg)
-                ):
+                raw = bytes(payload)
+                if C.is_wav(raw):
+                    # REAL path: slice actual PCM sample windows and
+                    # re-encode each as a standalone playable WAV
+                    rate, samples = C.decode_wav(raw)
+                    segs = []
+                    for k in range(n_seg):
+                        s = k * hop_ms * rate // 1000
+                        e = min((k * hop_ms + win_ms) * rate // 1000, len(samples))
+                        segs.append(C.encode_wav(samples[s:e], rate))
+                else:
+                    segs = _stub_segment_decode(raw, n_seg)
+                for k, seg in enumerate(segs):
                     out["asset_id"].append(aid)
                     out["segment_idx"].append(k)
                     out["start_ms"].append(k * hop_ms)
@@ -430,4 +444,97 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("asset_id", "payload").mapInPandas(
         stats, CHANNEL_STATS_SCHEMA
+    )
+
+
+def synthetic_audio_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic audio fixture table with REAL (decodable) mono
+    16-bit PCM WAV payloads: asset ids follow synthetic_media's layout
+    (every id with id%3==1 is audio), lengths vary per asset
+    (n_samples = 512 + id%7·128 at 8 kHz), and every sample follows
+    codecs.synthetic_sample — pure integer arithmetic a SQL oracle can
+    replay. Payload bytes are built executor-side in Arrow batches."""
+    from ..functions import codecs as C
+
+    ids = spark.range(n).filter(F.col("id") % 3 == 1).select(
+        F.col("id").alias("asset_id"),
+        (512 + F.col("id") % 7 * 128).cast("int").alias("n_samples"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "audio",
+                    "mime": "audio/wav",
+                    "payload": [
+                        C.synthetic_wav(int(a), int(ns))
+                        for a, ns in zip(pdf["asset_id"], pdf["n_samples"])
+                    ],
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": [int(ns) * 1000 // 8000 for ns in pdf["n_samples"]],
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_SEGMENT_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("segment_idx", IntegerType(), False),
+        StructField("start_ms", IntegerType(), False),
+        StructField("end_ms", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("sum_abs", LongType(), False),
+    ]
+)
+
+
+def audio_segment_stats(
+    media: DataFrame, win_ms: int = 40, hop_ms: int = 30
+) -> DataFrame:
+    """REAL audio feature extraction (no stub anywhere in this path):
+    decode each WAV payload, window it into overlapping PCM segments
+    (win/hop on the sample grid), and emit each segment's integer
+    |amplitude| sum — the energy core of a VAD / loudness feature.
+    Every segment goes through slice_wav's encode→decode ROUNDTRIP, so
+    a corrupt header, wrong stride, or sample-order bug anywhere in the
+    codec changes sum_abs. Closed-form for the synthetic fixtures —
+    SQL-oracle-checkable. Narrow Arrow map stage: zero shuffle."""
+    from ..functions import codecs as C
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "segment_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "n_samples": [],
+                "sum_abs": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                rate, samples = C.decode_wav(raw)
+                win_s = win_ms * rate // 1000
+                hop_s = hop_ms * rate // 1000
+                n = len(samples)
+                n_seg = max(1, -(-n // hop_s))
+                for k in range(n_seg):
+                    s = k * hop_s
+                    e = min(s + win_s, n)
+                    _, seg = C.decode_wav(C.slice_wav(raw, s, e))
+                    out["asset_id"].append(aid)
+                    out["segment_idx"].append(k)
+                    out["start_ms"].append(s * 1000 // rate)
+                    out["end_ms"].append(e * 1000 // rate)
+                    out["n_samples"].append(e - s)
+                    out["sum_abs"].append(sum(abs(v) for v in seg))
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        stats, AUDIO_SEGMENT_STATS_SCHEMA
     )

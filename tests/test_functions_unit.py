@@ -648,3 +648,62 @@ def test_resize_images_stub_fallback_for_non_bmp():
 
     out = _real_or_stub_resize(b"BLOB:000000000042", 32, 32)
     assert out.endswith(b":resized:32x32")
+
+
+def test_wav_codec_roundtrip_and_slice():
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    raw = C.synthetic_wav(5, 700)
+    rate, samples = C.decode_wav(raw)
+    assert rate == 8000 and len(samples) == 700
+    assert samples[3] == C.synthetic_sample(5, 3)
+    assert min(samples) >= -4986 and max(samples) <= 4986
+    # slice is a true PCM window: re-decoded samples == python slice
+    rate2, seg = C.decode_wav(C.slice_wav(raw, 240, 560))
+    assert rate2 == rate and seg == samples[240:560]
+    # negative samples survive the int16 little-endian roundtrip
+    neg = C.encode_wav([-1, -32768, 32767, 0], 16000)
+    assert C.decode_wav(neg) == (16000, [-1, -32768, 32767, 0])
+
+
+def test_wav_codec_rejects_non_wav_and_walks_chunks():
+    import struct
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    with __import__("pytest").raises(ValueError):
+        C.decode_wav(b"BLOB:000000000042")
+    assert not C.is_wav(b"RIFFxxxx")  # too short / wrong magic
+    # an extra chunk between fmt and data must be skipped (RIFF walk)
+    base = C.encode_wav([7, -7, 42], 8000)
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = fmt_chunk + extra + data_chunk
+    padded = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert C.decode_wav(padded) == (8000, [7, -7, 42])
+
+
+def test_segment_audio_slices_real_wav_payloads(spark):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    media = MM.synthetic_audio_media(spark, 16)
+    segs = MM.segment_audio(media, win_ms=40, hop_ms=30).collect()
+    assert segs, "no segments produced"
+    for row in segs:
+        rate, seg = C.decode_wav(bytes(row.segment_payload))
+        assert rate == 8000
+        _, full = C.decode_wav(C.synthetic_wav(row.asset_id,
+                                               512 + row.asset_id % 7 * 128))
+        s = row.segment_idx * 30 * 8  # hop_ms * rate/1000
+        e = min(s + 40 * 8, len(full))
+        assert seg == full[s:e]
