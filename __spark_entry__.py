@@ -1928,6 +1928,50 @@ def io2_python_sink_roundtrip(spark, sf_dir):
     )
 
 
+def io3_snapshot_time_travel(spark, sf_dir):
+    """Versioned-snapshot TIME TRAVEL over the manifest-committed sink
+    (the table-format pattern: immutable per-version manifests + an
+    atomically-flipped HEAD pointer): three commits build the table —
+    v1 overwrite(src0), v2 append(src1), v3 append(src2) — and the
+    query reads *version 2* AFTER v3 has committed. Equality with the
+    oracle (src0+src1 only) proves snapshot isolation: later commits
+    cannot leak into a pinned historical read, because append commits
+    share data files and only add a manifest. At 100 TB a commit costs
+    one driver-side manifest write; readers pay two metadata fetches."""
+    import tempfile
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+        snapshot_log,
+    )
+
+    if not register_json_sink(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource writer API unavailable")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="io3_snap_")
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+        docs.filter(F.col("source") == f"src{i}").write.format(
+            "jsonl_commit"
+        ).option("path", path).mode(mode).save()
+    log = snapshot_log(path)
+    assert [s["version"] for s in log] == [1, 2, 3], log
+    v2 = read_snapshot(
+        spark,
+        path,
+        "doc_id long, source string, lang string, n_chars long",
+        version=2,
+    )
+    return v2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def s6_variant_access(spark, sf_dir):
     """Spark 4 VARIANT type surface: semi-structured props parsed ONCE
     into the binary VARIANT encoding (`parse_json`), then field access
@@ -4227,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm7_audio_segment_features": mm7_audio_segment_features,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
+        "io3_snapshot_time_travel": io3_snapshot_time_travel,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
@@ -5792,6 +5837,15 @@ SELECT source,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
+"""
+    d["io3_snapshot_time_travel"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents WHERE source IN ('src0', 'src1')
+GROUP BY source
 """
     d["q13_order_count_distribution"] = """
 WITH per_cust AS (

@@ -16,6 +16,17 @@ Readers therefore MUST resolve the manifest (``read_committed``): a
 directory listing would see uncommitted garbage. This is the same
 manifest-pointer pattern object-store table formats use for atomic
 publish; at 100 TB the manifest stays driver-sized (one line per task).
+
+VERSIONED SNAPSHOTS (the time-travel half of the pattern): every commit
+also publishes an immutable ``_MANIFEST.v{N}`` and flips the ``_HEAD``
+pointer atomically. ``mode("append")`` chains the parent's file list
+(data files are append-only and shared across versions — a commit costs
+one manifest, not a rewrite); ``mode("overwrite")`` starts a new file
+set while old versions stay readable. ``read_snapshot(version=N)``
+pins a read to any historical version regardless of later commits —
+snapshot isolation by construction, since manifests are immutable and
+the pointer flip is the only mutation. Single-writer is assumed here;
+a real object-store deployment would CAS the pointer swap.
 """
 
 from __future__ import annotations
@@ -27,6 +38,19 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST"
+HEAD = "_HEAD"
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
 
 try:
     from pyspark.sql.datasource import (
@@ -41,8 +65,9 @@ try:
             self.n_rows = n_rows
 
     class JsonDirWriter(DataSourceWriter):
-        def __init__(self, options):
+        def __init__(self, options, overwrite: bool = False):
             self.path = options.get("path")
+            self.overwrite = overwrite
             if not self.path:
                 raise ValueError("jsonl_commit sink requires a 'path' option")
 
@@ -57,14 +82,36 @@ try:
             return _PartFile(fname, n)
 
         def commit(self, messages):
+            new_files = sorted(m.filename for m in messages if m)
+            n_new = sum(m.n_rows for m in messages if m)
+            # resolve the parent snapshot via the HEAD pointer
+            head_path = os.path.join(self.path, HEAD)
+            parent, parent_files, parent_rows = 0, [], 0
+            if os.path.exists(head_path):
+                parent = _read_json(head_path)["version"]
+                pm = _read_json(
+                    os.path.join(self.path, f"{MANIFEST}.v{parent}")
+                )
+                parent_files, parent_rows = pm["files"], pm["rows"]
+            if self.overwrite:
+                files, rows = new_files, n_new
+            else:  # append chains the parent's (shared, immutable) files
+                files, rows = sorted(parent_files + new_files), parent_rows + n_new
+            version = parent + 1
             manifest = {
-                "files": sorted(m.filename for m in messages if m),
-                "rows": sum(m.n_rows for m in messages if m),
+                "version": version,
+                "parent": parent or None,
+                "files": files,
+                "rows": rows,
             }
-            tmp = os.path.join(self.path, MANIFEST + ".tmp")
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, os.path.join(self.path, MANIFEST))
+            # immutable per-version manifest, latest-alias, then the
+            # pointer flip LAST — a crash between steps leaves the old
+            # head intact and the new version simply unreferenced
+            _write_json_atomic(
+                os.path.join(self.path, f"{MANIFEST}.v{version}"), manifest
+            )
+            _write_json_atomic(os.path.join(self.path, MANIFEST), manifest)
+            _write_json_atomic(head_path, {"version": version})
 
         def abort(self, messages):
             # no manifest -> nothing published; stray part files are
@@ -79,7 +126,7 @@ try:
             return "jsonl_commit"
 
         def writer(self, schema, overwrite):
-            return JsonDirWriter(self.options)
+            return JsonDirWriter(self.options, overwrite)
 
     HAS_WRITER_API = True
 except Exception:  # pragma: no cover - older pyspark
@@ -105,3 +152,35 @@ def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
         manifest = json.load(fh)
     files = [os.path.join(path, f) for f in manifest["files"]]
     return spark.read.schema(schema).json(files)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, schema: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: pin to snapshot ``version`` (or HEAD when
+    None). Manifests are immutable, so a version-pinned read returns
+    the same rows forever, regardless of later commits — snapshot
+    isolation without locks. Metadata cost: two driver-side JSON reads."""
+    if version is None:
+        version = _read_json(os.path.join(path, HEAD))["version"]
+    manifest = _read_json(os.path.join(path, f"{MANIFEST}.v{version}"))
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.schema(schema).json(files)
+
+
+def snapshot_log(path: str) -> list[dict]:
+    """The commit log, oldest first: (version, parent, n_files, rows)
+    per snapshot — driver-side metadata only."""
+    head = _read_json(os.path.join(path, HEAD))["version"]
+    out = []
+    for v in range(1, head + 1):
+        m = _read_json(os.path.join(path, f"{MANIFEST}.v{v}"))
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+                "rows": m["rows"],
+            }
+        )
+    return out

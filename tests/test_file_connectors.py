@@ -153,3 +153,57 @@ def test_jsonl_commit_sink_manifest_isolation(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 999999").count() == 0
     assert back.selectExpr("sum(v)").first()[0] == sum(2 * i for i in range(100))
+
+
+def test_snapshot_versions_chain_and_time_travel(spark, tmp_path):
+    """Versioned manifests: append chains the parent's files, overwrite
+    starts a new file set, and a version-pinned read is STABLE across
+    later commits (snapshot isolation)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+        snapshot_log,
+    )
+
+    assert register_json_sink(spark)
+    path = str(tmp_path / "snap")
+    schema = "id long, v long"
+
+    def commit(lo, hi, mode):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.format("jsonl_commit")
+            .option("path", path)
+            .mode(mode)
+            .save()
+        )
+
+    commit(0, 10, "append")     # v1: 0-9
+    commit(10, 30, "append")    # v2: 0-29 (chains v1's files)
+    v2_before = read_snapshot(spark, path, schema, version=2).count()
+    commit(30, 35, "append")    # v3: 0-34
+    commit(100, 104, "overwrite")  # v4: 100-103 only (new lineage)
+
+    log = snapshot_log(path)
+    assert [(s["version"], s["parent"], s["rows"]) for s in log] == [
+        (1, None, 10),
+        (2, 1, 30),
+        (3, 2, 35),
+        (4, 3, 4),
+    ]
+    # append shares data files: v3 = v2's files + 1 new
+    assert log[2]["n_files"] == log[1]["n_files"] + 1
+    # overwrite resets the file set without touching history
+    assert log[3]["n_files"] == 1
+
+    # time travel: pinned reads reflect their snapshot, not HEAD
+    assert read_snapshot(spark, path, schema, version=1).count() == 10
+    assert read_snapshot(spark, path, schema, version=2).count() == 30
+    assert v2_before == 30
+    v2_ids = read_snapshot(spark, path, schema, version=2)
+    assert v2_ids.selectExpr("max(id)").first()[0] == 29
+    # HEAD read = latest overwrite
+    head = read_snapshot(spark, path, schema)
+    assert sorted(r.id for r in head.collect()) == [100, 101, 102, 103]
