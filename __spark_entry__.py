@@ -1881,6 +1881,41 @@ def mm7_audio_segment_features(spark, sf_dir):
     return MM.audio_segment_stats(media)
 
 
+def w13_event_transitions(spark, sf_dir):
+    """Event-type transition matrix (the Markov-chain / user-journey
+    analytic behind funnel discovery): per user, events ordered by
+    µs-pinned time (+event_id tiebreak — the j6/w10 precision
+    discipline), consecutive (from → to) pairs counted and normalized
+    into transition probabilities. One window sort-exchange on user_id
+    feeds the lag; the pair counts and the per-from totals are two hash
+    aggs over the tiny type×type domain; the final normalize join is
+    AQE-broadcast. p = one double division of exact integers, rounded
+    half-up on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n_transitions").alias("t"))
+    return cnt.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        W.round_half_up(
+            F.col("n_transitions").cast("double") / F.col("t"), 6
+        ).alias("p"),
+    )
+
+
 def mm6_image_channel_stats(spark, sf_dir):
     """REAL image feature extraction (no stub anywhere in this path):
     decode every synthetic BMP fixture with the stdlib codec and emit
@@ -4269,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x43_oov_rate": x43_oov_rate,
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "mm7_audio_segment_features": mm7_audio_segment_features,
+        "w13_event_transitions": w13_event_transitions,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
@@ -5837,6 +5873,24 @@ SELECT source,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
+"""
+    d["w13_event_transitions"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS from_type
+  FROM events
+), cnt AS (
+  SELECT from_type, event_type AS to_type, count(*) AS n
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY from_type, event_type
+), tot AS (
+  SELECT from_type, sum(n) AS t FROM cnt GROUP BY from_type
+)
+SELECT c.from_type, c.to_type,
+       CAST(c.n AS BIGINT) AS n_transitions,
+       {W.round_half_up_sql("CAST(c.n AS DOUBLE) / t", 6)} AS p
+FROM cnt c JOIN tot USING (from_type)
 """
     d["io3_snapshot_time_travel"] = """
 SELECT source,
