@@ -2374,6 +2374,53 @@ def r6_incremental_rollup(spark, sf_dir):
     )
 
 
+def r7_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view — r6's combiner law
+    extended to TWO-SIDED deltas via the join-delta algebra
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB: the standing
+    (segment, priority) spend view absorbs a batch of new orders AND a
+    batch of new customers by joining only the deltas — each term is
+    bounded by |Δ|·match-rate, never |A|·|B|, so a refresh pays for
+    what changed, not the history (at 100 TB the A₀⋈ΔB term shuffles
+    only ΔB against the standing side's layout). The four partials
+    merge by the same combiner law as r6, spend carried in
+    DECIMAL(18,2) so the incremental result EQUALS the full
+    recompute — the oracle is the plain full join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    a0 = orders.filter(F.col("o_orderdate") < cut)
+    da = orders.filter(F.col("o_orderdate") >= cut)
+    c0 = cust.filter(F.col("c_custkey") % 10 < 8)
+    dc = cust.filter(F.col("c_custkey") % 10 >= 8)
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+
+    def partials(o, c):
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        return j.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"),
+        )
+
+    sums = ["n_orders", "sp"]
+    merged = M.merge_partial_aggregates(
+        M.merge_partial_aggregates(
+            partials(a0, c0), partials(da, c0), keys=keys, sum_cols=sums
+        ),
+        M.merge_partial_aggregates(
+            partials(a0, dc), partials(da, dc), keys=keys, sum_cols=sums
+        ),
+        keys=keys,
+        sum_cols=sums,
+    )
+    return merged.select(
+        *keys,
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sp").cast("double").alias("spend"),
+    )
+
+
 def st11_weather_stream_etl(spark, sf_dir):
     """The reference DAG in its TRUE operating mode (§2.7 × §3.1): each
     micro-batch is one scheduled day from the day-offset streaming
@@ -4173,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qv1_quality_verdict": qv1_quality_verdict,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
+        "r7_incremental_join_view": r7_incremental_join_view,
         "j5_scd2_pointintime": j5_scd2_pointintime,
         "sql2_star_join_sql": sql2_star_join_sql,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
@@ -5873,6 +5921,13 @@ SELECT source,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
+"""
+    d["r7_incremental_join_view"] = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
 """
     d["w13_event_transitions"] = f"""
 WITH ordered AS (
