@@ -1867,6 +1867,39 @@ def w12_sessionize(spark, sf_dir):
     )
 
 
+def x46_grouped_agg_udaf(spark, sf_dir):
+    """Pandas GROUPED_AGG UDAF — the last leg of the custom-function
+    triad (scalar pandas_udf twin: pytest; table function: x42 UDTF;
+    and now a user-defined AGGREGATE): per-source LOWER MEDIAN of
+    document lengths computed inside an Arrow-batched grouped
+    aggregation (Series → scalar per group). The statistic is
+    deliberately integer-exact (element at index (n−1)÷2 of the sorted
+    values — no interpolation, no float sum), so the thing under test
+    is the UDAF plumbing and the oracle is exact. On a hot path this
+    particular stat would be percentile_approx/exact SQL (a7); the
+    UDAF is the escape hatch for group-level logic aggregates can't
+    express. One shuffle on source; Arrow transfers one Series per
+    group."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def lower_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return int(s[(len(s) - 1) // 2])
+
+    # a GROUPED_AGG pandas UDF cannot mix with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        n_rows(F.col("n_chars")).alias("n_docs"),
+        lower_median(F.col("n_chars")).alias("median_chars"),
+    )
+
+
 def mm7_audio_segment_features(spark, sf_dir):
     """REAL audio feature extraction (the audio twin of mm5/mm6's image
     story — the stub is gone from this path): synthetic mono 16-bit PCM
@@ -2005,6 +2038,79 @@ def io3_snapshot_time_travel(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def io4_streaming_sink_commit_log(spark, sf_dir):
+    """Python DataSource STREAMING writer — the 4th custom-connector
+    quadrant (batch read: S1 weather_api; stream read: st10; batch
+    write: io2; stream write: THIS): the events backlog replays as 3
+    micro-batches (file-split source, maxFilesPerTrigger=1), each batch
+    committing ONE append snapshot to the manifest sink — the stream
+    materializes as a table-format commit log (3 versions, shared data
+    files, batch_id-stamped manifests for exactly-once replay). The
+    query reads HEAD back through the snapshot reader and aggregates;
+    the oracle aggregates the original parquet — equality proves the
+    stream → task part files → per-batch commit → snapshot-read cycle
+    is lossless."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+        snapshot_log,
+    )
+
+    if not register_json_sink(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource writer API unavailable")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us"), "value"
+    )
+    src = tempfile.mkdtemp(prefix="io4_src_")
+    sink = tempfile.mkdtemp(prefix="io4_sink_")
+    ckpt = tempfile.mkdtemp(prefix="io4_ckpt_")
+    try:
+        ev.repartition(3).write.mode("overwrite").json(src)
+        now = _time.time()
+        for f in _glob.glob(os.path.join(src, "*.json")):
+            os.utime(f, (now - 300, now - 300))  # st13 lesson: never future
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, t_us long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.json")
+            .json(src)
+        )
+        q = (
+            stream.writeStream.format("jsonl_commit")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        log = snapshot_log(sink)
+        assert len(log) == 3, log  # one snapshot per micro-batch
+        assert [s["parent"] for s in log] == [None, 1, 2], log
+        back = read_snapshot(
+            spark,
+            sink,
+            "event_id long, event_type string, t_us long, value double",
+        )
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_ev"),
+            F.max("event_id").alias("max_ev"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def s6_variant_access(spark, sf_dir):
@@ -4353,9 +4459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "mm7_audio_segment_features": mm7_audio_segment_features,
         "w13_event_transitions": w13_event_transitions,
+        "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
+        "io4_streaming_sink_commit_log": io4_streaming_sink_commit_log,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
@@ -5922,6 +6030,19 @@ SELECT source,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
 """
+    d["x46_grouped_agg_udaf"] = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source,
+       CAST(max(cnt) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_chars END)
+            AS BIGINT) AS median_chars
+FROM ranked GROUP BY source
+"""
     d["r7_incremental_join_view"] = """
 SELECT c_mktsegment, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -5955,6 +6076,14 @@ SELECT source,
        max(doc_id) AS max_doc
 FROM documents WHERE source IN ('src0', 'src1')
 GROUP BY source
+"""
+    d["io4_streaming_sink_commit_log"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       min(event_id) AS min_ev,
+       max(event_id) AS max_ev
+FROM events GROUP BY event_type
 """
     d["q13_order_count_distribution"] = """
 WITH per_cust AS (

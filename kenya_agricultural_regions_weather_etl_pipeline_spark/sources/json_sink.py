@@ -52,9 +52,57 @@ def _write_json_atomic(path: str, obj: dict) -> None:
         json.dump(obj, fh)
     os.replace(tmp, path)
 
+def _write_part(path: str, iterator) -> tuple[str, int]:
+    """Task-side part write shared by the batch and streaming writers."""
+    os.makedirs(path, exist_ok=True)
+    fname = f"part-{uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(os.path.join(path, fname), "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return fname, n
+
+
+def _commit_snapshot(
+    path: str,
+    new_files: list[str],
+    n_new: int,
+    overwrite: bool,
+    batch_id: int | None = None,
+) -> None:
+    """Driver-side snapshot commit shared by the batch and streaming
+    writers: resolve parent via HEAD, chain (append) or reset
+    (overwrite) the file list, publish the immutable per-version
+    manifest, then flip the pointer LAST."""
+    head_path = os.path.join(path, HEAD)
+    parent, parent_files, parent_rows = 0, [], 0
+    if os.path.exists(head_path):
+        parent = _read_json(head_path)["version"]
+        pm = _read_json(os.path.join(path, f"{MANIFEST}.v{parent}"))
+        parent_files, parent_rows = pm["files"], pm["rows"]
+    if overwrite:
+        files, rows = new_files, n_new
+    else:
+        files, rows = sorted(parent_files + new_files), parent_rows + n_new
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent or None,
+        "files": files,
+        "rows": rows,
+    }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    _write_json_atomic(os.path.join(path, f"{MANIFEST}.v{version}"), manifest)
+    _write_json_atomic(os.path.join(path, MANIFEST), manifest)
+    _write_json_atomic(head_path, {"version": version})
+
+
 try:
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamWriter,
         DataSourceWriter,
         WriterCommitMessage,
     )
@@ -72,54 +120,65 @@ try:
                 raise ValueError("jsonl_commit sink requires a 'path' option")
 
         def write(self, iterator):
-            os.makedirs(self.path, exist_ok=True)
-            fname = f"part-{uuid.uuid4().hex}.jsonl"
-            n = 0
-            with open(os.path.join(self.path, fname), "w") as fh:
-                for row in iterator:
-                    fh.write(json.dumps(row.asDict()) + "\n")
-                    n += 1
-            return _PartFile(fname, n)
+            return _PartFile(*_write_part(self.path, iterator))
 
         def commit(self, messages):
-            new_files = sorted(m.filename for m in messages if m)
-            n_new = sum(m.n_rows for m in messages if m)
-            # resolve the parent snapshot via the HEAD pointer
-            head_path = os.path.join(self.path, HEAD)
-            parent, parent_files, parent_rows = 0, [], 0
-            if os.path.exists(head_path):
-                parent = _read_json(head_path)["version"]
-                pm = _read_json(
-                    os.path.join(self.path, f"{MANIFEST}.v{parent}")
-                )
-                parent_files, parent_rows = pm["files"], pm["rows"]
-            if self.overwrite:
-                files, rows = new_files, n_new
-            else:  # append chains the parent's (shared, immutable) files
-                files, rows = sorted(parent_files + new_files), parent_rows + n_new
-            version = parent + 1
-            manifest = {
-                "version": version,
-                "parent": parent or None,
-                "files": files,
-                "rows": rows,
-            }
             # immutable per-version manifest, latest-alias, then the
             # pointer flip LAST — a crash between steps leaves the old
             # head intact and the new version simply unreferenced
-            _write_json_atomic(
-                os.path.join(self.path, f"{MANIFEST}.v{version}"), manifest
+            _commit_snapshot(
+                self.path,
+                sorted(m.filename for m in messages if m),
+                sum(m.n_rows for m in messages if m),
+                self.overwrite,
             )
-            _write_json_atomic(os.path.join(self.path, MANIFEST), manifest)
-            _write_json_atomic(head_path, {"version": version})
 
         def abort(self, messages):
             # no manifest -> nothing published; stray part files are
             # invisible to manifest-resolving readers
             pass
 
+    class JsonDirStreamWriter(DataSourceStreamWriter):
+        """Streaming twin of :class:`JsonDirWriter`: every micro-batch
+        commits ONE append snapshot (immutable manifest + HEAD flip),
+        so a stream materializes as a table-format commit log — any
+        prefix of the stream is readable via ``read_snapshot``.
+        Replayed batches (restart after a crash between sink commit and
+        checkpoint write) are detected by the recorded batch_id and
+        skipped, keeping the log exactly-once."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_commit sink requires a 'path' option")
+
+        def write(self, iterator):
+            return _PartFile(*_write_part(self.path, iterator))
+
+        def commit(self, messages, batchId):
+            head_path = os.path.join(self.path, HEAD)
+            if os.path.exists(head_path):
+                head = _read_json(head_path)["version"]
+                last = _read_json(
+                    os.path.join(self.path, f"{MANIFEST}.v{head}")
+                ).get("batch_id")
+                if last is not None and batchId <= last:
+                    return  # replayed batch: already in the log
+            _commit_snapshot(
+                self.path,
+                sorted(m.filename for m in messages if m),
+                sum(m.n_rows for m in messages if m),
+                overwrite=False,
+                batch_id=batchId,
+            )
+
+        def abort(self, messages, batchId):
+            pass  # unreferenced part files stay invisible
+
     class JsonCommitDataSource(DataSource):
-        """``df.write.format("jsonl_commit").option("path", dir).save()``"""
+        """``df.write.format("jsonl_commit").option("path", dir).save()``
+        (batch) and ``df.writeStream.format("jsonl_commit")`` (one
+        snapshot commit per micro-batch)."""
 
         @classmethod
         def name(cls):
@@ -127,6 +186,9 @@ try:
 
         def writer(self, schema, overwrite):
             return JsonDirWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite):
+            return JsonDirStreamWriter(self.options)
 
     HAS_WRITER_API = True
 except Exception:  # pragma: no cover - older pyspark

@@ -207,3 +207,32 @@ def test_snapshot_versions_chain_and_time_travel(spark, tmp_path):
     # HEAD read = latest overwrite
     head = read_snapshot(spark, path, schema)
     assert sorted(r.id for r in head.collect()) == [100, 101, 102, 103]
+
+
+def test_stream_writer_batch_replay_is_idempotent(tmp_path):
+    """A micro-batch replayed after a crash-between-commit-and-checkpoint
+    must NOT chain its files twice: the batch_id recorded in the
+    manifest makes the streaming commit exactly-once."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        _PartFile,
+        JsonDirStreamWriter,
+        snapshot_log,
+    )
+
+    path = str(tmp_path / "stream_sink")
+    w = JsonDirStreamWriter({"path": path})
+    import os
+
+    os.makedirs(path)
+    for fname, n in (("part-a.jsonl", 5), ("part-b.jsonl", 7)):
+        with open(os.path.join(path, fname), "w") as fh:
+            fh.write('{"x": 1}\n' * n)
+
+    w.commit([_PartFile("part-a.jsonl", 5)], batchId=0)
+    w.commit([_PartFile("part-b.jsonl", 7)], batchId=1)
+    # replay of batch 1 (and a stale replay of batch 0): both no-ops
+    w.commit([_PartFile("part-b.jsonl", 7)], batchId=1)
+    w.commit([_PartFile("part-a.jsonl", 5)], batchId=0)
+
+    log = snapshot_log(path)
+    assert [(s["version"], s["rows"]) for s in log] == [(1, 5), (2, 12)]

@@ -291,7 +291,8 @@ def test_no_python_eval_on_any_scalar_path(spark, sf01):
     for name in entrymod.queries():
         if name.startswith(("st", "mm", "e2e")) or name in (
             "qv1_quality_verdict",
-            "x42_sentence_split_udtf",
+            "x42_sentence_split_udtf",  # the UDTF path IS the point
+            "x46_grouped_agg_udaf",  # the pandas-UDAF path IS the point
         ):
             continue
         plan = _plan(spark, sf01, name)
