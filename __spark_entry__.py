@@ -1867,6 +1867,56 @@ def w12_sessionize(spark, sf_dir):
     )
 
 
+def j7_nearest_region_assignment(spark, sf_dir):
+    """Geo nearest-neighbor assignment against the reference's OWN
+    15-region dimension (sources/regions.py ←
+    daily_weather_etl_kenya.py:27-43): every user gets a deterministic
+    Kenya-bounding-box coordinate and is assigned its nearest
+    agricultural region — the spatial-join shape of 'which station
+    covers this sensor'. Distances are squared micro-degree integers
+    (both engines quantize the same double literals the same way), so
+    the argmin is exact; ties break on region name. Shape: the dim
+    side broadcasts (15 rows — the ONLY correct broadcast side), the
+    candidate set is |users|×15 built by a broadcast nested-loop, the
+    argmin is one struct-min hash agg, and the rollup is 15 groups.
+    At 100 TB the same plan holds: fact streams, dim ships once."""
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    pts = users.select(
+        "user_id",
+        (F.lit(-4_500_000) + (F.col("user_id") % 900) * 10_000).alias("plat_u"),
+        (F.lit(34_000_000) + (F.col("user_id") % 800) * 10_000).alias("plon_u"),
+    )
+    rows = [
+        (name, c["lat"], c["lon"]) for name, c in AGRICULTURAL_REGIONS.items()
+    ]
+    regions = spark.createDataFrame(
+        rows, "region string, lat double, lon double"
+    ).select(
+        "region",
+        F.expr("CAST(floor(lat*1000000.0+0.5) AS BIGINT)").alias("rlat_u"),
+        F.expr("CAST(floor(lon*1000000.0+0.5) AS BIGINT)").alias("rlon_u"),
+    )
+    cand = pts.crossJoin(F.broadcast(regions)).select(
+        "user_id",
+        "region",
+        (
+            (F.col("plat_u") - F.col("rlat_u"))
+            * (F.col("plat_u") - F.col("rlat_u"))
+            + (F.col("plon_u") - F.col("rlon_u"))
+            * (F.col("plon_u") - F.col("rlon_u"))
+        ).alias("d2"),
+    )
+    best = (
+        cand.groupBy("user_id")
+        .agg(F.min(F.struct("d2", "region")).alias("s"))
+        .select("user_id", F.col("s.region").alias("region"), F.col("s.d2").alias("d2"))
+    )
+    return best.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("d2").cast("bigint").alias("sum_d2_u"),
+    )
+
+
 def x46_grouped_agg_udaf(spark, sf_dir):
     """Pandas GROUPED_AGG UDAF — the last leg of the custom-function
     triad (scalar pandas_udf twin: pytest; table function: x42 UDTF;
@@ -4393,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_fuzzy_join": j3_fuzzy_join,
         "j4_interval_overlap_join": j4_interval_overlap_join,
         "j6_nearest_event_join": j6_nearest_event_join,
+        "j7_nearest_region_assignment": j7_nearest_region_assignment,
         "s3_map_props": s3_map_props,
         "x26_bigram_lm_score": x26_bigram_lm_score,
         "e2e_corpus_report": e2e_corpus_report,
@@ -6029,6 +6080,35 @@ SELECT source,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY source
+"""
+    region_values = ",\n    ".join(
+        f"('{name}', CAST(floor({c['lat']!r}*1000000.0+0.5) AS BIGINT), "
+        f"CAST(floor({c['lon']!r}*1000000.0+0.5) AS BIGINT))"
+        for name, c in AGRICULTURAL_REGIONS.items()
+    )
+    d["j7_nearest_region_assignment"] = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         -4500000 + (user_id % 900) * 10000 AS plat_u,
+         34000000 + (user_id % 800) * 10000 AS plon_u
+  FROM users
+), regions(region, rlat_u, rlon_u) AS (
+  VALUES {region_values}
+), cand AS (
+  SELECT user_id, region,
+         (plat_u - rlat_u) * (plat_u - rlat_u)
+         + (plon_u - rlon_u) * (plon_u - rlon_u) AS d2
+  FROM pts, regions
+), best AS (
+  SELECT user_id, region, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY d2, region) AS rn
+    FROM cand) t WHERE rn = 1
+)
+SELECT region, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(d2) AS BIGINT) AS sum_d2_u
+FROM best GROUP BY region
 """
     d["x46_grouped_agg_udaf"] = """
 WITH ranked AS (
