@@ -2090,6 +2090,65 @@ def io3_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def s7_xml_roundtrip(spark, sf_dir):
+    """Spark 4 XML surface (the third semi-structured dialect after
+    JSON/S2 and VARIANT/s6): each event becomes an XML document via
+    ``to_xml(struct(...))``, is parsed back with ``from_xml`` under an
+    explicit schema, and the PARSED fields aggregate per type. The
+    oracle aggregates the ORIGINAL columns — equality proves the XML
+    encode→decode cycle is lossless for longs/strings. Integer-only
+    payload fields on purpose: float→text→float roundtrips are
+    formatter-dependent, ints are exact in any dialect. Narrow map +
+    one hash agg; no Python anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    xml = ev.select(
+        F.to_xml(
+            F.struct("event_id", "user_id", "event_type"),
+            {"rowTag": "event"},
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            F.col("doc"),
+            "event_id LONG, user_id LONG, event_type STRING",
+            {"rowTag": "event"},
+        ).alias("e")
+    ).select("e.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+        F.min("event_id").alias("min_ev"),
+        F.max("event_id").alias("max_ev"),
+    )
+
+
+def p14_string_surface(spark, sf_dir):
+    """The string-function surface a reference user would reach for
+    (§2.3's projection family, widened): case mapping, reverse,
+    translate, padding, split_part token access, fixed-width
+    left/right slices, and character replace — every one a JVM
+    codegen'd expression with an exact DuckDB twin (functions chosen
+    for cross-dialect identical semantics; initcap is deliberately
+    absent — DuckDB lacks it). Full-table row-level output so the hash
+    compare checks every value, not an aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("up"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.translate(F.col("c_name"), "aeiou", "#####").alias("tr"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("pad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("stem"),
+        F.substring(F.col("c_name"), 2, 5).alias("mid"),
+        F.expr("left(c_name, 3)").alias("l3"),
+        F.expr("right(c_name, 3)").alias("r3"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "x").alias("masked"),
+        F.length(F.col("c_name")).cast("int").alias("len"),
+    )
+
+
 def io4_streaming_sink_commit_log(spark, sf_dir):
     """Python DataSource STREAMING writer — the 4th custom-connector
     quadrant (batch read: S1 weather_api; stream read: st10; batch
@@ -4515,6 +4574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
         "io4_streaming_sink_commit_log": io4_streaming_sink_commit_log,
+        "s7_xml_roundtrip": s7_xml_roundtrip,
+        "p14_string_surface": p14_string_surface,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
@@ -6156,6 +6217,28 @@ SELECT source,
        max(doc_id) AS max_doc
 FROM documents WHERE source IN ('src0', 'src1')
 GROUP BY source
+"""
+    d["s7_xml_roundtrip"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       min(event_id) AS min_ev,
+       max(event_id) AS max_ev
+FROM events GROUP BY event_type
+"""
+    d["p14_string_surface"] = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       reverse(c_name) AS rev,
+       translate(c_name, 'aeiou', '#####') AS tr,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+       split_part(c_name, '#', 1) AS stem,
+       substr(c_name, 2, 5) AS mid,
+       left(c_name, 3) AS l3,
+       right(c_name, 3) AS r3,
+       regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
+       CAST(length(c_name) AS INT) AS len
+FROM customer
 """
     d["io4_streaming_sink_commit_log"] = """
 SELECT event_type,
