@@ -1999,6 +1999,19 @@ def w13_event_transitions(spark, sf_dir):
     )
 
 
+def mm8_video_frame_stats(spark, sf_dir):
+    """REAL video feature extraction — the modality trio completed
+    (BMP images mm5/mm6, PCM-WAV audio mm7, and now Y4M video): C420
+    YUV4MPEG2 streams are decoded with the stdlib codec and each frame
+    emits integer plane sums (luma + both chroma) — the
+    brightness/color-shift core of a shot-boundary feature. Every
+    frame passes the slice_y4m encode→decode roundtrip so any header,
+    geometry, or plane-order bug changes the sums; the oracle replays
+    the synthetic plane formula in closed-form SQL."""
+    media = MM.synthetic_video_media(spark, 64)
+    return MM.video_frame_stats(media)
+
+
 def mm6_image_channel_stats(spark, sf_dir):
     """REAL image feature extraction (no stub anywhere in this path):
     decode every synthetic BMP fixture with the stdlib codec and emit
@@ -4568,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x43_oov_rate": x43_oov_rate,
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "mm7_audio_segment_features": mm7_audio_segment_features,
+        "mm8_video_frame_stats": mm8_video_frame_stats,
         "w13_event_transitions": w13_event_transitions,
         "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
         "s6_variant_access": s6_variant_access,
@@ -6331,6 +6345,38 @@ SELECT asset_id,
        CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
             AS BIGINT) AS sum_abs
 FROM sam GROUP BY asset_id, k, n
+"""
+    d["mm8_video_frame_stats"] = """
+WITH vid AS (
+  SELECT id AS asset_id, 2 + (id % 4) AS n_frames
+  FROM range(0, 64) t(id) WHERE id % 3 = 2
+), fr AS (
+  SELECT asset_id, unnest(range(0, n_frames)) AS f FROM vid
+), px AS (
+  SELECT asset_id, f, unnest(range(0, 192)) AS i FROM fr
+), luma AS (
+  SELECT asset_id, f,
+         sum((asset_id * 3 + f * 7 + i * 5) % 256) AS s
+  FROM px GROUP BY asset_id, f
+), cpx AS (
+  SELECT asset_id, f, unnest(range(0, 48)) AS i FROM fr
+), cb AS (
+  SELECT asset_id, f,
+         sum((asset_id * 5 + f * 11 + i * 13) % 256) AS s
+  FROM cpx GROUP BY asset_id, f
+), cr AS (
+  SELECT asset_id, f,
+         sum((asset_id * 7 + f * 15 + i * 21) % 256) AS s
+  FROM cpx GROUP BY asset_id, f
+)
+SELECT l.asset_id,
+       CAST(l.f AS INT) AS frame_idx,
+       CAST(l.s AS BIGINT) AS luma_sum,
+       CAST(cb.s AS BIGINT) AS cb_sum,
+       CAST(cr.s AS BIGINT) AS cr_sum
+FROM luma l
+JOIN cb ON l.asset_id = cb.asset_id AND l.f = cb.f
+JOIN cr ON l.asset_id = cr.asset_id AND l.f = cr.f
 """
     d["x45_textrank_keywords"] = """
 WITH toks AS (

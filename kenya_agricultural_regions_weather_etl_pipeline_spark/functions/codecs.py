@@ -214,3 +214,118 @@ def synthetic_wav(asset_id: int, n_samples: int, sample_rate: int = 8000) -> byt
     return encode_wav(
         [synthetic_sample(asset_id, i) for i in range(n_samples)], sample_rate
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib video codec: YUV4MPEG2 (.y4m), C420 planar
+# ---------------------------------------------------------------------------
+# The REAL decode path for the video surface, completing the modality
+# trio (BMP images, PCM-WAV audio, Y4M video). Y4M is the standard
+# uncompressed interchange format (mplayer/ffmpeg): a plain-text header
+# "YUV4MPEG2 W<w> H<h> F<n>:<d> ... C420..." followed by frames, each
+# "FRAME\n" + W*H luma bytes + (W/2)*(H/2) Cb + (W/2)*(H/2) Cr.
+# Non-420 color modes raise ValueError and callers fall back to the stub.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def is_y4m(payload: bytes) -> bool:
+    return payload.startswith(_Y4M_MAGIC)
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[tuple[bytes, bytes, bytes]],
+    fps: int = 25,
+) -> bytes:
+    """Encode (y, cb, cr) C420 planes as a YUV4MPEG2 stream."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    )
+    for y, cb, cr in frames:
+        out += b"FRAME\n"
+        out += y
+        out += cb
+        out += cr
+    return bytes(out)
+
+
+def decode_y4m(
+    payload: bytes,
+) -> tuple[int, int, int, list[tuple[bytes, bytes, bytes]]]:
+    """Decode a C420 YUV4MPEG2 stream into (w, h, fps, frames).
+
+    Raises ``ValueError`` for anything that is not 4:2:0 planar — the
+    callers' stub-fallback signal.
+    """
+    if not is_y4m(payload):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = fps = None
+    color = "420jpeg"
+    for tok in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        key, val = chr(tok[0]), tok[1:].decode()
+        if key == "W":
+            width = int(val)
+        elif key == "H":
+            height = int(val)
+        elif key == "F":
+            fps = int(val.split(":")[0]) // max(int(val.split(":")[1]), 1)
+        elif key == "C":
+            color = val
+    if width is None or height is None:
+        raise ValueError("missing W/H in Y4M header")
+    if not color.startswith("420"):
+        raise ValueError(f"unsupported Y4M color mode C{color} (need 420)")
+    y_size = width * height
+    c_size = (width // 2) * (height // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        end = pos + y_size + 2 * c_size
+        if end > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            (
+                payload[pos : pos + y_size],
+                payload[pos + y_size : pos + y_size + c_size],
+                payload[pos + y_size + c_size : end],
+            )
+        )
+        pos = end
+    return width, height, fps or 25, frames
+
+
+def slice_y4m(payload: bytes, start: int, end: int) -> bytes:
+    """Decode, keep frames [start:end), re-encode with the same geometry."""
+    w, h, fps, frames = decode_y4m(payload)
+    return encode_y4m(w, h, frames[start:end], fps)
+
+
+def synthetic_y4m_plane(asset_id: int, frame: int, plane: int, i: int) -> int:
+    """Deterministic plane-byte formula (plane 0=Y, 1=Cb, 2=Cr) — pure
+    integer arithmetic a SQL oracle replays verbatim."""
+    return (asset_id * (3 + 2 * plane) + frame * (7 + 4 * plane) + i * (5 + 8 * plane)) % 256
+
+
+def synthetic_y4m(asset_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """A real, decodable Y4M stream whose planes follow
+    :func:`synthetic_y4m_plane`."""
+    y_size = width * height
+    c_size = (width // 2) * (height // 2)
+    frames = [
+        (
+            bytes(synthetic_y4m_plane(asset_id, f, 0, i) for i in range(y_size)),
+            bytes(synthetic_y4m_plane(asset_id, f, 1, i) for i in range(c_size)),
+            bytes(synthetic_y4m_plane(asset_id, f, 2, i) for i in range(c_size)),
+        )
+        for f in range(n_frames)
+    ]
+    return encode_y4m(width, height, frames)

@@ -8,9 +8,12 @@ a stdlib-only codec (functions/codecs.py — decode → resample →
 re-encode, pixel-level verified by mm5's oracle). The AUDIO path also
 decodes for real: mono 16-bit PCM WAV payloads go through a stdlib RIFF
 codec (decode → PCM window slice → re-encode, sample-level verified by
-mm7's oracle). Video decode and non-BMP/non-WAV formats remain STUBBED
-(no media libs ship in this container) behind deterministic fakes
-controlled by ``decode_fn`` / ``resize_fn``, clearly marked below.
+mm7's oracle). The VIDEO path decodes for real too: C420 YUV4MPEG2
+(.y4m) streams go through a stdlib codec (decode → frame slice →
+re-encode, plane-level verified by mm8's oracle). Formats outside
+BMP/WAV/Y4M remain STUBBED (no media libs ship in this container)
+behind deterministic fakes controlled by ``decode_fn`` /
+``resize_fn``, clearly marked below.
 
 Scale notes: payloads stay in executor memory only within a batch;
 `mapInPandas` streams Arrow record batches, so a 100 TB corpus of
@@ -161,12 +164,16 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
 
     The row-EXPLOSION batch shape is the production plumbing: each input
     asset yields ``max(1, duration_ms // every_ms)`` frame rows, built
-    inside the Arrow batch without driver involvement. Decode is
-    stubbed (deterministic), the schema/shape/cardinality are real —
-    and SQL-derivable, so the plumbing has an exact oracle.
+    inside the Arrow batch without driver involvement. Y4M payloads get
+    REAL single-frame extractions (each re-encoded as a standalone
+    one-frame stream); other formats fall back to the deterministic
+    stub. Schema/shape/cardinality are SQL-derivable either way, so the
+    plumbing has an exact oracle.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs as C
+
         for pdf in it:
             out: dict[str, list] = {
                 "asset_id": [],
@@ -178,9 +185,16 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 n_frames = max(1, int(dur) // every_ms)
-                for k, frame in enumerate(
-                    _stub_frame_decode(bytes(payload), n_frames)
-                ):
+                raw = bytes(payload)
+                if C.is_y4m(raw):
+                    n_avail = len(C.decode_y4m(raw)[3])
+                    frames = [
+                        C.slice_y4m(raw, min(k, n_avail - 1), min(k, n_avail - 1) + 1)
+                        for k in range(n_frames)
+                    ]
+                else:
+                    frames = _stub_frame_decode(raw, n_frames)
+                for k, frame in enumerate(frames):
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(k)
                     out["frame_ts_ms"].append(k * every_ms)
@@ -537,4 +551,86 @@ def audio_segment_stats(
 
     return media.select("asset_id", "payload").mapInPandas(
         stats, AUDIO_SEGMENT_STATS_SCHEMA
+    )
+
+
+def synthetic_video_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic video fixture table with REAL (decodable) Y4M
+    streams: asset ids follow synthetic_media's layout (every id with
+    id%3==2 is video), 16×12 C420 at 25 fps with 2 + id%4 frames, and
+    every plane byte follows codecs.synthetic_y4m_plane — pure integer
+    arithmetic a SQL oracle can replay. Built executor-side in Arrow
+    batches."""
+    from ..functions import codecs as C
+
+    ids = spark.range(n).filter(F.col("id") % 3 == 2).select(
+        F.col("id").alias("asset_id"),
+        (2 + F.col("id") % 4).cast("int").alias("n_frames"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "video",
+                    "mime": "video/x-yuv4mpeg",
+                    "payload": [
+                        C.synthetic_y4m(int(a), 16, 12, int(nf))
+                        for a, nf in zip(pdf["asset_id"], pdf["n_frames"])
+                    ],
+                    "width": 16,
+                    "height": 12,
+                    "duration_ms": [int(nf) * 40 for nf in pdf["n_frames"]],
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("luma_sum", LongType(), False),
+        StructField("cb_sum", LongType(), False),
+        StructField("cr_sum", LongType(), False),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video feature extraction (no stub in this path): decode
+    each Y4M stream, and emit per-frame integer plane sums (luma +
+    both chroma) — the brightness/color-shift core of a shot-boundary
+    feature. Every frame passes through slice_y4m's encode→decode
+    ROUNDTRIP so a header, geometry, or plane-order bug changes the
+    sums. Closed-form for the synthetic fixtures — SQL-oracle-checkable.
+    Narrow Arrow map stage: zero shuffle."""
+    from ..functions import codecs as C
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "luma_sum": [],
+                "cb_sum": [],
+                "cr_sum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                _, _, _, frames = C.decode_y4m(raw)
+                for f in range(len(frames)):
+                    _, _, _, (frame,) = C.decode_y4m(C.slice_y4m(raw, f, f + 1))
+                    y, cb, cr = frame
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(f)
+                    out["luma_sum"].append(sum(y))
+                    out["cb_sum"].append(sum(cb))
+                    out["cr_sum"].append(sum(cr))
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        stats, FRAME_STATS_SCHEMA
     )

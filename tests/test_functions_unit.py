@@ -707,3 +707,44 @@ def test_segment_audio_slices_real_wav_payloads(spark):
         s = row.segment_idx * 30 * 8  # hop_ms * rate/1000
         e = min(s + 40 * 8, len(full))
         assert seg == full[s:e]
+
+
+def test_y4m_codec_roundtrip_and_slice():
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    raw = C.synthetic_y4m(7, 16, 12, 4)
+    w, h, fps, frames = C.decode_y4m(raw)
+    assert (w, h, fps, len(frames)) == (16, 12, 25, 4)
+    assert frames[2][0][5] == C.synthetic_y4m_plane(7, 2, 0, 5)
+    # plane sizes: Y = w*h, chroma = (w/2)*(h/2)
+    assert len(frames[0][0]) == 192 and len(frames[0][1]) == 48
+    # frame slice is a true sub-stream: re-decoded frames == py slice
+    _, _, _, mid = C.decode_y4m(C.slice_y4m(raw, 1, 3))
+    assert mid == frames[1:3]
+    with __import__("pytest").raises(ValueError):
+        C.decode_y4m(b"BLOB:000000000042")
+    with __import__("pytest").raises(ValueError):
+        # 4:4:4 color mode must be rejected, not silently misparsed
+        C.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + b"\x00" * 48)
+
+
+def test_sample_frames_extracts_real_y4m_frames(spark):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    media = MM.synthetic_video_media(spark, 16)
+    rows = MM.sample_frames(media, every_ms=40).collect()
+    assert rows
+    for r in rows:
+        w, h, _, frames = C.decode_y4m(bytes(r.frame_payload))
+        assert (w, h, len(frames)) == (16, 12, 1)
+        n_src = 2 + r.asset_id % 4
+        src_idx = min(r.frame_idx, n_src - 1)
+        _, _, _, src = C.decode_y4m(C.synthetic_y4m(r.asset_id, 16, 12, n_src))
+        assert frames[0] == src[src_idx]
