@@ -4261,6 +4261,57 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q20_relational_division(spark, sf_dir):
+    """Relational DIVISION (the FOR-ALL quantifier): customers who have
+    placed orders in EVERY one of the 5 priority classes — SQL's
+    classic double-NOT-EXISTS, which Catalyst decorrelates into
+    anti-joins rather than per-row subqueries. The DataFrame
+    formulation here is the scalable equivalent: distinct (customer,
+    priority) pairs → countDistinct per customer == |priorities|,
+    where the divisor cardinality comes from the data itself (a 1-row
+    agg broadcast as a literal), not a hardcoded constant. One
+    distinct-shuffle + one count-shuffle; no correlated execution."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_prio = orders.select(
+        F.countDistinct("o_orderpriority").alias("np")
+    )
+    per_cust = (
+        orders.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    complete = per_cust.join(F.broadcast(n_prio)).filter(
+        F.col("covered") == F.col("np")
+    )
+    return (
+        cust.join(complete, cust.c_custkey == complete.o_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def w14_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report window (percent-of-total within a partition):
+    each order's share of its customer's total spend — the windowed
+    division analytic dashboards lean on. The denominator is a
+    DECIMAL(18,2)-exact partition sum (a float sum could make shares
+    depend on reduction order), the share is ONE double division
+    rounded half-up on both engines. Single hash-partition window, no
+    sort needed (unbounded frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        W.round_half_up(
+            F.col("o_totalprice") / total.cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def q22_dormant_highvalue(spark, sf_dir):
     """TPC-H Q22 shape — high-balance customers with no urgent orders:
     a scalar AVG threshold + NOT-EXISTS anti join + per-nation rollup.
@@ -4594,7 +4645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_relational_division": q20_relational_division,
         "q22_dormant_highvalue": q22_dormant_highvalue,
+        "w14_ratio_to_report": w14_ratio_to_report,
         "x44_product_quantization": x44_product_quantization,
         "x45_textrank_keywords": x45_textrank_keywords,
         "a9_approx_distinct": a9_approx_distinct,
@@ -6303,6 +6356,25 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+"""
+    d["q20_relational_division"] = """
+WITH np AS (
+  SELECT count(DISTINCT o_orderpriority) AS np FROM orders
+), per_cust AS (
+  SELECT o_custkey, count(DISTINCT o_orderpriority) AS covered
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+JOIN per_cust ON c_custkey = o_custkey
+JOIN np ON covered = np
+"""
+    d["w14_ratio_to_report"] = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {W.round_half_up_sql(
+           "o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+           " OVER (PARTITION BY o_custkey) AS DOUBLE)", 6)} AS share
+FROM orders
 """
     d["q22_dormant_highvalue"] = """
 WITH thr AS (
