@@ -576,21 +576,27 @@ def run_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a single sentinel leaves the final windows' null rows stuck
         # in state (observed: exactly the last-click rows missing).
         # Sentinel 2 is the batch sentinel 1's watermark flushes into.
-        seen = set(real_files)
+        # Each sentinel is 2 rows — written driver-side (a Spark write
+        # job per sentinel would cost ~1-2 s of commit overhead each).
+        import json as _json
+
         for i, hours in enumerate((3, 6)):
             sent_us = max_us + hours * 3600 * 1_000_000
-            sentinel = spark.createDataFrame(
-                [
-                    (-2 * i - 1, -1, "click", sent_us),
-                    (-2 * i - 2, -1, "purchase", sent_us),
-                ],
-                "event_id long, user_id long, event_type string, t_us long",
-            )
-            sentinel.coalesce(1).write.mode("append").json(src)
-            new = set(_glob.glob(os.path.join(src, "*.json"))) - seen
-            for f in new:
-                os.utime(f, (now - 400 + 200 * i, now - 400 + 200 * i))
-            seen |= new
+            fpath = os.path.join(src, f"sentinel-{i}.json")
+            with open(fpath, "w") as fh:
+                for eid, etype in ((-2 * i - 1, "click"), (-2 * i - 2, "purchase")):
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "user_id": -1,
+                                "event_type": etype,
+                                "t_us": sent_us,
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(fpath, (now - 400 + 200 * i, now - 400 + 200 * i))
 
         schema = StructType(
             [
@@ -795,18 +801,20 @@ def run_weather_stream_etl(
     target = tempfile.mkdtemp(prefix="st11_weather_")
 
     def one_day(raw_batch: DataFrame, batch_id: int) -> None:
-        parsed = parse_raw(raw_batch)
+        from pyspark.sql import Observation
+
         # E1 quarantine, streaming edition: malformed docs land in a
         # side output (matching the reference's per-region failure log,
         # daily_weather_etl_kenya.py:193-201) instead of vanishing.
-        # Written UNCONDITIONALLY (no isEmpty probe — that would cost an
-        # extra Spark job per micro-batch; an empty parquet write is one
-        # metadata-only file) to a batch_id-keyed partition with
-        # overwrite, so a crash-and-replay of this micro-batch rewrites
-        # its own quarantine slice instead of double-appending.
-        corrupt = parsed.filter(F.col("_corrupt")).select("region", "raw")
-        corrupt.coalesce(1).write.mode("overwrite").parquet(
-            f"{target}_quarantine/batch_id={batch_id}"
+        # The corrupt COUNT rides the main job as an Observation metric
+        # (rows pass the observe node before flatten filters them), so
+        # the quarantine write — batch_id-keyed overwrite, replay-safe —
+        # is only paid on batches that actually have corrupt rows; clean
+        # batches cost zero extra jobs (an unconditional write was ~2 s
+        # of commit overhead per micro-batch on the local harness).
+        obs = Observation(f"st11_corrupt_b{batch_id}")
+        parsed = parse_raw(raw_batch).observe(
+            obs, F.sum(F.col("_corrupt").cast("int")).alias("n_corrupt")
         )
         flat = flatten(parsed).join(
             F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
@@ -814,6 +822,13 @@ def run_weather_stream_etl(
         day = transform(flat).select(*WEATHER_LOAD_COLUMNS).localCheckpoint(
             eager=True
         )
+        # localCheckpoint above is the action that populates the metric
+        if (obs.get["n_corrupt"] or 0) > 0:
+            parsed.filter(F.col("_corrupt")).select(
+                "region", "raw"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{target}_quarantine/batch_id={batch_id}"
+            )
         # merge ONLY against the partitions this batch touches, so the
         # dynamic overwrite rewrites exactly those day partitions —
         # historical days are never re-read or re-written (run_batch

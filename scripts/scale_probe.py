@@ -40,9 +40,34 @@ def build_probe_dir(spark) -> None:
     os.makedirs(PROBE)
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ):
         os.symlink(f"{BASE}/{t}.parquet", f"{PROBE}/{t}.parquet")
+
+    # events ×3: ids/users disjoint per copy and ts shifted by 40 days
+    # per copy, so per-user event-time join pairs (st13) and per-user
+    # transition chains (w13) stay WITHIN copies — output cardinality
+    # scales exactly 3×, the honest independent-data axis.
+    # write MICROS (not the INT96 default) so the footer-unit detection
+    # in sources/tables.py sees the same physical unit as the generator
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    vcopies = []
+    for c in range(3):
+        vcopies.append(
+            ev.select(
+                (F.col("event_id") + c * 100_000_000).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {40 * c} DAYS")).alias("ts"),
+                (F.col("user_id") + c * 10_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    vout = vcopies[0]
+    for c in vcopies[1:]:
+        vout = vout.unionByName(c)
+    vout.write.mode("overwrite").parquet(f"{PROBE}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     copies = []
@@ -108,6 +133,8 @@ def main() -> int:
         "x14_dedup_clusters",
         "e2e_training_prep",
         "x40_semantic_dedup_pairs",
+        "st13_stream_outer_join",
+        "w13_event_transitions",
     ):
         spark.catalog.clearCache()
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
