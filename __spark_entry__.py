@@ -3566,6 +3566,26 @@ def x5d_cosine_topk_ivf(spark, sf_dir):
     return S.cosine_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=2)
 
 
+def x5f_ivf_partitioned_layout(spark, sf_dir):
+    """x5d's IVF search against a PHYSICAL cell layout — the 100 TB
+    claim ('cell assignment happens once at ingest; probes become
+    partition-pruned reads') made real and testable: the corpus is
+    written partitionBy(cell) once, each probe resolves its ≤16 target
+    cells driver-side (bounded metadata, not data) and the scan reads
+    ONLY those directories — pinned by a PartitionFilters plan
+    contract. Returns exactly x5d's rows (same codebook/probe/rerank
+    stages), so two different physical strategies — join-pruned and
+    layout-pruned — agree against one oracle."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    path = tempfile.mkdtemp(prefix="x5f_ivf_")
+    return S.cosine_topk_ivf_partitioned(
+        emb, q, path, k=10, n_centroids=16, n_probe=2
+    )
+
+
 def set5_except_all(spark, sf_dir):
     """EXCEPT ALL multiset difference (churn analysis: 1995 order slots
     not re-filled in 1996, multiplicity preserved): Spark plans a
@@ -4560,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_dedup_clusters": x14_dedup_clusters,
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x5e_ivf_recall": x5e_ivf_recall,
+        "x5f_ivf_partitioned_layout": x5f_ivf_partitioned_layout,
         "set5_except_all": set5_except_all,
         "set6_intersect_all": set6_intersect_all,
         "a14_mad_robust": a14_mad_robust,
@@ -6008,6 +6029,9 @@ FROM media GROUP BY content_key
     }
     # x5e composes the exact (x5) and IVF (x5d) oracles the same way the
     # Spark query composes the two DataFrame lineages.
+    # x5f is x5d against a physically partitioned cell layout — two
+    # physical strategies, identical rows, ONE oracle
+    d["x5f_ivf_partitioned_layout"] = d["x5d_cosine_topk_ivf"]
     d["x5e_ivf_recall"] = f"""
 WITH exact AS ({X5_ORACLE}),
 approx AS ({d["x5d_cosine_topk_ivf"].strip()}),

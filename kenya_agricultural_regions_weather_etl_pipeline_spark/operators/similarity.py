@@ -134,21 +134,34 @@ def cosine_topk_ivf(
     ~n_centroids/n_probe; at 100 TB the cell assignment is computed
     once at ingest and the probe join is a partition-pruned read.
     """
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col)
+    probes = _ivf_probes(queries, cent, query_id_col, vec_col, n_probe)
+    return _ivf_rerank(assigned, probes, k)
+
+
+def _ivf_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """Deterministic coarse codebook: the first n_centroids corpus
+    vectors (k-means stand-in — same join shape, oracle-replayable)."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        to_double_array(F.col(vec_col)).alias("cent_vec"),
+    )
+
+
+def _ivf_assign(
+    corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest centroid per corpus vector (one broadcast codebook pass)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
     )
-    cent = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            to_double_array(F.col(vec_col)).alias("cent_vec"),
-        )
-    )
-    # assign: nearest centroid per corpus vector (broadcast codebook)
     w_c = Window.partitionBy("vec_id").orderBy(
         F.col("cent_sim").desc(), F.col("centroid_id").asc()
     )
-    assigned = (
+    return (
         c.withColumn("cnrm", norm(F.col("cvec")))
         .join(F.broadcast(cent.withColumn("cent_nrm", norm(F.col("cent_vec")))))
         .withColumn(
@@ -161,7 +174,16 @@ def cosine_topk_ivf(
         .filter(F.col("cell_rank") == 1)
         .select("vec_id", "cvec", F.col("centroid_id").alias("cell"))
     )
-    # probe: n_probe nearest cells per query
+
+
+def _ivf_probes(
+    queries: DataFrame,
+    cent: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """n_probe nearest cells per query (broadcast codebook)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qvec"),
@@ -169,15 +191,18 @@ def cosine_topk_ivf(
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("cent_sim").desc(), F.col("centroid_id").asc()
     )
-    probes = (
+    return (
         q.join(F.broadcast(cent))
         .withColumn("cent_sim", cosine(F.col("qvec"), F.col("cent_vec")))
         .withColumn("cell_rank", F.row_number().over(w_q))
         .filter(F.col("cell_rank") <= n_probe)
         .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
     )
-    # exact rerank within probed cells only (norms precomputed per side,
-    # not per candidate pair — same fold, same float result)
+
+
+def _ivf_rerank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact rerank within probed cells only (norms precomputed per
+    side, not per candidate pair — same fold, same float result)."""
     scored = (
         assigned.withColumn("cnrm", norm(F.col("cvec")))
         .join(
@@ -203,6 +228,40 @@ def cosine_topk_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cosine_topk_ivf_partitioned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    layout_path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The 100 TB half of the IVF story made physical: the cell
+    assignment happens ONCE at ingest — the corpus is written
+    ``partitionBy("cell")`` — and a probe becomes a PARTITION-PRUNED
+    read: the scan lists and reads only the probed cells' directories
+    (n_probe/n_centroids of the data), no join needed to skip the
+    rest. The probed cell set is bounded (≤ |queries|·n_probe values),
+    so resolving it driver-side is metadata, not data. Same codebook /
+    probe / rerank stages as :func:`cosine_topk_ivf`, so both physical
+    strategies return identical rows — and share one oracle."""
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    _ivf_assign(corpus, cent, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(layout_path)
+    probes = _ivf_probes(queries, cent, query_id_col, vec_col, n_probe)
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    layout = (
+        corpus.sparkSession.read.parquet(layout_path)
+        .filter(F.col("cell").isin(cells))
+        .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+    )
+    return _ivf_rerank(layout, probes, k)
 
 
 def cosine_topk_lsh(

@@ -397,3 +397,13 @@ def test_x44_centroid_frame_broadcasts(spark, sf01):
     plan = _plan(spark, sf01, "x44_product_quantization")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x5f_probe_is_partition_pruned_read(spark, sf01):
+    """The IVF layout claim, physically: the probe scan must carry
+    PartitionFilters on the cell directory column — reading only the
+    probed cells, not filtering after a full scan."""
+    plan = _plan(spark, sf01, "x5f_ivf_partitioned_layout")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert any("cell" in ln and " IN (" in ln for ln in pf), pf
