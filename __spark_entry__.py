@@ -1917,6 +1917,40 @@ def j7_nearest_region_assignment(spark, sf_dir):
     )
 
 
+def x47_zorder_layout(spark, sf_dir):
+    """Z-ORDER clustered layout (multi-dimensional data skipping — the
+    OPTIMIZE ZORDER of the table formats, built from primitives): the
+    table is rewritten range-partitioned + sorted by the Morton
+    interleave of (l_partkey, l_suppkey) — a pure JVM bit-expression
+    key — so parquet row-group min/max stats are narrow in BOTH
+    dimensions and a range predicate on EITHER column skips most row
+    groups (a single-column sort only skips on that column). The query
+    reads the clustered table back with a second-dimension range
+    predicate and aggregates; the oracle runs the same filter on the
+    base table — the layout changes COST, never answers. The measured
+    skipping-quality (row-group span) assertions live in pytest."""
+    import tempfile
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.maintenance import (
+        zorder_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="x47_zorder_")
+    zorder_write(spark, li, path, "l_partkey", "l_suppkey", n_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_suppkey") >= 10) & (F.col("l_suppkey") < 20)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+    )
+
+
 def x46_grouped_agg_udaf(spark, sf_dir):
     """Pandas GROUPED_AGG UDAF — the last leg of the custom-function
     triad (scalar pandas_udf twin: pytest; table function: x42 UDTF;
@@ -4656,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm8_video_frame_stats": mm8_video_frame_stats,
         "w13_event_transitions": w13_event_transitions,
         "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
+        "x47_zorder_layout": x47_zorder_layout,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
@@ -6261,6 +6296,13 @@ pts AS (
 SELECT region, CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(d2) AS BIGINT) AS sum_d2_u
 FROM best GROUP BY region
+"""
+    d["x47_zorder_layout"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       min(l_partkey) AS min_part,
+       max(l_partkey) AS max_part
+FROM lineitem WHERE l_suppkey >= 10 AND l_suppkey < 20
 """
     d["x46_grouped_agg_udaf"] = """
 WITH ranked AS (

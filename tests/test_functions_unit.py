@@ -748,3 +748,42 @@ def test_sample_frames_extracts_real_y4m_frames(spark):
         src_idx = min(r.frame_idx, n_src - 1)
         _, _, _, src = C.decode_y4m(C.synthetic_y4m(r.asset_id, 16, 12, n_src))
         assert frames[0] == src[src_idx]
+
+
+def test_zorder_layout_narrows_rowgroup_spans_in_both_dims(spark, sf01, tmp_path):
+    """Z-order vs single-column sort, measured on parquet footer stats:
+    sorting by l_partkey alone leaves l_suppkey's per-row-group spans
+    at ~full domain width (nothing skippable on the second dimension);
+    the Morton layout must make BOTH dimensions substantially narrower
+    than that, which is the entire point of multi-dim clustering."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.maintenance import (
+        rowgroup_span_stats,
+        zorder_write,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf01, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "sorted_a")
+    zorder_write(spark, li, z_path, "l_partkey", "l_suppkey", n_files=16)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    z_a = rowgroup_span_stats(z_path, "l_partkey")
+    z_b = rowgroup_span_stats(z_path, "l_suppkey")
+    s_b = rowgroup_span_stats(s_path, "l_suppkey")
+    # single-column sort leaves dim B unclustered (span ~ full domain)
+    assert s_b > 0.9, s_b
+    # z-order clusters BOTH dims well below that
+    assert z_a < 0.5 * s_b, (z_a, s_b)
+    assert z_b < 0.5 * s_b, (z_b, s_b)
+    # and the data survives the rewrite intact
+    assert spark.read.parquet(z_path).count() == li.count()
