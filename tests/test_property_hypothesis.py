@@ -83,3 +83,92 @@ def test_heat_index_property(pairs):
                 + -0.000003582 * r.t * r.t * r.h * r.h
             )
             assert r.hi == _round_half_up(poly, 2)
+
+
+# ---------------------------------------------------------------------------
+# Media codec roundtrip properties (pure Python — no Spark session)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_arbitrary_samples(samples, rate):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    assert C.decode_wav(C.encode_wav(samples, rate)) == (rate, samples)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_slice_equals_python_slice(samples, data):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    s = data.draw(st.integers(min_value=0, max_value=len(samples)))
+    e = data.draw(st.integers(min_value=s, max_value=len(samples)))
+    raw = C.encode_wav(samples, 8000)
+    assert C.decode_wav(C.slice_wav(raw, s, e))[1] == samples[s:e]
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_arbitrary_pixels(w, h, data):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    px = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+    rows = data.draw(
+        st.lists(
+            st.lists(px, min_size=w, max_size=w), min_size=h, max_size=h
+        )
+    )
+    got_w, got_h, got = C.decode_bmp(C.encode_bmp(w, h, rows))
+    assert (got_w, got_h, got) == (w, h, rows)
+
+
+@given(
+    st.integers(min_value=2, max_value=12).filter(lambda v: v % 2 == 0),
+    st.integers(min_value=2, max_value=8).filter(lambda v: v % 2 == 0),
+    st.integers(min_value=1, max_value=5),
+    st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_arbitrary_planes(w, h, n_frames, data):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    def plane(size):
+        return st.binary(min_size=size, max_size=size)
+
+    frames = data.draw(
+        st.lists(
+            st.tuples(
+                plane(w * h), plane((w // 2) * (h // 2)), plane((w // 2) * (h // 2))
+            ),
+            min_size=n_frames,
+            max_size=n_frames,
+        )
+    )
+    got = C.decode_y4m(C.encode_y4m(w, h, frames))
+    assert got == (w, h, 25, frames)
