@@ -735,6 +735,34 @@ def sql4_windowed_sql(spark, sf_dir):
     )
 
 
+def sql5_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE — the iterative-SQL
+    surface): walk a binary part hierarchy (parent(p) = p div 2, a
+    synthetic but strictly-decreasing — hence provably terminating —
+    BOM tree over real part keys) from every part under 256 up to the
+    root, then aggregate node counts and key sums per depth. The
+    recursion is engine-iterated (one join+filter per level, ≤8
+    levels), NOT driver-looped; DuckDB runs its own native recursive
+    CTE as the oracle — two independent fixpoint engines agreeing
+    exactly on integer arithmetic."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sql5")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(p_partkey, anc_key, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part_sql5
+          WHERE p_partkey < 256
+          UNION ALL
+          SELECT a.p_partkey, a.anc_key div 2, a.depth + 1
+          FROM anc a WHERE a.anc_key > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(anc_key) AS BIGINT) AS sum_keys
+        FROM anc GROUP BY depth
+        """
+    )
+
+
 def j6_nearest_event_join(spark, sf_dir):
     """Nearest-event join, BOTH directions (sensor fusion: match each
     click to its temporally closest view by the same user). Prior side
@@ -4558,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql2_star_join_sql": sql2_star_join_sql,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
         "sql4_windowed_sql": sql4_windowed_sql,
+        "sql5_recursive_cte": sql5_recursive_cte,
         "w10_ohlc_bars": w10_ohlc_bars,
         "w11_cumulative_distinct": w11_cumulative_distinct,
         "q1_pricing_summary": q1_pricing_summary,
@@ -6323,6 +6352,18 @@ SELECT c_mktsegment, o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderpriority
+"""
+    d["sql5_recursive_cte"] = """
+WITH RECURSIVE anc(p_partkey, anc_key, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 256
+  UNION ALL
+  SELECT a.p_partkey, a.anc_key // 2, a.depth + 1
+  FROM anc a WHERE a.anc_key > 1
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(anc_key) AS BIGINT) AS sum_keys
+FROM anc GROUP BY depth
 """
     d["w13_event_transitions"] = f"""
 WITH ordered AS (
