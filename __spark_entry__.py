@@ -4394,6 +4394,49 @@ def w14_ratio_to_report(spark, sf_dir):
     )
 
 
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — blame analysis: suppliers who were the ONLY
+    late shipper in a multi-supplier order (late := shipped > 60 days
+    after the order date). The classic formulation is EXISTS(another
+    supplier) AND NOT EXISTS(another LATE supplier); here both
+    quantifiers collapse into ONE per-order aggregate (distinct
+    suppliers, distinct late suppliers) joined back to the late lines —
+    no correlated execution, two hash shuffles on l_orderkey, integer
+    counts all the way. Top-10 by blame count plans as
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blame = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blame.join(sup, blame.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blamed_orders"))
+        .orderBy(F.col("n_blamed_orders").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
 def q22_dormant_highvalue(spark, sf_dir):
     """TPC-H Q22 shape — high-balance customers with no urgent orders:
     a scalar AVG threshold + NOT-EXISTS anti join + per-nation rollup.
@@ -4731,6 +4774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_orders": q18_large_volume_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_relational_division": q20_relational_division,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_dormant_highvalue": q22_dormant_highvalue,
         "w14_ratio_to_report": w14_ratio_to_report,
         "x44_product_quantization": x44_product_quantization,
@@ -6482,6 +6526,28 @@ SELECT o_orderkey, o_custkey, o_totalprice,
            "o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
            " OVER (PARTITION BY o_custkey) AS DOUBLE)", 6)} AS share
 FROM orders
+"""
+    d["q21_sole_late_supplier"] = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+           AS n_late_supp
+  FROM lines GROUP BY l_orderkey
+), blame AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l JOIN per_order p USING (l_orderkey)
+  WHERE l.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1
+)
+SELECT s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS n_blamed_orders
+FROM blame JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY n_blamed_orders DESC, s_suppkey ASC LIMIT 10
 """
     d["q22_dormant_highvalue"] = """
 WITH thr AS (
