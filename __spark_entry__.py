@@ -3252,6 +3252,20 @@ def st7_stream_stream_join(spark, sf_dir):
     return ST.run_stream_stream_join(spark, sf_dir)
 
 
+def st14_streaming_near_dedup(spark, sf_dir):
+    """NEAR-dup dedup ON INGEST (the firehose form of x2b's
+    LSH-then-verify): each arriving micro-batch probes the standing
+    corpus's LSH bucket index + itself for candidates, verifies them
+    with exact shingle Jaccard, and only novel documents survive —
+    drop iff a verified near-dup with ANY smaller doc_id exists.
+    State = append-only bucket index + doc store (the real split).
+    No SQL oracle (xxhash64 MinHash is engine-specific → driver
+    rows-only); the pytest equivalence proves the streaming result
+    EQUALS the batch formula replayed with the batch operators."""
+    apply_runtime_confs(spark)
+    return ST.run_streaming_near_dedup(spark, sf_dir)
+
+
 def st13_stream_outer_join(spark, sf_dir):
     """Stream ⋈ stream LEFT OUTER event-time join (st7's missing
     half): unmatched clicks emit null-padded once the watermark closes
@@ -4785,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
         "x2b_minhash_verified": x2b_minhash_verified,
         "x4_simhash_pairs": x4_simhash_pairs,
+        "st14_streaming_near_dedup": st14_streaming_near_dedup,
     }
 
 

@@ -947,3 +947,213 @@ def run_dedup_ingest(
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """st14: NEAR-dup dedup ON INGEST — the firehose form of the
+    LSH-then-verify pipeline (x2b): each arriving micro-batch of
+    documents is checked against the STANDING corpus and within itself,
+    and only novel documents survive.
+
+    Semantics (deterministic, arrival-order-robust): a document is
+    dropped iff it has a VERIFIED near-dup (exact shingle Jaccard ≥
+    threshold on MinHash-LSH bucket candidates) with ANY smaller
+    doc_id. Batches arrive in doc_id ranges, so every lower-id partner
+    of a document is either already in state or in the same batch —
+    the streaming result provably equals the batch formula (pinned by
+    the equivalence pytest, which replays the same rule with the batch
+    operators).
+
+    State = two append-only parquet tables, exactly the split a real
+    deployment uses: a BUCKET INDEX (id, band, bucket — the LSH
+    posting lists the candidate join probes) and a DOC STORE (id,
+    shingle set — fetched only for candidate verification). Per batch
+    the candidate join touches |batch| × bucket-collision rows, never
+    the corpus; state grows append-only and is re-read per batch
+    (on a cluster: partitioned by bucket prefix / cached).
+
+    No SQL oracle (xxhash64 MinHash is engine-specific) → the driver
+    records rows-only; exactness comes from the pytest equivalence
+    against the batch twin.
+    """
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from ..functions.text import shingles
+    from ..operators.dedup import _minhash_signature
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = tempfile.mkdtemp(prefix="kw_st14_src_")
+    state = tempfile.mkdtemp(prefix="kw_st14_state_")
+    buckets_path = os.path.join(state, "buckets")
+    shsets_path = os.path.join(state, "shsets")
+    survivors_path = os.path.join(state, "survivors")
+    rows_per_band = num_hashes // bands
+
+    def featurize(df: DataFrame) -> DataFrame:
+        """(doc_id, source, shset, band, bucket) — one row per band."""
+        sig = df.select(
+            "doc_id",
+            "source",
+            F.array_distinct(shingles(F.col("text"), k_shingle)).alias("shset"),
+            _minhash_signature(
+                shingles(F.col("text"), k_shingle), num_hashes
+            ).alias("sig"),
+        )
+        return sig.select(
+            "doc_id",
+            "source",
+            "shset",
+            F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+            "sig",
+        ).withColumn(
+            "bucket",
+            F.xxhash64(
+                F.col("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("sig"),
+                            F.col("band") * rows_per_band + 1,
+                            F.lit(rows_per_band),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            ),
+        )
+
+    def exact_ok(pairs: DataFrame, lo_sh: DataFrame, hi_sh: DataFrame) -> DataFrame:
+        j = (
+            pairs.join(lo_sh.withColumnRenamed("shset", "sh_a"), "id_a")
+            .join(hi_sh.withColumnRenamed("shset", "sh_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+        )
+        return j.filter(F.col("jaccard") >= jaccard_threshold).select("id_b")
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        feat = featurize(batch).localCheckpoint(eager=True)
+        new_buckets = feat.select("doc_id", "band", "bucket")
+        new_sh = feat.select("doc_id", "shset").dropDuplicates(["doc_id"])
+        # candidates vs the STANDING corpus (state ids are all smaller:
+        # batches arrive in doc_id ranges)
+        from pyspark.errors import AnalysisException
+
+        pair_parts = []
+        try:
+            old_buckets = sess.read.parquet(buckets_path)
+            pair_parts.append(
+                old_buckets.alias("o")
+                .join(
+                    new_buckets.alias("n"),
+                    (F.col("o.band") == F.col("n.band"))
+                    & (F.col("o.bucket") == F.col("n.bucket")),
+                )
+                .select(
+                    F.col("o.doc_id").alias("id_a"),
+                    F.col("n.doc_id").alias("id_b"),
+                )
+            )
+            have_state = True
+        except AnalysisException:
+            have_state = False  # first batch: no standing corpus yet
+        # candidates WITHIN the batch (lower id wins)
+        pair_parts.append(
+            new_buckets.alias("a")
+            .join(
+                new_buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+        )
+        pairs = pair_parts[0]
+        for p in pair_parts[1:]:
+            pairs = pairs.unionByName(p)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        lo_sh = new_sh.withColumnRenamed("doc_id", "id_a")
+        if have_state:
+            lo_sh = lo_sh.unionByName(
+                sess.read.parquet(shsets_path).withColumnRenamed("doc_id", "id_a")
+            )
+        dropped = exact_ok(
+            pairs, lo_sh, new_sh.withColumnRenamed("doc_id", "id_b")
+        ).withColumnRenamed("id_b", "doc_id").distinct()
+        survivors = feat.select("doc_id", "source").dropDuplicates(
+            ["doc_id"]
+        ).join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(survivors_path)
+        # state grows by the WHOLE batch (the drop rule references all
+        # lower ids, not just retained ones)
+        new_buckets.write.mode("append").parquet(buckets_path)
+        new_sh.write.mode("append").parquet(shsets_path)
+
+    try:
+        # split the corpus into n_batches doc_id RANGES (arrival order =
+        # id order, which the drop rule's proof relies on)
+        mx = docs.agg(F.max("doc_id")).first()[0] + 1
+        now = _time.time()
+        for k in range(n_batches):
+            lo, hi = k * mx // n_batches, (k + 1) * mx // n_batches
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").json(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "*.json")), key=os.path.getmtime
+            )
+            os.utime(newest, (now - 600 + 60 * k, now - 600 + 60 * k))
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.json")
+            .json(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                q = (
+                    stream.writeStream.foreachBatch(one_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = (
+            spark.read.parquet(survivors_path)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -285,3 +285,49 @@ def test_weather_stream_etl_partition_layout(spark):
     quarantine = spark.read.parquet(root + "_quarantine")
     assert quarantine.count() == 1
     assert quarantine.first().region == "Nakuru"
+
+
+def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
+    """st14's streaming survivors must EQUAL the batch formula — drop a
+    doc iff a verified (exact Jaccard >= 0.5) LSH-candidate pair links
+    it to any smaller doc_id — replayed with the batch operators on the
+    same corpus. Proves the incremental state decomposition (standing
+    bucket index + within-batch self-join) loses and invents nothing."""
+    import pyspark.sql.functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_streaming_near_dedup,
+    )
+
+    streamed = run_streaming_near_dedup(spark, sf001)
+    docs = load_table(spark, sf001, "documents").select(
+        "doc_id", "source", "text"
+    )
+    cand = minhash_lsh_pairs(docs, jaccard_threshold=0.0)
+    dropped = (
+        ngram_jaccard_verify(docs, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    batch = (
+        docs.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+    got = {r.source: (r.n_survivors, r.min_id, r.max_id) for r in streamed.collect()}
+    want = {r.source: (r.n_survivors, r.min_id, r.max_id) for r in batch.collect()}
+    assert got == want
+    # and dedup actually did something (the corpus has known near-dups)
+    assert sum(v[0] for v in want.values()) < docs.count()
