@@ -526,19 +526,26 @@ def left_outer_attribution(
     )
 
 
-def run_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_left_outer_attribution(
+    spark: SparkSession, sf_dir: str, n_real_batches: int = 1
+) -> DataFrame:
     """Watermark-flushed LEFT OUTER stream-stream join run (st13).
 
-    The backlog replays as TWO genuine micro-batches: (1) all real
-    events, (2) a far-future sentinel click+purchase pair (user_id=-1,
-    filtered from the result) whose only job is to advance BOTH sides'
-    watermarks past every real join window, forcing the engine to evict
-    its outer state and emit the null-padded rows — the half of the
-    semantics a single-batch availableNow run can never exercise.
-    File processing order is pinned by mtime (FileStreamSource orders
-    by modification time), so the sentinel is provably last. Over the
-    finite backlog the result equals the batch LEFT JOIN: the exact
-    DuckDB oracle.
+    The backlog replays as n_real_batches + 2 genuine micro-batches:
+    the real events in TIME-ORDERED slices (so a later batch can never
+    be behind the watermark the earlier ones advanced — no silent
+    late-drop), then two far-future sentinel click+purchase pairs
+    (user_id=-1, filtered from the result) whose only job is to
+    advance BOTH sides' watermarks past every real join window,
+    forcing the engine to evict its outer state and emit the
+    null-padded rows — the half of the semantics a single-batch
+    availableNow run can never exercise. With n_real_batches > 1 the
+    MID-stream flush is exercised too: batch k's watermark evicts
+    batch k-1's expired unmatched clicks (pinned by the multi-batch
+    pytest). File processing order is pinned by mtime (FileStreamSource
+    orders by modification time; future-stamped files are silently
+    ignored, so all stamps are in the past). Over the finite backlog
+    the result equals the batch LEFT JOIN: the exact DuckDB oracle.
 
     Scale shape: per-side join state is bounded by watermark horizon ×
     arrival rate and pruned every batch. The sentinel is not a test
@@ -559,15 +566,31 @@ def run_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = tempfile.mkdtemp(prefix="kw_st13_")
     try:
-        ev.coalesce(1).write.mode("overwrite").json(src)
-        real_files = set(_glob.glob(os.path.join(src, "*.json")))
-        # all mtimes strictly in the PAST: FileStreamSource silently
-        # ignores future-stamped files (observed: a now+120 sentinel
-        # never entered the stream), so ordering is pinned with
-        # past-only timestamps
         now = _time.time()
-        for f in real_files:
-            os.utime(f, (now - 600, now - 600))
+        if n_real_batches <= 1:
+            ev.coalesce(1).write.mode("overwrite").json(src)
+            real_files = set(_glob.glob(os.path.join(src, "*.json")))
+            for f in real_files:
+                os.utime(f, (now - 600, now - 600))
+        else:
+            # time-ordered slices on the t_us quantile grid: batch k
+            # holds an event-time range, so rows in batch k+1 are
+            # strictly newer than the watermark after batch k
+            bounds = ev.approxQuantile(
+                "t_us",
+                [i / n_real_batches for i in range(1, n_real_batches)],
+                0.0,
+            )
+            cuts = [float("-inf")] + bounds + [float("inf")]
+            seen: set[str] = set()
+            for k in range(n_real_batches):
+                ev.filter(
+                    (F.col("t_us") >= cuts[k]) & (F.col("t_us") < cuts[k + 1])
+                ).coalesce(1).write.mode("append").json(src)
+                new = set(_glob.glob(os.path.join(src, "*.json"))) - seen
+                for f in new:
+                    os.utime(f, (now - 900 + 30 * k, now - 900 + 30 * k))
+                seen |= new
         max_us = ev.agg(F.max("t_us")).first()[0]
         # TWO sentinel batches, not one: watermark advances at the END
         # of the batch that carries the late event, and outer-state

@@ -331,3 +331,47 @@ def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
     assert got == want
     # and dedup actually did something (the corpus has known near-dups)
     assert sum(v[0] for v in want.values()) < docs.count()
+
+
+def test_st13_outer_join_flushes_mid_stream(spark, sf001):
+    """st13 with the real backlog split into 3 TIME-ORDERED micro-
+    batches: batch k's watermark advance must evict batch k-1's expired
+    unmatched clicks mid-stream (not only at the sentinel flush), and
+    the total result must still equal the batch LEFT JOIN exactly."""
+    import pyspark.sql.functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_left_outer_attribution,
+    )
+
+    got = run_left_outer_attribution(spark, sf001, n_real_batches=3)
+    ev = load_table(spark, sf001, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.expr("ts_ns div 1000").alias("c_us"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts_ns div 1000").alias("p_us"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_us") >= F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + 30 * 60 * 1_000_000),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_us") - F.col("c_us")).alias("delay_us"),
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert any(r[2] is None for r in got_rows)  # unmatched clicks present
