@@ -4234,6 +4234,30 @@ FROM cleaned GROUP BY source
 """
 
 
+def p15_date_surface(spark, sf_dir):
+    """Calendar-arithmetic surface (P6's date-part family widened to
+    the operations a reporting user reaches for): month shifting
+    (add_months — calendar-aware, clamps to month end), period
+    boundaries (last_day, Monday-start week truncation), and ordinal
+    parts (quarter, day-of-year, day-of-week). Day-of-week is the one
+    dialect trap: Spark numbers Sunday=1..7, DuckDB Sunday=0..6 — the
+    query pins Spark's value MINUS 1 so both engines emit the same
+    number, documented rather than papered over. All pure integer/date
+    arithmetic: exact, full-table row-level hash compare."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow_sun0"),
+    )
+
+
 def q13_order_count_distribution(spark, sf_dir):
     """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
     join customers to their URGENT orders (the priority filter lands on
@@ -4783,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io4_streaming_sink_commit_log": io4_streaming_sink_commit_log,
         "s7_xml_roundtrip": s7_xml_roundtrip,
         "p14_string_surface": p14_string_surface,
+        "p15_date_surface": p15_date_surface,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
@@ -6480,6 +6505,17 @@ SELECT event_type,
        min(event_id) AS min_ev,
        max(event_id) AS max_ev
 FROM events GROUP BY event_type
+"""
+    d["p15_date_surface"] = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
+FROM orders
 """
     d["q13_order_count_distribution"] = """
 WITH per_cust AS (
