@@ -1979,6 +1979,32 @@ def x47_zorder_layout(spark, sf_dir):
     )
 
 
+def x48_capped_dedup(spark, sf_dir):
+    """Frequency-CAPPED dedup (keep ≤k copies per exact fingerprint,
+    k=2): the training-mixture policy between full dedup (x1) and no
+    dedup — bounded natural duplication is kept because frequency
+    carries signal (quality upweighting), unbounded duplication is
+    memorization risk. One row_number window per fingerprint with the
+    deterministic doc_id tiebreak, then a per-source census of kept vs
+    dropped copies. Same single-shuffle shape as x1; the cap is a
+    WindowGroupLimit-eligible rank filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", T.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.withColumn("kept", F.col("rn") <= 2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def x46_grouped_agg_udaf(spark, sf_dir):
     """Pandas GROUPED_AGG UDAF — the last leg of the custom-function
     triad (scalar pandas_udf twin: pytest; table function: x42 UDTF;
@@ -4801,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_event_transitions": w13_event_transitions,
         "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
         "x47_zorder_layout": x47_zorder_layout,
+        "x48_capped_dedup": x48_capped_dedup,
         "s6_variant_access": s6_variant_access,
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
@@ -6416,6 +6443,19 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        min(l_partkey) AS min_part,
        max(l_partkey) AS max_part
 FROM lineitem WHERE l_suppkey >= 10 AND l_suppkey < 20
+"""
+    d["x48_capped_dedup"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY {T.fingerprint_md5_sql('text')}
+                            ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY source
 """
     d["x46_grouped_agg_udaf"] = """
 WITH ranked AS (
