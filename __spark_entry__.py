@@ -4284,6 +4284,28 @@ def p15_date_surface(spark, sf_dir):
     )
 
 
+def q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: count orders per
+    priority that have AT LEAST ONE late line item (shipped > 60 days
+    after the order date — the EXISTS quantifier). Catalyst plans the
+    EXISTS as a LEFT SEMI hash join, so each order contributes at most
+    once regardless of how many late lines it has — the dedup is free,
+    inside the join, never a distinct pass. One shuffle on the order
+    key, then a tiny 5-group rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+    )
+
+
 def q13_order_count_distribution(spark, sf_dir):
     """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
     join customers to their URGENT orders (the priority filter lands on
@@ -4835,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_xml_roundtrip": s7_xml_roundtrip,
         "p14_string_surface": p14_string_surface,
         "p15_date_surface": p15_date_surface,
+        "q4_priority_check": q4_priority_check,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q18_large_volume_orders": q18_large_volume_orders,
@@ -6556,6 +6579,15 @@ SELECT o_orderkey,
        CAST(dayofyear(o_orderdate) AS INT) AS doy,
        CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
 FROM orders
+"""
+    d["q4_priority_check"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
 """
     d["q13_order_count_distribution"] = """
 WITH per_cust AS (
