@@ -2100,6 +2100,31 @@ def mm8_video_frame_stats(spark, sf_dir):
     return MM.video_frame_stats(media)
 
 
+def e2e_multimodal_curation(spark, sf_dir):
+    """The multimodal capstone: ONE pipeline over a heterogeneous lake
+    of all three REAL formats (BMP images + PCM-WAV audio + Y4M video)
+    — content-sniffing decode dispatch on magic bytes (the bytes
+    decide, never the metadata column), per-asset integer features
+    (pixel/|amplitude|/luma sums), and a per-modality census. Every
+    payload byte and feature is closed-form integer arithmetic, so the
+    oracle recomputes the whole lake — codec headers, plane sizes,
+    stride padding and all — in pure SQL. Narrow Arrow map + one
+    3-group rollup."""
+    media = (
+        MM.synthetic_image_media(spark, 64)
+        .unionByName(MM.synthetic_audio_media(spark, 64))
+        .unionByName(MM.synthetic_video_media(spark, 64))
+    )
+    census = MM.media_feature_census(media)
+    return census.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("feature_sum").cast("bigint").alias("total_feature"),
+        F.min("asset_id").alias("min_id"),
+        F.max("asset_id").alias("max_id"),
+    )
+
+
 def mm6_image_channel_stats(spark, sf_dir):
     """REAL image feature extraction (no stub anywhere in this path):
     decode every synthetic BMP fixture with the stdlib codec and emit
@@ -4846,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm6_image_channel_stats": mm6_image_channel_stats,
         "mm7_audio_segment_features": mm7_audio_segment_features,
         "mm8_video_frame_stats": mm8_video_frame_stats,
+        "e2e_multimodal_curation": e2e_multimodal_curation,
         "w13_event_transitions": w13_event_transitions,
         "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
         "x47_zorder_layout": x47_zorder_layout,
@@ -6713,6 +6739,64 @@ SELECT asset_id,
        CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
             AS BIGINT) AS sum_abs
 FROM sam GROUP BY asset_id, k, n
+"""
+    d["e2e_multimodal_curation"] = """
+WITH img AS (
+  SELECT id AS asset_id, 8 + (id % 5) AS w, 6 + (id % 4) AS h
+  FROM range(0, 64) t(id) WHERE id % 3 = 0
+), img_px AS (
+  SELECT asset_id, w, h,
+         unnest(range(0, w * h)) AS p
+  FROM img
+), img_feat AS (
+  SELECT asset_id,
+         CAST(max(54 + ((w * 3 + 3) // 4 * 4) * h) AS INT) AS payload_bytes,
+         CAST(sum((asset_id * 7 + (p % w) * 13 + (p // w) * 31) % 256
+                + (asset_id * 11 + (p % w) * 17 + (p // w) * 5) % 256
+                + (asset_id * 3 + (p % w) * 29 + (p // w) * 23) % 256)
+              AS BIGINT) AS feature_sum
+  FROM img_px GROUP BY asset_id
+), aud AS (
+  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
+  FROM range(0, 64) t(id) WHERE id % 3 = 1
+), aud_px AS (
+  SELECT asset_id, n, unnest(range(0, n)) AS i FROM aud
+), aud_feat AS (
+  SELECT asset_id,
+         CAST(max(44 + 2 * n) AS INT) AS payload_bytes,
+         CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
+              AS BIGINT) AS feature_sum
+  FROM aud_px GROUP BY asset_id
+), vid AS (
+  SELECT id AS asset_id, 2 + (id % 4) AS nf
+  FROM range(0, 64) t(id) WHERE id % 3 = 2
+), vid_px AS (
+  SELECT asset_id, nf,
+         unnest(range(0, nf)) AS f
+  FROM vid
+), vid_px2 AS (
+  SELECT asset_id, nf, f, unnest(range(0, 192)) AS i FROM vid_px
+), vid_feat AS (
+  SELECT asset_id,
+         CAST(max(41 + nf * 294) AS INT) AS payload_bytes,
+         CAST(sum((asset_id * 3 + f * 7 + i * 5) % 256) AS BIGINT)
+           AS feature_sum
+  FROM vid_px2 GROUP BY asset_id
+), census AS (
+  SELECT asset_id, 'image' AS media_type, payload_bytes, feature_sum
+  FROM img_feat
+  UNION ALL
+  SELECT asset_id, 'audio', payload_bytes, feature_sum FROM aud_feat
+  UNION ALL
+  SELECT asset_id, 'video', payload_bytes, feature_sum FROM vid_feat
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(feature_sum) AS BIGINT) AS total_feature,
+       min(asset_id) AS min_id,
+       max(asset_id) AS max_id
+FROM census GROUP BY media_type
 """
     d["mm8_video_frame_stats"] = """
 WITH vid AS (

@@ -634,3 +634,58 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         stats, FRAME_STATS_SCHEMA
     )
+
+
+CENSUS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload_bytes", IntegerType(), False),
+        StructField("feature_sum", LongType(), False),
+    ]
+)
+
+
+def media_feature_census(media: DataFrame) -> DataFrame:
+    """Content-SNIFFING multimodal feature extraction: one Arrow map
+    dispatches every payload on its magic bytes (BMP / RIFF-WAVE /
+    YUV4MPEG2) to the right stdlib codec and emits the modality's
+    integer feature — pixel B+G+R sum for images, |amplitude| sum for
+    audio, luma sum for video. This is the heterogeneous-lakehouse
+    shape: the pipeline never trusts the metadata column, the bytes
+    decide (feature_sum = -1 marks an undecodable payload for
+    quarantine). Narrow map, zero shuffle."""
+    from ..functions import codecs as C
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "media_type": [],
+                "payload_bytes": [],
+                "feature_sum": [],
+            }
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                if C.is_bmp(raw):
+                    _, _, rows = C.decode_bmp(raw)
+                    feat = sum(b + g + r for row in rows for (b, g, r) in row)
+                elif C.is_wav(raw):
+                    _, samples = C.decode_wav(raw)
+                    feat = sum(abs(v) for v in samples)
+                elif C.is_y4m(raw):
+                    _, _, _, frames = C.decode_y4m(raw)
+                    feat = sum(sum(y) for (y, _, _) in frames)
+                else:
+                    feat = -1  # undecodable: quarantine marker
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["payload_bytes"].append(len(raw))
+                out["feature_sum"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "media_type", "payload").mapInPandas(
+        census, CENSUS_SCHEMA
+    )
