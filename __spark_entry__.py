@@ -2125,6 +2125,32 @@ def e2e_multimodal_curation(spark, sf_dir):
     )
 
 
+def w15_high_watermark(spark, sf_dir):
+    """Running high-watermark + drawdown (the record-high / regression
+    analytic — for weather: 'hottest reading so far per region',
+    daily_weather_etl_kenya.py:518-531's plausibility check made
+    longitudinal): per user over µs-pinned event time, the running MAX
+    of value, a new-record flag, and the current drawdown from the
+    peak. Running max is comparison-only (no accumulation → no float
+    reduction-order hazard; only the output subtraction rounds, half-up
+    both engines). One window sort-exchange; both frames share it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = F.max("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        W.round_half_up(F.col("value"), 4).alias("value"),
+        W.round_half_up(peak, 4).alias("peak"),
+        (F.col("value") >= peak).alias("is_record"),
+        W.round_half_up(peak - F.col("value"), 4).alias("drawdown"),
+    )
+
+
 def mm6_image_channel_stats(spark, sf_dir):
     """REAL image feature extraction (no stub anywhere in this path):
     decode every synthetic BMP fixture with the stdlib codec and emit
@@ -4873,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm8_video_frame_stats": mm8_video_frame_stats,
         "e2e_multimodal_curation": e2e_multimodal_curation,
         "w13_event_transitions": w13_event_transitions,
+        "w15_high_watermark": w15_high_watermark,
         "x46_grouped_agg_udaf": x46_grouped_agg_udaf,
         "x47_zorder_layout": x47_zorder_layout,
         "x48_capped_dedup": x48_capped_dedup,
@@ -6739,6 +6766,22 @@ SELECT asset_id,
        CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
             AS BIGINT) AS sum_abs
 FROM sam GROUP BY asset_id, k, n
+"""
+    d["w15_high_watermark"] = f"""
+WITH w AS (
+  SELECT user_id, event_id, value,
+         max(value) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS pk
+  FROM events
+)
+SELECT user_id, event_id,
+       {W.round_half_up_sql("value", 4)} AS value,
+       {W.round_half_up_sql("pk", 4)} AS peak,
+       value >= pk AS is_record,
+       {W.round_half_up_sql("pk - value", 4)} AS drawdown
+FROM w
 """
     d["e2e_multimodal_curation"] = """
 WITH img AS (
