@@ -4729,6 +4729,160 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def q23_bilateral_trade(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
+    two nations (either direction), broken out by (supplier nation,
+    customer nation, ship year). The scale move is dim-first reduction:
+    suppliers and customers are filtered to the two nations BEFORE
+    touching the fact table, so the 600 k-row lineitem joins two tiny
+    (≤2/25 of the dim) broadcast sides and never shuffles on the join
+    key; the cross-nation filter (A→B or B→A) is a residual on the
+    already-joined row. Revenue summed in DECIMAL(18,4) —
+    reduction-order-independent."""
+    na, nb = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(na, nb)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q24_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    sold to ASIA-region customers, what fraction came from NATION_3
+    suppliers, per order year. Both the numerator (conditional) and the
+    denominator are DECIMAL(18,4) partial sums inside ONE hash
+    aggregation — never two passes — and the share is a single double
+    division rounded half-up, so it cannot depend on float reduction
+    order. part/nation/region dims are broadcast; the only shuffles are
+    the two fact-fact equi-joins (lineitem⋈orders on orderkey) which
+    AQE plans off the same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat.n_regionkey == reg.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("_num"),
+            F.sum(rev).alias("_den"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        W.round_half_up(
+            F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+        ).alias("mkt_share"),
+        F.col("_den").cast("double").alias("total_revenue"),
+    )
+
+
+def q25_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promotion effect: percent of revenue carried by
+    PROMO-type parts, per ship year. One broadcast dim join (20 k-row
+    part ships once to every executor; lineitem streams), one hash
+    aggregation computing conditional numerator + denominator together
+    in DECIMAL(18,4), one rounded double division at the end. The
+    percent never touches a float accumulator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return agg.select(
+        "l_year",
+        W.round_half_up(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_share"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        "n_items",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4921,6 +5075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_ratio_to_report": w14_ratio_to_report,
         "x44_product_quantization": x44_product_quantization,
         "x45_textrank_keywords": x45_textrank_keywords,
+        "q23_bilateral_trade": q23_bilateral_trade,
+        "q24_market_share": q24_market_share,
+        "q25_promo_revenue": q25_promo_revenue,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -7178,6 +7335,81 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["q23_bilateral_trade"] = """
+WITH supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+), cust AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supp ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust ON o_custkey = c_custkey
+WHERE supp_nation <> cust_nation
+GROUP BY supp_nation, cust_nation, year(l_shipdate)
+"""
+    d["q24_market_share"] = f"""
+WITH cust_asia AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), agg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(CASE WHEN supp_nation = 'NATION_3'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS _num,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS _den
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust_asia ON o_custkey = c_custkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE p_type = 'PROMO'
+  GROUP BY year(o_orderdate)
+)
+SELECT o_year,
+       {W.round_half_up_sql(
+           "CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)", 6)} AS mkt_share,
+       CAST(_den AS DOUBLE) AS total_revenue
+FROM agg
+"""
+    d["q25_promo_revenue"] = f"""
+WITH agg AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS _promo,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS _total,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY year(l_shipdate)
+)
+SELECT l_year,
+       {W.round_half_up_sql(
+           "100.0 * CAST(_promo AS DOUBLE) / CAST(_total AS DOUBLE)", 6)}
+         AS promo_share,
+       CAST(_total AS DOUBLE) AS total_revenue,
+       n_items
+FROM agg
 """
     d["st10_weather_stream"] = _st10_oracle()
     # st11's merged table equals the batch pipeline output exactly
