@@ -4729,6 +4729,23 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def a17_heavy_hitters(spark, sf_dir):
+    """Exact φ-heavy hitters (tokens with count > N/200) via the
+    sketch-guided two-pass in ``operators.topk.heavy_hitters_exact``:
+    per-partition Misra-Gries (k-bounded state, ZERO shuffle) proposes a
+    guaranteed-superset candidate set; an exact second pass counts only
+    the broadcast candidates. The vocabulary long tail — the thing that
+    makes a naive token groupBy explode at 100 TB — never enters an
+    Exchange, yet the result is bit-identical to the straight GROUP
+    BY/HAVING the oracle runs (the MG superset guarantee is what makes
+    a sketch produce an EXACT answer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return K.heavy_hitters_exact(toks, "tok", 199)
+
+
 def q23_bilateral_trade(spark, sf_dir):
     """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
     two nations (either direction), broken out by (supplier nation,
@@ -5075,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_ratio_to_report": w14_ratio_to_report,
         "x44_product_quantization": x44_product_quantization,
         "x45_textrank_keywords": x45_textrank_keywords,
+        "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
         "q25_promo_revenue": q25_promo_revenue,
@@ -7335,6 +7353,17 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["a17_heavy_hitters"] = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS total_items FROM tok)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt, total_items
+FROM tok, n
+GROUP BY tok, total_items
+HAVING count(*) * 200 > total_items
 """
     d["q23_bilateral_trade"] = """
 WITH supp AS (
