@@ -4729,6 +4729,51 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def w16_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware robust anomaly detection: an event is anomalous
+    when its value deviates from its (event_type, hour-of-day) cohort's
+    MEDIAN by more than 3× that cohort's MAD — the longitudinal version
+    of the reference's static plausibility ranges
+    (daily_weather_etl_kenya.py:436-447), with the threshold LEARNED
+    from the data per seasonal slot instead of hardcoded, and
+    median/MAD instead of mean/stddev so the outliers being hunted
+    can't inflate the threshold that should catch them. Two exact-
+    percentile aggregations build the (types×24)-row profile (a14's
+    shape), the profile broadcasts back, and the flag predicate
+    |value − med| > 3·mad is evaluated on raw doubles with the same
+    operation order in both engines — no float accumulator anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    med = base.groupBy("event_type", "hod").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    prof = (
+        base.join(F.broadcast(med), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        base.join(F.broadcast(prof), ["event_type", "hod"])
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            W.round_half_up(F.col("value"), 4).alias("value"),
+            W.round_half_up(F.col("med"), 4).alias("cohort_median"),
+            W.round_half_up(F.col("mad"), 4).alias("cohort_mad"),
+        )
+    )
+
+
 def a17_heavy_hitters(spark, sf_dir):
     """Exact φ-heavy hitters (tokens with count > N/200) via the
     sketch-guided two-pass in ``operators.topk.heavy_hitters_exact``:
@@ -5092,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_ratio_to_report": w14_ratio_to_report,
         "x44_product_quantization": x44_product_quantization,
         "x45_textrank_keywords": x45_textrank_keywords,
+        "w16_seasonal_anomaly": w16_seasonal_anomaly,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7353,6 +7399,25 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["w16_seasonal_anomaly"] = f"""
+WITH base AS (
+  SELECT event_id, event_type, hour(ts) AS hod, value FROM events
+), med AS (
+  SELECT event_type, hod, quantile_cont(value, 0.5) AS med
+  FROM base GROUP BY event_type, hod
+), prof AS (
+  SELECT b.event_type, b.hod, first(m.med) AS med,
+         quantile_cont(abs(b.value - m.med), 0.5) AS mad
+  FROM base b JOIN med m USING (event_type, hod)
+  GROUP BY b.event_type, b.hod
+)
+SELECT b.event_id, b.event_type, b.hod,
+       {W.round_half_up_sql("b.value", 4)} AS value,
+       {W.round_half_up_sql("p.med", 4)} AS cohort_median,
+       {W.round_half_up_sql("p.mad", 4)} AS cohort_mad
+FROM base b JOIN prof p USING (event_type, hod)
+WHERE abs(b.value - p.med) > 3 * p.mad
 """
     d["a17_heavy_hitters"] = """
 WITH tok AS (
