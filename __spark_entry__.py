@@ -4729,6 +4729,51 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def x49_triangle_cooccurrence(spark, sf_dir):
+    """Triangle enumeration over the part co-purchase graph — the graph
+    analytic behind "frequently bought together" bundles and community
+    seeds. Edge build is q15's inverted-index shape (self-join keyed on
+    l_orderkey, candidates bounded by Σ basket², never |parts|²), then
+    a min-support-2 filter — the df-cap analog that keeps the edge list
+    sketch-sized before any graph work. Triangles come from two joins
+    over the CANONICALLY ORIENTED (a<b) edge list, so each triangle is
+    emitted exactly once with a<b<c and no dedup pass exists. At 100 TB
+    the refinement is degree-based orientation (point each edge from
+    low- to high-degree endpoint) to bound the join fan-out of hub
+    nodes; with a support threshold the canonical orientation's fan-out
+    is already support-bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("z").alias("part_c"),
+        )
+    )
+
+
 def w16_seasonal_anomaly(spark, sf_dir):
     """Seasonality-aware robust anomaly detection: an event is anomalous
     when its value deviates from its (event_type, hour-of-day) cohort's
@@ -5138,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x44_product_quantization": x44_product_quantization,
         "x45_textrank_keywords": x45_textrank_keywords,
         "w16_seasonal_anomaly": w16_seasonal_anomaly,
+        "x49_triangle_cooccurrence": x49_triangle_cooccurrence,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7399,6 +7445,19 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["x49_triangle_cooccurrence"] = """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+)
+SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+FROM e e1
+JOIN e e2 ON e2.pa = e1.pb
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
     d["w16_seasonal_anomaly"] = f"""
 WITH base AS (
