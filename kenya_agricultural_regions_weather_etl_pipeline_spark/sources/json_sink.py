@@ -230,12 +230,60 @@ def read_snapshot(
     return spark.read.schema(schema).json(files)
 
 
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Retention maintenance for the versioned snapshot sink: expire all
+    but the newest ``keep_last`` snapshots and physically delete every
+    data file no retained manifest references.
+
+    This is the table-format VACUUM: because commits only ever ADD part
+    files and manifests are immutable, the live set is exactly the
+    union of the retained manifests' file lists — anything else in the
+    directory is either an expired version's data or an orphan from an
+    aborted/speculative task, and both are safe to unlink. Metadata and
+    deletes are all driver-side (one JSON read per retained version,
+    one listing); no Spark job runs. After vacuum, ``read_snapshot`` on
+    an expired version raises (its manifest is gone) while every
+    retained version — HEAD included — reads bit-identically.
+
+    Single-writer assumption as for commits: don't vacuum concurrently
+    with a writer, or a just-written uncommitted part file would look
+    like an orphan (real table formats age-gate orphan deletion for
+    this reason).
+    """
+    head = _read_json(os.path.join(path, HEAD))["version"]
+    lo = max(1, head - keep_last + 1)
+    live: set[str] = set()
+    for v in range(lo, head + 1):
+        live.update(_read_json(os.path.join(path, f"{MANIFEST}.v{v}"))["files"])
+    n_data, n_manifests = 0, 0
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry in (MANIFEST, HEAD) or not os.path.isfile(full):
+            continue
+        if entry.startswith(f"{MANIFEST}.v"):
+            if int(entry.rsplit(".v", 1)[1]) < lo:
+                os.unlink(full)
+                n_manifests += 1
+        elif entry not in live:
+            os.unlink(full)
+            n_data += 1
+    return {
+        "head": head,
+        "retained_from": lo,
+        "n_data_files_deleted": n_data,
+        "n_manifests_deleted": n_manifests,
+        "n_live_files": len(live),
+    }
+
+
 def snapshot_log(path: str) -> list[dict]:
     """The commit log, oldest first: (version, parent, n_files, rows)
     per snapshot — driver-side metadata only."""
     head = _read_json(os.path.join(path, HEAD))["version"]
     out = []
     for v in range(1, head + 1):
+        if not os.path.exists(os.path.join(path, f"{MANIFEST}.v{v}")):
+            continue  # expired by vacuum()
         m = _read_json(os.path.join(path, f"{MANIFEST}.v{v}"))
         out.append(
             {

@@ -236,3 +236,77 @@ def test_stream_writer_batch_replay_is_idempotent(tmp_path):
 
     log = snapshot_log(path)
     assert [(s["version"], s["rows"]) for s in log] == [(1, 5), (2, 12)]
+
+
+def test_vacuum_expires_versions_and_deletes_orphans(spark, tmp_path):
+    """vacuum(keep_last=2): retained snapshots (HEAD and HEAD-1) read
+    bit-identically afterwards, expired versions are gone from disk and
+    raise on time travel, and orphan part files from aborted tasks are
+    unlinked. Live data files shared with expired versions survive
+    (append-chained files are referenced by the retained manifests)."""
+    import os
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+        snapshot_log,
+        vacuum,
+    )
+
+    assert register_json_sink(spark)
+    path = str(tmp_path / "vac")
+    schema = "id long, v long"
+
+    def commit(lo, hi, mode):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.format("jsonl_commit")
+            .option("path", path)
+            .mode(mode)
+            .save()
+        )
+
+    commit(0, 10, "append")        # v1
+    commit(100, 105, "overwrite")  # v2: new lineage, v1's file now dead
+    commit(105, 120, "append")     # v3: chains v2's file
+    commit(120, 125, "append")     # v4 (HEAD): chains v2+v3
+    # orphan from a crashed/speculative task: present, never committed
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"id": 0, "v": 0}\n')
+
+    before_v3 = sorted(
+        r.id for r in read_snapshot(spark, path, schema, version=3).collect()
+    )
+    stats = vacuum(path, keep_last=2)
+    assert stats["head"] == 4 and stats["retained_from"] == 3
+    # v1's dead file + the orphan deleted; v1/v2 manifests expired
+    assert stats["n_data_files_deleted"] == 2
+    assert stats["n_manifests_deleted"] == 2
+    assert not os.path.exists(os.path.join(path, "part-orphan.jsonl"))
+
+    # retained versions read bit-identically (shared v2 file survived)
+    assert (
+        sorted(r.id for r in read_snapshot(spark, path, schema, version=3).collect())
+        == before_v3
+    )
+    head_ids = sorted(r.id for r in read_snapshot(spark, path, schema).collect())
+    assert head_ids == list(range(100, 125))
+    # expired version: manifest gone -> time travel raises
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, schema, version=1)
+    # log skips expired versions, keeps the retained tail
+    assert [s["version"] for s in snapshot_log(path)] == [3, 4]
+    # on-disk part files == the live set exactly
+    on_disk = [
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".jsonl")
+    ]
+    assert len(on_disk) == stats["n_live_files"] == 3
+    # idempotent: a second vacuum deletes nothing
+    stats2 = vacuum(path, keep_last=2)
+    assert stats2["n_data_files_deleted"] == 0
+    assert stats2["n_manifests_deleted"] == 0
