@@ -407,3 +407,62 @@ def test_x5f_probe_is_partition_pruned_read(spark, sf01):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan
     assert any("cell" in ln and " IN (" in ln for ln in pf), pf
+
+
+def test_q23_dims_reduced_and_broadcast_before_fact(spark, sf01):
+    """Q7 shape: the two-nation supplier/customer sides must reach the
+    600k-row fact as broadcasts (dim-first reduction), never a shuffle
+    join of lineitem against full dims."""
+    plan = _plan(spark, sf01, "q23_bilateral_trade")
+    assert plan.count("BroadcastHashJoin") >= 3  # nation x2 sides + supp + cust
+
+
+def test_q24_single_pass_share_aggregation(spark, sf01):
+    """Q8 shape: numerator and denominator come out of ONE hash
+    aggregation (no second pass over the join), and part/nation/region
+    are broadcast."""
+    plan = _plan(spark, sf01, "q24_market_share")
+    assert plan.count("HashAggregate") <= 4  # partial+final, plus dim-prep aggs only
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q25_part_dim_broadcasts_and_scan_prunes(spark, sf01):
+    plan = _plan(spark, sf01, "q25_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    rs = [line for line in plan.splitlines() if "ReadSchema" in line]
+    # part scan reads only (p_partkey, p_type)
+    part_rs = [line for line in rs if "p_partkey" in line]
+    assert part_rs and "p_retailprice" not in part_rs[0]
+
+
+def test_a17_candidates_broadcast_no_vocab_exchange(spark, sf01):
+    """Heavy hitters: the candidate set and the 1-row total must arrive
+    as broadcasts; the only Exchange keys on the (bounded) candidate
+    tokens, never the full vocabulary. The MG pass itself is mapInPandas
+    with no shuffle at all."""
+    plan = _plan(spark, sf01, "a17_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total join
+    # 3 shuffle Exchanges, every one on bounded data: candidate dedup,
+    # candidate counts, the 1-row total (the full vocab never shuffles)
+    import re
+
+    assert len(re.findall(r"\+- Exchange ", plan)) <= 3
+    assert "MapInPandas" in plan  # the MG pass, upstream of any Exchange
+
+
+def test_w16_profile_broadcasts_back(spark, sf01):
+    """The (type x 24)-row median/MAD profile must broadcast back to the
+    event scan, not shuffle the events twice more."""
+    plan = _plan(spark, sf01, "w16_seasonal_anomaly")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_x49_edges_filtered_before_triangle_joins(spark, sf01):
+    """Triangle enumeration must run over the support-thresholded edge
+    list: the >=2 filter sits on the aggregated pair counts BEFORE the
+    two triangle joins (plan shows the filter between the pair agg and
+    the joins, and no cartesian anywhere)."""
+    plan = _plan(spark, sf01, "x49_triangle_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "(support" in plan or "support#" in plan
