@@ -4729,6 +4729,42 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def x50_char_entropy(spark, sf_dir):
+    """Per-document character-entropy quality signal — the standard
+    gibberish/binary/compressed-blob detector in LLM corpus filtering
+    (near-zero entropy = repeated filler, near-log|alphabet| = random
+    noise; natural text sits in a narrow band). Shannon entropy in nats
+    via the single-log form H = ln(n) − (Σ n_c·ln n_c)/n over per-doc
+    character counts: one (doc, char)-keyed hash aggregation (partial
+    combine collapses each partition's chars first) + one per-doc
+    rollup — two bounded shuffles, no Python. Rounded 4dp with x20's
+    ln-parity discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("nc").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(F.col("nc") * F.log("nc")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars2"),
+            F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+            W.round_half_up(
+                F.log("n") - F.col("_s") / F.col("n"), 4
+            ).alias("entropy_nats"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5184,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_textrank_keywords": x45_textrank_keywords,
         "w16_seasonal_anomaly": w16_seasonal_anomaly,
         "x49_triangle_cooccurrence": x49_triangle_cooccurrence,
+        "x50_char_entropy": x50_char_entropy,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7445,6 +7482,22 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["x50_char_entropy"] = f"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ''), c -> c <> ''))
+           AS ch
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(nc) AS BIGINT) AS n_chars2,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       {W.round_half_up_sql(
+           "ln(sum(nc)) - sum(nc * ln(nc)) / sum(nc)", 4)} AS entropy_nats
+FROM cnt GROUP BY doc_id
 """
     d["x49_triangle_cooccurrence"] = """
 WITH pairs AS (
