@@ -3329,6 +3329,19 @@ def st7_stream_stream_join(spark, sf_dir):
     return ST.run_stream_stream_join(spark, sf_dir)
 
 
+def st15_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters (frequency tracking ON INGEST): each
+    micro-batch folds batch-exact token counts into a standing
+    Misra-Gries summary (≤ k rows of state forever, version-chained so
+    replays recompute instead of double-count); after backlog
+    exhaustion the candidate superset is broadcast against ONE exact
+    counting pass, so the answer is EXACT and shares a17's GROUP
+    BY/HAVING oracle — a sketch on the stream, zero approximation in
+    the result."""
+    apply_runtime_confs(spark)
+    return ST.run_streaming_heavy_hitters(spark, sf_dir)
+
+
 def st14_streaming_near_dedup(spark, sf_dir):
     """NEAR-dup dedup ON INGEST (the firehose form of x2b's
     LSH-then-verify): each arriving micro-batch probes the standing
@@ -5055,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st11_weather_stream_etl": st11_weather_stream_etl,
         "st12_dedup_ingest": st12_dedup_ingest,
         "st13_stream_outer_join": st13_stream_outer_join,
+        "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "qv1_quality_verdict": qv1_quality_verdict,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
@@ -7542,6 +7556,9 @@ FROM tok, n
 GROUP BY tok, total_items
 HAVING count(*) * 200 > total_items
 """
+    # st15's exact final pass answers the same question as a17 — one
+    # oracle, two engines (batch two-pass vs streaming MG fold).
+    d["st15_streaming_heavy_hitters"] = d["a17_heavy_hitters"]
     d["q23_bilateral_trade"] = """
 WITH supp AS (
   SELECT s_suppkey, n_name AS supp_nation

@@ -1180,3 +1180,107 @@ def run_streaming_near_dedup(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = 199, n_files: int = 3
+) -> DataFrame:
+    """st15: streaming heavy hitters — frequency tracking ON INGEST, the
+    firehose twin of a17's batch two-pass (operators/topk.py).
+
+    Each arriving micro-batch of documents is tokenized and folded into
+    a standing Misra-Gries summary: batch-exact token counts (one hash
+    agg over the batch — the map-side-combine analog) merge with the
+    previous state by count addition, then the (k+1)-th largest count
+    is subtracted and non-positives dropped (Agarwal et al.'s mergeable-
+    summary merge), so state is ≤ k rows FOREVER no matter how long the
+    stream runs. State is version-chained (``v{batch_id}`` computed from
+    ``v{batch_id-1}``, overwrite-on-replay) so a crash-and-replay of a
+    micro-batch recomputes the same summary instead of double-counting —
+    the same exactly-once discipline as io4's batch_id manifests.
+
+    After backlog exhaustion the surviving ≤ k candidates (a guaranteed
+    SUPERSET of every token with global count > N/(k+1), by the
+    pigeonhole bound carried through each merge) are broadcast against
+    one exact counting pass over the accumulated corpus — so the final
+    answer is EXACT and shares a17's GROUP BY/HAVING oracle. The
+    vocabulary long tail never enters streaming state OR an Exchange.
+    """
+    import glob as _glob
+    import shutil
+
+    from ..functions.text import tokens as _tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tempfile.mkdtemp(prefix="st15_src_")
+    state = tempfile.mkdtemp(prefix="st15_state_")
+    try:
+        for i in range(n_files):
+            docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+            toks = batch_df.select(
+                F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+            )
+            counts = toks.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            prev = os.path.join(state, f"v{batch_id - 1}")
+            if os.path.exists(prev):
+                counts = (
+                    counts.unionByName(spark.read.parquet(prev))
+                    .groupBy("tok")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            # MG trim: subtract the (k+1)-th largest, keep positives.
+            # The fetch is ≤ k+1 rows — driver-bounded by construction.
+            top = counts.orderBy(F.col("cnt").desc()).limit(k + 1).collect()
+            if len(top) == k + 1:
+                cut = top[-1]["cnt"]
+                counts = counts.filter(F.col("cnt") > cut).select(
+                    "tok", (F.col("cnt") - cut).alias("cnt")
+                )
+            counts.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(state, f"v{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        final = max(
+            _glob.glob(os.path.join(state, "v*")),
+            key=lambda p: int(os.path.basename(p)[1:]),
+        )
+        cands = spark.read.parquet(final).select("tok")
+        all_toks = spark.read.parquet(src).select(
+            F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        total = all_toks.agg(F.count(F.lit(1)).alias("_n"))
+        out = (
+            all_toks.join(F.broadcast(cands), "tok")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(total))
+            .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+            .select("tok", "cnt", F.col("_n").alias("total_items"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out
