@@ -4742,6 +4742,74 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+def b3_bloom_filter_join(spark, sf_dir):
+    """Runtime-filter (Bloom) semi-join reduction — the join pattern for
+    a build side too big to broadcast RAW but whose BITS fit anywhere:
+    revenue of orders placed by negative-balance customers, where the
+    qualifying custkeys are first folded into a 64 Kbit / 2-hash Bloom
+    filter (1024 int64 words, built with a word-keyed bit_or aggregation
+    and densified into a ONE-ROW array column), broadcast at ~8 KB, and
+    probed with pure bit arithmetic on the orders scan. Only probe
+    survivors (true matches + Bloom false positives) reach the exact
+    semi join, so the big side's shuffle carries the reduced stream —
+    at 100 TB this is Spark's own runtime bloom-filter rewrite made
+    explicit. xxhash64 stays Spark-side only: false positives are
+    REMOVED by the exact join, so the result — and the oracle — is the
+    plain semi join, bit-for-bit."""
+    m = 1 << 16
+    n_words = m // 64
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) for seed in (1, 2)
+        ]
+
+    pos = keys.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "bits")))
+        ).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(wm[i], 0L))"
+        ).alias("bloom")
+    )
+    def hit_sql(seed):
+        p = f"pmod(xxhash64(o_custkey, {seed}), {m})"
+        return (
+            f"(element_at(bloom, CAST({p} / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0"
+        )
+
+    hit = F.expr(f"{hit_sql(1)} AND {hit_sql(2)}")
+    survivors = (
+        orders.join(F.broadcast(bloom))
+        .filter(hit)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    return (
+        survivors.join(
+            keys, survivors.o_custkey == keys.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def x50_char_entropy(spark, sf_dir):
     """Per-document character-entropy quality signal — the standard
     gibberish/binary/compressed-blob detector in LLM corpus filtering
@@ -5235,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_seasonal_anomaly": w16_seasonal_anomaly,
         "x49_triangle_cooccurrence": x49_triangle_cooccurrence,
         "x50_char_entropy": x50_char_entropy,
+        "b3_bloom_filter_join": b3_bloom_filter_join,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7496,6 +7565,14 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    d["b3_bloom_filter_join"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderpriority
 """
     d["x50_char_entropy"] = f"""
 WITH ch AS (

@@ -466,3 +466,13 @@ def test_x49_edges_filtered_before_triangle_joins(spark, sf01):
     plan = _plan(spark, sf01, "x49_triangle_cooccurrence")
     assert "CartesianProduct" not in plan
     assert "(support" in plan or "support#" in plan
+
+
+def test_b3_bloom_probe_broadcasts_and_exact_semi_join(spark, sf01):
+    """The 1-row bloom array must arrive as a broadcast, the probe must
+    be pure JVM bit arithmetic (no Python eval), and the exactness
+    backstop is a LeftSemi join after the probe."""
+    plan = _plan(spark, sf01, "b3_bloom_filter_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
