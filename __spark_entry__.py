@@ -4742,6 +4742,72 @@ def x45_textrank_keywords(spark, sf_dir):
     )
 
 
+BM25_QUERY_TERMS = ("hash", "join", "window", "dup")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def x51_bm25_retrieval(spark, sf_dir):
+    """BM25 keyword retrieval — the lexical half of RAG passage search
+    (Robertson/Sparck-Jones idf, k1=1.2, b=0.75): score every document
+    against a fixed query, return the top-20. The scale shape is an
+    INVERTED INDEX probe: postings are filtered to the query's terms at
+    the scan (an isin over 4 literals — pushed to the reader), so only
+    matching postings flow; document length joins in from a one-pass
+    per-doc rollup and avgdl/N ride along as a broadcast 1-row frame.
+    Nothing vocabulary-sized shuffles. The ranking key is the
+    6dp-rounded score with a doc_id tiebreak (x25's cross-engine
+    ordering discipline); top-20 plans as TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("_toks"), F.count(F.lit(1)).alias("_n")
+    )
+    hits = toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1
+                        - BM25_B
+                        + BM25_B
+                        * F.col("dl")
+                        / (F.col("_toks") / F.col("_n"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            W.round_half_up(F.sum("term_score"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def b3_bloom_filter_join(spark, sf_dir):
     """Runtime-filter (Bloom) semi-join reduction — the join pattern for
     a build side too big to broadcast RAW but whose BITS fit anywhere:
@@ -5304,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x49_triangle_cooccurrence": x49_triangle_cooccurrence,
         "x50_char_entropy": x50_char_entropy,
         "b3_bloom_filter_join": b3_bloom_filter_join,
+        "x51_bm25_retrieval": x51_bm25_retrieval,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7565,6 +7632,35 @@ SELECT event_type,
          AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+    _terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    _k1p1, _k1 = repr(BM25_K1 + 1), repr(BM25_K1)
+    _omb, _b = repr(1 - BM25_B), repr(BM25_B)
+    d["x51_bm25_retrieval"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS _toks, count(*) AS _n FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_terms}) GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       {W.round_half_up_sql(
+           "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
+           f" * (tf * {_k1p1}) / (tf + {_k1}"
+           f" * ({_omb} + {_b} * dl / (_toks / _n))))", 6)} AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
     d["b3_bloom_filter_join"] = """
 SELECT o_orderpriority,
