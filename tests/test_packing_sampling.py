@@ -194,3 +194,34 @@ def test_c4_flags_edge_cases(spark):
     assert normal["k"]                            # 20x 4-char words: keep
     assert short_words["b"] and not short_words["k"]   # mean len 1 < 3
     assert long_words["b"] and not long_words["k"]     # mean len 20 > 10
+
+
+def test_misra_gries_superset_guarantee_and_bounded_state(spark):
+    """MG candidates: on a skewed stream split across partitions, every
+    item with global count > N/(k+1) MUST survive (pigeonhole across
+    per-partition summaries), and the candidate set stays <= k * n_partitions."""
+    import pyspark.sql.functions as F
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.topk import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    k = 9
+    # 3 heavy items (>N/(k+1)) drowned in a long tail, scattered over 8 partitions
+    rows = (
+        [("hot_a",)] * 400 + [("hot_b",)] * 300 + [("hot_c",)] * 200
+        + [(f"tail_{i}",) for i in range(1500)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    n = len(rows)
+    cands = {r.item for r in misra_gries_candidates(df, "item", k).collect()}
+    # N/(k+1) = 240: hot_a (400) and hot_b (300) are guaranteed to
+    # survive the sketch; hot_c (200) sits below the bound and may or
+    # may not appear among candidates — the exact pass decides.
+    assert {"hot_a", "hot_b"} <= cands
+    assert len(cands) <= k * 8       # bounded state per partition
+    exact = heavy_hitters_exact(df, "item", k).collect()
+    got = {(r.item, r.cnt) for r in exact}
+    assert got == {("hot_a", 400), ("hot_b", 300)}
+    assert all(r.total_items == n for r in exact)

@@ -476,3 +476,12 @@ def test_b3_bloom_probe_broadcasts_and_exact_semi_join(spark, sf01):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x51_postings_filter_pushed_and_topk_without_sort(spark, sf01):
+    """BM25: the 4-term IN filter must reach the scan side of the
+    postings (inverted-index probe, not score-everything), and top-20
+    must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, sf01, "x51_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
