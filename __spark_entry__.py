@@ -4746,17 +4746,9 @@ BM25_QUERY_TERMS = ("hash", "join", "window", "dup")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def x51_bm25_retrieval(spark, sf_dir):
-    """BM25 keyword retrieval — the lexical half of RAG passage search
-    (Robertson/Sparck-Jones idf, k1=1.2, b=0.75): score every document
-    against a fixed query, return the top-20. The scale shape is an
-    INVERTED INDEX probe: postings are filtered to the query's terms at
-    the scan (an isin over 4 literals — pushed to the reader), so only
-    matching postings flow; document length joins in from a one-pass
-    per-doc rollup and avgdl/N ride along as a broadcast 1-row frame.
-    Nothing vocabulary-sized shuffles. The ranking key is the
-    6dp-rounded score with a doc_id tiebreak (x25's cross-engine
-    ordering discipline); top-20 plans as TakeOrderedAndProject."""
+def _bm25_scores(spark, sf_dir):
+    """Per-document 6dp-rounded BM25 score frame shared by x51 (pure
+    lexical top-k) and x52 (hybrid fusion)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
@@ -4797,14 +4789,83 @@ def x51_bm25_retrieval(spark, sf_dir):
             ).alias("term_score"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        W.round_half_up(F.sum("term_score"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+
+
+def x51_bm25_retrieval(spark, sf_dir):
+    """BM25 keyword retrieval — the lexical half of RAG passage search
+    (Robertson/Sparck-Jones idf, k1=1.2, b=0.75): score every document
+    against a fixed query, return the top-20. The scale shape is an
+    INVERTED INDEX probe: postings are filtered to the query's terms at
+    the scan (an isin over 4 literals — pushed to the reader), so only
+    matching postings flow; document length joins in from a one-pass
+    per-doc rollup and avgdl/N ride along as a broadcast 1-row frame.
+    Nothing vocabulary-sized shuffles. The ranking key is the
+    6dp-rounded score with a doc_id tiebreak (x25's cross-engine
+    ordering discipline); top-20 plans as TakeOrderedAndProject."""
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            W.round_half_up(F.sum("term_score"), 6).alias("bm25"),
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-        )
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+def x52_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the modern RAG
+    retrieval stack in one query: a LEXICAL candidate list (x51's BM25,
+    top-50 ranked on the 6dp-rounded score with doc_id tiebreak) fused
+    with a SEMANTIC candidate list (exact cosine top-50 against a fixed
+    query vector — x5's broadcast-query operator) by
+    RRF(d) = Σ_lists 1/(60 + rank_d). Ranks are small exact integers,
+    the fusion is a two-term sum written identically on both engines,
+    and the full-outer join of the two ≤50-row lists is dim-sized — the
+    expensive parts (postings probe, brute-force scoring) each keep
+    their own scale shape from x51/x5. Docs ranked by only one modality
+    survive with the other contribution = 0 (the full-outer
+    semantics that makes RRF robust to modality blind spots)."""
+    lex = (
+        # TakeOrderedAndProject the candidates FIRST, then rank the
+        # 50-row survivor frame — the global window never sees the corpus
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    sem = (
+        S.cosine_topk_bruteforce(emb, q, k=50)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    return (
+        fused.orderBy(F.col("_rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            W.round_half_up(F.col("_rrf"), 6).alias("rrf_score"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+        )
     )
 
 
@@ -5371,6 +5432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x50_char_entropy": x50_char_entropy,
         "b3_bloom_filter_join": b3_bloom_filter_join,
         "x51_bm25_retrieval": x51_bm25_retrieval,
+        "x52_hybrid_retrieval": x52_hybrid_retrieval,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -7661,6 +7723,59 @@ SELECT doc_id,
 FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+    d["x52_hybrid_retrieval"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS _toks, count(*) AS _n FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_terms}) GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT doc_id,
+         {W.round_half_up_sql(
+             "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
+             f" * (tf * {_k1p1}) / (tf + {_k1}"
+             f" * ({_omb} + {_b} * dl / (_toks / _n))))", 6)} AS bm25
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+           AS lex_rank
+  FROM bm QUALIFY lex_rank <= 50
+), qv AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(c.embedding::DOUBLE[], qvec)
+           / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qvec, qvec))) AS sim
+  FROM embeddings c CROSS JOIN qv
+), sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+           AS sem_rank
+  FROM scored QUALIFY sem_rank <= 50
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+           + coalesce(1.0 / (60 + sem.sem_rank), 0.0) AS _rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, {W.round_half_up_sql("_rrf", 6)} AS rrf_score,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(sem_rank AS INT) AS sem_rank
+FROM fused
+ORDER BY _rrf DESC, doc_id ASC LIMIT 20
 """
     d["b3_bloom_filter_join"] = """
 SELECT o_orderpriority,
