@@ -2242,6 +2242,69 @@ def io3_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def io5_snapshot_diff(spark, sf_dir):
+    """Table-format SNAPSHOT DIFF — "what changed between version 1 and
+    HEAD": two commits to the manifest-versioned sink (v1 = src0-src2;
+    v2 = an overwrite where src0 is dropped, src1's n_chars are doubled,
+    src2 is untouched, src3 is new), then both versions are time-travel
+    read and keyed full-outer joined into an added/removed/changed/
+    unchanged census — r3's audit diff pointed at two snapshots of the
+    SAME table instead of two tables. This is the reviewable changelog a
+    lakehouse write pipeline publishes with every commit; at 100 TB the
+    diff shuffles each side once on the key and the census is a 4-row
+    aggregate. Oracle recomputes the census straight from the source
+    parquet (the commits are deterministic functions of it)."""
+    import tempfile
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+    )
+
+    if not register_json_sink(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource writer API unavailable")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    v1 = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    v2 = docs.filter(F.col("source").isin("src1", "src2", "src3")).select(
+        "doc_id",
+        "source",
+        F.when(F.col("source") == "src1", F.col("n_chars") * 2)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    path = tempfile.mkdtemp(prefix="io5_snap_")
+    for frame in (v1, v2):
+        frame.write.format("jsonl_commit").option("path", path).mode(
+            "overwrite"
+        ).save()
+    schema = "doc_id long, source string, n_chars long"
+    old = read_snapshot(spark, path, schema, version=1)
+    new = read_snapshot(spark, path, schema)  # HEAD = v2
+    o = old.select(
+        F.col("doc_id"),
+        F.col("n_chars").alias("old_chars"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("n_chars").alias("new_chars"),
+    )
+    diff = o.join(n, o.doc_id == n.new_id, "full_outer").select(
+        F.coalesce("doc_id", "new_id").alias("key"),
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "removed")
+        .when(F.col("old_chars") != F.col("new_chars"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("key").alias("min_doc"),
+        F.max("key").alias("max_doc"),
+    )
+
+
 def s7_xml_roundtrip(spark, sf_dir):
     """Spark 4 XML surface (the third semi-structured dialect after
     JSON/S2 and VARIANT/s6): each event becomes an XML document via
@@ -5413,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io2_python_sink_roundtrip": io2_python_sink_roundtrip,
         "io3_snapshot_time_travel": io3_snapshot_time_travel,
         "io4_streaming_sink_commit_log": io4_streaming_sink_commit_log,
+        "io5_snapshot_diff": io5_snapshot_diff,
         "s7_xml_roundtrip": s7_xml_roundtrip,
         "p14_string_surface": p14_string_surface,
         "p15_date_surface": p15_date_surface,
@@ -7723,6 +7787,20 @@ SELECT doc_id,
 FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+    d["io5_snapshot_diff"] = """
+WITH d AS (SELECT doc_id, source FROM documents),
+diff AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src3' THEN 'added'
+              WHEN source = 'src0' THEN 'removed'
+              WHEN source = 'src1' THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM d WHERE source IN ('src0', 'src1', 'src2', 'src3')
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM diff GROUP BY status
 """
     d["x52_hybrid_retrieval"] = f"""
 WITH toks AS (
