@@ -2242,6 +2242,62 @@ def io3_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def qv2_expectation_suite(spark, sf_dir):
+    """Declarative expectation suite (the Deequ / Great-Expectations
+    pattern — the reference's ad-hoc quality checks
+    (daily_weather_etl_kenya.py:471-531) generalized to a
+    CONSTRAINT-TABLE-driven engine): five named expectations over
+    lineitem — not-null key, non-negative quantity, discount domain
+    range, return-flag set membership, (orderkey, linenumber) key
+    uniqueness — ALL evaluated in ONE aggregation pass (violation
+    counters are conditional sums sharing the scan; the uniqueness
+    probe is a countDistinct riding the same Expand). The 1-row result
+    explodes into one row per expectation with its violation count and
+    verdict, so a scheduler can alert per-constraint. Adding an
+    expectation = adding a Column expression, not a pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    viol = {
+        "orderkey_not_null": F.col("l_orderkey").isNull(),
+        "quantity_non_negative": F.col("l_quantity") < 0,
+        "discount_in_range": ~F.col("l_discount").between(0.0, 0.5),
+        "returnflag_in_set": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("_uniq"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_v_{name}")
+            for name, cond in viol.items()
+        ],
+    )
+    rows = agg.select(
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col(f"_v_{name}").cast("bigint").alias("violations"),
+                    )
+                    for name in viol
+                ],
+                F.struct(
+                    F.lit("line_key_unique").alias("expectation"),
+                    (F.col("_n") - F.col("_uniq"))
+                    .cast("bigint")
+                    .alias("violations"),
+                ),
+            )
+        ).alias("e"),
+    )
+    return rows.select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.violations").alias("violations"),
+        F.col("_n").cast("bigint").alias("n_rows"),
+        (F.col("e.violations") == 0).alias("passed"),
+    )
+
+
 def io5_snapshot_diff(spark, sf_dir):
     """Table-format SNAPSHOT DIFF — "what changed between version 1 and
     HEAD": two commits to the manifest-versioned sink (v1 = src0-src2;
@@ -5328,6 +5384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st13_stream_outer_join": st13_stream_outer_join,
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "qv1_quality_verdict": qv1_quality_verdict,
+        "qv2_expectation_suite": qv2_expectation_suite,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
         "r7_incremental_join_view": r7_incremental_join_view,
@@ -7787,6 +7844,32 @@ SELECT doc_id,
 FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+    d["qv2_expectation_suite"] = """
+WITH agg AS (
+  SELECT count(*) AS _n,
+         count(DISTINCT (l_orderkey, l_linenumber)) AS _uniq,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.5)
+                  THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) AS v4
+  FROM lineitem
+), rows_ AS (
+  SELECT 'orderkey_not_null' AS expectation, v1 AS violations, _n FROM agg
+  UNION ALL
+  SELECT 'quantity_non_negative', v2, _n FROM agg
+  UNION ALL
+  SELECT 'discount_in_range', v3, _n FROM agg
+  UNION ALL
+  SELECT 'returnflag_in_set', v4, _n FROM agg
+  UNION ALL
+  SELECT 'line_key_unique', _n - _uniq, _n FROM agg
+)
+SELECT expectation, CAST(violations AS BIGINT) AS violations,
+       CAST(_n AS BIGINT) AS n_rows, violations = 0 AS passed
+FROM rows_
 """
     d["io5_snapshot_diff"] = """
 WITH d AS (SELECT doc_id, source FROM documents),
