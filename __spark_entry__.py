@@ -2242,6 +2242,67 @@ def io3_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def a18_column_profiler(spark, sf_dir):
+    """One-pass column profiler (the automatic data-profiling report a
+    catalog/QC service runs on every new table): per-column row count,
+    null count, exact distinct count, and typed min/max over orders —
+    ALL columns in ONE aggregation (distinct counters share the scan
+    via Catalyst's Expand; nulls/min/max are plain partials). The 1-row
+    wide result explodes into one row per column. Numeric min/max
+    surface as doubles, string min/max as strings (never a float
+    formatted into a string — cross-engine float rendering is a trap
+    the typed split avoids). Profiling N columns = widening the agg,
+    never adding a pass."""
+    o = load_table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    wide = o.agg(*aggs)
+
+    def row(c, numeric):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_null_{c}").cast("bigint").alias("n_null"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if numeric else F.col(f"_min_{c}")).alias("min_str"),
+            (F.lit(None).cast("string") if numeric else F.col(f"_max_{c}")).alias("max_str"),
+        )
+
+    rows = wide.select(
+        "_n",
+        F.explode(
+            F.array(
+                *[row(c, True) for c in num_cols],
+                *[row(c, False) for c in str_cols],
+            )
+        ).alias("p"),
+    )
+    return rows.select(
+        F.col("p.column").alias("column"),
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_num").alias("min_num"),
+        F.col("p.max_num").alias("max_num"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
+    )
+
+
 def qv2_expectation_suite(spark, sf_dir):
     """Declarative expectation suite (the Deequ / Great-Expectations
     pattern — the reference's ad-hoc quality checks
@@ -5385,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
+        "a18_column_profiler": a18_column_profiler,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
         "r7_incremental_join_view": r7_incremental_join_view,
@@ -7844,6 +7906,48 @@ SELECT doc_id,
 FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+    d["a18_column_profiler"] = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS column, n_rows,
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_null,
+       (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+       (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders) AS min_num,
+       (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM n
+UNION ALL
+SELECT 'o_custkey', n_rows,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT count(DISTINCT o_custkey) FROM orders),
+       (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders),
+       (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders),
+       NULL, NULL
+FROM n
+UNION ALL
+SELECT 'o_totalprice', n_rows,
+       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+       (SELECT count(DISTINCT o_totalprice) FROM orders),
+       (SELECT min(o_totalprice) FROM orders),
+       (SELECT max(o_totalprice) FROM orders),
+       NULL, NULL
+FROM n
+UNION ALL
+SELECT 'o_orderstatus', n_rows,
+       (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+       (SELECT count(DISTINCT o_orderstatus) FROM orders),
+       NULL, NULL,
+       (SELECT min(o_orderstatus) FROM orders),
+       (SELECT max(o_orderstatus) FROM orders)
+FROM n
+UNION ALL
+SELECT 'o_orderpriority', n_rows,
+       (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+       (SELECT count(DISTINCT o_orderpriority) FROM orders),
+       NULL, NULL,
+       (SELECT min(o_orderpriority) FROM orders),
+       (SELECT max(o_orderpriority) FROM orders)
+FROM n
 """
     d["qv2_expectation_suite"] = """
 WITH agg AS (
