@@ -293,6 +293,12 @@ def test_no_python_eval_on_any_scalar_path(spark, sf01):
             "qv1_quality_verdict",
             "x42_sentence_split_udtf",  # the UDTF path IS the point
             "x46_grouped_agg_udaf",  # the pandas-UDAF path IS the point
+            # the per-partition Misra-Gries fold is deliberately
+            # imperative (bounded k-state sketch, zero shuffle) — the
+            # one place Python-on-executors is the design, like st15's
+            # streaming twin; the exact counting pass it guards is
+            # native and pinned by test_a17_candidates_broadcast_no_vocab_exchange
+            "a17_heavy_hitters",
         ):
             continue
         plan = _plan(spark, sf01, name)
