@@ -5153,6 +5153,41 @@ def x50_char_entropy(spark, sf_dir):
     )
 
 
+def x53_gopher_rules(spark, sf_dir):
+    """Gopher rule-based document filter audit (Rae et al. 2021 App. A —
+    the second public rule family beyond x24's C4 gates): token-count
+    band, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    fraction, and the >=2-required-stopwords rule, rolled up per source.
+    Every flag is a pure narrow expression on the scan (one regex
+    tokenize reused across signals, no Python, no join); the per-source
+    rollup is the only shuffle — at 100 TB this is a map-side gate like
+    x24, and the audit costs one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = T.gopher_filter_flags(F.col("text"), min_tokens=20)
+    flag_names = (
+        "flag_token_count",
+        "flag_word_len",
+        "flag_symbol",
+        "flag_alpha",
+        "flag_stopword",
+        "keep",
+    )
+    return (
+        docs.select(
+            "source",
+            *[flags[k].cast("int").alias(k) for k in flag_names],
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(k).cast("bigint").alias(f"n_{k}")
+                for k in flag_names
+            ],
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5616,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_bloom_filter_join": b3_bloom_filter_join,
         "x51_bm25_retrieval": x51_bm25_retrieval,
         "x52_hybrid_retrieval": x52_hybrid_retrieval,
+        "x53_gopher_rules": x53_gopher_rules,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8065,6 +8101,17 @@ SELECT doc_id,
        {W.round_half_up_sql(
            "ln(sum(nc)) - sum(nc * ln(nc)) / sum(nc)", 4)} AS entropy_nats
 FROM cnt GROUP BY doc_id
+"""
+    _gf = T.gopher_filter_flags_sql("text", min_tokens=20)
+    d["x53_gopher_rules"] = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum({_gf['flag_token_count']}::INT) AS BIGINT) AS n_flag_token_count,
+       CAST(sum({_gf['flag_word_len']}::INT) AS BIGINT) AS n_flag_word_len,
+       CAST(sum({_gf['flag_symbol']}::INT) AS BIGINT) AS n_flag_symbol,
+       CAST(sum({_gf['flag_alpha']}::INT) AS BIGINT) AS n_flag_alpha,
+       CAST(sum({_gf['flag_stopword']}::INT) AS BIGINT) AS n_flag_stopword,
+       CAST(sum({_gf['keep']}::INT) AS BIGINT) AS n_keep
+FROM documents GROUP BY source
 """
     d["x49_triangle_cooccurrence"] = """
 WITH pairs AS (

@@ -368,3 +368,115 @@ def c4_filter_flags(
         "flag_bad_word_len": bad_word_len,
         "keep": ~(too_short | bad_word_len),
     }
+
+
+# Gopher rule-based document filter (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A).
+# The canonical doc must contain >=2 distinct words from this list.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_filter_flags(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style keep/drop flags — the second public rule family
+    beyond :func:`c4_filter_flags`: token-count band, mean-word-length
+    band, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    fraction, and the >=2-required-stopwords rule. Every signal is a
+    pure codegen-able expression; callers aggregate or filter. Each
+    formula has a character-identical DuckDB twin in
+    :func:`gopher_filter_flags_sql` so audits are oracle-exact."""
+    toks = tokens(text)
+    low = tokens(F.lower(text))
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mlen = mean_token_len(text)
+    symbol_ratio = (_occurrences(text, "#") + _occurrences(text, "...")) / nd
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / nd
+    )
+    stop_hits = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    flag_token_count = (n < min_tokens) | (n > max_tokens)
+    flag_word_len = (mlen < min_mean_len) | (mlen > max_mean_len)
+    flag_symbol = symbol_ratio > max_symbol_ratio
+    flag_alpha = alpha_ratio < min_alpha_ratio
+    flag_stopword = stop_hits < min_stopwords
+    return {
+        "flag_token_count": flag_token_count,
+        "flag_word_len": flag_word_len,
+        "flag_symbol": flag_symbol,
+        "flag_alpha": flag_alpha,
+        "flag_stopword": flag_stopword,
+        "keep": ~(
+            flag_token_count
+            | flag_word_len
+            | flag_symbol
+            | flag_alpha
+            | flag_stopword
+        ),
+    }
+
+
+def gopher_filter_flags_sql(
+    text: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, str]:
+    """DuckDB twin of :func:`gopher_filter_flags` (same defaults)."""
+    toks = f"list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> '')"
+    low = (
+        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'),"
+        " t -> t <> '')"
+    )
+    n = f"len({toks})"
+    nd = f"greatest({n}, 1)::DOUBLE"
+    mlen = mean_token_len_sql(text)
+
+    def occ(needle: str) -> str:
+        esc = needle.replace("'", "''")
+        return (
+            f"((length({text}) - length(replace({text}, '{esc}', '')))"
+            f" / {len(needle)})"
+        )
+
+    symbol_ratio = f"(({occ('#')} + {occ('...')}) / {nd})"
+    alpha_ratio = (
+        f"(len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE"
+        f" / {nd})"
+    )
+    stop_hits = "(" + " + ".join(
+        f"list_contains({low}, '{w}')::INT" for w in GOPHER_STOPWORDS
+    ) + ")"
+    f_count = f"(({n} < {min_tokens}) OR ({n} > {max_tokens}))"
+    f_len = f"(({mlen} < {min_mean_len}) OR ({mlen} > {max_mean_len}))"
+    f_sym = f"({symbol_ratio} > {max_symbol_ratio})"
+    f_alpha = f"({alpha_ratio} < {min_alpha_ratio})"
+    f_stop = f"({stop_hits} < {min_stopwords})"
+    return {
+        "flag_token_count": f_count,
+        "flag_word_len": f_len,
+        "flag_symbol": f_sym,
+        "flag_alpha": f_alpha,
+        "flag_stopword": f_stop,
+        "keep": (
+            f"(NOT ({f_count} OR {f_len} OR {f_sym} OR {f_alpha} OR {f_stop}))"
+        ),
+    }
