@@ -5188,6 +5188,60 @@ def x53_gopher_rules(spark, sf_dir):
     )
 
 
+def x54_dsir_importance(spark, sf_dir):
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document importance
+    weight = mean hashed-unigram log-likelihood ratio between a target
+    domain (here lang='en') and the raw corpus, with add-1 smoothing.
+    The point of HASHED n-gram features at 100 TB: both LMs collapse to
+    a fixed 64-bucket table regardless of vocabulary size, so the model
+    rides to every executor as a broadcast — the per-token join never
+    shuffles (contrast x20, whose unhashed vocab join must shuffle on
+    term). Buckets use the portable polynomial rolling hash so the
+    DuckDB twin reproduces bucket assignment bit-for-bit; the weight is
+    rounded 4dp under x20's ln-parity discipline. ``selected`` is the
+    deterministic resampling decision (weight above the neutral 0)."""
+    B = 64
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    ).select(
+        "doc_id", "lang", (T.rolling_hash(F.col("term")) % B).alias("b")
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lm = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    totals = lm.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
+    )
+    ratio = F.log(
+        (F.col("ct") + 1).cast("double") / (F.col("t_total") + B)
+    ) - F.log((F.col("cr") + 1).cast("double") / (F.col("r_total") + B))
+    return (
+        tb.join(F.broadcast(lm), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            W.round_half_up(F.avg(ratio), 4).alias("dsir_logratio"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_logratio",
+            (F.col("dsir_logratio") > 0).cast("int").alias("selected"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5652,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x51_bm25_retrieval": x51_bm25_retrieval,
         "x52_hybrid_retrieval": x52_hybrid_retrieval,
         "x53_gopher_rules": x53_gopher_rules,
+        "x54_dsir_importance": x54_dsir_importance,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8112,6 +8167,39 @@ SELECT source, count(*) AS n_docs,
        CAST(sum({_gf['flag_stopword']}::INT) AS BIGINT) AS n_flag_stopword,
        CAST(sum({_gf['keep']}::INT) AS BIGINT) AS n_keep
 FROM documents GROUP BY source
+"""
+    _rh = (
+        "list_reduce([0::BIGINT] || list_transform("
+        "regexp_split_to_array(trim(regexp_replace(lower(term), '\\s+', ' ', 'g')), ''),"
+        " c -> ascii(c)::BIGINT), (acc, x) -> (acc * 257 + x) % 1000000007)"
+    )
+    d["x54_dsir_importance"] = f"""
+WITH tb AS (
+  SELECT doc_id, lang, {_rh} % 64 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  )
+), raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+lm AS (
+  SELECT raw.b, cr, coalesce(ct, 0) AS ct
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+), tot AS (
+  SELECT sum(cr) AS r_total, sum(ct) AS t_total FROM lm
+), perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         {W.round_half_up_sql(
+             "avg(ln((ct + 1)::DOUBLE / (t_total + 64))"
+             " - ln((cr + 1)::DOUBLE / (r_total + 64)))", 4)} AS dsir_logratio
+  FROM tb JOIN lm ON tb.b = lm.b CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dsir_logratio,
+       (dsir_logratio > 0)::INT AS selected
+FROM perdoc
 """
     d["x49_triangle_cooccurrence"] = """
 WITH pairs AS (
