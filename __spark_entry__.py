@@ -5242,6 +5242,32 @@ def x54_dsir_importance(spark, sf_dir):
     )
 
 
+def x55_fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy benchmark decontamination: (train, eval) pairs over the
+    x11 content-addressed split whose word-3-shingle Jaccard reaches
+    0.2, rolled up to the contaminated-train-doc verdict (n matching
+    eval docs + max similarity). Catches the paraphrased/reformatted
+    eval leakage that x22's exact 5-gram hit test misses. The pair
+    search is operators/dedup.py:cross_corpus_jaccard — inverted-index
+    join keyed by shingle with the train-side df cap, so candidates
+    scale with shared-shingle co-occurrence, never |train|×|eval|."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") != "train")
+    pairs = D.cross_corpus_jaccard(
+        train, test, k_shingle=3, threshold=0.2, max_shingle_df=50
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5707,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x52_hybrid_retrieval": x52_hybrid_retrieval,
         "x53_gopher_rules": x53_gopher_rules,
         "x54_dsir_importance": x54_dsir_importance,
+        "x55_fuzzy_decontamination": x55_fuzzy_decontamination,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8200,6 +8227,46 @@ lm AS (
 SELECT doc_id, n_tokens, dsir_logratio,
        (dsir_logratio > 0)::INT AS selected
 FROM perdoc
+"""
+    d["x55_fuzzy_decontamination"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM s
+), sh0 AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+    END)) AS sh
+  FROM toks
+), hot AS (
+  SELECT sh FROM sh0 WHERE split = 'train' GROUP BY sh HAVING count(*) > 50
+), tr AS (
+  SELECT doc_id AS train_id, sh FROM sh0
+  WHERE split = 'train' AND sh NOT IN (SELECT sh FROM hot)
+), te AS (
+  SELECT doc_id AS eval_id, sh FROM sh0
+  WHERE split = 'eval' AND sh NOT IN (SELECT sh FROM hot)
+), sa AS (SELECT train_id, count(*) AS n_a FROM tr GROUP BY 1),
+sb AS (SELECT eval_id, count(*) AS n_b FROM te GROUP BY 1),
+inter AS (
+  SELECT train_id, eval_id, count(*) AS inter
+  FROM tr JOIN te USING (sh) GROUP BY 1, 2
+), pairs AS (
+  SELECT train_id, eval_id,
+         round(inter::DOUBLE / (sa.n_a + sb.n_b - inter), 6) AS jaccard
+  FROM inter JOIN sa USING (train_id) JOIN sb USING (eval_id)
+  WHERE round(inter::DOUBLE / (sa.n_a + sb.n_b - inter), 6) >= 0.2
+)
+SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(jaccard) AS max_jaccard
+FROM pairs GROUP BY train_id
 """
     d["x49_triangle_cooccurrence"] = """
 WITH pairs AS (

@@ -601,6 +601,76 @@ def cross_corpus_contamination(
     )
 
 
+def cross_corpus_jaccard(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (train, eval) document pairs
+    whose word-k-shingle Jaccard similarity reaches ``threshold`` — the
+    near-duplicate generalization of :func:`cross_corpus_contamination`
+    (exact n-gram hits miss paraphrased/reformatted eval leakage; GPT-3
+    and PaLM both report fuzzy-overlap decontamination).
+
+    Same inverted-index discipline as :func:`ngram_jaccard_pairs`, but
+    ACROSS two corpora: candidates form only where a shingle co-occurs,
+    so the join is keyed by shingle (one shuffle each side, never
+    all-pairs); ``max_shingle_df`` caps the TRAIN-side document
+    frequency (the big side at 100 TB) and the excluded hot shingles —
+    a tiny broadcast list — are dropped from BOTH sides before sizes
+    are computed, keeping the capped measure symmetric and mirrored in
+    the DuckDB oracle.
+
+    Returns (train_id, eval_id, jaccard) with jaccard rounded 6dp.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    )
+    te = test.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            tr.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("sh")
+        )
+        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
+        te = te.join(F.broadcast(hot), "sh", "left_anti")
+    tr = tr.withColumn(
+        "n_a", F.count(F.lit(1)).over(Window.partitionBy("train_id"))
+    )
+    te = te.withColumn(
+        "n_b", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
+    )
+    inter = (
+        tr.join(te, "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
