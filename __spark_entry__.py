@@ -3509,6 +3509,19 @@ def st7_stream_stream_join(spark, sf_dir):
     return ST.run_stream_stream_join(spark, sf_dir)
 
 
+def st16_cdc_apply_stream(spark, sf_dir):
+    """Streaming CDC apply: an ordered Debezium-style change feed
+    (upsert/delete epochs, one per micro-batch) MERGEd into a keyed
+    snapshot by streaming/micro_batch.run_cdc_apply_stream — the
+    lakehouse change-data-capture ingest, and the streaming twin of
+    r5_merge_cdc. Epoch order is semantic (upsert-then-delete keys end
+    absent, delete-then-upsert keys end present), so the oracle's
+    closed-form final state only matches if micro-batches applied
+    sequentially with exactly-once versioned state."""
+    apply_runtime_confs(spark)
+    return ST.run_cdc_apply_stream(spark, sf_dir)
+
+
 def st15_streaming_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters (frequency tracking ON INGEST): each
     micro-batch folds batch-exact token counts into a standing
@@ -5559,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st12_dedup_ingest": st12_dedup_ingest,
         "st13_stream_outer_join": st13_stream_outer_join,
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
+        "st16_cdc_apply_stream": st16_cdc_apply_stream,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
@@ -8227,6 +8241,19 @@ lm AS (
 SELECT doc_id, n_tokens, dsir_logratio,
        (dsir_logratio > 0)::INT AS selected
 FROM perdoc
+"""
+    d["st16_cdc_apply_stream"] = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.10
+            WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.05
+            ELSE o_totalprice END AS o_totalprice
+FROM base
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+UNION ALL
+SELECT o_orderkey + 100000000 AS o_orderkey,
+       o_totalprice + 1.0 AS o_totalprice
+FROM base WHERE o_orderkey % 11 = 0
 """
     d["x55_fuzzy_decontamination"] = f"""
 WITH s AS (

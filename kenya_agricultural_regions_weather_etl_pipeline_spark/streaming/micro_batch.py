@@ -655,6 +655,142 @@ def run_left_outer_attribution(
     return out
 
 
+def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (st16): an ORDERED change feed merged into a
+    keyed snapshot, one MERGE per micro-batch — the lakehouse
+    change-data-capture ingest (Delta/Iceberg ``MERGE INTO`` driven by
+    a Debezium-style stream), and the streaming twin of the batch
+    r5_merge_cdc.
+
+    Three CDC epochs land as one file each (mtime-ordered, consumed
+    with ``maxFilesPerTrigger=1`` so each epoch IS a micro-batch):
+
+    - epoch 0: restate keys %3 == 0 to 1.05x (upsert)
+    - epoch 1: delete keys %7 == 0
+    - epoch 2: restate keys %5 == 0 to 1.10x, insert brand-new keys
+      (%11 == 0, key+1e8, price+1.0)
+
+    Epoch ORDER is semantic — %21 keys are upserted then deleted
+    (absent), %35 keys deleted then re-upserted (present) — so the
+    final state is only right if batches apply sequentially; a
+    single-batch union-merge cannot reproduce it. State is
+    version-chained exactly like st15 (``v{batch_id}`` computed from
+    ``v{batch_id-1}``, overwrite-on-replay): a crash-and-replay
+    recomputes the SAME version instead of double-applying, giving
+    exactly-once without a transactional sink. Each micro-batch costs
+    one key-shuffled full-outer join against the snapshot
+    (operators/merge.apply_cdc) — at 100 TB the snapshot is
+    date/bucket-partitioned so the join prunes to touched partitions,
+    the same incremental-cost-per-epoch shape as st11."""
+    import shutil
+    import time as _time
+
+    from ..operators.merge import apply_cdc
+    from ..sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    e0 = base.filter(k % 3 == 0).select(
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        (price * F.lit(1.05)).alias("o_totalprice"),
+    )
+    e1 = base.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("delete").alias("op"), price
+    )
+    e2 = (
+        base.filter(k % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("upsert").alias("op"),
+            (price * F.lit(1.10)).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                (k + F.lit(100000000)).alias("o_orderkey"),
+                F.lit("upsert").alias("op"),
+                (price + F.lit(1.0)).alias("o_totalprice"),
+            )
+        )
+    )
+
+    workdir = tempfile.mkdtemp(prefix="kw_st16_")
+    src_dir = os.path.join(workdir, "cdc")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    base.write.parquet(os.path.join(state, "v_init"))
+    # one file per epoch with STRICTLY increasing (past) mtimes:
+    # FileStreamSource orders the backlog by modification time, and
+    # future mtimes are silently ignored (the st13 trap)
+    t0 = int(_time.time()) - 3600
+    for i, epoch in enumerate((e0, e1, e2)):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        epoch.coalesce(1).write.json(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".json")
+        )
+        dst = os.path.join(src_dir, f"cdc_{i}.json")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("op", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev = (
+            os.path.join(state, f"v{batch_id - 1}")
+            if batch_id > 0
+            else os.path.join(state, "v_init")
+        )
+        cur = sp.read.parquet(prev)
+        merged = apply_cdc(
+            cur, batch.select("o_orderkey", "op", "o_totalprice"), "o_orderkey"
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    final = spark.read.parquet(
+        os.path.join(state, f"v{versions[-1]}")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
 def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL ingest (st8): the continuous-crawl-drop shape.
 

@@ -375,3 +375,34 @@ def test_st13_outer_join_flushes_mid_stream(spark, sf001):
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     assert any(r[2] is None for r in got_rows)  # unmatched clicks present
+
+
+def test_st16_cdc_epoch_order_is_semantic(spark, sf001):
+    """The CDC stream's final state depends on epoch ORDER: %21 keys
+    (upserted in epoch 0, deleted in epoch 1) must be absent; %35 keys
+    (deleted in epoch 1, re-upserted in epoch 2) must be present at
+    1.10x their original price. A union-style single merge cannot
+    produce this — only sequential micro-batch application can."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_cdc_apply_stream,
+    )
+
+    final = run_cdc_apply_stream(spark, sf001)
+    base = load_table(spark, sf001, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    up_then_del = {
+        r[0] for r in base.filter((k % 21 == 0) & (k % 5 != 0)).collect()
+    }
+    del_then_up = {
+        (r[0], r[1] * 1.10) for r in base.filter(k % 35 == 0).collect()
+    }
+    assert up_then_del and del_then_up  # fixture actually exercises both
+    got = {r[0]: r[1] for r in final.collect()}
+    assert not (up_then_del & set(got)), "upsert-then-delete keys leaked"
+    for key, want_price in del_then_up:
+        assert got.get(key) == want_price, (key, got.get(key), want_price)
