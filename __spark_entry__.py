@@ -5229,7 +5229,7 @@ def x54_dsir_importance(spark, sf_dir):
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    lm = raw.join(tgt, "b", "left").select(
+    lm = raw.join(F.broadcast(tgt), "b", "left").select(
         "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
     )
     totals = lm.agg(

@@ -491,3 +491,30 @@ def test_x51_postings_filter_pushed_and_topk_without_sort(spark, sf01):
     plan = _plan(spark, sf01, "x51_bm25_retrieval")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x53_gopher_audit_is_single_exchange(spark, sf01):
+    """x53's five Gopher flags are narrow expressions on the scan; the
+    per-source rollup must be the ONLY shuffle (map-side partial
+    aggregation present)."""
+    plan = _plan(spark, sf01, "x53_gopher_rules")
+    assert plan.count("Exchange (") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_x54_hashed_lm_broadcasts_no_term_shuffle_join(spark, sf01):
+    """DSIR's point at scale: the hashed 64-bucket LM rides to the
+    per-token join as a BROADCAST — no SortMergeJoin anywhere (contrast
+    x20, whose unhashed vocab join must shuffle on term)."""
+    plan = _plan(spark, sf01, "x54_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_x55_hot_shingle_cap_is_broadcast_anti_join(spark, sf01):
+    """x55's train-side df cap must exclude hot shingles via a broadcast
+    anti-join on BOTH index sides (x3's discipline, cross-corpus)."""
+    plan = _plan(spark, sf01, "x55_fuzzy_decontamination")
+    assert plan.count("BroadcastHashJoin LeftAnti") >= 2 or (
+        plan.count("LeftAnti") >= 2 and "BroadcastHashJoin" in plan
+    ), plan
