@@ -5281,6 +5281,50 @@ def x55_fuzzy_decontamination(spark, sf_dir):
     )
 
 
+def x56_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression statistics per language — the
+    standard multilingual-tokenizer health check (fertility = subword
+    tokens per whitespace word; chars per subword token): languages a
+    BPE vocabulary serves poorly show high fertility, which inflates
+    their effective sequence length and training cost. Uses the
+    deterministic BPE-ish regex proxy (x8b's tokenizer); all three
+    ratios are integer-sum divisions rounded 6dp, so the rollup is
+    exact on both engines. One narrow scan + one bounded per-lang
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        T.token_count(F.col("text")).alias("ws"),
+        F.length("text").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("sum_bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("sum_ws_tokens"),
+        W.round_half_up(
+            F.sum("bpe").cast("double") / F.greatest(F.sum("ws"), F.lit(1)), 6
+        ).alias("fertility"),
+        W.round_half_up(
+            F.sum("chars").cast("double") / F.greatest(F.sum("bpe"), F.lit(1)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def x57_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard-negative mining: per query vector, the
+    top-5 most-similar corpus vectors inside the [0.3, 0.8) cosine
+    band (informative negatives, excluding the near-duplicate zone and
+    the query itself) — operators/similarity.hard_negatives, x5's
+    broadcast-query exact shape with the band as a pre-rank filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return S.hard_negatives(emb, q, k=5, lo=0.3, hi=0.8)
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5748,6 +5792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x53_gopher_rules": x53_gopher_rules,
         "x54_dsir_importance": x54_dsir_importance,
         "x55_fuzzy_decontamination": x55_fuzzy_decontamination,
+        "x56_tokenizer_fertility": x56_tokenizer_fertility,
+        "x57_hard_negatives": x57_hard_negatives,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8241,6 +8287,38 @@ lm AS (
 SELECT doc_id, n_tokens, dsir_logratio,
        (dsir_logratio > 0)::INT AS selected
 FROM perdoc
+"""
+    d["x56_tokenizer_fertility"] = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum({T.bpe_ish_token_count_sql('text')}) AS BIGINT) AS sum_bpe_tokens,
+       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS sum_ws_tokens,
+       {W.round_half_up_sql(
+           f"sum({T.bpe_ish_token_count_sql('text')})::DOUBLE"
+           f" / greatest(sum({T.token_count_sql('text')}), 1)", 6)} AS fertility,
+       {W.round_half_up_sql(
+           f"sum(length(text))::DOUBLE"
+           f" / greatest(sum({T.bpe_ish_token_count_sql('text')}), 1)", 6)}
+         AS chars_per_token
+FROM documents GROUP BY lang
+"""
+    d["x57_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), banded AS (
+  SELECT query_id, vec_id, sim FROM scored WHERE sim >= 0.3 AND sim < 0.8
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM banded) WHERE rank <= 5
 """
     d["st16_cdc_apply_stream"] = """
 WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)

@@ -112,6 +112,66 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors INSIDE a similarity band
+    [lo, hi) — similar enough to be informative negatives, below the
+    near-duplicate zone where they would be false negatives (the
+    standard in-batch-negatives upgrade for embedding-model training).
+
+    Same exact broadcast(query) ⋈ corpus shape as
+    :func:`cosine_topk_bruteforce`; the band filter and the self-pair
+    exclusion apply BEFORE ranking on full-precision similarity, and
+    both engines compute the dot product in the same sequential fold,
+    so the band edges cut identically and the result is oracle-exact.
+    At 100 TB the corpus side swaps for the IVF/LSH-bucketed index
+    (x5d) with the same band predicate as a residual filter.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("cvec")
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "sim_full",
+            cosine_given_norms(
+                F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
+        .filter(
+            (F.col("sim_full") >= lo)
+            & (F.col("sim_full") < hi)
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
