@@ -5325,6 +5325,112 @@ def x57_hard_negatives(spark, sf_dir):
     return S.hard_negatives(emb, q, k=5, lo=0.3, hi=0.8)
 
 
+def w17_yoy_compare(spark, sf_dir):
+    """Year-over-year comparison window: monthly revenue vs the same
+    month one year earlier (lag 12 over the month series) — the
+    standard seasonality-aware KPI delta. Revenue sums in
+    DECIMAL(18,4) (reduction-order-independent, q23's discipline); the
+    month series after aggregation is bounded (#months, ~80 rows), so
+    the unpartitioned ordered window is a deliberate tiny-series
+    exception to the no-global-window rule — at any SF the frame the
+    window sees is months, never rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("rev", 12).over(w)
+    return monthly.select(
+        "y",
+        "m",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("revenue_prev_year"),
+        W.round_half_up(
+            (F.col("rev") - prev).cast("double")
+            / prev.cast("double")
+            * 100,
+            4,
+        ).alias("yoy_pct"),
+    )
+
+
+def a19_group_mode(spark, sf_dir):
+    """Exact statistical mode per group with a deterministic tiebreak
+    (most frequent l_quantity per return flag; lowest value wins ties):
+    the two-level count-then-rank idiom — first a (group, value) hash
+    aggregation with map-side combine, then a per-group window over the
+    DISTINCT-VALUE frame (bounded by |distinct values|, never by rows).
+    The generic form of 'most common category' profiling at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+def x58_zipf_slope(spark, sf_dir):
+    """Corpus Zipf-law fit: OLS slope/intercept of ln(freq) on ln(rank)
+    over the top-200 terms — the classic corpus-health diagnostic
+    (natural corpora sit near slope -1; scraped boilerplate and
+    synthetic spam bend the curve). The top-200 selection is
+    TakeOrdered (never a full vocab sort through one partition); the
+    regression runs over those 200 rows with the slope written as
+    explicit Σ-sums — identical arithmetic on both engines, no
+    engine-internal regr_slope formula differences — rounded 4dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(200)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        W.round_half_up(slope, 4).alias("zipf_slope"),
+        W.round_half_up(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("zipf_intercept"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5794,6 +5900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x55_fuzzy_decontamination": x55_fuzzy_decontamination,
         "x56_tokenizer_fertility": x56_tokenizer_fertility,
         "x57_hard_negatives": x57_hard_negatives,
+        "w17_yoy_compare": w17_yoy_compare,
+        "a19_group_mode": a19_group_mode,
+        "x58_zipf_slope": x58_zipf_slope,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8287,6 +8396,56 @@ lm AS (
 SELECT doc_id, n_tokens, dsir_logratio,
        (dsir_logratio > 0)::INT AS selected
 FROM perdoc
+"""
+    d["w17_yoy_compare"] = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         sum(o_totalprice::DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT y, m, rev, lag(rev, 12) OVER (ORDER BY y, m) AS prev
+  FROM monthly
+)
+SELECT y, m, rev::DOUBLE AS revenue, prev::DOUBLE AS revenue_prev_year,
+       {W.round_half_up_sql(
+           "(rev - prev)::DOUBLE / prev::DOUBLE * 100", 4)} AS yoy_pct
+FROM lagged
+"""
+    d["a19_group_mode"] = """
+SELECT l_returnflag, l_quantity AS modal_quantity,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM (
+  SELECT l_returnflag, l_quantity, count(*) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity ASC) AS rnk
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) WHERE rnk = 1
+"""
+    d["x58_zipf_slope"] = f"""
+WITH tf AS (
+  SELECT term, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY term
+), top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM tf ORDER BY freq DESC, term ASC LIMIT 200
+), xy AS (
+  SELECT ln(rank::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM top
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {W.round_half_up_sql(
+           "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS zipf_slope,
+       {W.round_half_up_sql(
+           "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)}
+         AS zipf_intercept
+FROM s
 """
     d["x56_tokenizer_fertility"] = f"""
 SELECT lang, count(*) AS n_docs,
