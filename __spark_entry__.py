@@ -5431,6 +5431,68 @@ def x58_zipf_slope(spark, sf_dir):
     )
 
 
+def q26_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape — late-shipment risk: lineitems shipped in 1996
+    MORE than 60 days after their order date, with urgent vs non-urgent
+    order counts per line status (the testdata schema has no
+    shipmode/commitdate, so lateness is shipdate - orderdate and the
+    category is l_linestatus — same conditional-count-after-date-
+    predicates plan shape as Q12). The ship-year predicate pushes to
+    the lineitem scan; the lateness predicate is a residual on the
+    joined row (it references both sides); the SUM(CASE) pair sits in
+    ONE hash aggregation after one orderkey-keyed shuffle join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q27_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — forecasting revenue change: the pure
+    scan-filter-aggregate query (no join at all). Every predicate
+    (year band, discount band, quantity cap) pushes to the parquet
+    reader; the single DECIMAL(18,4) product-sum is
+    reduction-order-independent, so one number comes back from a scan
+    that never shuffles more than one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5903,6 +5965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_yoy_compare": w17_yoy_compare,
         "a19_group_mode": a19_group_mode,
         "x58_zipf_slope": x58_zipf_slope,
+        "q26_late_shipment_priority": q26_late_shipment_priority,
+        "q27_forecast_revenue": q27_forecast_revenue,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8396,6 +8460,27 @@ lm AS (
 SELECT doc_id, n_tokens, dsir_logratio,
        (dsir_logratio > 0)::INT AS selected
 FROM perdoc
+"""
+    d["q26_late_shipment_priority"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+    d["q27_forecast_revenue"] = """
+SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """
     d["w17_yoy_compare"] = f"""
 WITH monthly AS (
