@@ -5493,6 +5493,46 @@ def q27_forecast_revenue(spark, sf_dir):
     )
 
 
+def x59_line_dedup(spark, sf_dir):
+    """Sub-document (sentence-level) deduplication — the CCNet /
+    RefinedWeb line-wise pass that document-level dedup cannot do:
+    boilerplate sentences repeated ACROSS documents (cookie banners,
+    headers, license blurbs) are dropped everywhere except their
+    globally-first occurrence (min (doc_id, position), a deterministic
+    tiebreak), then each document is reassembled in original sentence
+    order. One shuffle keyed by the sentence fingerprint (the dedup
+    decision), one keyed by doc_id (the reassembly) — both linear; the
+    fingerprint shuffle carries md5+position, never the sentence text
+    twice. Docs whose every sentence was dropped vanish (consistent on
+    both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("pos0", "s"),
+        )
+        .filter(F.col("s") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    fp = T.fingerprint_md5(F.col("s"))
+    w = Window.partitionBy(fp).orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+    survivors = (
+        sents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return survivors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ),
+            ". ",
+        ).alias("clean_text"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -5967,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x58_zipf_slope": x58_zipf_slope,
         "q26_late_shipment_priority": q26_late_shipment_priority,
         "q27_forecast_revenue": q27_forecast_revenue,
+        "x59_line_dedup": x59_line_dedup,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8481,6 +8522,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+    d["x59_line_dedup"] = """
+WITH sents AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+    SELECT doc_id,
+           unnest(list_transform(regexp_split_to_array(text, '\\.\\s+'),
+                  (x, i) -> struct_pack(pos := i, s := x))) AS u
+    FROM documents
+  ) WHERE u.s <> ''
+), survivors AS (
+  SELECT doc_id, pos, s FROM (
+    SELECT doc_id, pos, s,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g')))
+             ORDER BY doc_id ASC, pos ASC) AS rn
+    FROM sents
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(s, '. ' ORDER BY pos) AS clean_text
+FROM survivors GROUP BY doc_id
 """
     d["w17_yoy_compare"] = f"""
 WITH monthly AS (
