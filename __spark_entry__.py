@@ -5533,6 +5533,21 @@ def x59_line_dedup(spark, sf_dir):
     )
 
 
+def x2c_minhash_portable(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing
+    (operators/dedup.minhash_portable_pairs): the exact-oracled upgrade
+    of the xxhash64 x2/x2b sketches — signatures, banded buckets,
+    candidates and the exact-Jaccard verify all replay bit-identically
+    in DuckDB, so the whole LSH pipeline gets a hard hash-match gate
+    instead of a rows-only check. 16 hashes × 4 bands, verify at
+    Jaccard ≥ 0.5; one signature shuffle, one band-keyed candidate
+    join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_portable_pairs(
+        docs, k_shingle=3, n_hashes=16, n_bands=4, threshold=0.5
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6008,6 +6023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_late_shipment_priority": q26_late_shipment_priority,
         "q27_forecast_revenue": q27_forecast_revenue,
         "x59_line_dedup": x59_line_dedup,
+        "x2c_minhash_portable": x2c_minhash_portable,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8522,6 +8538,65 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    _sig_cols = ",\n         ".join(
+        f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS sig{j}"
+        for j in range(16)
+    )
+    _band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"sig{b * 4 + r}" for r in range(4))
+        + ") AS key FROM sig"
+        for b in range(4)
+    )
+    d["x2c_minhash_portable"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM documents
+), shg AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+    END)) AS sh
+  FROM toks
+), h AS (
+  SELECT doc_id, sh, list_reduce(
+    [0::BIGINT] || list_transform(
+      regexp_split_to_array(trim(regexp_replace(lower(sh), '\\s+', ' ', 'g')), ''),
+      c -> ascii(c)::BIGINT),
+    (acc, x) -> (acc * 257 + x) % {MINHASH_P}) AS h
+  FROM shg
+), sig AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {_sig_cols}
+  FROM h GROUP BY doc_id
+), bands AS (
+  {_band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM cand
+  JOIN shg sa ON sa.doc_id = id_a
+  JOIN shg sb ON sb.doc_id = id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sig na ON na.doc_id = id_a
+JOIN sig nb ON nb.doc_id = id_b
+WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
 """
     d["x59_line_dedup"] = """
 WITH sents AS (

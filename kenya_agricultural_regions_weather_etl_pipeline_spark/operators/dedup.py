@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..functions.text import normalized, shingles
+from ..functions.text import normalized, rolling_hash, shingles
 
 
 def dedup_exact(df: DataFrame, *cols: str) -> DataFrame:
@@ -598,6 +598,131 @@ def cross_corpus_contamination(
         te.join(tr, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# Deterministic universal-hash parameters for the PORTABLE MinHash
+# variant (minhash_portable_pairs): g_j(x) = (A[j]*x + B[j]) mod P over
+# the polynomial rolling hash of each shingle. P prime; any nonzero
+# multiplier is invertible mod P. Both engines share these constants,
+# so signatures — and therefore LSH candidates — are bit-identical.
+MINHASH_P = 1_000_000_007
+MINHASH_A = tuple(2 * j + 1 for j in range(16))
+MINHASH_B = tuple((7919 * (j + 1)) % MINHASH_P for j in range(16))
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing — the
+    exact-oracled twin of :func:`minhash_lsh_pairs` (whose xxhash64
+    signatures no other engine can reproduce, leaving it rows-only).
+
+    Hash family: g_j(sh) = (A[j]·rh(sh) + B[j]) mod P over the
+    polynomial rolling hash — every term expressible in DuckDB, so the
+    signature matrix, the banded buckets, the candidate set AND the
+    exact-Jaccard verification all replay bit-identically in SQL.
+
+    Plan shape (the part that matters at 100 TB): one exploded
+    (doc, shingle) index; signatures are ``n_hashes`` MIN aggregates in
+    ONE hash aggregation over it (map-side combine, one shuffle); bands
+    explode to ``n_bands`` rows/doc and candidates come from the
+    band-keyed self-join — never all-pairs; the final exact-Jaccard
+    verify joins the tiny candidate list back to the index. LSH-then-
+    verify means the emitted pairs are TRUE near-dups (no false
+    positives); recall below 1 is shared by the oracle, which replays
+    the same buckets.
+    """
+    rows = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), k_shingle))
+        ).alias("sh"),
+    )
+    h = base.withColumn("h", rolling_hash(F.col("sh")))
+    sig = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(
+                (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_P)
+            ).alias(f"sig{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"sig{b * rows + r}")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sig.select("id", "n_sh")
+    sa = base.alias("sa")
+    sb = base.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
