@@ -5548,6 +5548,80 @@ def x2c_minhash_portable(spark, sf_dir):
     )
 
 
+def x60_knn_label_accuracy(spark, sf_dir):
+    """Embedding-quality evaluation by 1-NN label agreement: for a
+    64-query probe set, predict each query's label from its nearest
+    cosine neighbor (excluding itself) and roll up accuracy per true
+    label — the standard leave-one-out probe for 'do my embeddings
+    cluster by class'. Exercises the previously-unused ``label`` column
+    as ground truth. Broadcast probe side ⋈ corpus (x5's exact shape);
+    the argmax-per-query is a window over the probe partition; the
+    per-label rollup is bounded by |labels|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    # hard_negatives with an all-covering band IS "1-NN excluding self"
+    # (the self-pair exclusion applies before ranking, so an exact
+    # duplicate of the query can never displace the true neighbor)
+    best = S.hard_negatives(
+        emb,
+        q.select("query_id", F.col("qv").alias("embedding")),
+        k=1,
+        lo=-2.0,
+        hi=2.0,
+    ).select("query_id", F.col("vec_id").alias("nn_id"))
+    labels = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("pred_label")
+    )
+    return (
+        best.join(q.select("query_id", "true_label"), "query_id")
+        .join(labels, "nn_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+
+
+def x61_matryoshka_fidelity(spark, sf_dir):
+    """Matryoshka/truncation fidelity: how much of the exact top-5
+    neighbor set survives when embeddings are truncated from 64 to the
+    first 16 dimensions — the dimension-reduction memory/recall
+    trade-off probe (truncate-and-renormalize retrieval). Both ANN
+    passes are x5's broadcast-exact shape; the overlap is a semi-join
+    count per query. Output: per-query overlap@5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    full = S.cosine_topk_bruteforce(emb, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = q.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = S.cosine_topk_bruteforce(emb16, q16, k=5).select(
+        "query_id", F.col("vec_id").alias("t_vec_id")
+    )
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (F.col("vec_id") == F.col("t_vec_id")),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_at_5"))
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6024,6 +6098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_forecast_revenue": q27_forecast_revenue,
         "x59_line_dedup": x59_line_dedup,
         "x2c_minhash_portable": x2c_minhash_portable,
+        "x60_knn_label_accuracy": x60_knn_label_accuracy,
+        "x61_matryoshka_fidelity": x61_matryoshka_fidelity,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8597,6 +8673,56 @@ FROM inter
 JOIN sig na ON na.doc_id = id_a
 JOIN sig nb ON nb.doc_id = id_b
 WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
+"""
+    d["x60_knn_label_accuracy"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+  FROM embeddings WHERE vec_id < 64
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.true_label, c.vec_id, c.label AS pred_label,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), best AS (
+  SELECT query_id, true_label, pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum((pred_label = true_label)::INT) AS BIGINT) AS n_correct
+FROM best GROUP BY true_label
+"""
+    d["x61_matryoshka_fidelity"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), full_nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+             c.vec_id ASC) AS rn
+    FROM c CROSS JOIN q) WHERE rn <= 5
+), trunc_nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(cv[1:16], qv[1:16])
+               / (sqrt(list_dot_product(cv[1:16], cv[1:16]))
+                  * sqrt(list_dot_product(qv[1:16], qv[1:16]))) DESC,
+             c.vec_id ASC) AS rn
+    FROM c CROSS JOIN q) WHERE rn <= 5
+)
+SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap_at_5
+FROM full_nn f JOIN trunc_nn t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
 """
     d["x59_line_dedup"] = """
 WITH sents AS (
