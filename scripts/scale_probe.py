@@ -135,6 +135,10 @@ def main() -> int:
         "x40_semantic_dedup_pairs",
         "st13_stream_outer_join",
         "w13_event_transitions",
+        "x2c_minhash_portable",
+        "x54_dsir_importance",
+        "x55_fuzzy_decontamination",
+        "x59_line_dedup",
     ):
         spark.catalog.clearCache()
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
