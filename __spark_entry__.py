@@ -3522,6 +3522,19 @@ def st16_cdc_apply_stream(spark, sf_dir):
     return ST.run_cdc_apply_stream(spark, sf_dir)
 
 
+def st17_vector_index_ingest(spark, sf_dir):
+    """Streaming vector-index maintenance — the vector-DB ingest path
+    (streaming/micro_batch.run_vector_index_ingest): embedding batches
+    stream in, each micro-batch cell-assigns against the fixed IVF
+    codebook and lands in a cell-partitioned physical index via
+    batch-keyed dynamic partition overwrite (replay-safe); queries then
+    probe the accumulated index with partition-pruned reads + exact
+    rerank. Returns exactly the batch x5d result — the incremental
+    index and the one-shot search share one oracle."""
+    apply_runtime_confs(spark)
+    return ST.run_vector_index_ingest(spark, sf_dir)
+
+
 def st15_streaming_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters (frequency tracking ON INGEST): each
     micro-batch folds batch-exact token counts into a standing
@@ -5914,6 +5927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st13_stream_outer_join": st13_stream_outer_join,
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "st16_cdc_apply_stream": st16_cdc_apply_stream,
+        "st17_vector_index_ingest": st17_vector_index_ingest,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
@@ -8926,6 +8940,9 @@ HAVING count(*) * 200 > total_items
     # st15's exact final pass answers the same question as a17 — one
     # oracle, two engines (batch two-pass vs streaming MG fold).
     d["st15_streaming_heavy_hitters"] = d["a17_heavy_hitters"]
+    # st17's incrementally-ingested IVF index must answer probes
+    # identically to the batch x5d search — one oracle covers both
+    d["st17_vector_index_ingest"] = d["x5d_cosine_topk_ivf"]
     d["q23_bilateral_trade"] = """
 WITH supp AS (
   SELECT s_suppkey, n_name AS supp_nation

@@ -791,6 +791,106 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index maintenance (st17) — the vector-database
+    ingest path: embedding batches arrive on a file stream, each
+    micro-batch is cell-assigned against the FIXED coarse codebook (a
+    quantizer deployed before ingest, as IVF systems do) and written
+    into a physically cell-partitioned index; after the backlog drains,
+    queries probe the index with partition-pruned reads and exact
+    rerank. The final probe result is IDENTICAL to the batch x5d IVF
+    search — one oracle covers both the batch and the
+    incrementally-ingested index.
+
+    Exactly-once: each micro-batch writes through dynamic partition
+    overwrite keyed by its own ``ingest_batch={batch_id}`` partition
+    value, so a crash-and-replay rewrites the same partitions instead
+    of double-appending. At 100 TB this is the shape that matters:
+    ingest cost is per-batch (assign = one broadcast codebook pass,
+    write touches only the batch's cells), probe cost is
+    n_probe/n_centroids of the corpus via directory pruning — neither
+    ever touches the index history."""
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import (
+        _ivf_codebook,
+        _ivf_probes,
+        _ivf_rerank,
+        _ivf_assign,
+    )
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_codebook(emb, "vec_id", "embedding", 16)
+
+    workdir = tempfile.mkdtemp(prefix="kw_st17_")
+    src_dir = os.path.join(workdir, "arrivals")
+    index = os.path.join(workdir, "index")
+    os.makedirs(src_dir)
+    # 4 deterministic arrival batches (vec_id mod 4), one parquet file
+    # each, mtime-ordered (same FileStreamSource discipline as st16)
+    t0 = int(_time.time()) - 3600
+    for i in range(4):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                _ivf_assign(batch, cent, "vec_id", "embedding")
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch", "cell")
+                .parquet(index)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    probes = _ivf_probes(queries, cent, "query_id", "embedding", 2)
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    layout = (
+        spark.read.parquet(index)
+        .filter(F.col("cell").isin(cells))
+        .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+    )
+    out = _ivf_rerank(layout, probes, k=10).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL ingest (st8): the continuous-crawl-drop shape.
 
