@@ -5635,6 +5635,60 @@ def x61_matryoshka_fidelity(spark, sf_dir):
     )
 
 
+def x62_source_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    language models over x54's hashed 64-bucket feature space — the
+    corpus-mixture diversity matrix (which sources are near-duplicates
+    of each other's distribution, which add genuine diversity; the
+    signal behind mixture reweighting decisions). Hashing fixes the LM
+    width at 64 buckets regardless of vocabulary, so the dense
+    per-source distributions are |sources|×64 rows (bounded metadata),
+    the pair expansion is bucket-keyed, and nothing about the
+    computation grows with corpus size except the one token-counting
+    pass. Add-1 smoothing keeps every bucket positive; the JS sum is
+    32-ln-term arithmetic written identically on both engines, rounded
+    6dp."""
+    B = 64
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "source",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    ).select("source", (T.rolling_hash(F.col("term")) % B).alias("b"))
+    counts = tb.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    buckets = spark.range(B).select(F.col("id").cast("long").alias("b"))
+    dense = (
+        totals.crossJoin(F.broadcast(buckets))
+        .join(counts, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + B)
+            ).alias("p"),
+        )
+    )
+    a, bb = dense.alias("a"), dense.alias("b")
+    pairs = a.join(
+        bb,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.p").alias("p"),
+        F.col("b.p").alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col(
+        "q"
+    ) * F.log(F.col("q") / m)
+    return pairs.groupBy("source_a", "source_b").agg(
+        W.round_half_up(F.sum(term), 6).alias("js_divergence")
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6114,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2c_minhash_portable": x2c_minhash_portable,
         "x60_knn_label_accuracy": x60_knn_label_accuracy,
         "x61_matryoshka_fidelity": x61_matryoshka_fidelity,
+        "x62_source_divergence": x62_source_divergence,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8737,6 +8792,35 @@ SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap_at_5
 FROM full_nn f JOIN trunc_nn t
   ON t.query_id = f.query_id AND t.vec_id = f.vec_id
 GROUP BY f.query_id
+"""
+    d["x62_source_divergence"] = f"""
+WITH tb AS (
+  SELECT source, {_rh} % 64 AS b
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  )
+), counts AS (
+  SELECT source, b, count(*) AS c FROM tb GROUP BY 1, 2
+), totals AS (
+  SELECT source, sum(c) AS t FROM counts GROUP BY 1
+), dense AS (
+  SELECT totals.source, bk.b,
+         (coalesce(c, 0) + 1)::DOUBLE / (t + 64) AS p
+  FROM totals
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bk
+  LEFT JOIN counts ON counts.source = totals.source AND counts.b = bk.b
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+  FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
+)
+SELECT source_a, source_b,
+       {W.round_half_up_sql(
+           "sum(0.5 * p * ln(p / ((p + q) / 2))"
+           " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
+FROM pairs GROUP BY source_a, source_b
 """
     d["x59_line_dedup"] = """
 WITH sents AS (
