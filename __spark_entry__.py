@@ -5689,6 +5689,129 @@ def x62_source_divergence(spark, sf_dir):
     )
 
 
+def x63_rag_self_retrieval(spark, sf_dir):
+    """RAG retrieval EVALUATION by self-retrieval: take the first 8
+    tokens of every 50th document as a query and measure where BM25
+    ranks the query's own parent document — the standard
+    retrieval-quality probe (parent rank, reciprocal rank) when no
+    labeled relevance data exists. Multi-query form of x51: the query
+    side is a (query_id, term) relation joined into the postings by
+    TERM (an inverted-index probe — only postings matching some query
+    term flow; nothing vocabulary-sized shuffles; df/dl/avgdl ride as
+    broadcasts). Ranking key is the 6dp-rounded score with doc_id
+    tiebreak (x25/x51 discipline). At 100 TB the per-query candidate
+    set is bounded by the query terms' document frequencies — the
+    WAND-style pruning surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("_toks"), F.count(F.lit(1)).alias("_n")
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(T.tokens(F.lower(F.col("text"))), 1, 8)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qterms.join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1
+                        - BM25_B
+                        + BM25_B
+                        * F.col("dl")
+                        / (F.col("_toks") / F.col("_n"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(W.round_half_up(F.sum("term_score"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id",
+        F.col("rnk").cast("bigint").alias("parent_rank"),
+        W.round_half_up(F.lit(1.0) / F.col("rnk"), 6).alias(
+            "reciprocal_rank"
+        ),
+    )
+
+
+def w18_pareto_concentration(spark, sf_dir):
+    """Revenue concentration (Pareto/ABC curve): the top-100 parts by
+    revenue with each part's cumulative share of TOTAL revenue — the
+    'what fraction of revenue do the top N SKUs carry' analytic.
+    Scale discipline: the global ordered window never sees the corpus —
+    candidates are TakeOrdered-ed to 100 rows FIRST, the total rides in
+    as a broadcast 1-row frame, and only the 100-row survivor frame is
+    windowed. Revenue in DECIMAL(18,4) end-to-end (cumsum included), so
+    shares are exact-then-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    total = rev.agg(F.sum("rev").alias("total_rev"))
+    top = rev.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).limit(100)
+    w = (
+        Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_rev", F.sum("rev").over(w))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()))
+            .cast("bigint")
+            .alias("rnk"),
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            W.round_half_up(
+                F.col("cum_rev").cast("double")
+                / F.col("total_rev").cast("double")
+                * 100,
+                6,
+            ).alias("cum_share_pct"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6169,6 +6292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x60_knn_label_accuracy": x60_knn_label_accuracy,
         "x61_matryoshka_fidelity": x61_matryoshka_fidelity,
         "x62_source_divergence": x62_source_divergence,
+        "x63_rag_self_retrieval": x63_rag_self_retrieval,
+        "w18_pareto_concentration": w18_pareto_concentration,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8821,6 +8946,70 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["x63_rag_self_retrieval"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT sum(dl) AS _toks, count(*) AS _n FROM dl
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT doc_id AS query_id, unnest(
+      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t <> '')[1:8]) AS term
+    FROM documents WHERE doc_id % 50 = 0
+  )
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT query_id, tf.doc_id,
+         {W.round_half_up_sql(
+             "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
+             " * (tf * (1.2 + 1))"
+             " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (_toks / _n))))", 6)}
+           AS bm25
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS parent_rank,
+       {W.round_half_up_sql("1.0 / rnk", 6)} AS reciprocal_rank
+FROM ranked WHERE doc_id = query_id
+"""
+    d["w18_pareto_concentration"] = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+  FROM lineitem GROUP BY 1
+), total AS (
+  SELECT sum(rev) AS total_rev FROM rev
+), top AS (
+  SELECT l_partkey, rev FROM rev
+  ORDER BY rev DESC, l_partkey ASC LIMIT 100
+)
+SELECT CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS BIGINT)
+         AS rnk,
+       l_partkey, rev::DOUBLE AS revenue,
+       {W.round_half_up_sql(
+           "(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE"
+           " / total_rev::DOUBLE * 100", 6)} AS cum_share_pct
+FROM top CROSS JOIN total
 """
     d["x59_line_dedup"] = """
 WITH sents AS (
