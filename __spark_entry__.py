@@ -5812,6 +5812,36 @@ def w18_pareto_concentration(spark, sf_dir):
     )
 
 
+def a20_winsorized_mean(spark, sf_dir):
+    """Winsorized (clipped-at-percentile) robust mean per group — the
+    outlier-resistant average a monitoring dashboard actually wants:
+    values below the group's p5 / above its p95 are clamped to those
+    bounds before averaging. Two passes sharing one shuffle key: the
+    exact-percentile pass (one percentile(col, array(...)) buffer, a7's
+    discipline) broadcasts its |groups|-row bound table back onto the
+    scan; the clip+mean is then a plain hash aggregation. At 100 TB the
+    percentile pass swaps to approx_percentile; the join stays a
+    broadcast because bounds are one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("ps")
+    ).select(
+        "l_returnflag",
+        F.col("ps")[0].alias("lo"),
+        F.col("ps")[1].alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo")).alias(
+            "v"
+        ),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        W.round_half_up(F.avg("v"), 4).alias("winsorized_mean"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6294,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x62_source_divergence": x62_source_divergence,
         "x63_rag_self_retrieval": x63_rag_self_retrieval,
         "w18_pareto_concentration": w18_pareto_concentration,
+        "a20_winsorized_mean": a20_winsorized_mean,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8946,6 +8977,20 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["a20_winsorized_mean"] = f"""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       {W.round_half_up_sql(
+           "avg(greatest(least(l_extendedprice, hi), lo))", 4)}
+         AS winsorized_mean
+FROM lineitem JOIN bounds USING (l_returnflag)
+GROUP BY l_returnflag
 """
     d["x63_rag_self_retrieval"] = f"""
 WITH toks AS (
