@@ -5842,6 +5842,44 @@ def a20_winsorized_mean(spark, sf_dir):
     )
 
 
+def x64_dup_growth_curve(spark, sf_dir):
+    """Duplication growth curve — the dedup-economics question ('how
+    fast does marginal data become redundant as the corpus grows'):
+    treating doc_id order as arrival order, split the corpus into 10
+    arrival deciles and count, per decile, how many documents are
+    exact-duplicates of ANYTHING that arrived before them (fingerprint
+    first seen at a smaller doc_id). One fingerprint-keyed min
+    aggregation joined back on the same shuffle key, then a bounded
+    10-row rollup. The curve bending upward is the diminishing-returns
+    signal that prices further crawling."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        (F.col("n") / 10).alias("decile_size")
+    )
+    fp = docs.select(
+        "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    first = fp.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    return (
+        fp.join(first, "fp")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.least(
+                F.floor(
+                    F.col("doc_id").cast("double") / F.col("decile_size")
+                ).cast("bigint"),
+                F.lit(9),
+            ).alias("decile"),
+            (F.col("doc_id") > F.col("first_id")).cast("int").alias("is_dup"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6325,6 +6363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x63_rag_self_retrieval": x63_rag_self_retrieval,
         "w18_pareto_concentration": w18_pareto_concentration,
         "a20_winsorized_mean": a20_winsorized_mean,
+        "x64_dup_growth_curve": x64_dup_growth_curve,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8977,6 +9016,21 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["x64_dup_growth_curve"] = """
+WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), first AS (
+  SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY fp
+)
+SELECT least(CAST(floor(doc_id::DOUBLE / decile_size) AS BIGINT), 9) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((doc_id > first_id)::INT) AS BIGINT) AS n_dups
+FROM fp JOIN first USING (fp) CROSS JOIN t
+GROUP BY 1
 """
     d["a20_winsorized_mean"] = f"""
 WITH bounds AS (
