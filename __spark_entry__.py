@@ -5880,6 +5880,45 @@ def x64_dup_growth_curve(spark, sf_dir):
     )
 
 
+def x65_split_repair(spark, sf_dir):
+    """Decontamination REPAIR — the action after x22's detection: eval
+    documents that share a 5-gram with any training document cannot
+    measure generalization, so they are reassigned to train (keeping
+    the eval set clean beats keeping its size). Emits the full
+    corrected split assignment with an audit reason. Same two shuffle
+    joins as x22 (shingle-keyed contamination probe, then a doc-keyed
+    left join back); the repair itself is a coalesce — no extra pass.
+    At 100 TB the output IS the new split manifest."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(
+        docs, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") != "train")
+    contaminated = D.cross_corpus_contamination(
+        train, test, k_shingle=5
+    ).select("doc_id", F.lit(1).alias("_hit"))
+    return (
+        s.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("split").alias("old_split"),
+            F.when(F.col("_hit").isNotNull(), F.lit("train"))
+            .otherwise(F.col("split"))
+            .alias("new_split"),
+            F.when(
+                F.col("_hit").isNotNull(), F.lit("eval_contaminated")
+            )
+            .otherwise(F.lit("clean"))
+            .alias("reason"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6364,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w18_pareto_concentration": w18_pareto_concentration,
         "a20_winsorized_mean": a20_winsorized_mean,
         "x64_dup_growth_curve": x64_dup_growth_curve,
+        "x65_split_repair": x65_split_repair,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9016,6 +9056,37 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["x65_split_repair"] = """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
+              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM s
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 3),
+                             i -> array_to_string(l[i:i+4], ' '))
+    END)) AS sh
+  FROM toks
+), tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+hits AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN tr USING (sh)
+  WHERE sh.split <> 'train'
+)
+SELECT s.doc_id, split AS old_split,
+       CASE WHEN hits.doc_id IS NOT NULL THEN 'train' ELSE split END
+         AS new_split,
+       CASE WHEN hits.doc_id IS NOT NULL THEN 'eval_contaminated'
+            ELSE 'clean' END AS reason
+FROM s LEFT JOIN hits ON hits.doc_id = s.doc_id
 """
     d["x64_dup_growth_curve"] = """
 WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),

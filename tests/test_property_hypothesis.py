@@ -172,3 +172,47 @@ def test_y4m_roundtrip_arbitrary_planes(w, h, n_frames, data):
     )
     got = C.decode_y4m(C.encode_y4m(w, h, frames))
     assert got == (w, h, 25, frames)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=40),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_minhash_portable_pairs_are_true_near_dups(texts):
+    """x2c soundness: every emitted (id_a, id_b, jaccard) must carry the
+    EXACT shingle-set Jaccard of the two documents (recomputed in pure
+    Python) and clear the threshold — LSH-then-verify means zero false
+    positives by construction, whatever the corpus."""
+    import re
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        minhash_portable_pairs,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = minhash_portable_pairs(
+        df, k_shingle=2, n_hashes=16, n_bands=4, threshold=0.3
+    ).collect()
+
+    def sh_set(t: str) -> set:
+        toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+        if not toks:
+            return set()
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: sh_set(t) for i, t in enumerate(texts)}
+    for r in got:
+        a, b = sets[r.id_a], sets[r.id_b]
+        inter = len(a & b)
+        want = inter / (len(a) + len(b) - inter)
+        assert r.jaccard >= 0.3
+        assert abs(r.jaccard - want) < 1e-6, (r, want)
