@@ -5919,6 +5919,48 @@ def x65_split_repair(spark, sf_dir):
     )
 
 
+def x66_code_switch_detect(spark, sf_dir):
+    """Mixed-language (code-switching) detection: language-ID every
+    SENTENCE (x59's split) and flag documents whose sentences disagree
+    — the corpus-hygiene signal monolingual filters miss (a doc that is
+    60%% English / 40%% Spanish passes a doc-level lang-id but poisons
+    both language buckets). Per doc: sentence count, distinct predicted
+    languages, the dominant language (count-then-rank mode, x66 shares
+    a19's idiom), and the mixed flag. All narrow expressions + two
+    doc-keyed shuffles; the lang-id is the same stopword-marker argmax
+    as x6, applied per sentence."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("pos0", "s"),
+    ).filter(F.col("s") != "")
+    langs = sents.select(
+        "doc_id", T.lang_id(F.col("s")).alias("pred")
+    )
+    per_lang = langs.groupBy("doc_id", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("pred").asc()
+    )
+    dominant = (
+        per_lang.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("pred").alias("dominant_lang"))
+    )
+    stats = per_lang.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_sents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return stats.join(dominant, "doc_id").select(
+        "doc_id",
+        "n_sents",
+        "n_langs",
+        "dominant_lang",
+        (F.col("n_langs") >= 2).cast("int").alias("is_mixed"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6404,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_winsorized_mean": a20_winsorized_mean,
         "x64_dup_growth_curve": x64_dup_growth_curve,
         "x65_split_repair": x65_split_repair,
+        "x66_code_switch_detect": x66_code_switch_detect,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9056,6 +9099,33 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["x66_code_switch_detect"] = f"""
+WITH sents AS (
+  SELECT doc_id, u.s AS s FROM (
+    SELECT doc_id,
+           unnest(list_transform(regexp_split_to_array(text, '\\.\\s+'),
+                  (x, i) -> struct_pack(pos := i, s := x))) AS u
+    FROM documents
+  ) WHERE u.s <> ''
+), langs AS (
+  SELECT doc_id, {T.lang_id_sql('s')} AS pred FROM sents
+), per_lang AS (
+  SELECT doc_id, pred, count(*) AS n FROM langs GROUP BY 1, 2
+), dominant AS (
+  SELECT doc_id, pred AS dominant_lang FROM (
+    SELECT doc_id, pred,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, pred ASC) AS rnk
+    FROM per_lang) WHERE rnk = 1
+), stats AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_sents,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM per_lang GROUP BY doc_id
+)
+SELECT doc_id, n_sents, n_langs, dominant_lang,
+       (n_langs >= 2)::INT AS is_mixed
+FROM stats JOIN dominant USING (doc_id)
 """
     d["x65_split_repair"] = """
 WITH s AS (

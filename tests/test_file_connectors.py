@@ -310,3 +310,38 @@ def test_vacuum_expires_versions_and_deletes_orphans(spark, tmp_path):
     stats2 = vacuum(path, keep_last=2)
     assert stats2["n_data_files_deleted"] == 0
     assert stats2["n_manifests_deleted"] == 0
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """S4 read-side schema evolution: a table whose later writes added a
+    column must read as ONE frame under mergeSchema — old rows surface
+    NULL for the new column, new rows carry it, and pruning a pre-
+    evolution column still works. This is the lakehouse 'add a column
+    without rewriting history' contract (the alternative — a full table
+    rewrite — is the thing you cannot do at 100 TB)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(path + "/batch=0")
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+    ).write.parquet(path + "/batch=1")
+
+    df = spark.read.option("mergeSchema", "true").option(
+        "basePath", path
+    ).parquet(path)
+    assert set(df.columns) == {"id", "v", "lang", "batch"}
+    rows = {r.id: (r.v, r.lang) for r in df.collect()}
+    assert len(rows) == 20
+    assert rows[3] == (6, None)       # pre-evolution row: new col is NULL
+    assert rows[15] == (30, "en")     # post-evolution row carries it
+    # column pruning still reaches the scan for the original column
+    plan = (
+        df.select("v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lang" not in plan.split("ReadSchema")[-1][:200]
