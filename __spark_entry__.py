@@ -5961,6 +5961,29 @@ def x66_code_switch_detect(spark, sf_dir):
     )
 
 
+def x67_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers — the privacy check a
+    data-release pipeline runs before publishing: customers grouped by
+    the (nation, market-segment) quasi-identifier tuple; any group
+    smaller than k=5 re-identifies its members and must be suppressed
+    or generalized. Output: every quasi-group with its size and the
+    at-risk flag, plus deterministic ordering columns. ONE hash
+    aggregation on the quasi-identifier (map-side combined); the flag
+    is a scalar expression — the audit costs a single pass whatever
+    the table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 5).cast("int").alias("at_risk"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6447,6 +6470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x64_dup_growth_curve": x64_dup_growth_curve,
         "x65_split_repair": x65_split_repair,
         "x66_code_switch_detect": x66_code_switch_detect,
+        "x67_k_anonymity": x67_k_anonymity,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9099,6 +9123,12 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["x67_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       (count(*) < 5)::INT AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
 """
     d["x66_code_switch_detect"] = f"""
 WITH sents AS (
