@@ -94,6 +94,23 @@ def main() -> int:
         # measure each query from a clean slate: no cross-query cache
         # advantage, no accumulated persisted state inflating later ones
         spark.catalog.clearCache()
+        # clearCache only drops DataFrame cache ENTRIES — localCheckpoint
+        # blocks (streaming/io/e2e queries use them for lineage
+        # truncation) stay in the block manager until their RDD is
+        # GC'd, and ~20 such queries leak enough memory that late-
+        # position queries GC-thrash (measured 4x inflation on the
+        # same query run late vs isolated). Unpersist them explicitly
+        # and drop the py4j refs so the ContextCleaner can reclaim.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; never fail the bench
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     full = {
