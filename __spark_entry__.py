@@ -5984,6 +5984,51 @@ def x67_k_anonymity(spark, sf_dir):
     )
 
 
+def q28_supplier_concentration(spark, sf_dir):
+    """TPC-H Q11 spirit (no partsupp table in this corpus, so supplier
+    account balance stands in for inventory value): nations whose
+    suppliers hold more than 4%% of GLOBAL positive account balance,
+    with their share. The global threshold is a scalar subquery — a
+    broadcast 1-row frame, never a join — and both sums run in
+    DECIMAL(18,4) inside one pass each; the nation dim broadcasts.
+    The decorrelated shape (aggregate → cross-join threshold → filter)
+    is what Catalyst produces from the Q11 HAVING form."""
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 0
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("bal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        )
+    )
+    total = sup.agg(
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("total_bal")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_pct",
+            W.round_half_up(
+                F.col("bal").cast("double")
+                / F.col("total_bal").cast("double")
+                * 100,
+                6,
+            ),
+        )
+        .filter(F.col("share_pct") > 4.0)
+        .select(
+            "n_name",
+            F.col("bal").cast("double").alias("balance"),
+            "n_suppliers",
+            "share_pct",
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6471,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x65_split_repair": x65_split_repair,
         "x66_code_switch_detect": x66_code_switch_detect,
         "x67_k_anonymity": x67_k_anonymity,
+        "q28_supplier_concentration": q28_supplier_concentration,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9123,6 +9169,23 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    d["q28_supplier_concentration"] = f"""
+WITH sup AS (
+  SELECT * FROM supplier WHERE s_acctbal > 0
+), per_nation AS (
+  SELECT n_name, sum(s_acctbal::DECIMAL(18,4)) AS bal,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM sup JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+), total AS (
+  SELECT sum(s_acctbal::DECIMAL(18,4)) AS total_bal FROM sup
+)
+SELECT n_name, bal::DOUBLE AS balance, n_suppliers,
+       {W.round_half_up_sql("bal::DOUBLE / total_bal::DOUBLE * 100", 6)}
+         AS share_pct
+FROM per_nation CROSS JOIN total
+WHERE {W.round_half_up_sql("bal::DOUBLE / total_bal::DOUBLE * 100", 6)} > 4.0
 """
     d["x67_k_anonymity"] = """
 SELECT c_nationkey, c_mktsegment,
