@@ -6029,6 +6029,20 @@ def q28_supplier_concentration(spark, sf_dir):
     )
 
 
+def x4b_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing
+    (operators/dedup.simhash_portable_pairs): 48 universal-hash bits
+    over each token's polynomial rolling hash — all integer arithmetic,
+    so the fingerprint matrix, the pigeonhole block join AND the final
+    hamming filter replay bit-identically in DuckDB. Completes the
+    portable-sketch pair with x2c: both LSH families now carry a hard
+    hash-match oracle alongside their xxhash64 production twins
+    (x2/x4, rows-only). Pigeonhole keeps it EXACT: hamming ≤ 3 over
+    4 blocks guarantees a matching block key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_portable_pairs(docs, max_hamming=3, n_blocks=4)
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6517,6 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x66_code_switch_detect": x66_code_switch_detect,
         "x67_k_anonymity": x67_k_anonymity,
         "q28_supplier_concentration": q28_supplier_concentration,
+        "x4b_simhash_portable": x4b_simhash_portable,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9169,6 +9184,50 @@ SELECT source_a, source_b,
            "sum(0.5 * p * ln(p / ((p + q) / 2))"
            " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
 FROM pairs GROUP BY source_a, source_b
+"""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
+        SIMHASH_A,
+        SIMHASH_B,
+        SIMHASH_PORTABLE_BITS,
+    )
+
+    _vote_cols = ",\n         ".join(
+        f"sum(2 * ((({SIMHASH_A[j]} * h + {SIMHASH_B[j]}) % {MINHASH_P}) % 2) - 1)"
+        f" AS s{j}"
+        for j in range(SIMHASH_PORTABLE_BITS)
+    )
+    _fp_expr = " + ".join(
+        f"(s{j} > 0)::BIGINT * {1 << j}" for j in range(SIMHASH_PORTABLE_BITS)
+    )
+    d["x4b_simhash_portable"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, list_reduce(
+    [0::BIGINT] || list_transform(
+      regexp_split_to_array(trim(regexp_replace(lower(tok), '\\s+', ' ', 'g')), ''),
+      c -> ascii(c)::BIGINT),
+    (acc, x) -> (acc * 257 + x) % {MINHASH_P}) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {_vote_cols}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {_fp_expr} AS fp FROM votes
+), blocked AS (
+  SELECT doc_id, fp, b, (fp >> (12 * b)) & 4095 AS key
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM blocked a JOIN blocked b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
 """
     d["q28_supplier_concentration"] = f"""
 WITH sup AS (

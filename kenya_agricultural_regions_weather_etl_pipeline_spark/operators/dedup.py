@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..functions.text import normalized, rolling_hash, shingles
+from ..functions.text import normalized, rolling_hash, shingles, tokens
 
 
 def dedup_exact(df: DataFrame, *cols: str) -> DataFrame:
@@ -723,6 +723,107 @@ def minhash_portable_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# Universal-hash bit family for the PORTABLE SimHash variant: bit j of
+# a token's hash is ((SIMHASH_A[j]*rh + SIMHASH_B[j]) mod P) mod 2.
+# Distinct multipliers/offsets from MinHash's family so the two
+# sketches stay independent.
+SIMHASH_PORTABLE_BITS = 48
+SIMHASH_A = tuple(4 * j + 3 for j in range(SIMHASH_PORTABLE_BITS))
+SIMHASH_B = tuple((104_729 * (j + 1)) % MINHASH_P for j in range(SIMHASH_PORTABLE_BITS))
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing — the
+    exact-oracled twin of :func:`simhash_pairs` (whose xxhash64 token
+    hashes keep it rows-only), completing the portable-sketch pair with
+    :func:`minhash_portable_pairs`.
+
+    Fingerprint: 48 universal-hash BITS over each token OCCURRENCE's
+    polynomial rolling hash; each bit's vote is ±1 summed per document,
+    sign taken — all integer arithmetic, so the fingerprint matrix is
+    bit-identical in DuckDB. Pairing keeps :func:`simhash_pairs`'
+    pigeonhole EXACTNESS: 4 blocks of 12 bits, hamming ≤ 3 < blocks
+    guarantees a matching block, so the block-keyed join loses nothing.
+
+    Plan shape: one (doc, token)-keyed aggregation computing all 48
+    bit-votes in ONE pass (map-side combined), a 4-rows/doc block
+    explode, a block-keyed self-join — never all-pairs.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    # every OCCURRENCE votes (frequency-weighted, matching simhash_pairs'
+    # semantics) — distinct-token voting collapses documents that share
+    # vocabulary even when their frequency profiles differ
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = toks.withColumn("h", rolling_hash(F.col("tok")))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                2
+                * (
+                    (
+                        (F.lit(SIMHASH_A[j]) * F.col("h") + F.lit(SIMHASH_B[j]))
+                        % F.lit(MINHASH_P)
+                    )
+                    % 2
+                )
+                - 1
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_PORTABLE_BITS)
+        ]
+    )
+    fp_expr = None
+    for j in range(SIMHASH_PORTABLE_BITS):
+        term = (F.col(f"s{j}") > 0).cast("long") * F.lit(1 << j)
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = votes.select("id", fp_expr.alias("fp"))
+    width = SIMHASH_PORTABLE_BITS // n_blocks
+    blocked = (
+        fp.select(
+            "id",
+            "fp",
+            F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
+        )
+        .withColumn(
+            "key",
+            F.expr(f"shiftrightunsigned(fp, blk * {width})").bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
+        .select("id", "fp", "blk", "key")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
