@@ -6043,6 +6043,72 @@ def x4b_simhash_portable(spark, sf_dir):
     return D.simhash_portable_pairs(docs, max_hamming=3, n_blocks=4)
 
 
+def w19_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (α=0.2) — the
+    smoothing stat behind rate monitoring and anomaly baselines. EWMA
+    is inherently a SEQUENTIAL fold, which windows can't express
+    natively; here it's one collect-sort-fold per user: events gather
+    into a per-user array (bounded by events-per-user, the same state
+    argument as w6), sort by event_id, and fold with
+    acc = α·x + (1−α)·acc seeded by the first value. Both engines run
+    the IDENTICAL float operation sequence (Spark F.aggregate vs DuckDB
+    list_reduce, first element as seed), so the result is bit-exact
+    with no rounding tricks — pinned at 9dp normalize only."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_id", "value"))
+        ).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        W.round_half_up(ewma, 6).alias("ewma_value"),
+    )
+
+
+def a21_histogram(spark, sf_dir):
+    """Equi-width histogram (10 bins over the observed [min, max]) of
+    order totals — the profiling primitive behind every distribution
+    dashboard. The global bounds are ONE 1-row aggregate broadcast back
+    onto the scan (never a sort); bin assignment is pure arithmetic
+    fused into the scan; the rollup shuffles 10 rows. Bin edges are
+    derived identically on both engines from the same min/max, so
+    counts are exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(9),
+            ).alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            W.round_half_up(
+                F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / 10,
+                4,
+            ).alias("bin_lo"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6532,6 +6598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x67_k_anonymity": x67_k_anonymity,
         "q28_supplier_concentration": q28_supplier_concentration,
         "x4b_simhash_portable": x4b_simhash_portable,
+        "w19_ewma": w19_ewma,
+        "a21_histogram": a21_histogram,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9228,6 +9296,32 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["w19_ewma"] = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         list(value ORDER BY event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       {W.round_half_up_sql(
+           "list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)", 6)}
+         AS ewma_value
+FROM per_user
+"""
+    d["a21_histogram"] = f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {W.round_half_up_sql(
+           "any_value(lo) + least(CAST(floor((o_totalprice - lo)"
+           " / ((hi - lo) / 10)) AS BIGINT), 9)"
+           " * (any_value(hi) - any_value(lo)) / 10", 4)} AS bin_lo
+FROM orders CROSS JOIN b
+GROUP BY 1
 """
     d["q28_supplier_concentration"] = f"""
 WITH sup AS (
