@@ -6109,6 +6109,59 @@ def a21_histogram(spark, sf_dir):
     )
 
 
+def x68_token_budget_select(spark, sf_dir):
+    """Token-budget data selection — 'take the highest-quality documents
+    until the training budget is spent' — computed as a DISTRIBUTED
+    prefix sum, the pattern that makes a global cumulative cutoff
+    100 TB-safe: a naive running total needs one global ordered window
+    (every row through a single partition — the classic scale killer).
+    Instead: quality scores bucket into 100 ranges (monotone in the
+    ordering key, so bucket-desc + within-bucket order = the global
+    order), per-bucket token totals aggregate to a 100-row frame whose
+    running totals cost nothing, each bucket's prefix broadcasts back,
+    and the per-doc cumulative is prefix + a window PARTITIONED BY
+    BUCKET — 100-way parallel, never global. Result rows (and their
+    cum_tokens) are IDENTICAL to the naive global-window form, which is
+    exactly what the DuckDB oracle runs."""
+    budget = 10_000
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(F.floor(F.col("q") * 100).cast("long"), F.lit(99)),
+    )
+    btot = scored.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btoks")
+    )
+    wb = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btoks").over(wb), F.lit(0)).alias("prefix"),
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.join(F.broadcast(prefix), "bucket")
+        .withColumn(
+            "cum_tokens", (F.col("prefix") + F.sum("n_tokens").over(wd))
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id",
+            "q",
+            "n_tokens",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6600,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4b_simhash_portable": x4b_simhash_portable,
         "w19_ewma": w19_ewma,
         "a21_histogram": a21_histogram,
+        "x68_token_budget_select": x68_token_budget_select,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9296,6 +9350,20 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x68_token_budget_select"] = f"""
+WITH scored AS (
+  SELECT doc_id, {T.quality_score_sql('text')} AS q,
+         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, q, n_tokens,
+         sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored
+)
+SELECT doc_id, q, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum <= 10000
 """
     d["w19_ewma"] = f"""
 WITH per_user AS (

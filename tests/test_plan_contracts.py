@@ -518,3 +518,12 @@ def test_x55_hot_shingle_cap_is_broadcast_anti_join(spark, sf01):
     assert plan.count("BroadcastHashJoin LeftAnti") >= 2 or (
         plan.count("LeftAnti") >= 2 and "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_x68_doc_window_is_bucket_partitioned(spark, sf01):
+    """x68's whole point: the per-document cumulative runs in a window
+    PARTITIONED BY bucket (100-way parallel), and the only unpartitioned
+    window in the plan operates on the 100-row bucket-totals frame —
+    the corpus never flows through a single-partition global sort."""
+    plan = _plan(spark, sf01, "x68_token_budget_select")
+    assert "windowspecdefinition(bucket" in plan, plan[:2000]
