@@ -6162,6 +6162,45 @@ def x68_token_budget_select(spark, sf_dir):
     )
 
 
+def x69_dataset_card(spark, sf_dir):
+    """Dataset-card statistics in ONE query — the datasheet block every
+    corpus release ships (counts, token/char volume, language and
+    source spread, exact-duplicate rate, mean quality): three bounded
+    aggregations (the full-scan rollup, the fingerprint distinct, the
+    modal language) crossJoin-combined as 1-row broadcast frames. At
+    100 TB this replaces a zoo of separate profiling jobs with one
+    scan + two key-bounded shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        W.round_half_up(
+            F.avg(T.quality_score(F.col("text"))), 4
+        ).alias("mean_quality"),
+    )
+    dups = docs.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(T.fingerprint_md5(F.col("text")))
+        )
+        .cast("bigint")
+        .alias("n_dup_docs")
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return base.crossJoin(F.broadcast(dups)).crossJoin(
+        F.broadcast(top_lang)
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6654,6 +6693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w19_ewma": w19_ewma,
         "a21_histogram": a21_histogram,
         "x68_token_budget_select": x68_token_budget_select,
+        "x69_dataset_card": x69_dataset_card,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9350,6 +9390,27 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x69_dataset_card"] = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         {W.round_half_up_sql(
+             f"avg({T.quality_score_sql('text')})", 4)} AS mean_quality
+  FROM documents
+), dups AS (
+  SELECT CAST(count(*) - count(DISTINCT
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         AS BIGINT) AS n_dup_docs
+  FROM documents
+), top_lang AS (
+  SELECT lang AS top_lang FROM documents
+  GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+)
+SELECT * FROM base CROSS JOIN dups CROSS JOIN top_lang
 """
     d["x68_token_budget_select"] = f"""
 WITH scored AS (
