@@ -6201,6 +6201,73 @@ def x69_dataset_card(spark, sf_dir):
     )
 
 
+def x70_source_overlap(spark, sf_dir):
+    """Cross-source BOILERPLATE overlap matrix: for every source pair,
+    how many identical word 3-shingles they share — the crawl-dedup
+    economics view (which feeds mirror each other's phrasing templates,
+    which add unique material; the input to 'drop the mirror'
+    decisions). Shingle granularity: whole documents and even whole
+    sentences never cross sources in this corpus, but phrase templates
+    constantly do — the overlap signal a crawl triage actually uses.
+    Shape: distinct (shingle, source) index, then a SELF-JOIN ON
+    SHINGLE — candidates only form where a shingle spans sources, so
+    the join is overlap-bounded; at 100 TB the x3 df-cap composes here
+    unchanged (drop web-ubiquitous shingles before the join)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.text import (
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "source",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("fp"),
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_docs"))
+    )
+
+
+def x71_embedding_qa(spark, sf_dir):
+    """Vector-column data-quality audit — the checks an embedding store
+    runs at ingest: per label, vector count, dimensionality consistency
+    (min/max length), zero-vector count (unusable for cosine), and the
+    norm band (4dp-rounded min/mean/max L2 norm). All from one scan +
+    one bounded per-label rollup; the norm fold is the same sequential
+    aggregate both engines run, so even the float bounds agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        norm,
+        to_double_array,
+    )
+
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm(to_double_array(F.col("embedding"))).alias("nrm"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.sum((F.col("nrm") == 0.0).cast("int"))
+        .cast("bigint")
+        .alias("n_zero_vecs"),
+        W.round_half_up(F.min("nrm"), 4).alias("min_norm"),
+        W.round_half_up(F.avg("nrm"), 4).alias("mean_norm"),
+        W.round_half_up(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6694,6 +6761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_histogram": a21_histogram,
         "x68_token_budget_select": x68_token_budget_select,
         "x69_dataset_card": x69_dataset_card,
+        "x70_source_overlap": x70_source_overlap,
+        "x71_embedding_qa": x71_embedding_qa,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9390,6 +9459,40 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x70_source_overlap"] = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
+  FROM documents
+), fps AS (
+  SELECT DISTINCT source, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+    END)) AS fp
+  FROM toks
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_docs
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+    d["x71_embedding_qa"] = f"""
+WITH v AS (
+  SELECT label, len(embedding) AS dim,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       CAST(sum((nrm = 0.0)::INT) AS BIGINT) AS n_zero_vecs,
+       {W.round_half_up_sql("min(nrm)", 4)} AS min_norm,
+       {W.round_half_up_sql("avg(nrm)", 4)} AS mean_norm,
+       {W.round_half_up_sql("max(nrm)", 4)} AS max_norm
+FROM v GROUP BY label
 """
     d["x69_dataset_card"] = f"""
 WITH base AS (
