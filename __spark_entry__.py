@@ -6268,6 +6268,38 @@ def x71_embedding_qa(spark, sf_dir):
     )
 
 
+def x72_dup_quality_interaction(spark, sf_dir):
+    """Duplication × quality interaction — the question behind every
+    dedup-policy choice ('are duplicated documents better or worse
+    than unique ones?'): documents bucket by their exact-copy count
+    (1 / 2 / 3+), each bucket reports its population and mean quality
+    score. If duplicates skew high-quality, aggressive dedup costs
+    quality mass and x48's capped policy wins; if they skew low, full
+    dedup is free. One fingerprint-keyed count joined back on the same
+    key, one bounded 3-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    copies = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        fp.join(copies, "fp")
+        .select(
+            F.when(F.col("n_copies") >= 3, F.lit("3+"))
+            .otherwise(F.col("n_copies").cast("string"))
+            .alias("copy_bucket"),
+            "q",
+        )
+        .groupBy("copy_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            W.round_half_up(F.avg("q"), 4).alias("mean_quality"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6763,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x69_dataset_card": x69_dataset_card,
         "x70_source_overlap": x70_source_overlap,
         "x71_embedding_qa": x71_embedding_qa,
+        "x72_dup_quality_interaction": x72_dup_quality_interaction,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9459,6 +9492,22 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x72_dup_quality_interaction"] = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         {T.quality_score_sql('text')} AS q
+  FROM documents
+), copies AS (
+  SELECT fp, count(*) AS n_copies FROM fp GROUP BY fp
+)
+SELECT CASE WHEN n_copies >= 3 THEN '3+'
+            ELSE CAST(n_copies AS VARCHAR) END AS copy_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {W.round_half_up_sql("avg(q)", 4)} AS mean_quality
+FROM fp JOIN copies USING (fp)
+GROUP BY 1
 """
     d["x70_source_overlap"] = """
 WITH toks AS (
