@@ -6300,6 +6300,44 @@ def x72_dup_quality_interaction(spark, sf_dir):
     )
 
 
+def w20_funnel_latency(spark, sf_dir):
+    """Funnel latency: per user, microseconds from the FIRST click to
+    the first purchase AFTER it — the time-to-convert metric behind
+    checkout optimization. Two keyed aggregations sharing the user_id
+    shuffle key (first-click, then earliest qualifying purchase via a
+    conditional min over the joined row) — no window, no self-join
+    explosion: the purchase scan joins the 1-row-per-user click frame.
+    Timestamps pinned to µs on both engines (ts_ns div 1000 vs
+    epoch_us — the ADVICE-r2 precision discipline), so latencies are
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_click_us"))
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts_us") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(
+            F.first("first_click_us").alias("first_click_us"),
+            F.min("ts_us").alias("first_purchase_us"),
+        )
+        .select(
+            "user_id",
+            "first_click_us",
+            "first_purchase_us",
+            (F.col("first_purchase_us") - F.col("first_click_us")).alias(
+                "latency_us"
+            ),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6796,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x70_source_overlap": x70_source_overlap,
         "x71_embedding_qa": x71_embedding_qa,
         "x72_dup_quality_interaction": x72_dup_quality_interaction,
+        "w20_funnel_latency": w20_funnel_latency,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9492,6 +9531,18 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["w20_funnel_latency"] = """
+WITH fc AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT e.user_id, any_value(first_click_us) AS first_click_us,
+       min(epoch_us(ts)) AS first_purchase_us,
+       min(epoch_us(ts)) - any_value(first_click_us) AS latency_us
+FROM events e JOIN fc ON fc.user_id = e.user_id
+WHERE e.event_type = 'purchase' AND epoch_us(ts) > first_click_us
+GROUP BY e.user_id
 """
     d["x72_dup_quality_interaction"] = f"""
 WITH fp AS (
