@@ -3535,6 +3535,17 @@ def st17_vector_index_ingest(spark, sf_dir):
     return ST.run_vector_index_ingest(spark, sf_dir)
 
 
+def st18_corpus_telemetry(spark, sf_dir):
+    """Dataset-card telemetry maintained ON INGEST
+    (streaming/micro_batch.run_corpus_telemetry): per-language doc/
+    token/char counts and mean quality folded into a standing summary
+    as document batches stream in — r6's combiner law on a stream,
+    state bounded by |languages| forever, version-chained exactly-once.
+    Final summary == the batch GROUP BY (the oracle)."""
+    apply_runtime_confs(spark)
+    return ST.run_corpus_telemetry(spark, sf_dir)
+
+
 def st15_streaming_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters (frequency tracking ON INGEST): each
     micro-batch folds batch-exact token counts into a standing
@@ -6631,6 +6642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "st16_cdc_apply_stream": st16_cdc_apply_stream,
         "st17_vector_index_ingest": st17_vector_index_ingest,
+        "st18_corpus_telemetry": st18_corpus_telemetry,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
@@ -9531,6 +9543,15 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["st18_corpus_telemetry"] = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {W.round_half_up_sql(
+           f"sum({T.quality_score_sql('text')}) / count(*)", 4)}
+         AS mean_quality
+FROM documents GROUP BY lang
 """
     d["w20_funnel_latency"] = """
 WITH fc AS (

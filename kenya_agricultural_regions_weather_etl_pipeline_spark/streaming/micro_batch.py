@@ -891,6 +891,108 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus telemetry maintained ON INGEST (st18): per-language
+    document/token/char counts and mean quality, folded into a standing
+    per-language summary as document batches stream in — the dataset
+    card (x69's block) kept current per ingest batch instead of
+    recomputed over history. The state is the per-language PARTIAL
+    (counts + quality sum): merging a batch is agg(A∪B) =
+    merge(agg(A), agg(B)) — r6's combiner law on a stream — so state
+    is bounded by |languages| forever and each batch costs one
+    lang-keyed shuffle of ITS OWN rows. Version-chained (v{batch_id}
+    from v{batch_id-1}, overwrite-on-replay) like st15/st16 —
+    crash-replay recomputes, never double-counts. Over the finite
+    backlog the final summary equals the batch GROUP BY — the exact
+    DuckDB oracle."""
+    import shutil
+
+    from ..functions.text import quality_score, token_count
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st18_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(docs.repartition(4), src_dir)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(quality_score(F.col("text"))).alias("q_sum"),
+        )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = partials(batch)
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("lang")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                    F.sum("sum_chars").cast("long").alias("sum_chars"),
+                    F.sum("q_sum").alias("q_sum"),
+                )
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    final = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    out = final.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "sum_chars",
+        round_half_up(F.col("q_sum") / F.col("n_docs"), 4).alias(
+            "mean_quality"
+        ),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL ingest (st8): the continuous-crawl-drop shape.
 
