@@ -6349,6 +6349,24 @@ def w20_funnel_latency(spark, sf_dir):
     )
 
 
+def x73_declared_lang_audit(spark, sf_dir):
+    """Metadata trust audit: the declared ``lang`` column versus what
+    the content-based classifier (x6's stopword-marker argmax) actually
+    sees — the confusion matrix that tells you whether upstream
+    language tags can gate a 100 TB mixture or must be recomputed.
+    Distinct from x36 (which compares two CLASSIFIERS): this audits
+    the metadata itself. One narrow classification on the scan + one
+    bounded (|langs|²) rollup with per-declared-language agreement
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", T.lang_id(F.col("text")).alias("pred_lang")
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6847,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x71_embedding_qa": x71_embedding_qa,
         "x72_dup_quality_interaction": x72_dup_quality_interaction,
         "w20_funnel_latency": w20_funnel_latency,
+        "x73_declared_lang_audit": x73_declared_lang_audit,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9543,6 +9562,11 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x73_declared_lang_audit"] = f"""
+SELECT lang, {T.lang_id_sql('text')} AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
 """
     d["st18_corpus_telemetry"] = f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
