@@ -6367,6 +6367,62 @@ def x73_declared_lang_audit(spark, sf_dir):
     )
 
 
+def q29_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary) — the
+    classic CRM scoring query, built the scale-right way: per-customer
+    aggregates in one pass, then quintile THRESHOLDS from a single
+    percentile() aggregate broadcast back (1 row), each score = how
+    many thresholds the value clears. The naive ntile() would route
+    every customer through one global window partition; thresholds
+    make scoring a narrow map. µs-free: recency is whole days from the
+    corpus max order date (also a broadcast 1-row frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("anchor"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+    )
+    th = base.agg(
+        F.expr(
+            "percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("rt"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias(
+            "ft"
+        ),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias(
+            "mt"
+        ),
+    )
+
+    def score(v, t):
+        return sum(
+            ((v > t[i]).cast("int") for i in range(4)), F.lit(1)
+        )
+
+    scored = base.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: LOWER is better, so invert the cleared-threshold count
+        (F.lit(6) - score(F.col("recency_days"), F.col("rt")))
+        .cast("int")
+        .alias("r_score"),
+        score(F.col("frequency"), F.col("ft")).cast("int").alias("f_score"),
+        score(F.col("monetary"), F.col("mt")).cast("int").alias("m_score"),
+    )
+    return scored
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6866,6 +6922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x72_dup_quality_interaction": x72_dup_quality_interaction,
         "w20_funnel_latency": w20_funnel_latency,
         "x73_declared_lang_audit": x73_declared_lang_audit,
+        "q29_rfm_segmentation": q29_rfm_segmentation,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9562,6 +9619,36 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["q29_rfm_segmentation"] = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(o_totalprice::DECIMAL(18,4)) AS monetary
+  FROM orders GROUP BY o_custkey
+), anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+         frequency, monetary::DOUBLE AS monetary
+  FROM per_cust CROSS JOIN anchor
+), th AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(6 - (1 + (recency_days > rt[1])::INT + (recency_days > rt[2])::INT
+                 + (recency_days > rt[3])::INT + (recency_days > rt[4])::INT)
+            AS INT) AS r_score,
+       CAST(1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
+              + (frequency > ft[3])::INT + (frequency > ft[4])::INT
+            AS INT) AS f_score,
+       CAST(1 + (monetary > mt[1])::INT + (monetary > mt[2])::INT
+              + (monetary > mt[3])::INT + (monetary > mt[4])::INT
+            AS INT) AS m_score
+FROM base CROSS JOIN th
 """
     d["x73_declared_lang_audit"] = f"""
 SELECT lang, {T.lang_id_sql('text')} AS pred_lang,
