@@ -6423,6 +6423,84 @@ def q29_rfm_segmentation(spark, sf_dir):
     return scored
 
 
+def w21_standardize(spark, sf_dir):
+    """Per-group z-score standardization — the feature-scaling
+    preprocessing step every ML pipeline runs: each event's value
+    centered and scaled by ITS TYPE's mean/stddev. Group stats are one
+    hash aggregation broadcast back (bounded by |types|); the transform
+    is a narrow map — never a window, never a second shuffle of the
+    fact table. Rounded 4dp under a12's float-moment discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            W.round_half_up(
+                (F.col("value") - F.col("mu")) / F.col("sd"), 4
+            ).alias("z_value"),
+        )
+    )
+
+
+def x74_label_centroid_similarity(spark, sf_dir):
+    """Inter-class embedding geometry: the pairwise cosine similarity
+    of per-label CENTROIDS — the class-separability diagnostic behind
+    x60's kNN accuracy (labels whose centroids nearly coincide will
+    confuse any nearest-neighbor rule). Centroids come from one
+    (label, dim)-keyed mean over exploded coordinates (map-side
+    combined; output is |labels|×dim rows — bounded metadata),
+    reassembled in dim order; the pair matrix is |labels|² and
+    broadcast-sized. Cosines rounded 4dp (mean coordinates are float
+    sums; a12's discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine_given_norms,
+        norm,
+    )
+
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("cvec").alias("va"),
+        norm(F.col("cvec")).alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("cvec").alias("vb"),
+        norm(F.col("cvec")).alias("nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            W.round_half_up(
+                cosine_given_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                4,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -6923,6 +7001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w20_funnel_latency": w20_funnel_latency,
         "x73_declared_lang_audit": x73_declared_lang_audit,
         "q29_rfm_segmentation": q29_rfm_segmentation,
+        "w21_standardize": w21_standardize,
+        "x74_label_centroid_similarity": x74_label_centroid_similarity,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9619,6 +9699,35 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["w21_standardize"] = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type,
+       {W.round_half_up_sql("(value - mu) / sd", 4)} AS z_value
+FROM events JOIN stats USING (event_type)
+"""
+    d["x74_label_centroid_similarity"] = f"""
+WITH dims AS (
+  SELECT label, u.dim AS dim, u.v AS v FROM (
+    SELECT label, unnest(list_transform(embedding,
+      (x, i) -> struct_pack(dim := i, v := x::DOUBLE))) AS u
+    FROM embeddings
+  )
+), coord AS (
+  SELECT label, dim, avg(v) AS m FROM dims GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(m ORDER BY dim) AS cvec FROM coord GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {W.round_half_up_sql(
+           "list_dot_product(a.cvec, b.cvec)"
+           " / (sqrt(list_dot_product(a.cvec, a.cvec))"
+           " * sqrt(list_dot_product(b.cvec, b.cvec)))", 4)}
+         AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
 """
     d["q29_rfm_segmentation"] = """
 WITH per_cust AS (
