@@ -6501,6 +6501,46 @@ def x74_label_centroid_similarity(spark, sf_dir):
     )
 
 
+def q30_order_cadence(spark, sf_dir):
+    """Purchase-cadence analysis: the distribution of days between a
+    customer's consecutive orders, rolled up per market segment
+    (median / p90 gap + repeat-customer counts) — the replenishment
+    metric behind churn prediction. The lag window partitions by
+    customer (bounded frames, parallel across customers — never a
+    global sort); the segment dim joins in broadcast; the exact
+    percentile rollup is bounded by |segments|."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            W.round_half_up(
+                F.expr("percentile(gap_days, 0.5)"), 4
+            ).alias("median_gap_days"),
+            W.round_half_up(
+                F.expr("percentile(gap_days, 0.9)"), 4
+            ).alias("p90_gap_days"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7003,6 +7043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_rfm_segmentation": q29_rfm_segmentation,
         "w21_standardize": w21_standardize,
         "x74_label_centroid_similarity": x74_label_centroid_similarity,
+        "q30_order_cadence": q30_order_cadence,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9699,6 +9740,24 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["q30_order_cadence"] = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC),
+           o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+  QUALIFY gap_days IS NOT NULL
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+       {W.round_half_up_sql("quantile_cont(gap_days, 0.5)", 4)}
+         AS median_gap_days,
+       {W.round_half_up_sql("quantile_cont(gap_days, 0.9)", 4)}
+         AS p90_gap_days
+FROM gaps JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
 """
     d["w21_standardize"] = f"""
 WITH stats AS (
