@@ -6541,6 +6541,46 @@ def q30_order_cadence(spark, sf_dir):
     )
 
 
+def x75_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth — x58's companion corpus
+    diagnostic: how many NEW distinct terms each arrival decile
+    contributes and the cumulative vocabulary curve (sublinear growth
+    = natural text; linear = ID/noise injection; flat = template
+    spam). Per term, the FIRST decile it appears in is one min
+    aggregation keyed by term (the only vocabulary-sized shuffle);
+    the census and the 10-row running total are bounded. Same
+    arrival-decile axis as x64, so the two curves read together:
+    duplication buys you nothing exactly where vocabulary stops
+    growing."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        (F.col("n") / 10).alias("decile_size")
+    )
+    toks = docs.crossJoin(F.broadcast(n_total)).select(
+        F.least(
+            F.floor(
+                F.col("doc_id").cast("double") / F.col("decile_size")
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("decile"),
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    first_seen = toks.groupBy("term").agg(
+        F.min("decile").alias("first_decile")
+    )
+    census = first_seen.groupBy("first_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_terms")
+    )
+    w = Window.orderBy("first_decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return census.select(
+        F.col("first_decile").alias("decile"),
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7044,6 +7084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w21_standardize": w21_standardize,
         "x74_label_centroid_similarity": x74_label_centroid_similarity,
         "q30_order_cadence": q30_order_cadence,
+        "x75_heaps_law": x75_heaps_law,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9740,6 +9781,26 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x75_heaps_law"] = """
+WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
+toks AS (
+  SELECT least(CAST(floor(doc_id::DOUBLE / decile_size) AS BIGINT), 9)
+           AS decile,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents CROSS JOIN t
+), first_seen AS (
+  SELECT term, min(decile) AS first_decile FROM toks GROUP BY term
+), census AS (
+  SELECT first_decile, CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM first_seen GROUP BY first_decile
+)
+SELECT first_decile AS decile, n_new_terms,
+       CAST(sum(n_new_terms) OVER (ORDER BY first_decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM census
 """
     d["q30_order_cadence"] = f"""
 WITH gaps AS (
