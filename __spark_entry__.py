@@ -6556,14 +6556,31 @@ def x75_heaps_law(spark, sf_dir):
     n_total = docs.agg(F.count(F.lit(1)).alias("n")).select(
         (F.col("n") / 10).alias("decile_size")
     )
-    toks = docs.crossJoin(F.broadcast(n_total)).select(
-        F.least(
-            F.floor(
-                F.col("doc_id").cast("double") / F.col("decile_size")
-            ).cast("bigint"),
-            F.lit(9),
-        ).alias("decile"),
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    # word BIGRAMS, not unigrams: the synthetic unigram vocabulary
+    # saturates inside the first decile (one-row degenerate curve);
+    # the combinatorial bigram space keeps growing — the same reason
+    # real Heaps analyses run on n-grams
+    toks = (
+        docs.crossJoin(F.broadcast(n_total))
+        .select(
+            F.least(
+                F.floor(
+                    F.col("doc_id").cast("double") / F.col("decile_size")
+                ).cast("bigint"),
+                F.lit(9),
+            ).alias("decile"),
+            T.tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .filter(F.size("t") >= 2)
+        .select(
+            "decile",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, ' ', t[i + 1]))"
+                )
+            ).alias("term"),
+        )
     )
     first_seen = toks.groupBy("term").agg(
         F.min("decile").alias("first_decile")
@@ -9787,11 +9804,16 @@ WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
 toks AS (
   SELECT least(CAST(floor(doc_id::DOUBLE / decile_size) AS BIGINT), 9)
            AS decile,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            x -> x <> '')) AS term
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
   FROM documents CROSS JOIN t
+), bg AS (
+  SELECT decile,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS term
+  FROM toks WHERE len(l) >= 2
 ), first_seen AS (
-  SELECT term, min(decile) AS first_decile FROM toks GROUP BY term
+  SELECT term, min(decile) AS first_decile FROM bg GROUP BY term
 ), census AS (
   SELECT first_decile, CAST(count(*) AS BIGINT) AS n_new_terms
   FROM first_seen GROUP BY first_decile
