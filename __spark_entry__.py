@@ -735,6 +735,33 @@ def sql4_windowed_sql(spark, sf_dir):
     )
 
 
+def sql6_parameterized(spark, sf_dir):
+    """Parameterized SQL (Spark 4 named-parameter binding — the
+    injection-safe front-end surface a SQL service actually exposes):
+    the brand-revenue query with the brand filter and the revenue
+    floor bound as ``:brand`` / ``:floor`` parameters instead of
+    string-spliced literals. Parameters bind at parse time, so the
+    optimized plan is IDENTICAL to the literal form — pushdown and
+    constant folding see real constants; the oracle runs the inlined
+    equivalent."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sql6")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql6"
+    )
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(sum((l_extendedprice * (1 - l_discount))
+                        ::DECIMAL(18,4)) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem_sql6 JOIN part_sql6 ON l_partkey = p_partkey
+        WHERE p_brand = :brand AND l_extendedprice > :floor
+        GROUP BY p_brand
+        """,
+        args={"brand": "Brand#1", "floor": 1000.0},
+    )
+
+
 def sql5_recursive_cte(spark, sf_dir):
     """WITH RECURSIVE (Spark 4's recursive CTE — the iterative-SQL
     surface): walk a binary part hierarchy (parent(p) = p div 2, a
@@ -7102,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_label_centroid_similarity": x74_label_centroid_similarity,
         "q30_order_cadence": q30_order_cadence,
         "x75_heaps_law": x75_heaps_law,
+        "sql6_parameterized": sql6_parameterized,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9798,6 +9826,15 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["sql6_parameterized"] = """
+SELECT p_brand,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1' AND l_extendedprice > 1000.0
+GROUP BY p_brand
 """
     d["x75_heaps_law"] = """
 WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
