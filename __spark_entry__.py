@@ -6625,6 +6625,61 @@ def x75_heaps_law(spark, sf_dir):
     )
 
 
+def w22_prorata_allocation(spark, sf_dir):
+    """Pro-rata penny allocation with the LARGEST-REMAINDER method —
+    the finance-engineering primitive behind invoice splitting and
+    cost attribution: each order's 5%% shipping budget (in cents)
+    distributes across its lineitems proportional to line value, and
+    the rounding leftover goes to the lines with the largest integer
+    remainders, so per-order allocations sum EXACTLY to the budget
+    (the invariant float division can't give you). Everything is
+    int64 arithmetic — cent weights, integer div/mod shares,
+    remainder-ranked leftover — so both engines agree bit-for-bit.
+    All three windows key on l_orderkey (bounded frames, parallel
+    across orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 5 + 0.5)
+        .cast("long")
+        .alias("budget_c"),
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "budget_c",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("w_c"),
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    shares = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "budget_c",
+        F.expr("budget_c * w_c div sum(w_c) OVER (PARTITION BY l_orderkey)").alias(
+            "base_c"
+        ),
+        F.expr("budget_c * w_c % sum(w_c) OVER (PARTITION BY l_orderkey)").alias(
+            "rem"
+        ),
+    ).withColumn("leftover", F.col("budget_c") - F.sum("base_c").over(wo))
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc()
+    )
+    return shares.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_c")
+            + (F.row_number().over(wr) <= F.col("leftover")).cast("long")
+        ).alias("alloc_cents"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7130,6 +7185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_order_cadence": q30_order_cadence,
         "x75_heaps_law": x75_heaps_law,
         "sql6_parameterized": sql6_parameterized,
+        "w22_prorata_allocation": w22_prorata_allocation,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9826,6 +9882,30 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["w22_prorata_allocation"] = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(o_totalprice * 5 + 0.5) AS BIGINT) AS budget_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), shares AS (
+  SELECT l_orderkey, l_linenumber, budget_c,
+         (budget_c * w_c) // sum(w_c) OVER (PARTITION BY l_orderkey)
+           AS base_c,
+         (budget_c * w_c) % sum(w_c) OVER (PARTITION BY l_orderkey)
+           AS rem
+  FROM base
+), lo AS (
+  SELECT *, budget_c - sum(base_c) OVER (PARTITION BY l_orderkey)
+           AS leftover
+  FROM shares
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base_c + (row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY rem DESC, l_linenumber ASC) <= leftover)::INT
+            AS BIGINT) AS alloc_cents
+FROM lo
 """
     d["sql6_parameterized"] = """
 SELECT p_brand,

@@ -787,3 +787,29 @@ def test_zorder_layout_narrows_rowgroup_spans_in_both_dims(spark, sf01, tmp_path
     assert z_b < 0.5 * s_b, (z_b, s_b)
     # and the data survives the rewrite intact
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_w22_allocations_sum_exactly_to_budget(spark, sf001):
+    """The largest-remainder guarantee: per order, allocated cents sum
+    EXACTLY to the order's budget — no penny ever lost or invented."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    alloc = entrymod.queries()["w22_prorata_allocation"](spark, sf001)
+    sums = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("allocated")
+    )
+    budgets = load_table(spark, sf001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 5 + 0.5).cast("long").alias("budget_c"),
+    )
+    bad = (
+        sums.join(budgets, "l_orderkey")
+        .filter(F.col("allocated") != F.col("budget_c"))
+        .count()
+    )
+    assert bad == 0
