@@ -527,3 +527,13 @@ def test_x68_doc_window_is_bucket_partitioned(spark, sf01):
     the corpus never flows through a single-partition global sort."""
     plan = _plan(spark, sf01, "x68_token_budget_select")
     assert "windowspecdefinition(bucket" in plan, plan[:2000]
+
+
+def test_w22_windows_share_one_order_partitioning(spark, sf01):
+    """w22's three window passes (div/mod shares, base-sum leftover,
+    remainder rank) all key on l_orderkey: they must REUSE one
+    partitioning — at most 2 exchanges total (the join's), never one
+    per window."""
+    plan = _plan(spark, sf01, "w22_prorata_allocation")
+    assert plan.count("Window (") == 3
+    assert plan.count("Exchange (") <= 2, plan[:1500]
