@@ -6680,6 +6680,65 @@ def w22_prorata_allocation(spark, sf_dir):
     )
 
 
+def r8_bitemporal_asof(spark, sf_dir):
+    """BITEMPORAL point-in-time query — the two-axis temporal read that
+    separates 'what we believed then' (transaction time) from 'what
+    was true then' (valid time): a version table where %13 keys get a
+    price restatement recorded at tx 2 effective 30 days later, probed
+    AS OF tx 1 and tx 2 at the same valid instant (order date + 45
+    days). Correct semantics = filter transaction time FIRST (tx ≤ T:
+    what the store contained), then the valid-time argmax (greatest
+    valid_from ≤ V, latest tx breaking ties) — the order j5's
+    single-axis SCD2 never has to care about. One key-partitioned
+    window per probe; versions-per-key is bounded, so frames are too."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(1).alias("tx"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.02)).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias(
+            "valid_from"
+        ),
+        F.lit(2).alias("tx"),
+    )
+    versions = v1.unionByName(v2)
+    probe_v = orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias("v_at"),
+    )
+
+    def asof(tx_at: int, out: str):
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.col("valid_from").desc(), F.col("tx").desc()
+        )
+        return (
+            versions.filter(F.col("tx") <= tx_at)
+            .join(probe_v, "o_orderkey")
+            .filter(F.col("valid_from") <= F.col("v_at"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderkey", F.col("price").alias(out))
+        )
+
+    return asof(1, "price_asof_tx1").join(
+        asof(2, "price_asof_tx2"), "o_orderkey"
+    ).select(
+        "o_orderkey",
+        "price_asof_tx1",
+        "price_asof_tx2",
+        (F.col("price_asof_tx1") != F.col("price_asof_tx2"))
+        .cast("int")
+        .alias("restated"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7186,6 +7245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x75_heaps_law": x75_heaps_law,
         "sql6_parameterized": sql6_parameterized,
         "w22_prorata_allocation": w22_prorata_allocation,
+        "r8_bitemporal_asof": r8_bitemporal_asof,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9882,6 +9942,35 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["r8_bitemporal_asof"] = """
+WITH versions AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from, 1 AS tx
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 1.02 AS price,
+         o_orderdate + INTERVAL 30 DAY AS valid_from, 2 AS tx
+  FROM orders WHERE o_orderkey % 13 = 0
+), probe AS (
+  SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS v_at FROM orders
+), t1 AS (
+  SELECT o_orderkey, price AS price_asof_tx1 FROM (
+    SELECT v.o_orderkey, price,
+           row_number() OVER (PARTITION BY v.o_orderkey
+             ORDER BY valid_from DESC, tx DESC) AS rn
+    FROM versions v JOIN probe p ON p.o_orderkey = v.o_orderkey
+    WHERE tx <= 1 AND valid_from <= v_at) WHERE rn = 1
+), t2 AS (
+  SELECT o_orderkey, price AS price_asof_tx2 FROM (
+    SELECT v.o_orderkey, price,
+           row_number() OVER (PARTITION BY v.o_orderkey
+             ORDER BY valid_from DESC, tx DESC) AS rn
+    FROM versions v JOIN probe p ON p.o_orderkey = v.o_orderkey
+    WHERE tx <= 2 AND valid_from <= v_at) WHERE rn = 1
+)
+SELECT o_orderkey, price_asof_tx1, price_asof_tx2,
+       (price_asof_tx1 <> price_asof_tx2)::INT AS restated
+FROM t1 JOIN t2 USING (o_orderkey)
 """
     d["w22_prorata_allocation"] = """
 WITH base AS (
