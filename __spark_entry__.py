@@ -6739,6 +6739,34 @@ def r8_bitemporal_asof(spark, sf_dir):
     )
 
 
+def x76_ngram_diversity(spark, sf_dir):
+    """N-gram diversity per source — the mode-collapse detector for
+    synthetic/generated data (low distinct-trigram ratio = the
+    generator loops its templates; the corpus-level analogue of
+    self-BLEU): per source, total word-trigram occurrences, distinct
+    trigrams, and the diversity ratio. One explode + one
+    (source, trigram)-keyed aggregation with map-side combine; the
+    rollup is bounded by |sources|."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (
+        docs.select(
+            "source", T.tokens(F.lower(F.col("text"))).alias("t")
+        )
+        .filter(F.size("t") >= 3)
+        .select("source", F.explode(T.word_trigrams_of_t()).alias("tri"))
+    )
+    per = tris.groupBy("source", "tri").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        W.round_half_up(
+            F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("diversity_ratio"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7246,6 +7274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql6_parameterized": sql6_parameterized,
         "w22_prorata_allocation": w22_prorata_allocation,
         "r8_bitemporal_asof": r8_bitemporal_asof,
+        "x76_ngram_diversity": x76_ngram_diversity,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9942,6 +9971,25 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x76_ngram_diversity"] = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tris AS (
+  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+  FROM toks WHERE len(t) >= 3
+), per AS (
+  SELECT source, tri, count(*) AS n FROM tris GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_trigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       {W.round_half_up_sql("count(*)::DOUBLE / sum(n)", 6)}
+         AS diversity_ratio
+FROM per GROUP BY source
 """
     d["r8_bitemporal_asof"] = """
 WITH versions AS (
