@@ -6767,6 +6767,74 @@ def x76_ngram_diversity(spark, sf_dir):
     )
 
 
+def x77_split_balance(spark, sf_dir):
+    """Split-balance audit: are the content-addressed train/val/test
+    splits DISTRIBUTIONALLY equivalent (doc counts, mean/std quality,
+    mean token length)? The check that catches a biased split before a
+    misleading eval does — a hash split should differ only by sampling
+    noise; a significant quality gap between train and test means the
+    split key leaked content signal. One scan, one |splits|-bounded
+    rollup, a12's 4dp float-moment discipline."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(
+        docs, F.col("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        W.round_half_up(
+            F.avg(T.quality_score(F.col("text"))), 4
+        ).alias("mean_quality"),
+        W.round_half_up(
+            F.stddev_samp(T.quality_score(F.col("text"))), 4
+        ).alias("sd_quality"),
+        W.round_half_up(
+            F.avg(T.token_count(F.col("text"))), 4
+        ).alias("mean_tokens"),
+    )
+
+
+def w23_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user: the coefficient of variation
+    (std/mean) of a user's event gaps — CV ≈ 1 is Poisson-random, ≫1 is
+    bursty sessions, ≪1 is machine-regular (bot signal). Gap extraction
+    is one user-partitioned lag window (µs-pinned); the per-user CV is
+    a hash aggregation; users with <3 events (undefined CV) drop on
+    both engines. Rounded 4dp under a12's float-moment discipline."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id", (F.col("ts_us") - F.col("prev")).alias("gap_us")
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.avg("gap_us").alias("mu"),
+            F.stddev_samp("gap_us").alias("sd"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            W.round_half_up(F.col("sd") / F.col("mu"), 4).alias(
+                "burstiness_cv"
+            ),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7275,6 +7343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w22_prorata_allocation": w22_prorata_allocation,
         "r8_bitemporal_asof": r8_bitemporal_asof,
         "x76_ngram_diversity": x76_ngram_diversity,
+        "x77_split_balance": x77_split_balance,
+        "w23_burstiness": w23_burstiness,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -9971,6 +10041,39 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x77_split_balance"] = f"""
+WITH s AS (
+  SELECT text,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
+              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       {W.round_half_up_sql(f"avg({T.quality_score_sql('text')})", 4)}
+         AS mean_quality,
+       {W.round_half_up_sql(
+           f"stddev_samp({T.quality_score_sql('text')})", 4)} AS sd_quality,
+       {W.round_half_up_sql(f"avg({T.token_count_sql('text')})", 4)}
+         AS mean_tokens
+FROM s GROUP BY split
+"""
+    d["w23_burstiness"] = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+  FROM events
+  QUALIFY gap_us IS NOT NULL
+), per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         avg(gap_us) AS mu, stddev_samp(gap_us) AS sd
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       {W.round_half_up_sql("sd / mu", 4)} AS burstiness_cv
+FROM per WHERE n_gaps >= 2
 """
     d["x76_ngram_diversity"] = f"""
 WITH toks AS (
