@@ -3573,6 +3573,18 @@ def st18_corpus_telemetry(spark, sf_dir):
     return ST.run_corpus_telemetry(spark, sf_dir)
 
 
+def st19_model_score_stream(spark, sf_dir):
+    """Model scoring on ingest (streaming/micro_batch.
+    run_model_score_stream): w16's batch-trained median/MAD anomaly
+    profile deployed to the event stream — the profile broadcasts to
+    every micro-batch, anomalies land in batch_id-keyed partitions
+    (overwrite-on-replay exactly-once), and the streamed flag set
+    equals the batch w16 filter: one oracle covers the offline rule
+    and its streaming deployment."""
+    apply_runtime_confs(spark)
+    return ST.run_model_score_stream(spark, sf_dir)
+
+
 def st15_streaming_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters (frequency tracking ON INGEST): each
     micro-batch folds batch-exact token counts into a standing
@@ -7129,6 +7141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st16_cdc_apply_stream": st16_cdc_apply_stream,
         "st17_vector_index_ingest": st17_vector_index_ingest,
         "st18_corpus_telemetry": st18_corpus_telemetry,
+        "st19_model_score_stream": st19_model_score_stream,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
@@ -10774,6 +10787,9 @@ HAVING count(*) * 200 > total_items
     # st17's incrementally-ingested IVF index must answer probes
     # identically to the batch x5d search — one oracle covers both
     d["st17_vector_index_ingest"] = d["x5d_cosine_topk_ivf"]
+    # st19 deploys w16's trained profile to the stream — scoring is
+    # stateless per row, so the streamed flag set == the batch filter
+    d["st19_model_score_stream"] = d["w16_seasonal_anomaly"]
     d["q23_bilateral_trade"] = """
 WITH supp AS (
   SELECT s_suppkey, n_name AS supp_nation

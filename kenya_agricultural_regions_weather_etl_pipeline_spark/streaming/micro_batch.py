@@ -891,6 +891,113 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring ON INGEST (st19): a batch-trained artifact — w16's
+    per-(event_type, hour) median/MAD anomaly profile — applied to an
+    event stream, the deploy-a-trained-model-to-the-firehose pattern:
+    the profile is computed ONCE offline, broadcasts to every
+    micro-batch, and each batch's anomalies land in a batch_id-keyed
+    output partition (overwrite-on-replay = exactly-once, st16's
+    discipline). Scoring is stateless per row, so the streamed flag set
+    over the finite backlog EQUALS the batch w16 filter — one oracle
+    covers the offline rule and its streaming deployment. Per-batch
+    cost: one broadcast join + a narrow filter; the profile never
+    recomputes."""
+    import shutil
+    import time as _time
+
+    from ..functions.weather import round_half_up
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base_cols = lambda df: df.select(  # noqa: E731
+        "event_id", "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    base = base_cols(ev)
+    med = base.groupBy("event_type", "hod").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    profile = (
+        base.join(F.broadcast(med), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+        .localCheckpoint(eager=True)  # the frozen, trained artifact
+    )
+
+    workdir = tempfile.mkdtemp(prefix="kw_st19_")
+    src_dir = os.path.join(workdir, "arrivals")
+    out = os.path.join(workdir, "flags")
+    os.makedirs(src_dir)
+    t0 = int(_time.time()) - 3600
+    for i in range(4):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                base_cols(batch)
+                .join(F.broadcast(profile), ["event_type", "hod"])
+                .filter(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+                )
+                .select(
+                    "event_id",
+                    "event_type",
+                    "hod",
+                    round_half_up(F.col("value"), 4).alias("value"),
+                    round_half_up(F.col("med"), 4).alias("cohort_median"),
+                    round_half_up(F.col("mad"), 4).alias("cohort_mad"),
+                )
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = (
+        spark.read.parquet(out)
+        .drop("ingest_batch")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
 def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus telemetry maintained ON INGEST (st18): per-language
     document/token/char counts and mean quality, folded into a standing
