@@ -6847,6 +6847,123 @@ def w23_burstiness(spark, sf_dir):
     )
 
 
+def q31_brand_margin(spark, sf_dir):
+    """Gross-margin analysis per brand: discounted line revenue minus
+    cost-of-goods (retail price × quantity as the cost basis), with the
+    margin percentage — the profitability cut every commercial
+    dashboard leads with. One broadcast part-dim join (only
+    p_partkey/p_brand/p_retailprice read — scan-pruned), revenue and
+    cost both DECIMAL(18,4) partial sums in ONE aggregation, the pct a
+    single rounded division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * 0.8).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("revenue_d"),
+            F.sum(cost).alias("cost_d"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "p_brand",
+            F.col("revenue_d").cast("double").alias("revenue"),
+            F.col("cost_d").cast("double").alias("cost"),
+            "n_lines",
+            W.round_half_up(
+                (F.col("revenue_d") - F.col("cost_d")).cast("double")
+                / F.col("revenue_d").cast("double")
+                * 100,
+                4,
+            ).alias("margin_pct"),
+        )
+    )
+
+
+def x78_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→16 with MEASURED
+    distortion — the projection-based alternative to x61's truncation
+    (JL preserves pairwise geometry with guarantees truncation lacks):
+    project through the deterministic ±1 hyperplane matrix scaled by
+    1/√16, then report each probe pair's Euclidean distance in both
+    spaces and the distortion ratio. The projection is one narrow fold
+    per vector (x5b's single-pass multi-plane accumulator); probe
+    pairs are the 16-vector broadcast set — 120 rows of evidence,
+    rounded 4dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_out, dim = 16, 64
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(_hyperplane(dim, b, n_out)[d])
+                    for b in range(n_out)
+                ]
+            )
+            for d in range(dim)
+        ]
+    )
+    per_dim = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        planes,
+        lambda x, pl: F.transform(pl, lambda p: x * p),
+    )
+    proj = F.transform(
+        F.aggregate(
+            per_dim,
+            F.array_repeat(F.lit(0.0), n_out),
+            lambda acc, contrib: F.zip_with(
+                acc, contrib, lambda s, x: s + x
+            ),
+        ),
+        lambda s: s / F.lit(4.0),  # 1/sqrt(16)
+    )
+    probes = emb.filter(F.col("vec_id") < 16).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+        proj.alias("p"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+
+    def dist(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda u, w: (u - w) * (u - w)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            W.round_half_up(
+                dist(F.col("a.v"), F.col("b.v")), 4
+            ).alias("d_orig"),
+            W.round_half_up(
+                dist(F.col("a.p"), F.col("b.p")), 4
+            ).alias("d_proj"),
+            W.round_half_up(
+                dist(F.col("a.p"), F.col("b.p"))
+                / dist(F.col("a.v"), F.col("b.v")),
+                4,
+            ).alias("distortion_ratio"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7358,6 +7475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x76_ngram_diversity": x76_ngram_diversity,
         "x77_split_balance": x77_split_balance,
         "w23_burstiness": w23_burstiness,
+        "q31_brand_margin": q31_brand_margin,
+        "x78_jl_projection": x78_jl_projection,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -10054,6 +10173,50 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["q31_brand_margin"] = f"""
+WITH j AS (
+  SELECT p_brand,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS revenue_d,
+         sum((p_retailprice * l_quantity * 0.8)::DECIMAL(18,4)) AS cost_d,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, revenue_d::DOUBLE AS revenue, cost_d::DOUBLE AS cost,
+       n_lines,
+       {W.round_half_up_sql(
+           "(revenue_d - cost_d)::DOUBLE / revenue_d::DOUBLE * 100", 4)}
+         AS margin_pct
+FROM j
+"""
+    _jl_planes = [
+        "[" + ",".join(str(_hyperplane(64, b, 16)[d]) for d in range(64)) + "]::DOUBLE[]"
+        for b in range(16)
+    ]
+    _jl_proj = (
+        "["
+        + ", ".join(f"list_dot_product(v, {p}) / 4.0" for p in _jl_planes)
+        + "]"
+    )
+    _d2 = (
+        lambda x, y, n: (
+            f"sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, {n + 1}),"
+            f" i -> ({x}[i] - {y}[i]) * ({x}[i] - {y}[i])), (a, b) -> a + b))"
+        )
+    )
+    d["x78_jl_projection"] = f"""
+WITH probes AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_jl_proj} AS p
+  FROM embeddings WHERE vec_id < 16
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {W.round_half_up_sql(_d2('a.v', 'b.v', 64), 4)} AS d_orig,
+       {W.round_half_up_sql(_d2('a.p', 'b.p', 16), 4)} AS d_proj,
+       {W.round_half_up_sql(
+           _d2('a.p', 'b.p', 16) + " / " + _d2('a.v', 'b.v', 64), 4)}
+         AS distortion_ratio
+FROM probes a JOIN probes b ON a.vec_id < b.vec_id
 """
     d["x77_split_balance"] = f"""
 WITH s AS (
