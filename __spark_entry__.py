@@ -6964,6 +6964,52 @@ def x78_jl_projection(spark, sf_dir):
     )
 
 
+def x79_quality_survivors(spark, sf_dir):
+    """Quality-aware canonical selection: within each near-dup cluster
+    (x3 pairs → x14's connected components), keep the HIGHEST-QUALITY
+    member (tiebreak lowest doc_id) instead of e2e_dedup_survivors'
+    min-id convention — dedup that preserves quality mass, the policy
+    refinement x72's evidence motivates. Per cluster: size, the
+    surviving doc, its quality. The quality join keys on doc_id (same
+    shuffle key as the component assignment); the per-cluster argmax
+    is a window over bounded cluster frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.4, max_shingle_df=50
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), "lbl"
+    )
+    scored = cc.join(
+        docs.select(
+            F.col("doc_id"), T.quality_score(F.col("text")).alias("q")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("lbl").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+            W.round_half_up(
+                F.max(F.when(F.col("rn") == 1, F.col("q"))), 6
+            ).alias("survivor_quality"),
+        )
+        .select(
+            F.col("lbl").alias("component"),
+            "cluster_size",
+            "survivor_id",
+            "survivor_quality",
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7477,6 +7523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w23_burstiness": w23_burstiness,
         "q31_brand_margin": q31_brand_margin,
         "x78_jl_projection": x78_jl_projection,
+        "x79_quality_survivors": x79_quality_survivors,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8857,6 +8904,33 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
     # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
     # as the edge list and takes the transitive closure recursively.
+    d["x79_quality_survivors"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS id FROM edges
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), cc AS (
+  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+), scored AS (
+  SELECT component, cc.doc_id, {T.quality_score_sql('text')} AS q,
+         row_number() OVER (PARTITION BY component
+           ORDER BY {T.quality_score_sql('text')} DESC, cc.doc_id ASC) AS rn
+  FROM cc JOIN documents ON documents.doc_id = cc.doc_id
+)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       {W.round_half_up_sql("max(CASE WHEN rn = 1 THEN q END)", 6)}
+         AS survivor_quality
+FROM scored GROUP BY component
+"""
     d["x14_dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
