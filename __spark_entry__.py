@@ -7010,6 +7010,63 @@ def x79_quality_survivors(spark, sf_dir):
     )
 
 
+def x80_dedup_policy_budget(spark, sf_dir):
+    """Effective training-token budget under each dedup policy — the
+    one table a data lead actually decides from: total tokens if you
+    keep everything, under x48's cap-2 policy, and under x1's full
+    dedup (keep first). One fingerprint-keyed aggregation carrying
+    per-copy token counts computes all three sums in a single pass
+    (copies ranked inside the fingerprint group, policy = how many
+    ranks count), then one 1-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("n_tok").cast("bigint").alias("tokens_keep_all"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_cap2"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_full_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+def w24_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — the engagement ratio product teams track:
+    average daily active users divided by the month's total active
+    users. Daily distincts are one (day, user) dedup + per-day counts
+    (bounded by days×users); the monthly distinct is one aggregate;
+    the ratio is a single rounded division over two broadcast 1-row
+    frames."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    davg = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg("dau").alias("avg_dau"),
+    )
+    mau = ev.agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    return davg.crossJoin(F.broadcast(mau)).select(
+        "n_days",
+        W.round_half_up(F.col("avg_dau"), 4).alias("avg_dau"),
+        "mau",
+        W.round_half_up(
+            F.col("avg_dau") / F.col("mau"), 4
+        ).alias("stickiness"),
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7524,6 +7581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_brand_margin": q31_brand_margin,
         "x78_jl_projection": x78_jl_projection,
         "x79_quality_survivors": x79_quality_survivors,
+        "x80_dedup_policy_budget": x80_dedup_policy_budget,
+        "w24_stickiness": w24_stickiness,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -10247,6 +10306,36 @@ WITH toks AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+"""
+    d["x80_dedup_policy_budget"] = f"""
+WITH ranked AS (
+  SELECT CAST({T.token_count_sql('text')} AS BIGINT) AS n_tok,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT CAST(sum(n_tok) AS BIGINT) AS tokens_keep_all,
+       CAST(sum(CASE WHEN rn <= 2 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_cap2,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_full_dedup,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked
+"""
+    d["w24_stickiness"] = f"""
+WITH daily AS (
+  SELECT day, count(*) AS dau FROM (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+  ) GROUP BY day
+), davg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, avg(dau) AS avg_dau FROM daily
+), mau AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM events
+)
+SELECT n_days, {W.round_half_up_sql("avg_dau", 4)} AS avg_dau, mau,
+       {W.round_half_up_sql("avg_dau / mau", 4)} AS stickiness
+FROM davg CROSS JOIN mau
 """
     d["q31_brand_margin"] = f"""
 WITH j AS (
