@@ -7067,6 +7067,39 @@ def w24_stickiness(spark, sf_dir):
     )
 
 
+def x81_source_dup_rate(spark, sf_dir):
+    """Near-duplication rate PER SOURCE — which feeds are internally
+    redundant (the per-source cut of e2e_dedup_survivors' corpus
+    verdict, and the ranking that decides which crawl gets its budget
+    cut): share of each source's documents that belong to any x3
+    near-dup cluster. Component assignment joins back to the doc table
+    on doc_id (same key), then one bounded per-source rollup with the
+    rate as a rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.4, max_shingle_df=50
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("in_cluster")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(cc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("in_cluster", F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dup"),
+            W.round_half_up(
+                F.sum(F.coalesce("in_cluster", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7583,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x79_quality_survivors": x79_quality_survivors,
         "x80_dedup_policy_budget": x80_dedup_policy_budget,
         "w24_stickiness": w24_stickiness,
+        "x81_source_dup_rate": x81_source_dup_rate,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8963,6 +8997,25 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
     # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
     # as the edge list and takes the transitive closure recursively.
+    d["x81_source_dup_rate"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), clustered AS (
+  SELECT DISTINCT s AS doc_id FROM edges
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((clustered.doc_id IS NOT NULL)::INT) AS BIGINT)
+         AS n_near_dup,
+       {W.round_half_up_sql(
+           "sum((clustered.doc_id IS NOT NULL)::INT)::DOUBLE / count(*)", 6)}
+         AS dup_rate
+FROM documents LEFT JOIN clustered ON clustered.doc_id = documents.doc_id
+GROUP BY source
+"""
     d["x79_quality_survivors"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
