@@ -7100,6 +7100,39 @@ def x81_source_dup_rate(spark, sf_dir):
     )
 
 
+def q32_stale_stock(spark, sf_dir):
+    """Stalest-stock report: the 20 parts whose most recent sale is
+    OLDEST (every part in this corpus has sold at least once, so the
+    clearance question is recency, not existence) — per part, last ship
+    date, days idle against the corpus max date, and the retail price
+    at risk. One (partkey)-keyed max aggregation, a broadcast part-dim
+    join, a broadcast 1-row anchor, and a TakeOrdered top-20 — never a
+    full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    last_sale = li.groupBy("l_partkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    anchor = li.agg(F.max("l_shipdate").alias("anchor"))
+    return (
+        last_sale.join(F.broadcast(part), last_sale.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "last_ship",
+            F.datediff(F.col("anchor"), F.col("last_ship"))
+            .cast("long")
+            .alias("days_idle"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+        .orderBy(F.col("days_idle").desc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
 def x49_triangle_cooccurrence(spark, sf_dir):
     """Triangle enumeration over the part co-purchase graph — the graph
     analytic behind "frequently bought together" bundles and community
@@ -7617,6 +7650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x80_dedup_policy_budget": x80_dedup_policy_budget,
         "w24_stickiness": w24_stickiness,
         "x81_source_dup_rate": x81_source_dup_rate,
+        "q32_stale_stock": q32_stale_stock,
         "a17_heavy_hitters": a17_heavy_hitters,
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
@@ -8997,6 +9031,19 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
     # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
     # as the edge list and takes the transitive closure recursively.
+    d["q32_stale_stock"] = """
+WITH last_sale AS (
+  SELECT l_partkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), anchor AS (SELECT max(l_shipdate) AS anchor FROM lineitem)
+SELECT p_partkey, p_brand, last_ship,
+       CAST(date_diff('day', last_ship, anchor) AS BIGINT) AS days_idle,
+       p_retailprice AS retail_price
+FROM last_sale
+JOIN part ON p_partkey = l_partkey
+CROSS JOIN anchor
+ORDER BY days_idle DESC, p_partkey ASC
+LIMIT 20
+"""
     d["x81_source_dup_rate"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
