@@ -6102,8 +6102,8 @@ def w19_ewma(spark, sf_dir):
     argument as w6), sort by event_id, and fold with
     acc = α·x + (1−α)·acc seeded by the first value. Both engines run
     the IDENTICAL float operation sequence (Spark F.aggregate vs DuckDB
-    list_reduce, first element as seed), so the result is bit-exact
-    with no rounding tricks — pinned at 9dp normalize only."""
+    list_reduce, first element as seed); both engines then round the
+    EWMA half-up to 6dp for a stable comparison surface."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(

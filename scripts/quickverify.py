@@ -50,13 +50,24 @@ def main() -> int:
             print(f"FAIL {name}: columns {scols} vs {ocols}")
             rc = 1
             continue
+        # None-safe sort key: (is_none, value) per cell so NULLs order
+        # before values instead of raising TypeError on mixed columns.
+        def sort_key(row):
+            return tuple((v is None, v) for v in row)
+
         srows = sorted(
-            tuple(norm(v) for v in row)
-            for row in sdf[scols].itertuples(index=False, name=None)
+            (
+                tuple(norm(v) for v in row)
+                for row in sdf[scols].itertuples(index=False, name=None)
+            ),
+            key=sort_key,
         )
         orows = sorted(
-            tuple(norm(v) for v in row)
-            for row in odf[scols].itertuples(index=False, name=None)
+            (
+                tuple(norm(v) for v in row)
+                for row in odf[scols].itertuples(index=False, name=None)
+            ),
+            key=sort_key,
         )
         if len(srows) != len(orows):
             print(f"FAIL {name}: {len(srows)} vs {len(orows)} rows")
