@@ -3636,8 +3636,10 @@ def st14_streaming_near_dedup(spark, sf_dir):
     with exact shingle Jaccard, and only novel documents survive —
     drop iff a verified near-dup with ANY smaller doc_id exists.
     State = append-only bucket index + doc store (the real split).
-    No SQL oracle (xxhash64 MinHash is engine-specific → driver
-    rows-only); the pytest equivalence proves the streaming result
+    Hashing is the PORTABLE universal-hash family (x2c's), so the
+    whole pipeline replays in DuckDB — the oracle re-derives the
+    verified pair set and the survivor rollup from scratch; the
+    pytest equivalence additionally proves the streaming result
     EQUALS the batch formula replayed with the batch operators."""
     apply_runtime_confs(spark)
     return ST.run_streaming_near_dedup(spark, sf_dir)
@@ -7687,13 +7689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
         "q25_promo_revenue": q25_promo_revenue,
+        "st14_streaming_near_dedup": st14_streaming_near_dedup,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
         "x2b_minhash_verified": x2b_minhash_verified,
         "x4_simhash_pairs": x4_simhash_pairs,
-        "st14_streaming_near_dedup": st14_streaming_near_dedup,
     }
 
 
@@ -10296,7 +10298,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         + ") AS key FROM sig"
         for b in range(4)
     )
-    d["x2c_minhash_portable"] = f"""
+    # shared portable-MinHash CTE chain: shingle → rolling hash →
+    # 16-way universal-hash signatures → 4-band LSH buckets →
+    # candidates → exact-Jaccard verified ``pairs``. x2c reports the
+    # pairs; st14's streaming survivor rollup derives from them (a doc
+    # is dropped iff it appears as the LARGER id of a verified pair).
+    _mh_pairs_ctes = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
@@ -10331,14 +10338,33 @@ WITH toks AS (
   JOIN shg sa ON sa.doc_id = id_a
   JOIN shg sb ON sb.doc_id = id_b AND sb.sh = sa.sh
   GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+  FROM inter
+  JOIN sig na ON na.doc_id = id_a
+  JOIN sig nb ON nb.doc_id = id_b
+  WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
+)"""
+    d["x2c_minhash_portable"] = (
+        _mh_pairs_ctes + "\nSELECT id_a, id_b, jaccard FROM pairs\n"
+    )
+    d["st14_streaming_near_dedup"] = (
+        _mh_pairs_ctes
+        + """
+, dropped AS (
+  SELECT DISTINCT id_b FROM pairs
 )
-SELECT id_a, id_b,
-       round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
-FROM inter
-JOIN sig na ON na.doc_id = id_a
-JOIN sig nb ON nb.doc_id = id_b
-WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
+SELECT doc.source,
+       CAST(count(*) AS BIGINT) AS n_survivors,
+       min(doc.doc_id) AS min_id,
+       max(doc.doc_id) AS max_id
+FROM documents doc
+LEFT JOIN dropped ON doc.doc_id = dropped.id_b
+WHERE dropped.id_b IS NULL
+GROUP BY doc.source
 """
+    )
     d["x60_knn_label_accuracy"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label

@@ -1448,16 +1448,19 @@ def run_streaming_near_dedup(
     the corpus; state grows append-only and is re-read per batch
     (on a cluster: partitioned by bucket prefix / cached).
 
-    No SQL oracle (xxhash64 MinHash is engine-specific) → the driver
-    records rows-only; exactness comes from the pytest equivalence
-    against the batch twin.
+    Hashing is the PORTABLE universal-hash MinHash family
+    (operators/dedup.MINHASH_A/B/P over the polynomial rolling hash —
+    x2c's), so signatures, buckets, candidates and the survivor set
+    replay bit-identically in DuckDB: the driver gets a FULL hash
+    oracle, and the batch-equivalence pytest pins the incremental
+    decomposition on top of it.
     """
     import glob as _glob
     import shutil
     import time as _time
 
-    from ..functions.text import shingles
-    from ..operators.dedup import _minhash_signature
+    from ..functions.text import rolling_hash, shingles
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1471,37 +1474,59 @@ def run_streaming_near_dedup(
     rows_per_band = num_hashes // bands
 
     def featurize(df: DataFrame) -> DataFrame:
-        """(doc_id, source, shset, band, bucket) — one row per band."""
+        """(doc_id, source, shset, band, bucket) — one row per band.
+
+        Portable signatures: sig_j = min over shingles of
+        (A[j]·rolling_hash(sh) + B[j]) mod P, all narrow array exprs on
+        the scan (no explode/shuffle); bucket = the band's sig values
+        comma-joined — the same key string x2c's oracle rebuilds."""
         sig = df.select(
             "doc_id",
             "source",
             F.array_distinct(shingles(F.col("text"), k_shingle)).alias("shset"),
-            _minhash_signature(
-                shingles(F.col("text"), k_shingle), num_hashes
-            ).alias("sig"),
+        ).withColumn(
+            "hs", F.transform(F.col("shset"), lambda s: rolling_hash(s))
         )
+        def sig_expr(j: int):
+            # NB: a one-arg lambda only — a second parameter would make
+            # F.transform pass the element INDEX into it
+            return F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j]))
+                    % F.lit(MINHASH_P),
+                )
+            )
+
+        for j in range(num_hashes):
+            sig = sig.withColumn(f"sig{j}", sig_expr(j))
         return sig.select(
             "doc_id",
             "source",
             "shset",
-            F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
-            "sig",
-        ).withColumn(
-            "bucket",
-            F.xxhash64(
-                F.col("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice(
-                            F.col("sig"),
-                            F.col("band") * rows_per_band + 1,
-                            F.lit(rows_per_band),
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ),
-            ),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "doc_id",
+            "source",
+            "shset",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
 
     def exact_ok(pairs: DataFrame, lo_sh: DataFrame, hi_sh: DataFrame) -> DataFrame:

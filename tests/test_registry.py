@@ -27,7 +27,6 @@ ROWS_ONLY = {
     "x2_minhash_lsh_pairs",
     "x2b_minhash_verified",
     "x4_simhash_pairs",
-    "st14_streaming_near_dedup",
 }
 
 MUST_BE_IN_WINDOW = {

@@ -296,8 +296,7 @@ def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
     import pyspark.sql.functions as F
 
     from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_verify,
+        minhash_portable_pairs,
     )
     from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
         load_table,
@@ -310,10 +309,10 @@ def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
     docs = load_table(spark, sf001, "documents").select(
         "doc_id", "source", "text"
     )
-    cand = minhash_lsh_pairs(docs, jaccard_threshold=0.0)
+    # batch twin = the SAME portable hash family st14 now streams with
+    # (x2c's), so candidates and verified pairs are bit-identical
     dropped = (
-        ngram_jaccard_verify(docs, cand)
-        .filter(F.col("jaccard") >= 0.5)
+        minhash_portable_pairs(docs, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
