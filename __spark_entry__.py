@@ -7456,6 +7456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st11_weather_stream_etl": st11_weather_stream_etl,
         "st12_dedup_ingest": st12_dedup_ingest,
         "st13_stream_outer_join": st13_stream_outer_join,
+        "st14_streaming_near_dedup": st14_streaming_near_dedup,
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
         "st16_cdc_apply_stream": st16_cdc_apply_stream,
         "st17_vector_index_ingest": st17_vector_index_ingest,
@@ -7689,7 +7690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
         "q25_promo_revenue": q25_promo_revenue,
-        "st14_streaming_near_dedup": st14_streaming_near_dedup,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

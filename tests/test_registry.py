@@ -40,7 +40,34 @@ MUST_BE_IN_WINDOW = {
     "sql4_windowed_sql",
     "w10_ohlc_bars",
     "w11_cumulative_distinct",
-} | {f"st{i}" for i in range(1, 13)}
+} | {f"st{i}" for i in range(1, 20)}
+
+# Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
+# into — or displace anything out of — the driver's sampled window
+# silently. Changing the window is allowed, but only as a deliberate,
+# reviewed edit of this list.
+DRIVER_WINDOW_SNAPSHOT = [
+    "e2e_weather_pipeline", "st1_windowed_counts", "st2_stream_dedup",
+    "st3_session_windows", "st4_stateful_running_totals",
+    "st5_stream_static_join", "st6_foreach_batch_upsert",
+    "st7_stream_stream_join", "st8_jsonl_ingest", "st9_sliding_windows",
+    "st10_weather_stream", "st11_weather_stream_etl", "st12_dedup_ingest",
+    "st13_stream_outer_join", "st14_streaming_near_dedup",
+    "st15_streaming_heavy_hitters", "st16_cdc_apply_stream",
+    "st17_vector_index_ingest", "st18_corpus_telemetry",
+    "st19_model_score_stream", "qv1_quality_verdict",
+    "qv2_expectation_suite", "a18_column_profiler", "r5_merge_cdc",
+    "r6_incremental_rollup", "r7_incremental_join_view",
+    "j5_scd2_pointintime", "sql2_star_join_sql", "sql3_top_supplier_sql",
+    "sql4_windowed_sql", "sql5_recursive_cte", "w10_ohlc_bars",
+    "w11_cumulative_distinct", "q1_pricing_summary", "f1_range_filter",
+    "f3_date_filter", "p1_agronomic_derivations", "p5_quantity_binning",
+    "p6_date_parts", "p7_epoch_conversion", "p8_rounding",
+    "r1_dedup_keep_first", "r2_upsert_last_write_wins",
+    "a1_count_distinct", "a2_null_counts", "a3_min_max",
+    "a4_group_counts", "s2_json_access", "sql1_quality_sql",
+    "b1_broadcast_join",
+]
 
 
 def _matches_prefix(name: str, prefixes: set[str]) -> bool:
@@ -73,6 +100,18 @@ def test_behavior_critical_queries_inside_window():
     )
     assert not missing, (
         f"behavior-critical queries outside the driver window: {missing}"
+    )
+
+
+def test_driver_window_snapshot_is_stable():
+    """The driver hashes exactly the first 50 registry entries; pin
+    their identity AND order so a future insert anywhere above slot 50
+    fails loudly instead of silently reshuffling what gets graded."""
+    assert len(DRIVER_WINDOW_SNAPSHOT) == DRIVER_WINDOW
+    names = list(entrymod.queries().keys())[:DRIVER_WINDOW]
+    assert names == DRIVER_WINDOW_SNAPSHOT, (
+        "driver window changed — if deliberate, update "
+        "DRIVER_WINDOW_SNAPSHOT in this test"
     )
 
 
