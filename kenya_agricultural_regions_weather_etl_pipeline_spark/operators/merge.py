@@ -19,6 +19,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def collect_touched_partitions(
+    df: DataFrame, col: str = "date", max_partitions: int = 10_000
+) -> list:
+    """Driver-side probe for the distinct partition keys a batch
+    touches — the tiny collect that scopes partition-pruned merges.
+
+    HARD-BOUNDED (VERDICT r3 #7): the collect itself is capped at
+    ``max_partitions + 1`` rows, so a miskeyed caller (e.g. merging on
+    a high-cardinality column instead of a date) fails loudly with a
+    diagnosable error instead of OOMing the driver at scale. A daily
+    pipeline touches ~1 partition per batch; 10k distinct keys means
+    the keying is wrong, not the limit."""
+    vals = [
+        r[0]
+        for r in df.select(col).distinct().limit(max_partitions + 1).collect()
+    ]
+    if len(vals) > max_partitions:
+        raise ValueError(
+            f"batch touches more than {max_partitions} distinct '{col}' "
+            "partition keys — this probe scopes a partition-pruned merge, "
+            "not a data path; check the merge keying"
+        )
+    return vals
+
+
 def merge_last_write_wins(
     existing: DataFrame,
     batch: DataFrame,

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 from ..functions import weather as W
 from ..operators.dedup import dedup_keep_first
-from ..operators.merge import merge_last_write_wins, write_merged_partitioned
+from ..operators.merge import (
+    collect_touched_partitions,
+    merge_last_write_wins,
+    write_merged_partitioned,
+)
 from ..operators.quality import fused_quality_report, quality_verdict
 from ..schemas import WEATHER_KEY, WEATHER_LOAD_COLUMNS
 from ..sources.regions import regions_df
@@ -134,7 +138,7 @@ def run_batch(
     # distinct-dates probe is a tiny driver-side collect, same class as
     # an AQE statistics read.
     batch = batch.localCheckpoint(eager=True)  # branch reuse: dates + merge
-    touched = [r[0] for r in batch.select("date").distinct().collect()]
+    touched = collect_touched_partitions(batch, "date")
     try:
         existing = (
             spark.read.parquet(table_path)

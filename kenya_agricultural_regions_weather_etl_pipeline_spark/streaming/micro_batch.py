@@ -1254,7 +1254,11 @@ def run_weather_stream_etl(
     """
     import time
 
-    from ..operators.merge import merge_last_write_wins, write_merged_partitioned
+    from ..operators.merge import (
+        collect_touched_partitions,
+        merge_last_write_wins,
+        write_merged_partitioned,
+    )
     from ..plans.weather_pipeline import transform
     from ..schemas import WEATHER_KEY, WEATHER_LOAD_COLUMNS
     from ..sources.regions import regions_df
@@ -1301,7 +1305,7 @@ def run_weather_stream_etl(
         # dynamic overwrite rewrites exactly those day partitions —
         # historical days are never re-read or re-written (run_batch
         # applies the same pruning)
-        touched = [r[0] for r in day.select("date").distinct().collect()]
+        touched = collect_touched_partitions(day, "date")
         from pyspark.errors import AnalysisException
 
         try:

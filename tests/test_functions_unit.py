@@ -168,6 +168,25 @@ def test_lsh_recall_floor(spark, sf01):
     assert row.recall >= 0.4, f"sign-LSH recall collapsed: {row.recall}"
 
 
+def test_touched_partition_probe_is_bounded(spark):
+    """The driver-side touched-partitions collect (run_batch and the
+    st11 micro-batch merge both route through it) must refuse a
+    high-cardinality key instead of OOMing the driver (VERDICT r3 #7):
+    the collect is LIMIT-capped at max+1 rows, then raises."""
+    import pytest
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.merge import (
+        collect_touched_partitions,
+    )
+
+    wide = spark.range(0, 500).withColumnRenamed("id", "date")
+    with pytest.raises(ValueError, match="more than 100 distinct"):
+        collect_touched_partitions(wide, "date", max_partitions=100)
+    # in-bounds path returns the distinct keys
+    narrow = spark.range(0, 500).selectExpr("id % 3 AS date")
+    assert sorted(collect_touched_partitions(narrow, "date")) == [0, 1, 2]
+
+
 def test_cc_partition_count_scales_with_cluster_parallelism():
     """connected_components' distributed-loop partition count must be
     derived from the cluster's defaultParallelism, not a local[32]
