@@ -36,6 +36,20 @@ from pyspark.sql.types import (
 from ..functions.weather import round_half_up
 from ..sources.tables import events_ts_unit, raw_ts_to_micros_sql
 
+
+def _lifecycle_mark(label: str, t0: float) -> None:
+    """ST11_DEBUG=1 phase-timing probe for the st11 micro-batch loop
+    (stderr only, no-op otherwise) — the instrumentation behind the
+    VERDICT r3 #6 overhead hunt; kept for future tuning sessions."""
+    if os.environ.get("ST11_DEBUG"):
+        import sys
+        import time
+
+        print(
+            f"[st11] {label}: {time.perf_counter() - t0:.2f}s",
+            file=sys.stderr,
+        )
+
 # Raw on-disk schema of the driver-generated events table: ``ts`` is
 # read as int64 whatever the physical parquet timestamp unit is
 # (TIMESTAMP(NANOS) via nanosAsLong, or TIMESTAMP(MICROS) directly);
@@ -1273,28 +1287,40 @@ def run_weather_stream_etl(
     target = tempfile.mkdtemp(prefix="st11_weather_")
 
     def one_day(raw_batch: DataFrame, batch_id: int) -> None:
+        _t0 = time.perf_counter()
+
+        def _mark(label):
+            _lifecycle_mark(f"b{batch_id} {label}", _t0)
+
         from pyspark.sql import Observation
 
         # E1 quarantine, streaming edition: malformed docs land in a
         # side output (matching the reference's per-region failure log,
         # daily_weather_etl_kenya.py:193-201) instead of vanishing.
-        # The corrupt COUNT rides the main job as an Observation metric
-        # (rows pass the observe node before flatten filters them), so
-        # the quarantine write — batch_id-keyed overwrite, replay-safe —
-        # is only paid on batches that actually have corrupt rows; clean
-        # batches cost zero extra jobs (an unconditional write was ~2 s
-        # of commit overhead per micro-batch on the local harness).
+        # The corrupt COUNT rides the parse job as an Observation metric,
+        # so the quarantine write — batch_id-keyed overwrite, replay-safe
+        # — is only paid on batches that actually have corrupt rows;
+        # clean batches cost zero extra jobs.
+        #
+        # parsed is checkpointed EAGERLY and FIRST: every downstream
+        # action (transform checkpoint, quarantine write) reads the
+        # materialized rows instead of re-invoking the Python DataSource
+        # reader — each re-scan costs a Python worker round (~1-2.5 s of
+        # the 6 s/batch overhead VERDICT r3 #6 flagged).
         obs = Observation(f"st11_corrupt_b{batch_id}")
-        parsed = parse_raw(raw_batch).observe(
-            obs, F.sum(F.col("_corrupt").cast("int")).alias("n_corrupt")
+        parsed = (
+            parse_raw(raw_batch)
+            .observe(obs, F.sum(F.col("_corrupt").cast("int")).alias("n_corrupt"))
+            .localCheckpoint(eager=True)
         )
+        _mark("parse-checkpoint")
         flat = flatten(parsed).join(
             F.broadcast(regions_df(raw_batch.sparkSession)), "region", "left"
         )
         day = transform(flat).select(*WEATHER_LOAD_COLUMNS).localCheckpoint(
             eager=True
         )
-        # localCheckpoint above is the action that populates the metric
+        _mark("checkpoint")
         if (obs.get["n_corrupt"] or 0) > 0:
             parsed.filter(F.col("_corrupt")).select(
                 "region", "raw"
@@ -1305,7 +1331,9 @@ def run_weather_stream_etl(
         # dynamic overwrite rewrites exactly those day partitions —
         # historical days are never re-read or re-written (run_batch
         # applies the same pruning)
+        _mark("quarantine")
         touched = collect_touched_partitions(day, "date")
+        _mark("touched")
         from pyspark.errors import AnalysisException
 
         try:
@@ -1324,6 +1352,7 @@ def run_weather_stream_etl(
             # replace the touched partitions with just this day's rows.
             merged = day
         write_merged_partitioned(merged, target, ["date"])
+        _mark("merged-write")
 
     stream = (
         spark.readStream.format("weather_stream")
@@ -1338,17 +1367,17 @@ def run_weather_stream_etl(
     with tempfile.TemporaryDirectory() as ckpt:
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+            _tq = time.perf_counter()
             q = (
                 stream.writeStream.foreachBatch(one_day)
                 .option("checkpointLocation", ckpt)
                 .trigger(processingTime="0 seconds")
                 .start()
             )
+            _lifecycle_mark("start", _tq)
             # drained = the source's offset has reached the backlog end
-            # (day == days; the reader clamps there) AND the latest
-            # trigger processed zero rows — i.e. the last DATA batch has
-            # committed. Row-count polling would need the validation
-            # drop count, which belongs to the transform, not the drain.
+            # (day == days; the reader clamps there), meaning the last
+            # DATA batch has committed — see the loop comment below.
             import re as _re
 
             deadline = time.monotonic() + timeout_s
@@ -1356,20 +1385,27 @@ def run_weather_stream_etl(
                 lp = q.lastProgress
                 if lp:
                     # endOffset may arrive as a dict, JSON, or Python
-                    # repr ({'day': 3}) — extract the day count textually
+                    # repr ({'day': 3}) — extract the day count textually.
+                    # A progress event is emitted AFTER its trigger
+                    # commits, and each trigger advances exactly one day
+                    # (latestOffset clamps at ``days``), so the FIRST
+                    # event with endOffset == days IS the final data
+                    # batch's commit. Do not additionally wait for an
+                    # empty numInputRows==0 trigger: when idle the
+                    # engine only emits progress every
+                    # noDataProgressEventInterval (10 s default), which
+                    # stalled the drain ~10 s per run (VERDICT r3 #6).
                     m = _re.search(r"\d+", str(lp["sources"][0]["endOffset"]))
-                    if (
-                        m is not None
-                        and int(m.group()) == days
-                        and lp["numInputRows"] == 0
-                    ):
+                    if m is not None and int(m.group()) == days:
                         break
-                time.sleep(0.25)
+                time.sleep(0.05)
             else:  # pragma: no cover
                 q.stop()
                 raise TimeoutError("st11 backlog not drained")
+            _lifecycle_mark("drained", _tq)
             q.stop()
             q.awaitTermination()
+            _lifecycle_mark("stopped", _tq)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(target).select(*WEATHER_LOAD_COLUMNS)
