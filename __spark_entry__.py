@@ -4041,6 +4041,24 @@ def x5f_ivf_partitioned_layout(spark, sf_dir):
     )
 
 
+def x5g_ivf_adaptive_probe(spark, sf_dir):
+    """Multi-probe IVF with a PER-QUERY learned probe count (VERDICT r3
+    #8): instead of x5d's fixed n_probe=2, each query probes cells in
+    decreasing centroid-similarity order until the cumulative cell
+    population reaches min_candidates=64 — the probe budget priced in
+    CANDIDATES (the real rerank cost), so skewed cells cost fewer
+    probes and sparse regions fan wider automatically. Cell sizes are a
+    ≤16-row broadcast; the prefix rule is a running-sum window over
+    ≤16 rows per query — pure metadata, exactly replayable in SQL. The
+    adaptive cell list stays bounded driver-side metadata, so the
+    x5f physical layout (partition-pruned reads) composes unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_ivf_adaptive(
+        emb, q, k=10, n_centroids=16, min_candidates=64
+    )
+
+
 def set5_except_all(spark, sf_dir):
     """EXCEPT ALL multiset difference (churn analysis: 1995 order slots
     not re-filled in 1996, multiplicity preserved): Spark plans a
@@ -7530,6 +7548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5d_cosine_topk_ivf": x5d_cosine_topk_ivf,
         "x5e_ivf_recall": x5e_ivf_recall,
         "x5f_ivf_partitioned_layout": x5f_ivf_partitioned_layout,
+        "x5g_ivf_adaptive_probe": x5g_ivf_adaptive_probe,
         "set5_except_all": set5_except_all,
         "set6_intersect_all": set6_intersect_all,
         "a14_mad_robust": a14_mad_robust,
@@ -8519,6 +8538,49 @@ WITH c AS (
                ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
                         cent.centroid_id ASC) AS rn
     FROM q CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM assigned JOIN probes USING (cell)
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+""",
+        # x5d's oracle with the adaptive probe rule: cells join their
+        # member counts, and each query keeps the smallest centroid-
+        # similarity-ordered prefix whose cumulative population reaches
+        # min_candidates=64 (running sum over ROWS ... 1 PRECEDING)
+        "x5g_ivf_adaptive_probe": f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), sizes AS (
+  SELECT cell, count(*) AS cell_n FROM assigned GROUP BY cell
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), ranked AS (
+  SELECT q.query_id, q.qvec, cent.centroid_id AS cell, s.cell_n,
+         {V.cosine_sql('qvec', 'cent_vec')} AS cent_sim
+  FROM q CROSS JOIN cent
+  JOIN sizes s ON s.cell = cent.centroid_id
+), probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT *, coalesce(sum(cell_n) OVER (PARTITION BY query_id
+                 ORDER BY cent_sim DESC, cell ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+    FROM ranked) WHERE cum_before < 64
 ), scored AS (
   SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
   FROM assigned JOIN probes USING (cell)

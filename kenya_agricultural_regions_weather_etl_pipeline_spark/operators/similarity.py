@@ -290,6 +290,64 @@ def _ivf_rerank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     )
 
 
+def cosine_topk_ivf_adaptive(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    min_candidates: int = 64,
+) -> DataFrame:
+    """Multi-probe IVF with a PER-QUERY learned probe count — the
+    "n_probe is the wrong knob" refinement: a fixed cell count
+    under-probes queries whose nearest cells are small (recall loss)
+    and over-probes queries whose nearest cell is huge (wasted rerank).
+    The budget that actually prices a query is CANDIDATES, so each
+    query probes its cells in decreasing centroid-similarity order and
+    stops at the smallest prefix whose cumulative member count reaches
+    ``min_candidates`` — skewed cells cost fewer probes, sparse regions
+    automatically fan wider.
+
+    Plan shape: cell sizes are one tiny aggregate (≤ n_centroids rows)
+    broadcast with the codebook; the prefix rule is a running-sum
+    window over ≤ n_centroids rows per query — pure metadata. The
+    rerank stays exact within probed cells, and every step (sizes,
+    running sum, prefix cut) is plain SQL, so the oracle replays the
+    probe decision bit-identically. At 100 TB this composes with the
+    x5f physical layout: the adaptive cell list is still bounded
+    driver-side metadata for partition-pruned reads."""
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    # assigned feeds BOTH the size profile and the rerank: materialize once
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    )
+    ranked = (
+        q.join(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("qvec"), F.col("cent_vec")))
+        .join(F.broadcast(sizes), F.col("centroid_id") == F.col("cell"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    cum_before = F.coalesce(
+        F.sum("cell_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    probes = (
+        ranked.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < min_candidates)
+        .select("query_id", "qvec", "cell")
+    )
+    return _ivf_rerank(assigned, probes, k)
+
+
 def cosine_topk_ivf_partitioned(
     corpus: DataFrame,
     queries: DataFrame,

@@ -91,16 +91,31 @@ def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(f"{probe_dir}/documents.parquet")
 
+    # embeddings ×M: copies get a per-copy cyclic COORDINATE ROTATION
+    # (not a constant jitter — jittered copies are near-exact twins of
+    # their originals, which silently turns the probe corpus into a
+    # duplication workload: every vector gains M-1 cosine≈1 partners
+    # and near-dup pair counts explode for any method). Rotating the
+    # coordinates preserves the norm and the marginal distribution but
+    # decorrelates copies, so the M× corpus is genuinely "M× more
+    # independent vectors" — the axis the probe claims to scale.
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
     ecopies = []
     for c in range(mult):
+        shift = (7 * c) % dim
+        rotated = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift),
+            )
+        )
         ecopies.append(
             emb.select(
                 (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda e: (e + F.lit(0.0007 * c)).cast("float"),
-                ).alias("embedding"),
+                rotated.alias("embedding"),
                 "label",
             )
         )

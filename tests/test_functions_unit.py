@@ -252,6 +252,38 @@ def test_semdedup_adaptive_k_recall_equivalence(spark, sf01):
     assert r_adaptive >= 0.3, f"adaptive-k recall collapsed: {r_adaptive}"
 
 
+def test_ivf_adaptive_probe_recall_vs_fixed(spark, sf01):
+    """x5g's candidate-budgeted probing must not lose recall vs x5d's
+    fixed n_probe=2 at a comparable candidate budget (min_candidates=64
+    ≈ 2 mean cells of the sf0.01 corpus) — the point of pricing the
+    probe in candidates instead of cells."""
+    import __spark_entry__ as entrymod
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in entrymod.queries()["x5_cosine_topk"](spark, sf01)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+
+    def recall(name):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in entrymod.queries()[name](spark, sf01)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_fixed = recall("x5d_cosine_topk_ivf")
+    r_adaptive = recall("x5g_ivf_adaptive_probe")
+    assert r_adaptive >= r_fixed - 0.05, (
+        f"adaptive-probe recall {r_adaptive:.4f} fell below fixed-probe "
+        f"{r_fixed:.4f}"
+    )
+    assert r_adaptive >= 0.5, f"adaptive-probe recall collapsed: {r_adaptive}"
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf01):
     """MinHash est_jaccard (x2) must track the exact n-gram Jaccard (x3
     machinery, uncapped) on the pairs both report — the instrumentation
