@@ -72,6 +72,17 @@ def test_x5_broadcasts_query_side(spark, sf01):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_x5g_adaptive_probe_broadcasts_metadata(spark, sf01):
+    """x5g's probe decision must stay metadata-sized: the codebook, the
+    cell-size profile, and the probe list are all broadcast — no
+    SortMergeJoin anywhere (a shuffled join on any of those sides means
+    the 'bounded metadata' claim silently broke)."""
+    plan = _plan(spark, sf01, "x5g_ivf_adaptive_probe")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf01):
     """No query may plan an unbroadcast cartesian product."""
     for name in entrymod.queries():
