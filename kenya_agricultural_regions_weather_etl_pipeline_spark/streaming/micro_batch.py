@@ -1519,48 +1519,67 @@ def run_streaming_near_dedup(
         Portable signatures: sig_j = min over shingles of
         (A[j]·rolling_hash(sh) + B[j]) mod P, all narrow array exprs on
         the scan (no explode/shuffle); bucket = the band's sig values
-        comma-joined — the same key string x2c's oracle rebuilds."""
-        sig = df.select(
-            "doc_id",
-            "source",
-            F.array_distinct(shingles(F.col("text"), k_shingle)).alias("shset"),
-        ).withColumn(
-            "hs", F.transform(F.col("shset"), lambda s: rolling_hash(s))
-        )
-        def sig_expr(j: int):
-            # NB: a one-arg lambda only — a second parameter would make
-            # F.transform pass the element INDEX into it
+        comma-joined — the same key string x2c's oracle rebuilds.
+
+        The per-shingle rolling-hash fold and the 16-way signature
+        array are LET-BOUND via the single-element-transform trick
+        (transform(array(x), λ)[0] evaluates x once however many times
+        the lambda body references it) — naive withColumn chains get
+        collapse-projected into 16 inlined copies of the char fold,
+        which doubled st14's wall-clock when first measured."""
+
+        def sig_expr(hs, j: int):
+            # NB: one-arg inner lambda only — a second parameter would
+            # make F.transform pass the element INDEX into it
             return F.array_min(
                 F.transform(
-                    F.col("hs"),
+                    hs,
                     lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j]))
                     % F.lit(MINHASH_P),
                 )
             )
 
-        for j in range(num_hashes):
-            sig = sig.withColumn(f"sig{j}", sig_expr(j))
-        return sig.select(
+        # array<long> of the num_hashes signature mins; the rolling-hash
+        # array `hs` is the let-bound lambda variable, computed once
+        sigs = F.transform(
+            F.array(
+                F.transform(F.col("shset"), lambda s: rolling_hash(s))
+            ),
+            lambda hs: F.array(
+                *[sig_expr(hs, j) for j in range(num_hashes)]
+            ),
+        )[0]
+        # band structs reference the sig array through a second let
+        # binding, so the signature computation isn't inlined 4×
+        band_arr = F.transform(
+            F.array(sigs),
+            lambda sg: F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    sg, b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            ),
+        )[0]
+        return df.select(
+            "doc_id",
+            "source",
+            F.array_distinct(shingles(F.col("text"), k_shingle)).alias("shset"),
+        ).select(
             "doc_id",
             "source",
             "shset",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"sig{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(band_arr).alias("bb"),
         ).select(
             "doc_id",
             "source",
