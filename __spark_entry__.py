@@ -3224,6 +3224,15 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
 # cluster stays ~this many vectors and candidate pairs ≈ N·target/2.
 SEMDEDUP_TARGET_CLUSTER_SIZE = 100
 
+# Adaptive seed clause shared by x40b and st20's oracles: k derived from
+# count(*) OVER () instead of a pinned literal
+_SEMDEDUP_ADAPTIVE_C0 = f"""SELECT cid, cv FROM (
+    SELECT vec_id AS cid, v AS cv,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           count(*) OVER () AS n_vecs
+    FROM e) seeds
+  WHERE rn <= CAST(ceil(n_vecs / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS BIGINT)"""
+
 
 def x40b_semantic_dedup_adaptive(spark, sf_dir):
     """Scale-adaptive SemDeDup: identical to x40 except k = ceil(N /
@@ -3643,6 +3652,24 @@ def st14_streaming_near_dedup(spark, sf_dir):
     EQUALS the batch formula replayed with the batch operators."""
     apply_runtime_confs(spark)
     return ST.run_streaming_near_dedup(spark, sf_dir)
+
+
+def st20_semantic_dedup_ingest(spark, sf_dir):
+    """SEMANTIC dedup ON INGEST — x40b run as a firehose, completing
+    the streaming-dedup triptych (st12 exact fingerprints, st14 text
+    LSH, st20 embeddings): vector batches arrive in vec_id ranges,
+    each micro-batch broadcast-assigns against the OFFLINE-trained
+    adaptive codebook (k = ceil(N/100), frozen before the stream — the
+    st17 quantizer pattern), probes only its own cells of the standing
+    per-cell vector store, verifies candidates with the exact
+    6dp-rounded cosine, and keeps only novel vectors. Drop rule:
+    a vector dies iff a same-cell partner with ANY smaller vec_id has
+    cosine ≥ 0.3 — provably equal to the batch formula (every
+    smaller-id partner is in state or in-batch), so the DuckDB oracle
+    replays the whole decision: Lloyd training, cells, pairs, and the
+    per-label survivor rollup, bit-identically."""
+    apply_runtime_confs(spark)
+    return ST.run_streaming_semantic_dedup(spark, sf_dir)
 
 
 def st13_stream_outer_join(spark, sf_dir):
@@ -7476,6 +7503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st13_stream_outer_join": st13_stream_outer_join,
         "st14_streaming_near_dedup": st14_streaming_near_dedup,
         "st15_streaming_heavy_hitters": st15_streaming_heavy_hitters,
+        "st20_semantic_dedup_ingest": st20_semantic_dedup_ingest,
         "st16_cdc_apply_stream": st16_cdc_apply_stream,
         "st17_vector_index_ingest": st17_vector_index_ingest,
         "st18_corpus_telemetry": st18_corpus_telemetry,
@@ -7741,11 +7769,14 @@ _LLOYD_ITER_SQL = """
 )"""
 
 
-def _semdedup_oracle_sql(c0_select: str) -> str:
+def _semdedup_oracle_sql(c0_select: str, final_select: str | None = None) -> str:
     """SemDeDup oracle: Lloyd replay (2 iters) from the given seed
-    SELECT (pinned-k LIMIT for x40, count-derived for x40b), then the
-    within-cluster exact-cosine pair join. Shared so both variants stay
-    byte-for-byte the same machinery apart from the seed clause."""
+    SELECT (pinned-k LIMIT for x40, count-derived for x40b/st20), then
+    the within-cluster exact-cosine pair join exposed as a ``pairs``
+    CTE. ``final_select`` defaults to reporting the pairs (x40/x40b);
+    st20 appends its streaming survivor rollup instead. Shared so every
+    variant stays byte-for-byte the same machinery apart from the seed
+    clause and the tail."""
     return (
         """
 WITH e AS (
@@ -7761,16 +7792,17 @@ WITH e AS (
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
     FROM e CROSS JOIN c2 c) fin WHERE rn = 1
-)
-SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       round(list_dot_product(x.v, y.v)
-             / (sqrt(list_dot_product(x.v, x.v))
-                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
-FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
-WHERE round(list_dot_product(x.v, y.v)
-            / (sqrt(list_dot_product(x.v, x.v))
-               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
-"""
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+)"""
+        + (final_select or "\nSELECT id_a, id_b, cos_sim FROM pairs\n")
     )
 
 
@@ -8720,12 +8752,26 @@ FROM scored GROUP BY source
         # adaptive k = ceil(N / target): same Lloyd replay, seed count
         # derived from count(*) OVER () instead of a pinned literal
         "x40b_semantic_dedup_adaptive": _semdedup_oracle_sql(
-            f"""SELECT cid, cv FROM (
-    SELECT vec_id AS cid, v AS cv,
-           row_number() OVER (ORDER BY vec_id) AS rn,
-           count(*) OVER () AS n_vecs
-    FROM e) seeds
-  WHERE rn <= CAST(ceil(n_vecs / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS BIGINT)"""
+            _SEMDEDUP_ADAPTIVE_C0
+        ),
+        # st20 = x40b's pair machinery + the streaming drop rule
+        # (dropped iff the LARGER id of a verified same-cell pair),
+        # rolled up per label over the untouched embeddings table
+        "st20_semantic_dedup_ingest": _semdedup_oracle_sql(
+            _SEMDEDUP_ADAPTIVE_C0,
+            """
+, dropped AS (
+  SELECT DISTINCT id_b FROM pairs
+)
+SELECT emb.label,
+       CAST(count(*) AS BIGINT) AS n_survivors,
+       min(emb.vec_id) AS min_id,
+       max(emb.vec_id) AS max_id
+FROM embeddings emb
+LEFT JOIN dropped ON emb.vec_id = dropped.id_b
+WHERE dropped.id_b IS NULL
+GROUP BY emb.label
+""",
         ),
         "x29_kmeans_step": """
 WITH e AS (

@@ -1711,6 +1711,168 @@ def run_streaming_near_dedup(
     return out
 
 
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    target_cluster_size: int = 100,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """st20: SEMANTIC dedup ON INGEST — x40b's cluster-pruned embedding
+    dedup run as a firehose, completing the streaming-dedup triptych
+    (st12 exact, st14 text near-dup, st20 embedding near-dup).
+
+    Semantics (deterministic, the st14 decomposition): a vector is
+    dropped iff a SAME-CELL partner with ANY smaller vec_id has
+    round(cosine, 6) ≥ threshold. Batches arrive in vec_id ranges, so
+    every smaller-id partner of a vector is either in the standing
+    state or in the same batch — the streaming survivors provably equal
+    the batch formula (pinned by the equivalence pytest).
+
+    The coarse codebook is trained OFFLINE and frozen before the stream
+    starts (the st17 pattern — a real deployment trains its quantizer
+    on a historical sample): k = ceil(N / target_cluster_size) Lloyd
+    centroids via the engine-portable integer-quantized iterations, so
+    cells — and therefore candidates, cosines, and survivors — replay
+    bit-identically in the DuckDB oracle.
+
+    State = one append-only parquet per-cell vector store
+    (cell, vec_id, v, nrm); each micro-batch broadcast-assigns against
+    the ≤k-row codebook, probes ONLY its own cells of the state
+    (cell-keyed join — at 100 TB a partition-pruned read, st17's
+    layout), verifies candidates with the exact 6dp-rounded cosine, and
+    appends the whole batch to state. Candidate work per batch is
+    |batch| × cell-collision rows, never corpus²."""
+    import glob as _glob
+    import math as _math
+    import shutil
+    import time as _time
+
+    from ..functions.vectors import cosine_given_norms, norm
+    from ..operators.similarity import lloyd_assign, lloyd_trained_centroids
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    n = emb.count()
+    k = max(1, _math.ceil(n / target_cluster_size))
+    cents = lloyd_trained_centroids(
+        emb.select("vec_id", "v"), k=k, iters=2
+    ).localCheckpoint(eager=True)
+
+    src = tempfile.mkdtemp(prefix="kw_st20_src_")
+    state = tempfile.mkdtemp(prefix="kw_st20_state_")
+    store_path = os.path.join(state, "store")
+    survivors_path = os.path.join(state, "survivors")
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        sess = batch.sparkSession
+        assigned = (
+            lloyd_assign(batch.select("vec_id", "v"), cents)
+            .join(batch, "vec_id")
+            .withColumn("nrm", norm(F.col("v")))
+            .select("cid", "vec_id", "v", "nrm", "label")
+            .localCheckpoint(eager=True)  # probed twice below: assign once
+        )
+
+        def verified(lo: DataFrame, hi: DataFrame) -> DataFrame:
+            # same expression family as _semdedup_pairs: exact cosine
+            # from precomputed norms, half-even 6dp round, >= threshold
+            return (
+                lo.join(
+                    hi,
+                    (F.col("lo.cid") == F.col("hi.cid"))
+                    & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+                )
+                .withColumn(
+                    "cos_sim",
+                    F.round(
+                        cosine_given_norms(
+                            F.col("lo.v"),
+                            F.col("hi.v"),
+                            F.col("lo.nrm"),
+                            F.col("hi.nrm"),
+                        ),
+                        6,
+                    ),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(F.col("hi.vec_id").alias("vec_id"))
+            )
+
+        parts = [verified(assigned.alias("lo"), assigned.alias("hi"))]
+        try:
+            store = sess.read.parquet(store_path)
+            # standing state holds only smaller ids (vec_id-range arrival)
+            parts.append(verified(store.alias("lo"), assigned.alias("hi")))
+        except AnalysisException:
+            pass  # first batch: no standing corpus yet
+        dropped = parts[0]
+        for p in parts[1:]:
+            dropped = dropped.unionByName(p)
+        survivors = assigned.select("vec_id", "label").join(
+            dropped.distinct(), "vec_id", "left_anti"
+        )
+        survivors.write.mode("append").parquet(survivors_path)
+        # state grows by the WHOLE batch: the drop rule references every
+        # smaller id, retained or not
+        assigned.select("cid", "vec_id", "v", "nrm").write.mode(
+            "append"
+        ).parquet(store_path)
+
+    try:
+        # vec_id RANGES arriving in order (mtime-ascending backlog)
+        mx = emb.agg(F.max("vec_id")).first()[0] + 1
+        now = _time.time()
+        for b in range(n_batches):
+            lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "part-*.parquet")),
+                key=os.path.getmtime,
+            )
+            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                q = (
+                    stream.writeStream.foreachBatch(one_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = (
+            spark.read.parquet(survivors_path)
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+                F.min("vec_id").alias("min_id"),
+                F.max("vec_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def run_streaming_heavy_hitters(
     spark: SparkSession, sf_dir: str, k: int = 199, n_files: int = 3
 ) -> DataFrame:

@@ -40,7 +40,7 @@ MUST_BE_IN_WINDOW = {
     "sql4_windowed_sql",
     "w10_ohlc_bars",
     "w11_cumulative_distinct",
-} | {f"st{i}" for i in range(1, 20)}
+} | {f"st{i}" for i in range(1, 21)}
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
 # into — or displace anything out of — the driver's sampled window
@@ -53,7 +53,8 @@ DRIVER_WINDOW_SNAPSHOT = [
     "st7_stream_stream_join", "st8_jsonl_ingest", "st9_sliding_windows",
     "st10_weather_stream", "st11_weather_stream_etl", "st12_dedup_ingest",
     "st13_stream_outer_join", "st14_streaming_near_dedup",
-    "st15_streaming_heavy_hitters", "st16_cdc_apply_stream",
+    "st15_streaming_heavy_hitters", "st20_semantic_dedup_ingest",
+    "st16_cdc_apply_stream",
     "st17_vector_index_ingest", "st18_corpus_telemetry",
     "st19_model_score_stream", "qv1_quality_verdict",
     "qv2_expectation_suite", "a18_column_profiler", "r5_merge_cdc",
@@ -66,7 +67,6 @@ DRIVER_WINDOW_SNAPSHOT = [
     "r1_dedup_keep_first", "r2_upsert_last_write_wins",
     "a1_count_distinct", "a2_null_counts", "a3_min_max",
     "a4_group_counts", "s2_json_access", "sql1_quality_sql",
-    "b1_broadcast_join",
 ]
 
 

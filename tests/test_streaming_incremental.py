@@ -332,6 +332,45 @@ def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
     assert sum(v[0] for v in want.values()) < docs.count()
 
 
+def test_streaming_semantic_dedup_equals_batch_rule_any_batching(spark, sf001):
+    """st20's survivors must equal the batch SemDeDup drop rule (x40b's
+    adaptive-k pair machinery + drop-the-larger-id) REGARDLESS of how
+    the stream is batched — run with 7 micro-batches (not the default 4
+    the oracle sweep exercises) and replay the rule with the batch
+    operators."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_streaming_semantic_dedup,
+    )
+
+    streamed = run_streaming_semantic_dedup(spark, sf001, n_batches=7)
+    emb = load_table(spark, sf001, "embeddings")
+    dropped = (
+        entrymod.queries()["x40b_semantic_dedup_adaptive"](spark, sf001)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    batch = (
+        emb.join(dropped, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+    )
+    got = {r.label: (r.n_survivors, r.min_id, r.max_id) for r in streamed.collect()}
+    want = {r.label: (r.n_survivors, r.min_id, r.max_id) for r in batch.collect()}
+    assert got == want
+    # the synthetic corpus has pairs above the threshold, so dedup acted
+    assert sum(v[0] for v in want.values()) < emb.count()
+
+
 def test_st13_outer_join_flushes_mid_stream(spark, sf001):
     """st13 with the real backlog split into 3 TIME-ORDERED micro-
     batches: batch k's watermark advance must evict batch k-1's expired
