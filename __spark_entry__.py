@@ -4086,6 +4086,24 @@ def x5g_ivf_adaptive_probe(spark, sf_dir):
     )
 
 
+def x5h_ivfpq_search(spark, sf_dir):
+    """Full IVF-PQ ANN search — the Faiss-default pipeline composed
+    from x5d's coarse cells and x44's product quantization: probe 2 of
+    16 cells, score candidates by ADC (a broadcast 8×4 lookup table of
+    integer-grid subvector distances summed over each vector's 8 PQ
+    CODES — the scan reads codes, never raw vectors), shortlist 32 per
+    query, exact-cosine rerank to top-10. PQ/ADC arithmetic is int64
+    micro-grid, so the shortlist is bit-identical across engines and
+    the whole pipeline — cells, codes, ADC sums, rerank — replays in
+    the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_ivfpq(
+        emb, q, k=10, n_centroids=16, n_probe=2, n_sub=8, n_codes=4,
+        shortlist=32,
+    )
+
+
 def set5_except_all(spark, sf_dir):
     """EXCEPT ALL multiset difference (churn analysis: 1995 order slots
     not re-filled in 1996, multiplicity preserved): Spark plans a
@@ -7577,6 +7595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5e_ivf_recall": x5e_ivf_recall,
         "x5f_ivf_partitioned_layout": x5f_ivf_partitioned_layout,
         "x5g_ivf_adaptive_probe": x5g_ivf_adaptive_probe,
+        "x5h_ivfpq_search": x5h_ivfpq_search,
         "set5_except_all": set5_except_all,
         "set6_intersect_all": set6_intersect_all,
         "a14_mad_robust": a14_mad_robust,
@@ -8578,6 +8597,80 @@ SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FRO
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= 10
+""",
+        # IVF-PQ: x5d's cells + x44's integer-grid PQ codes + ADC
+        # table-sum shortlist + exact rerank — every stage replayed
+        "x5h_ivfpq_search": f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2
+), g AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), m_ids AS (
+  SELECT CAST(unnest(range(0,8)) AS INT) AS m
+), cent_sub AS (
+  SELECT CAST(vec_id AS INT) AS cid, m, qv[m*8+1 : m*8+8] AS cv
+  FROM g, m_ids WHERE vec_id < 4
+), data_sub AS (
+  SELECT vec_id, m, qv[m*8+1 : m*8+8] AS dv FROM g, m_ids
+), codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT d.vec_id, d.m, cs.cid,
+           row_number() OVER (PARTITION BY d.vec_id, d.m ORDER BY
+             list_sum(list_transform(range(1,9),
+               i -> (d.dv[i]-cs.cv[i])*(d.dv[i]-cs.cv[i]))), cs.cid) AS rn
+    FROM data_sub d JOIN cent_sub cs ON d.m = cs.m) t WHERE rn = 1
+), adc AS (
+  SELECT qs.vec_id AS query_id, qs.m, cs.cid AS code,
+         list_sum(list_transform(range(1,9),
+           i -> (qs.dv[i]-cs.cv[i])*(qs.dv[i]-cs.cv[i]))) AS adc_d2
+  FROM data_sub qs JOIN cent_sub cs ON qs.m = cs.m
+  WHERE qs.vec_id < 8
+), scored AS (
+  SELECT p.query_id, a.vec_id, sum(adc.adc_d2) AS adc
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN codes ON codes.vec_id = a.vec_id
+  JOIN adc ON adc.query_id = p.query_id
+          AND adc.m = codes.m AND adc.code = codes.code
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, vec_id) AS r
+    FROM scored) WHERE r <= 32
+), rer AS (
+  SELECT s.query_id, s.vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM short s
+  JOIN c ON c.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM rer) WHERE rank <= 10
 """,
         # x5d's oracle with the adaptive probe rule: cells join their
         # member counts, and each query keeps the smallest centroid-

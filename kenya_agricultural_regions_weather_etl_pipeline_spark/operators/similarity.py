@@ -348,6 +348,156 @@ def cosine_topk_ivf_adaptive(
     return _ivf_rerank(assigned, probes, k)
 
 
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 4,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Full IVF-PQ search — the Faiss-default ANN pipeline composed
+    from this repo's pieces (x5d's coarse cells + x44's product
+    quantization) the way a 100 TB vector store actually runs:
+
+    1. coarse IVF: corpus → nearest of ``n_centroids`` cells; each
+       query probes its ``n_probe`` nearest cells (x5d machinery);
+    2. PQ encode: every vector's ``n_sub`` subvectors → nearest of
+       ``n_codes`` per-subspace centroids. The candidate scan then
+       reads CODES (n_sub small ints per vector), not raw vectors —
+       the 32× memory axis that makes the in-cell scan cache-resident;
+    3. ADC: per query one (n_sub × n_codes)-row lookup table of
+       query-subvector↔centroid squared distances broadcasts; a
+       candidate's approximate distance is a pure table-sum over its
+       codes — no per-pair float math on the scan;
+    4. exact rerank: only the ADC-``shortlist`` per query touches raw
+       vectors for the true cosine top-k.
+
+    Determinism: PQ/ADC arithmetic runs on the int64 micro-grid
+    (floor(x·1e6+0.5)) so distances, argmins and the shortlist are
+    exact integer results — reduction-order-free, bit-identical in the
+    DuckDB oracle; the rerank reuses the 6dp-rounded cosine. Shapes:
+    two broadcasts (codebooks, ADC table), one partial-agg sum keyed by
+    (query, vec) over codes, one ≤shortlist-per-query rerank."""
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    probes = _ivf_probes(queries, cent, query_id_col, vec_col, n_probe)
+
+    # integer micro-grid views (the x44 quantization)
+    grid = "transform({src}, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+    qgrid = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(grid.format(src=vec_col)).alias("qv"),
+    )
+    dim_arr = F.size(F.col("qv"))
+    sub_len = (dim_arr / n_sub).cast("int")
+    # per-subspace PQ codebooks: slices of the first n_codes vectors
+    cent_sub = (
+        qgrid.filter(F.col("vec_id") < n_codes)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "qv",
+            sub_len.alias("sl"),
+        )
+        .select(
+            "cid", "m", F.expr("slice(qv, m*sl+1, sl)").alias("cv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    sq_d2 = F.expr(
+        "aggregate(zip_with(dv, cv, (a,b) -> (a-b)*(a-b)), "
+        "CAST(0 AS BIGINT), (acc,x) -> acc + x)"
+    )
+    # corpus PQ codes: argmin centroid per (vec, subspace)
+    codes = (
+        qgrid.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "qv",
+            sub_len.alias("sl"),
+        )
+        .select("vec_id", "m", F.expr("slice(qv, m*sl+1, sl)").alias("dv"))
+        .join(F.broadcast(cent_sub), "m")
+        .select("vec_id", "m", "cid", sq_d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("s"))
+        .select("vec_id", "m", F.col("s.cid").alias("code"))
+    )
+    # ADC lookup table: query-subvector ↔ PQ-centroid squared distances
+    qsub = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(grid.format(src=vec_col)).alias("qv"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "qv",
+            sub_len.alias("sl"),
+        )
+        .select("query_id", "m", F.expr("slice(qv, m*sl+1, sl)").alias("dv"))
+    )
+    adc = (
+        qsub.join(F.broadcast(cent_sub), "m")
+        .select("query_id", "m", F.col("cid").alias("code"), sq_d2.alias("adc_d2"))
+    )
+    # candidates: probed cells only; approx distance = Σ table[m, code]
+    cand = probes.select("query_id", "cell").join(
+        assigned.select("vec_id", "cell"), "cell"
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("adc_d2").alias("adc"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w_r))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank of the shortlist only
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    rer = (
+        short.join(assigned.select("vec_id", "cvec"), "vec_id")
+        .withColumn("cnrm", norm(F.col("cvec")))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "sim_full",
+            cosine_given_norms(
+                F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_ivf_partitioned(
     corpus: DataFrame,
     queries: DataFrame,

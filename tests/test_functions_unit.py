@@ -282,6 +282,11 @@ def test_ivf_adaptive_probe_recall_vs_fixed(spark, sf01):
         f"{r_fixed:.4f}"
     )
     assert r_adaptive >= 0.5, f"adaptive-probe recall collapsed: {r_adaptive}"
+    # IVF-PQ trades recall for the 32× code-scan memory win; measured
+    # 0.7625 at sf0.01 (vs 0.8875 raw-vector IVF) — floor it so a code/
+    # ADC regression is caught, and pin that it stays approximate-sane
+    r_pq = recall("x5h_ivfpq_search")
+    assert r_pq >= 0.6, f"IVF-PQ recall collapsed: {r_pq}"
 
 
 def test_minhash_estimates_track_exact_jaccard(spark, sf01):
