@@ -3252,6 +3252,24 @@ def x40b_semantic_dedup_adaptive(spark, sf_dir):
     return _semdedup_pairs(spark, sf_dir, k=k)
 
 
+def x40c_semantic_dedup_balanced(spark, sf_dir):
+    """SemDeDup with the BALANCED-EXPONENT k policy: k = ceil(√N).
+    The k-policy family, measured (SURVEY §9): pinned k (x40) makes
+    within-cluster pairs N²/k — quadratic; k ∝ N (x40b) makes pairs
+    linear but the Lloyd ASSIGN step costs N·k = N²/target — the
+    quadratic just moved; k ∝ √N balances them — assign N·√N AND
+    candidate pairs ≈ N·√N/2, both sub-quadratic, the asymptotic
+    optimum for one-level (flat) k-means. At a true 100 TB you'd go
+    hierarchical (assign through √k super-cells for N·log), but √N is
+    the best flat policy and the oracle replays it exactly: the SQL
+    derives the same k from ceil(sqrt(count(*) OVER ()))."""
+    import math as _math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(1, _math.ceil(_math.sqrt(n)))
+    return _semdedup_pairs(spark, sf_dir, k=k)
+
+
 def _semdedup_pairs(spark, sf_dir, k):
     from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
         cosine_given_norms,
@@ -7618,6 +7636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_langid_agreement": x36_langid_agreement,
         "x40_semantic_dedup_pairs": x40_semantic_dedup_pairs,
         "x40b_semantic_dedup_adaptive": x40b_semantic_dedup_adaptive,
+        "x40c_semantic_dedup_balanced": x40c_semantic_dedup_balanced,
         "x41_quality_weighted_sample": x41_quality_weighted_sample,
         "x42_sentence_split_udtf": x42_sentence_split_udtf,
         "x31_length_curriculum": x31_length_curriculum,
@@ -8846,6 +8865,15 @@ FROM scored GROUP BY source
         # derived from count(*) OVER () instead of a pinned literal
         "x40b_semantic_dedup_adaptive": _semdedup_oracle_sql(
             _SEMDEDUP_ADAPTIVE_C0
+        ),
+        # balanced-exponent policy: k = ceil(sqrt(N)) (see x40c docstring)
+        "x40c_semantic_dedup_balanced": _semdedup_oracle_sql(
+            """SELECT cid, cv FROM (
+    SELECT vec_id AS cid, v AS cv,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           count(*) OVER () AS n_vecs
+    FROM e) seeds
+  WHERE rn <= CAST(ceil(sqrt(n_vecs)) AS BIGINT)"""
         ),
         # st20 = x40b's pair machinery + the streaming drop rule
         # (dropped iff the LARGER id of a verified same-cell pair),

@@ -1648,7 +1648,9 @@ def run_streaming_near_dedup(
         lo_sh = new_sh.withColumnRenamed("doc_id", "id_a")
         if have_state:
             lo_sh = lo_sh.unionByName(
-                sess.read.parquet(shsets_path).withColumnRenamed("doc_id", "id_a")
+                sess.read.parquet(shsets_path)
+                .select("doc_id", "shset")  # drop the batch_id partition col
+                .withColumnRenamed("doc_id", "id_a")
             )
         dropped = exact_ok(
             pairs, lo_sh, new_sh.withColumnRenamed("doc_id", "id_b")
@@ -1656,11 +1658,20 @@ def run_streaming_near_dedup(
         survivors = feat.select("doc_id", "source").dropDuplicates(
             ["doc_id"]
         ).join(dropped, "doc_id", "left_anti")
-        survivors.write.mode("append").parquet(survivors_path)
+        # batch_id-keyed OVERWRITE (not append): a crash-replayed batch
+        # rewrites its own partition instead of double-appending — the
+        # st11/st17 exactly-once pattern
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
         # state grows by the WHOLE batch (the drop rule references all
         # lower ids, not just retained ones)
-        new_buckets.write.mode("append").parquet(buckets_path)
-        new_sh.write.mode("append").parquet(shsets_path)
+        new_buckets.write.mode("overwrite").parquet(
+            os.path.join(buckets_path, f"batch_id={batch_id}")
+        )
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(shsets_path, f"batch_id={batch_id}")
+        )
 
     try:
         # split the corpus into n_batches doc_id RANGES (arrival order =
@@ -1818,12 +1829,17 @@ def run_streaming_semantic_dedup(
         survivors = assigned.select("vec_id", "label").join(
             dropped.distinct(), "vec_id", "left_anti"
         )
-        survivors.write.mode("append").parquet(survivors_path)
+        # batch_id-keyed OVERWRITE (not append): a crash-replayed batch
+        # rewrites its own partition instead of double-appending — the
+        # st11/st17 exactly-once pattern
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
         # state grows by the WHOLE batch: the drop rule references every
         # smaller id, retained or not
         assigned.select("cid", "vec_id", "v", "nrm").write.mode(
-            "append"
-        ).parquet(store_path)
+            "overwrite"
+        ).parquet(os.path.join(store_path, f"batch_id={batch_id}"))
 
     try:
         # vec_id RANGES arriving in order (mtime-ascending backlog)

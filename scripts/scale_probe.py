@@ -8,8 +8,9 @@ The M× corpus is built by union-with-shifted-ids from sf0.1:
   copy contributes an independent near-dup graph — the honest "more
   independent data" scaling; identical-text copies would instead multiply
   every doc's duplicate count and measure a different workload).
-- embeddings: M copies, vec_id shifted, coordinates jittered by a per-
-  copy constant (same distribution, distinct vectors).
+- embeddings: M copies, vec_id shifted, coordinates cyclically ROTATED
+  per copy (same norm/distribution, decorrelated — genuinely
+  independent vectors; see build_probe_dir).
 - every other table: symlinked from sf0.1 (unused by the probed set).
 
 st11 scales on its own axis — micro-batch count (days 3 → 3M) — since
@@ -127,10 +128,26 @@ def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
 
 def timed(label, fn, results):
     t0 = time.perf_counter()
-    n = fn().count()
+    df = fn()
+    n = df.count()
     dt = round(time.perf_counter() - t0, 2)
     results[label] = {"sec": dt, "rows": n}
     print(f"[probe] {label}: {dt}s ({n} rows)", file=sys.stderr)
+    # same block-leak hygiene as bench.py: localCheckpoint blocks
+    # (Lloyd training, streaming state snapshots) survive clearCache
+    # and GC-thrash later queries — measured 7× inflation on x2c@10×
+    # when st20's 200-centroid training ran just before it
+    spark = df.sparkSession
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 PROBED_QUERIES = (
@@ -139,9 +156,13 @@ PROBED_QUERIES = (
     "e2e_training_prep",
     "x40_semantic_dedup_pairs",
     "x40b_semantic_dedup_adaptive",
+    "x40c_semantic_dedup_balanced",
     "st13_stream_outer_join",
+    "st14_streaming_near_dedup",
+    "st20_semantic_dedup_ingest",
     "w13_event_transitions",
     "x2c_minhash_portable",
+    "x5h_ivfpq_search",
     "x54_dsir_importance",
     "x55_fuzzy_decontamination",
     "x59_line_dedup",
@@ -166,9 +187,7 @@ def main() -> int:
     q = E.queries()
     results: dict[str, dict] = {}
     for name in PROBED_QUERIES:
-        spark.catalog.clearCache()
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
-        spark.catalog.clearCache()
         timed(f"{name}@{mult}x", lambda: q[name](spark, probe_dir), results)
     timed("st11@days=3", lambda: run_weather_stream_etl(spark, days=3), results)
     timed(
