@@ -3370,14 +3370,17 @@ def p12_local_time(spark, sf_dir):
 
 def e2e_semantic_curation(spark, sf_dir):
     """The embedding-side curation DECISION (SemDeDup end-to-end):
-    cluster-pruned cosine pairs (x40) → connected components → one
-    canonical vector per semantic group → corpus verdict (vectors in,
-    grouped, groups, survivors out). Same composition shape as
-    e2e_dedup_survivors but over the vector corpus — the two decisions
-    a combined text+embedding cleaning pipeline ships. All counts are
-    1-row aggregate frames crossJoined — no collect."""
+    cluster-pruned cosine pairs (x40b, the SCALE-ADAPTIVE k ∝ N
+    policy — r4 switched the flagship path off pinned-k x40 so the
+    shipped decision is the one that survives a corpus scale-up) →
+    connected components → one canonical vector per semantic group →
+    corpus verdict (vectors in, grouped, groups, survivors out). Same
+    composition shape as e2e_dedup_survivors but over the vector
+    corpus — the two decisions a combined text+embedding cleaning
+    pipeline ships. All counts are 1-row aggregate frames crossJoined
+    — no collect."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = x40_semantic_dedup_pairs(spark, sf_dir)
+    pairs = x40b_semantic_dedup_adaptive(spark, sf_dir)
     cc = D.connected_components(pairs.select("id_a", "id_b"))
     totals = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
     cstats = cc.agg(
@@ -9392,10 +9395,11 @@ WITH RECURSIVE pairs AS (
 )
 SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
 """
-    # the semantic curation verdict: recursive closure over x40's pairs
+    # the semantic curation verdict: recursive closure over the
+    # scale-adaptive x40b pairs (r4: flagship path off pinned-k)
     d["e2e_semantic_curation"] = f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({d["x40_semantic_dedup_pairs"].strip()}) AS p
+  SELECT id_a, id_b FROM ({d["x40b_semantic_dedup_adaptive"].strip()}) AS p
 ), edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
