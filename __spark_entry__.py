@@ -4125,6 +4125,28 @@ def x5h_ivfpq_search(spark, sf_dir):
     )
 
 
+def x5i_filtered_search(spark, sf_dir):
+    """FILTERED vector search — the metadata-predicate ANN every vector
+    DB ships (WHERE label = 3 AND nearest): ONE codebook shared with
+    the unfiltered store (trained on the full corpus — per-predicate
+    codebooks don't exist at 100 TB), the label predicate narrows the
+    searched corpus BEFORE cell assignment so it rides the parquet
+    scan as a pushed filter, and the probe/rerank machinery is
+    byte-for-byte x5d's. Composes with the x5f physical layout: the
+    scan would read only matching rows of the probed cell directories
+    (partition prune × predicate pushdown)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk_ivf(
+        emb.filter(F.col("label") == 3),
+        q,
+        k=10,
+        n_centroids=16,
+        n_probe=2,
+        codebook_corpus=emb,
+    )
+
+
 def set5_except_all(spark, sf_dir):
     """EXCEPT ALL multiset difference (churn analysis: 1995 order slots
     not re-filled in 1996, multiplicity preserved): Spark plans a
@@ -7617,6 +7639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5f_ivf_partitioned_layout": x5f_ivf_partitioned_layout,
         "x5g_ivf_adaptive_probe": x5g_ivf_adaptive_probe,
         "x5h_ivfpq_search": x5h_ivfpq_search,
+        "x5i_filtered_search": x5i_filtered_search,
         "set5_except_all": set5_except_all,
         "set6_intersect_all": set6_intersect_all,
         "a14_mad_robust": a14_mad_robust,
@@ -8591,6 +8614,42 @@ FROM embeddings
         "x5d_cosine_topk_ivf": f"""
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, qvec, centroid_id AS cell FROM (
+    SELECT q.query_id, q.qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM assigned JOIN probes USING (cell)
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+""",
+        # filtered search: x5d machinery, full-corpus codebook, corpus
+        # narrowed to label=3 before assignment (per-vector assignment
+        # is independent, so filter-then-assign == assign-then-filter)
+        "x5i_filtered_search": f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+  WHERE label = 3
 ), cent AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
   FROM embeddings WHERE vec_id < 16

@@ -181,6 +181,7 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     n_probe: int = 2,
+    codebook_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style coarse-quantized approximate top-k.
 
@@ -193,8 +194,19 @@ def cosine_topk_ivf(
     exactly within them. Corpus-side work per query drops by
     ~n_centroids/n_probe; at 100 TB the cell assignment is computed
     once at ingest and the probe join is a partition-pruned read.
+
+    ``codebook_corpus``: train the codebook on a DIFFERENT frame than
+    the one searched — the filtered-vector-search pattern (x5i): one
+    shared codebook for the whole store, a metadata predicate narrows
+    ``corpus``, and the predicate rides the scan (PushedFilters) so the
+    filtered search reads only matching rows of the probed cells.
     """
-    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    cent = _ivf_codebook(
+        codebook_corpus if codebook_corpus is not None else corpus,
+        id_col,
+        vec_col,
+        n_centroids,
+    )
     assigned = _ivf_assign(corpus, cent, id_col, vec_col)
     probes = _ivf_probes(queries, cent, query_id_col, vec_col, n_probe)
     return _ivf_rerank(assigned, probes, k)

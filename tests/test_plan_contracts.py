@@ -83,6 +83,15 @@ def test_x5g_adaptive_probe_broadcasts_metadata(spark, sf01):
     assert "BatchEvalPython" not in plan
 
 
+def test_x5i_filter_pushed_to_vector_scan(spark, sf01):
+    """Filtered vector search must push the metadata predicate into the
+    parquet scan of the searched corpus — a post-scan filter would read
+    every vector's 256 bytes to keep ~10%."""
+    plan = _plan(spark, sf01, "x5i_filtered_search")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,3)" in plan.replace(" ", ""), plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf01):
     """No query may plan an unbroadcast cartesian product."""
     for name in entrymod.queries():
