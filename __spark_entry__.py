@@ -4125,6 +4125,37 @@ def x5h_ivfpq_search(spark, sf_dir):
     )
 
 
+def x85_dedup_modality_audit(spark, sf_dir):
+    """Cross-MODALITY dedup agreement audit: FULL OUTER join the text
+    near-dup pairs (x2c, portable MinHash-LSH over shingles — catches
+    VERBATIM and near-verbatim copies) against the semantic near-dup
+    pairs (x40b, adaptive-k SemDeDup over embeddings — catches
+    PARAPHRASE-level duplication) on (id_a, id_b), and count pairs by
+    agreement class. 'text_only' ≫ 'both' is the signature of verbatim
+    crawling dupes; 'semantic_only' mass is the paraphrase tail only
+    the embedding pass can remove — the audit that justifies running
+    BOTH deduppers in a curation pipeline. (On this synthetic corpus
+    texts and embeddings are independently generated, so 'both' is
+    expected ~0 — the audit's value is the machinery and the split.)
+    Composes two exact-oracled queries; the join keys are integer id
+    pairs, so the composition replays exactly."""
+    tp = x2c_minhash_portable(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    sp = x40b_semantic_dedup_adaptive(spark, sf_dir).select(
+        "id_a", "id_b", "cos_sim"
+    )
+    j = tp.join(sp, ["id_a", "id_b"], "full_outer")
+    agreement = (
+        F.when(F.col("jaccard").isNotNull() & F.col("cos_sim").isNotNull(), "both")
+        .when(F.col("jaccard").isNotNull(), "text_only")
+        .otherwise("semantic_only")
+    )
+    return (
+        j.select(agreement.alias("agreement"))
+        .groupBy("agreement")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 def x5i_filtered_search(spark, sf_dir):
     """FILTERED vector search — the metadata-predicate ANN every vector
     DB ships (WHERE label = 3 AND nearest): ONE codebook shared with
@@ -7640,6 +7671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5g_ivf_adaptive_probe": x5g_ivf_adaptive_probe,
         "x5h_ivfpq_search": x5h_ivfpq_search,
         "x5i_filtered_search": x5i_filtered_search,
+        "x85_dedup_modality_audit": x85_dedup_modality_audit,
         "set5_except_all": set5_except_all,
         "set6_intersect_all": set6_intersect_all,
         "a14_mad_robust": a14_mad_robust,
@@ -11582,6 +11614,23 @@ HAVING count(*) * 200 > total_items
 """
     # st15's exact final pass answers the same question as a17 — one
     # oracle, two engines (batch two-pass vs streaming MG fold).
+    d["x85_dedup_modality_audit"] = f"""
+WITH tp AS (
+  SELECT id_a, id_b FROM ({d["x2c_minhash_portable"].strip()}) t
+), sp AS (
+  SELECT id_a, id_b, 1 AS has_sem
+  FROM ({d["x40b_semantic_dedup_adaptive"].strip()}) s
+), j AS (
+  SELECT CASE
+           WHEN tp.id_a IS NOT NULL AND sp.has_sem IS NOT NULL THEN 'both'
+           WHEN tp.id_a IS NOT NULL THEN 'text_only'
+           ELSE 'semantic_only'
+         END AS agreement
+  FROM tp FULL OUTER JOIN sp USING (id_a, id_b)
+)
+SELECT agreement, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY agreement
+"""
     d["st15_streaming_heavy_hitters"] = d["a17_heavy_hitters"]
     # st17's incrementally-ingested IVF index must answer probes
     # identically to the batch x5d search — one oracle covers both
