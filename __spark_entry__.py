@@ -3220,18 +3220,31 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
     return _semdedup_pairs(spark, sf_dir, k=8)
 
 
-# SemDeDup's scale knob: grow cluster COUNT with the corpus so the mean
-# cluster stays ~this many vectors and candidate pairs ≈ N·target/2.
-SEMDEDUP_TARGET_CLUSTER_SIZE = 100
+# SemDeDup's scale knob — single source of truth lives in
+# operators/similarity.py (shared with st20's streaming twin)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (  # noqa: E402
+    SEMDEDUP_TARGET_CLUSTER_SIZE,
+)
 
 # Adaptive seed clause shared by x40b and st20's oracles: k derived from
 # count(*) OVER () instead of a pinned literal
-_SEMDEDUP_ADAPTIVE_C0 = f"""SELECT cid, cv FROM (
+
+
+def _semdedup_seed_c0(k_expr: str) -> str:
+    """ONE seed-clause scaffold for every data-derived k policy — only
+    the k expression varies (x40b: ceil(n_vecs/target); x40c:
+    ceil(sqrt(n_vecs))), so scaffold fixes can never diverge."""
+    return f"""SELECT cid, cv FROM (
     SELECT vec_id AS cid, v AS cv,
            row_number() OVER (ORDER BY vec_id) AS rn,
            count(*) OVER () AS n_vecs
     FROM e) seeds
-  WHERE rn <= CAST(ceil(n_vecs / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS BIGINT)"""
+  WHERE rn <= CAST({k_expr} AS BIGINT)"""
+
+
+_SEMDEDUP_ADAPTIVE_C0 = _semdedup_seed_c0(
+    f"ceil(n_vecs / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0)"
+)
 
 
 def x40b_semantic_dedup_adaptive(spark, sf_dir):
@@ -3247,9 +3260,9 @@ def x40b_semantic_dedup_adaptive(spark, sf_dir):
     count(*) OVER () so parity is exact at any SF."""
     import math as _math
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    k = max(1, _math.ceil(n / SEMDEDUP_TARGET_CLUSTER_SIZE))
-    return _semdedup_pairs(spark, sf_dir, k=k)
+    emb = _semdedup_embeddings(spark, sf_dir)
+    k = max(1, _math.ceil(emb.count() / SEMDEDUP_TARGET_CLUSTER_SIZE))
+    return _semdedup_pairs_frame(emb, k=k)
 
 
 def x40c_semantic_dedup_balanced(spark, sf_dir):
@@ -3265,12 +3278,24 @@ def x40c_semantic_dedup_balanced(spark, sf_dir):
     derives the same k from ceil(sqrt(count(*) OVER ()))."""
     import math as _math
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    k = max(1, _math.ceil(_math.sqrt(n)))
-    return _semdedup_pairs(spark, sf_dir, k=k)
+    emb = _semdedup_embeddings(spark, sf_dir)
+    k = max(1, _math.ceil(_math.sqrt(emb.count())))
+    return _semdedup_pairs_frame(emb, k=k)
+
+
+def _semdedup_embeddings(spark, sf_dir):
+    """The (vec_id, v) frame every SemDeDup variant clusters — loaded
+    ONCE per query so the k-sizing count() and the pipeline share it."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
 
 
 def _semdedup_pairs(spark, sf_dir, k):
+    return _semdedup_pairs_frame(_semdedup_embeddings(spark, sf_dir), k)
+
+
+def _semdedup_pairs_frame(emb, k):
     from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
         cosine_given_norms,
         norm,
@@ -3280,9 +3305,6 @@ def _semdedup_pairs(spark, sf_dir, k):
         lloyd_trained_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
     cents = lloyd_trained_centroids(emb, k=k, iters=2)
     assigned = (
         lloyd_assign(emb, cents)
@@ -8962,12 +8984,7 @@ FROM scored GROUP BY source
         ),
         # balanced-exponent policy: k = ceil(sqrt(N)) (see x40c docstring)
         "x40c_semantic_dedup_balanced": _semdedup_oracle_sql(
-            """SELECT cid, cv FROM (
-    SELECT vec_id AS cid, v AS cv,
-           row_number() OVER (ORDER BY vec_id) AS rn,
-           count(*) OVER () AS n_vecs
-    FROM e) seeds
-  WHERE rn <= CAST(ceil(sqrt(n_vecs)) AS BIGINT)"""
+            _semdedup_seed_c0("ceil(sqrt(n_vecs))")
         ),
         # st20 = x40b's pair machinery + the streaming drop rule
         # (dropped iff the LARGER id of a verified same-cell pair),

@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, cosine_given_norms, norm, to_double_array
 
+# SemDeDup's scale knob (shared by the batch x40b query, the st20
+# streaming twin, and both their DuckDB oracles — ONE source of truth
+# so retuning it cannot desynchronize an engine from its oracle): grow
+# cluster COUNT with the corpus so the mean cluster stays ~this many
+# vectors and candidate pairs stay ≈ N·target/2.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 100
+
 
 def _hyperplane(dim: int, bit: int, n_bits: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component signs.
@@ -396,6 +403,14 @@ def cosine_topk_ivfpq(
     DuckDB oracle; the rerank reuses the 6dp-rounded cosine. Shapes:
     two broadcasts (codebooks, ADC table), one partial-agg sum keyed by
     (query, vec) over codes, one ≤shortlist-per-query rerank."""
+    width = len(corpus.select(vec_col).first()[0])
+    if width % n_sub != 0:
+        # sub_len would floor and the trailing width % n_sub coordinates
+        # would be SILENTLY excluded from codes and ADC distances
+        raise ValueError(
+            f"PQ requires n_sub to divide the vector width: width={width}, "
+            f"n_sub={n_sub}"
+        )
     cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
     assigned = _ivf_assign(corpus, cent, id_col, vec_col).localCheckpoint(
         eager=True

@@ -1605,8 +1605,14 @@ def run_streaming_near_dedup(
         feat = featurize(batch).localCheckpoint(eager=True)
         new_buckets = feat.select("doc_id", "band", "bucket")
         new_sh = feat.select("doc_id", "shset").dropDuplicates(["doc_id"])
-        # candidates vs the STANDING corpus (state ids are all smaller:
-        # batches arrive in doc_id ranges)
+        # candidates vs the STANDING corpus. State ids are all smaller
+        # on a clean run (batches arrive in doc_id ranges), but the
+        # o.doc_id < n.doc_id guard is REQUIRED for replay safety: a
+        # crash between the state write and the checkpoint commit means
+        # the replayed batch finds ITS OWN rows in state — without the
+        # guard every doc self-pairs at Jaccard 1.0 and the whole batch
+        # is dropped. With it, a replayed batch reproduces its original
+        # survivors exactly (batch_id-keyed overwrite below).
         from pyspark.errors import AnalysisException
 
         pair_parts = []
@@ -1617,7 +1623,8 @@ def run_streaming_near_dedup(
                 .join(
                     new_buckets.alias("n"),
                     (F.col("o.band") == F.col("n.band"))
-                    & (F.col("o.bucket") == F.col("n.bucket")),
+                    & (F.col("o.bucket") == F.col("n.bucket"))
+                    & (F.col("o.doc_id") < F.col("n.doc_id")),
                 )
                 .select(
                     F.col("o.doc_id").alias("id_a"),
@@ -1726,7 +1733,7 @@ def run_streaming_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     n_batches: int = 4,
-    target_cluster_size: int = 100,
+    target_cluster_size: int | None = None,
     threshold: float = 0.3,
 ) -> DataFrame:
     """st20: SEMANTIC dedup ON INGEST — x40b's cluster-pruned embedding
@@ -1760,9 +1767,17 @@ def run_streaming_semantic_dedup(
     import time as _time
 
     from ..functions.vectors import cosine_given_norms, norm
-    from ..operators.similarity import lloyd_assign, lloyd_trained_centroids
+    from ..operators.similarity import (
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+        lloyd_assign,
+        lloyd_trained_centroids,
+    )
     from ..sources.tables import load_table
 
+    if target_cluster_size is None:
+        # default to the SHARED constant so the DuckDB oracle (built
+        # from the same constant) can never silently diverge
+        target_cluster_size = SEMDEDUP_TARGET_CLUSTER_SIZE
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),

@@ -294,6 +294,25 @@ def test_ivf_adaptive_probe_recall_vs_fixed(spark, sf01):
     assert r_pq >= 0.6, f"IVF-PQ recall collapsed: {r_pq}"
 
 
+def test_ivfpq_rejects_indivisible_subspaces(spark, sf01):
+    """PQ with n_sub that does not divide the vector width would
+    silently drop the trailing coordinates from codes and ADC — the
+    operator must refuse loudly instead."""
+    import pytest
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf01, "embeddings")
+    q = emb.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="divide the vector width"):
+        cosine_topk_ivfpq(emb, q, n_sub=7)
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf01):
     """MinHash est_jaccard (x2) must track the exact n-gram Jaccard (x3
     machinery, uncapped) on the pairs both report — the instrumentation
