@@ -3223,6 +3223,7 @@ def x40_semantic_dedup_pairs(spark, sf_dir):
 # SemDeDup's scale knob — single source of truth lives in
 # operators/similarity.py (shared with st20's streaming twin)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (  # noqa: E402
+    SEMDEDUP_COSINE_THRESHOLD,
     SEMDEDUP_TARGET_CLUSTER_SIZE,
 )
 
@@ -3284,8 +3285,9 @@ def x40c_semantic_dedup_balanced(spark, sf_dir):
 
 
 def _semdedup_embeddings(spark, sf_dir):
-    """The (vec_id, v) frame every SemDeDup variant clusters — loaded
-    ONCE per query so the k-sizing count() and the pipeline share it."""
+    """The (vec_id, v) frame every SemDeDup variant clusters. NB the
+    k-sizing count() on this frame is still its own (metadata-cheap,
+    zero-column) scan — the frame is shared, not materialized."""
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -3329,7 +3331,7 @@ def _semdedup_pairs_frame(emb, k):
                 6,
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.3)
+        .filter(F.col("cos_sim") >= SEMDEDUP_COSINE_THRESHOLD)
     )
 
 
@@ -4129,6 +4131,20 @@ def x5g_ivf_adaptive_probe(spark, sf_dir):
     )
 
 
+# IVF-PQ geometry shared by x5h's Spark call AND its DuckDB oracle so a
+# retune can never desynchronize the two; sub-vector length is derived
+# from the data's width on both engines (Spark: size(qv)/n_sub; SQL:
+# len(qv)//n_sub), so a regenerated corpus at another dim stays exact.
+X5H_PARAMS = {
+    "n_centroids": 16,
+    "n_probe": 2,
+    "n_sub": 8,
+    "n_codes": 4,
+    "shortlist": 32,
+    "k": 10,
+}
+
+
 def x5h_ivfpq_search(spark, sf_dir):
     """Full IVF-PQ ANN search — the Faiss-default pipeline composed
     from x5d's coarse cells and x44's product quantization: probe 2 of
@@ -4141,10 +4157,7 @@ def x5h_ivfpq_search(spark, sf_dir):
     the DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
-    return S.cosine_topk_ivfpq(
-        emb, q, k=10, n_centroids=16, n_probe=2, n_sub=8, n_codes=4,
-        shortlist=32,
-    )
+    return S.cosine_topk_ivfpq(emb, q, **X5H_PARAMS)
 
 
 def x85_dedup_modality_audit(spark, sf_dir):
@@ -7918,7 +7931,8 @@ WITH e AS (
   FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
   WHERE round(list_dot_product(x.v, y.v)
               / (sqrt(list_dot_product(x.v, x.v))
-                 * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+                 * sqrt(list_dot_product(y.v, y.v))), 6)
+        >= """ + str(SEMDEDUP_COSINE_THRESHOLD) + """
 )"""
         + (final_select or "\nSELECT id_a, id_b, cos_sim FROM pairs\n")
     )
@@ -8734,16 +8748,19 @@ SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FRO
   FROM scored) WHERE rank <= 10
 """,
         # IVF-PQ: x5d's cells + x44's integer-grid PQ codes + ADC
-        # table-sum shortlist + exact rerank — every stage replayed
+        # table-sum shortlist + exact rerank — every stage replayed.
+        # Geometry comes from X5H_PARAMS (shared with the Spark call)
+        # and the sub-vector length derives from len(qv), so the oracle
+        # tracks both retunes and a regenerated embedding width.
         "x5h_ivfpq_search": f"""
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
 ), cent AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < 16
+  FROM embeddings WHERE vec_id < {X5H_PARAMS["n_centroids"]}
 ), assigned AS (
-  SELECT vec_id, centroid_id AS cell FROM (
-    SELECT c.vec_id, cent.centroid_id,
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
            row_number() OVER (PARTITION BY c.vec_id
                ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
                         cent.centroid_id ASC) AS rn
@@ -8757,29 +8774,30 @@ WITH c AS (
            row_number() OVER (PARTITION BY q.query_id
                ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
                         cent.centroid_id ASC) AS rn
-    FROM q CROSS JOIN cent) WHERE rn <= 2
+    FROM q CROSS JOIN cent) WHERE rn <= {X5H_PARAMS["n_probe"]}
 ), g AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv
+           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv,
+         len(embedding) // {X5H_PARAMS["n_sub"]} AS sl
   FROM embeddings
 ), m_ids AS (
-  SELECT CAST(unnest(range(0,8)) AS INT) AS m
+  SELECT CAST(unnest(range(0,{X5H_PARAMS["n_sub"]})) AS INT) AS m
 ), cent_sub AS (
-  SELECT CAST(vec_id AS INT) AS cid, m, qv[m*8+1 : m*8+8] AS cv
-  FROM g, m_ids WHERE vec_id < 4
+  SELECT CAST(vec_id AS INT) AS cid, m, qv[m*sl+1 : m*sl+sl] AS cv
+  FROM g, m_ids WHERE vec_id < {X5H_PARAMS["n_codes"]}
 ), data_sub AS (
-  SELECT vec_id, m, qv[m*8+1 : m*8+8] AS dv FROM g, m_ids
+  SELECT vec_id, m, qv[m*sl+1 : m*sl+sl] AS dv FROM g, m_ids
 ), codes AS (
   SELECT vec_id, m, cid AS code FROM (
     SELECT d.vec_id, d.m, cs.cid,
            row_number() OVER (PARTITION BY d.vec_id, d.m ORDER BY
-             list_sum(list_transform(range(1,9),
+             list_sum(list_transform(range(1, len(d.dv)+1),
                i -> (d.dv[i]-cs.cv[i])*(d.dv[i]-cs.cv[i]))), cs.cid) AS rn
     FROM data_sub d JOIN cent_sub cs ON d.m = cs.m) t WHERE rn = 1
 ), adc AS (
   SELECT qs.vec_id AS query_id, qs.m, cs.cid AS code,
-         list_sum(list_transform(range(1,9),
+         list_sum(list_transform(range(1, len(qs.dv)+1),
            i -> (qs.dv[i]-cs.cv[i])*(qs.dv[i]-cs.cv[i]))) AS adc_d2
   FROM data_sub qs JOIN cent_sub cs ON qs.m = cs.m
   WHERE qs.vec_id < 8
@@ -8795,7 +8813,7 @@ WITH c AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY adc, vec_id) AS r
-    FROM scored) WHERE r <= 32
+    FROM scored) WHERE r <= {X5H_PARAMS["shortlist"]}
 ), rer AS (
   SELECT s.query_id, s.vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
   FROM short s
@@ -8805,7 +8823,7 @@ WITH c AS (
 SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM rer) WHERE rank <= 10
+  FROM rer) WHERE rank <= {X5H_PARAMS["k"]}
 """,
         # x5d's oracle with the adaptive probe rule: cells join their
         # member counts, and each query keeps the smallest centroid-

@@ -42,7 +42,10 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.session import get_spark
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (
+        get_spark,
+        release_leaked_blocks,
+    )
 
     spark = get_spark("kw-bench", cpus=cpus)
 
@@ -92,25 +95,9 @@ def main() -> int:
             failures[name] = traceback.format_exc(limit=2).splitlines()[-1]
             print(f"[bench] FAILED {name}: {failures[name]}", file=sys.stderr)
         # measure each query from a clean slate: no cross-query cache
-        # advantage, no accumulated persisted state inflating later ones
-        spark.catalog.clearCache()
-        # clearCache only drops DataFrame cache ENTRIES — localCheckpoint
-        # blocks (streaming/io/e2e queries use them for lineage
-        # truncation) stay in the block manager until their RDD is
-        # GC'd, and ~20 such queries leak enough memory that late-
-        # position queries GC-thrash (measured 4x inflation on the
-        # same query run late vs isolated). Unpersist them explicitly
-        # and drop the py4j refs so the ContextCleaner can reclaim.
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values():
-                jrdd.unpersist(False)
-        except Exception:
-            pass  # cleanup is best-effort; never fail the bench
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # advantage, no leaked localCheckpoint blocks inflating later
+        # ones (see session.release_leaked_blocks)
+        release_leaked_blocks(spark)
 
     total = round(sum(timings.values()), 4)
     full = {

@@ -27,6 +27,11 @@ from ..functions.vectors import cosine, cosine_given_norms, norm, to_double_arra
 # vectors and candidate pairs stay ≈ N·target/2.
 SEMDEDUP_TARGET_CLUSTER_SIZE = 100
 
+# The verified-pair cosine cut shared by every SemDeDup variant and
+# every oracle replaying one (calibrated to the synthetic corpus's top
+# ~1% of pairs; a real corpus would run ~0.92+ per the paper).
+SEMDEDUP_COSINE_THRESHOLD = 0.3
+
 
 def _hyperplane(dim: int, bit: int, n_bits: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component signs.
@@ -337,10 +342,16 @@ def cosine_topk_ivf_adaptive(
     probe decision bit-identically. At 100 TB this composes with the
     x5f physical layout: the adaptive cell list is still bounded
     driver-side metadata for partition-pruned reads."""
+    from pyspark.storagelevel import StorageLevel
+
     cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
-    # assigned feeds BOTH the size profile and the rerank: materialize once
-    assigned = _ivf_assign(corpus, cent, id_col, vec_col).localCheckpoint(
-        eager=True
+    # assigned feeds BOTH the size profile and the rerank: persist (NOT
+    # an eager localCheckpoint — that would run cluster jobs at plan-
+    # BUILD time and leak blocks the ContextCleaner can't reclaim while
+    # references live; persisted RDDs are lazily materialized on first
+    # action and auto-unpersisted once the frame is GC'd)
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
     q = queries.select(
@@ -411,9 +422,13 @@ def cosine_topk_ivfpq(
             f"PQ requires n_sub to divide the vector width: width={width}, "
             f"n_sub={n_sub}"
         )
+    from pyspark.storagelevel import StorageLevel
+
     cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
-    assigned = _ivf_assign(corpus, cent, id_col, vec_col).localCheckpoint(
-        eager=True
+    # persist, not eager localCheckpoint — same build-time-job/leak
+    # rationale as cosine_topk_ivf_adaptive above
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     probes = _ivf_probes(queries, cent, query_id_col, vec_col, n_probe)
 
@@ -437,7 +452,7 @@ def cosine_topk_ivfpq(
         .select(
             "cid", "m", F.expr("slice(qv, m*sl+1, sl)").alias("cv")
         )
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sq_d2 = F.expr(
         "aggregate(zip_with(dv, cv, (a,b) -> (a-b)*(a-b)), "

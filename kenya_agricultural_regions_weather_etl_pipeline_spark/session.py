@@ -44,6 +44,25 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def release_leaked_blocks(spark: SparkSession) -> None:
+    """Between-measurements hygiene shared by bench.py and
+    scripts/scale_probe.py: drop DataFrame cache entries AND the
+    localCheckpoint RDD blocks that clearCache alone leaves behind
+    (they persist until their RDD is GC'd; ~20 leaked checkpoints made
+    late-position queries GC-thrash 4-7× before this existed). One
+    implementation so a future fix reaches both harnesses."""
+    import gc
+
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the harness
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply idempotent runtime confs to an externally-provided session."""
     for k, v in RUNTIME_CONFS.items():

@@ -1733,8 +1733,6 @@ def run_streaming_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     n_batches: int = 4,
-    target_cluster_size: int | None = None,
-    threshold: float = 0.3,
 ) -> DataFrame:
     """st20: SEMANTIC dedup ON INGEST — x40b's cluster-pruned embedding
     dedup run as a firehose, completing the streaming-dedup triptych
@@ -1768,16 +1766,19 @@ def run_streaming_semantic_dedup(
 
     from ..functions.vectors import cosine_given_norms, norm
     from ..operators.similarity import (
+        SEMDEDUP_COSINE_THRESHOLD,
         SEMDEDUP_TARGET_CLUSTER_SIZE,
         lloyd_assign,
         lloyd_trained_centroids,
     )
     from ..sources.tables import load_table
 
-    if target_cluster_size is None:
-        # default to the SHARED constant so the DuckDB oracle (built
-        # from the same constant) can never silently diverge
-        target_cluster_size = SEMDEDUP_TARGET_CLUSTER_SIZE
+    # the cluster-size and cosine knobs are NOT parameters: the DuckDB
+    # oracle is baked from the shared constants, so a per-call override
+    # could only produce results the oracle would call wrong. The one
+    # free axis is n_batches — survivors are provably batching-invariant.
+    target_cluster_size = SEMDEDUP_TARGET_CLUSTER_SIZE
+    threshold = SEMDEDUP_COSINE_THRESHOLD
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),

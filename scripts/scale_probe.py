@@ -133,21 +133,13 @@ def timed(label, fn, results):
     dt = round(time.perf_counter() - t0, 2)
     results[label] = {"sec": dt, "rows": n}
     print(f"[probe] {label}: {dt}s ({n} rows)", file=sys.stderr)
-    # same block-leak hygiene as bench.py: localCheckpoint blocks
-    # (Lloyd training, streaming state snapshots) survive clearCache
-    # and GC-thrash later queries — measured 7× inflation on x2c@10×
-    # when st20's 200-centroid training ran just before it
-    spark = df.sparkSession
-    spark.catalog.clearCache()
-    try:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
-    except Exception:
-        pass  # cleanup is best-effort
-    import gc
+    # block-leak hygiene shared with bench.py (measured 7× inflation on
+    # x2c@10× when st20's Lloyd training ran just before it)
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (
+        release_leaked_blocks,
+    )
 
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
+    release_leaked_blocks(df.sparkSession)
 
 
 PROBED_QUERIES = (
