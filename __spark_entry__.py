@@ -4191,6 +4191,68 @@ def x85_dedup_modality_audit(spark, sf_dir):
     )
 
 
+def x86_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH over the whole embedding corpus (every
+    vector's top-5 neighbors) — the build artifact behind graph-ANN
+    indexes (HNSW base layer, NN-descent seeding) and the input to
+    mutual-kNN clustering. Unlike the x5 point-lookup family (tiny
+    broadcast query set), here the corpus is both sides, so the
+    candidate join is a cell-keyed SHUFFLE join: assignment and probing
+    are each one broadcast-codebook pass, then the join co-partitions
+    both corpus-sized frames on the cell id — candidate work is
+    N·n_probe·(N/√N) = 2·N·√N, never all-pairs. n_centroids = ceil(√N)
+    (the balanced flat-IVF policy, SURVEY §9) derives from one count()
+    on BOTH engines, so the oracle replays the sizing exactly at any
+    SF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, n_probe=2)
+
+
+def x86b_mutual_knn_edges(spark, sf_dir):
+    """Mutual-kNN symmetrization of x86's directed graph: keep (a, b)
+    only when a lists b AND b lists a, emitted once with id_a < id_b —
+    the edge set mutual-kNN clustering/dedup consumes (hub vectors that
+    appear in everyone's list but reciprocate nothing drop out). One
+    integer-keyed self-equi-join on the edge list; cos_sim is
+    direction-independent (identical dimension-ordered fold), so the
+    surviving edge's value is well-defined."""
+    return S.mutual_knn_edges(x86_knn_graph(spark, sf_dir))
+
+
+def x87_bpe_pair_counts(spark, sf_dir):
+    """One BPE-TRAINING step — frequency-weighted adjacent symbol-pair
+    counts over the word vocabulary, the statistic a byte-pair-encoding
+    tokenizer maximizes at each merge. Two-level aggregation keeps the
+    heavy step off the corpus: (1) corpus → word-frequency table (one
+    vocab-keyed shuffle with map-side partial aggregation — rows per
+    partition per DISTINCT word, Zipf-bounded, exactly the x12
+    vocabulary-pass shape); (2) the char-pair explosion runs over the
+    VOCABULARY (≪ corpus — each distinct word once, weighted by its
+    count), an indexed substring transform JVM-side; (3) pair → Σ
+    weight is an alphabet²-bounded aggregate, and the global top-50
+    compiles to TakeOrderedAndProject (no total sort). At 100 TB the
+    corpus is touched exactly once, by stage 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
 def x5i_filtered_search(spark, sf_dir):
     """FILTERED vector search — the metadata-predicate ANN every vector
     DB ships (WHERE label = 3 AND nearest): ONE codebook shared with
@@ -7868,6 +7930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_bilateral_trade": q23_bilateral_trade,
         "q24_market_share": q24_market_share,
         "q25_promo_revenue": q25_promo_revenue,
+        "x86_knn_graph": x86_knn_graph,
+        "x86b_mutual_knn_edges": x86b_mutual_knn_edges,
+        "x87_bpe_pair_counts": x87_bpe_pair_counts,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -11791,5 +11856,69 @@ SELECT s.s_suppkey, s.s_name,
        CAST(r.total_revenue AS DOUBLE) AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+    # x86's graph CTE is shared verbatim by x86b so the symmetrization
+    # oracle can never drift from the graph oracle. n_centroids =
+    # ceil(sqrt(count(*))) replays the Spark-side sizing at any SF.
+    _x86_graph = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), nc AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < (SELECT n FROM nc)
+), assigned AS (
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, centroid_id AS cell FROM (
+    SELECT c.vec_id AS query_id, c.cvec AS qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('c.cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM assigned JOIN probes USING (cell)
+  WHERE vec_id <> query_id
+), graph AS (
+  SELECT query_id AS src_id, vec_id AS nbr_id,
+         round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+)"""
+    d["x86_knn_graph"] = _x86_graph + "\nSELECT * FROM graph"
+    d["x86b_mutual_knn_edges"] = (
+        _x86_graph
+        + """
+SELECT f.src_id AS id_a, f.nbr_id AS id_b, f.cos_sim
+FROM graph f JOIN graph r
+  ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
+WHERE f.src_id < f.nbr_id
+"""
+    )
+    d["x87_bpe_pair_counts"] = """
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents)
+  GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+  FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
 """
     return d

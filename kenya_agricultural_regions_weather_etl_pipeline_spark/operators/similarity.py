@@ -314,6 +314,100 @@ def _ivf_rerank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-blocked k-nearest-neighbor GRAPH over the corpus itself —
+    every vector's approximate top-k neighbors, the build artifact
+    behind graph-ANN indexes (HNSW base layers, NN-descent seeds) and
+    the input to mutual-kNN clustering / graph dedup.
+
+    Shape, and why it survives 100 TB: the corpus is BOTH sides, so
+    nothing here may broadcast the query set (the point lookup path in
+    :func:`cosine_topk_ivf` broadcasts its ≤ handful of queries; that
+    would be corpus-sized here). Instead the candidate join is keyed by
+    ``cell``: assignment (one broadcast-codebook pass) and probing
+    (same pass, top ``n_probe`` cells per vector) emit corpus-sized
+    frames co-partitioned on the cell id, and the join shuffles each
+    side once on that key — candidate work is Σ_cells |cell|·|probers|
+    ≈ N·n_probe·(N/n_centroids), never all-pairs N².
+
+    ``n_centroids`` defaults to ceil(√N) (the balanced flat-IVF policy
+    measured for SemDeDup k in SURVEY §9): assignment costs N·√N and
+    per-vector candidates stay ≈ n_probe·√N, both sub-quadratic. The
+    codebook stays broadcastable (√N rows — 32 k rows of dim-64
+    doubles ≈ 16 MB at N = 10⁹).
+
+    Returns (src_id, nbr_id, cos_sim, rank): ``k`` directed edges per
+    vector, self-edges excluded, rank 1 = nearest.
+    """
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col)
+    probes = _ivf_probes(corpus, cent, id_col, vec_col, n_probe)
+    scored = (
+        assigned.withColumn("cnrm", norm(F.col("cvec")))
+        # cell-keyed shuffle join, deliberately NOT broadcast: probes is
+        # corpus-sized (every vector probes n_probe cells)
+        .join(probes.withColumn("qnrm", norm(F.col("qvec"))), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim_full",
+            cosine_given_norms(
+                F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("vec_id").alias("nbr_id"),
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def mutual_knn_edges(graph: DataFrame) -> DataFrame:
+    """Undirected mutual-kNN edges from a :func:`knn_graph` result:
+    keep pair (a, b) only when a lists b AND b lists a — the standard
+    symmetrization that turns an asymmetric kNN graph into the edge set
+    mutual-kNN clustering / dedup components consume (hub vectors that
+    appear in everyone's list but reciprocate nothing are dropped).
+
+    One self-equi-join on the integer id pair (edge-count-sized, cell
+    locality irrelevant at this stage), emitted once per pair with
+    ``id_a < id_b``. ``cos_sim`` is direction-independent (same
+    dimension-ordered fold both ways), so either edge's value works.
+    """
+    fwd = graph.select(
+        F.col("src_id").alias("id_a"),
+        F.col("nbr_id").alias("id_b"),
+        "cos_sim",
+    )
+    rev = graph.select(
+        F.col("nbr_id").alias("id_a"), F.col("src_id").alias("id_b")
+    )
+    return (
+        fwd.join(rev, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_topk_ivf_adaptive(
     corpus: DataFrame,
     queries: DataFrame,

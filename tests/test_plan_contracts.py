@@ -557,3 +557,63 @@ def test_w22_windows_share_one_order_partitioning(spark, sf01):
     plan = _plan(spark, sf01, "w22_prorata_allocation")
     assert plan.count("Window (") == 3
     assert plan.count("Exchange (") <= 2, plan[:1500]
+
+
+def test_x87_corpus_touched_once_topk_without_sort(spark, sf01):
+    """x87's scale claim: the corpus scan happens exactly once (the word
+    vocabulary pass — the pair explosion runs over the vocab frame, not
+    the corpus), the global top-50 compiles to TakeOrderedAndProject
+    (never a total sort), and no Python anywhere."""
+    plan = _plan(spark, sf01, "x87_bpe_pair_counts")
+    # formatted explain lists each node twice (tree + detail); count
+    # detail headers "(n) Scan parquet" = distinct scan nodes
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.MULTILINE)
+    assert len(scans) == 1, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x86_graph_has_no_forced_broadcast_of_corpus_side(spark, sf01):
+    """x86's candidate join is cell-keyed with BOTH sides corpus-sized:
+    the library must not HINT a broadcast there (Catalyst may still
+    choose one at this tiny SF from size stats — that's its call and
+    reverses at scale; a hard-coded hint would not). Codebook joins stay
+    broadcast, and nothing plans a cartesian product or Python eval."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf01, "embeddings")
+    with _autobroadcast_off(spark):
+        plan_df = S.knn_graph(emb, k=5, n_probe=2)
+        jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = plan_df._jdf.queryExecution().explainString(jvm_mode)
+    # with auto-broadcast disabled, only the explicit codebook
+    # broadcasts survive; the cell join must fall back to a shuffle join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+class _autobroadcast_off:
+    """Temporarily disable size-based auto-broadcast so the plan shows
+    the join strategy the library actually encodes (what a 100 TB-sized
+    side would get)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
