@@ -4219,6 +4219,22 @@ def x86b_mutual_knn_edges(spark, sf_dir):
     return S.mutual_knn_edges(x86_knn_graph(spark, sf_dir))
 
 
+def x88_nn_descent_round(spark, sf_dir):
+    """One NN-DESCENT refinement round over x86's graph (Dong et al.,
+    WWW'11 — 'a neighbor of my neighbor is probably my neighbor'): the
+    undirected neighborhood's two-hop closure is the candidate set
+    (degree-bounded: N·(2k)² rows, independent of corpus density —
+    the reason NN-descent beats re-probing at scale), exact cosine is
+    recomputed via two integer-keyed joins against the vector table,
+    and the incumbent edges are unioned in so a round can only improve
+    the graph. Recall vs brute force is pinned monotone by pytest;
+    the whole derivation — IVF graph seed, closure, rerank — replays
+    in one DuckDB query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = S.knn_graph(emb, k=5, n_probe=2)
+    return S.nn_descent_round(g, emb, k=5)
+
+
 def x87_bpe_pair_counts(spark, sf_dir):
     """One BPE-TRAINING step — frequency-weighted adjacent symbol-pair
     counts over the word vocabulary, the statistic a byte-pair-encoding
@@ -7933,6 +7949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x86_knn_graph": x86_knn_graph,
         "x86b_mutual_knn_edges": x86b_mutual_knn_edges,
         "x87_bpe_pair_counts": x87_bpe_pair_counts,
+        "x88_nn_descent_round": x88_nn_descent_round,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -11902,6 +11919,33 @@ SELECT f.src_id AS id_a, f.nbr_id AS id_b, f.cos_sim
 FROM graph f JOIN graph r
   ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
 WHERE f.src_id < f.nbr_id
+"""
+    )
+    d["x88_nn_descent_round"] = (
+        _x86_graph
+        + f"""
+, b AS (
+  SELECT src_id, nbr_id FROM graph
+  UNION
+  SELECT nbr_id AS src_id, src_id AS nbr_id FROM graph
+), cand AS (
+  SELECT g1.src_id AS src_id, g2.nbr_id AS cand_id
+  FROM b g1 JOIN b g2 ON g1.nbr_id = g2.src_id
+  WHERE g1.src_id <> g2.nbr_id
+  UNION
+  SELECT src_id, nbr_id AS cand_id FROM graph
+), sc AS (
+  SELECT cand.src_id, cand.cand_id,
+         {V.cosine_sql('e1.cvec', 'e2.cvec')} AS sim
+  FROM cand JOIN c e1 ON cand.src_id = e1.vec_id
+            JOIN c e2 ON cand.cand_id = e2.vec_id
+)
+SELECT src_id, cand_id AS nbr_id,
+       round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sc) WHERE rank <= 5
 """
     )
     d["x87_bpe_pair_counts"] = """

@@ -294,6 +294,63 @@ def test_ivf_adaptive_probe_recall_vs_fixed(spark, sf01):
     assert r_pq >= 0.6, f"IVF-PQ recall collapsed: {r_pq}"
 
 
+def test_nn_descent_round_improves_graph_recall(spark, sf01):
+    """x88's refinement must be monotone: one NN-descent round over
+    x86's IVF-seeded graph may only RAISE recall@5 vs the brute-force
+    truth (incumbent edges are in the candidate set, so a displacement
+    only happens for a strictly better neighbor). Also floors the
+    refined recall so a closure/rerank regression is caught."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine,
+        to_double_array,
+    )
+    from pyspark.sql import Window
+
+    emb = entrymod.load_table(spark, sf01, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("src_id"),
+        to_double_array(F.col("embedding")).alias("av"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        to_double_array(F.col("embedding")).alias("bv"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id").asc()
+    )
+    truth = {
+        (r.src_id, r.nbr_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn("sim", cosine(F.col("av"), F.col("bv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("src_id", "nbr_id")
+        .collect()
+    }
+
+    def recall(name):
+        got = {
+            (r.src_id, r.nbr_id)
+            for r in entrymod.queries()[name](spark, sf01)
+            .select("src_id", "nbr_id")
+            .collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed = recall("x86_knn_graph")
+    r_refined = recall("x88_nn_descent_round")
+    # measured at sf0.01: seed 0.2796 -> refined 0.3956 (+41% relative;
+    # uniform synthetic embeddings are NN-descent's worst case — no
+    # manifold locality to exploit — so absolute recall stays modest)
+    assert r_refined >= r_seed + 0.05, (
+        f"NN-descent round did not improve recall: "
+        f"{r_seed:.4f} -> {r_refined:.4f}"
+    )
+    assert r_refined >= 0.35, f"refined graph recall collapsed: {r_refined}"
+
+
 def test_ivfpq_rejects_indivisible_subspaces(spark, sf01):
     """PQ with n_sub that does not divide the vector width would
     silently drop the trailing coordinates from codes and ADC — the
