@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  # noqa: E402
+    layout as LA,
     text as T,
     vectors as V,
     weather as W,
@@ -28,6 +29,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  #
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  # noqa: E402
     dedup as D,
+    graph as G,
     merge as M,
     multimodal as MM,
     packing as PK,
@@ -4219,6 +4221,74 @@ def x86b_mutual_knn_edges(spark, sf_dir):
     return S.mutual_knn_edges(x86_knn_graph(spark, sf_dir))
 
 
+def x90_pagerank_knn(spark, sf_dir):
+    """PageRank CENTRALITY over the mutual-kNN semantic graph — the
+    graph-based data-selection signal (a vector central in its
+    neighborhood graph represents a dense semantic region; rank-
+    weighted sampling keeps corpus coverage while down-weighting
+    redundant mass). GraphX staticPageRank semantics: 3 fixed
+    iterations, damping 0.85, no dangling redistribution. Each round
+    is one int-keyed shuffle join + one hash agg over edges, and every
+    per-edge contribution is quantized to the int64 1e-12 grid BEFORE
+    summing (the Lloyd trainer's trick), so the iterative float
+    trajectory is order-independent and replays bit-identically in the
+    DuckDB oracle's unrolled CTEs. Composes x86 → x86b → pagerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    me = S.mutual_knn_edges(S.knn_graph(emb, k=5, n_probe=2))
+    edges = me.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(me.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = emb.select("vec_id")
+    return G.pagerank(edges, nodes, iterations=3, node_col="vec_id")
+
+
+def x89_zorder_locality(spark, sf_dir):
+    """Z-ORDER (Morton-curve) layout audit — the multi-dimensional
+    data-skipping lever: a table sorted on one column prunes only that
+    column's predicates, but files laid out along the interleaved-bit
+    curve cover small RECTANGLES of (user, hour) space, so per-file
+    min/max stats stay tight on BOTH dimensions and either predicate
+    skips data. The query computes the layout a writer would produce —
+    normalize each dim to the full 16-bit grid (range from one 1-row
+    broadcast aggregate; at 100 TB those bounds come from table
+    metadata), Morton-interleave (static codegen'd int64 bit ops shared
+    with the oracle via functions/layout.py), take the top 3 bits of
+    each dim as the 64 'files' — and reports each file's bounding
+    rectangle. The writer twin is repartitionByRange(zval) +
+    sortWithinPartitions(zval); no global window, no single-partition
+    sort anywhere (plan-contract-pinned)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600").alias("h"),
+    )
+    stats = base.agg(
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+        F.min("h").alias("hmin"),
+        F.max("h").alias("hmax"),
+    )
+    nrm = base.crossJoin(F.broadcast(stats)).select(
+        "u",
+        "h",
+        F.expr("((u - umin) * 65536) div (umax - umin + 1)").alias("un"),
+        F.expr("((h - hmin) * 65536) div (hmax - hmin + 1)").alias("hn"),
+    )
+    z = nrm.select(
+        "u", "h", LA.zorder_key(F.col("un"), F.col("hn"), bits=16).alias("zval")
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 26).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )
+
+
 def x88_nn_descent_round(spark, sf_dir):
     """One NN-DESCENT refinement round over x86's graph (Dong et al.,
     WWW'11 — 'a neighbor of my neighbor is probably my neighbor'): the
@@ -7950,6 +8020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x86b_mutual_knn_edges": x86b_mutual_knn_edges,
         "x87_bpe_pair_counts": x87_bpe_pair_counts,
         "x88_nn_descent_round": x88_nn_descent_round,
+        "x89_zorder_locality": x89_zorder_locality,
+        "x90_pagerank_knn": x90_pagerank_knn,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -11948,6 +12020,69 @@ FROM (
   FROM sc) WHERE rank <= 5
 """
     )
+    # x90: the x86 graph CTE + mutual edges + 3 unrolled PageRank
+    # rounds; contributions quantized to the int64 1e-12 grid before
+    # each sum, so the trajectory is order-independent (Lloyd pattern)
+    _pr_iters = "".join(
+        f"""
+, c{i} AS (
+  SELECT dst AS id,
+         sum(CAST(floor(r / deg * 1000000000000 + 0.5) AS BIGINT)) AS qsum
+  FROM ej JOIN r{i - 1} ON ej.src = r{i - 1}.id
+  GROUP BY dst
+), r{i} AS (
+  SELECT nodes.id,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * (CAST(COALESCE(qsum, 0) AS DOUBLE) / 1000000000000.0)
+           AS r
+  FROM nodes LEFT JOIN c{i} USING (id)
+)"""
+        for i in (1, 2, 3)
+    )
+    d["x90_pagerank_knn"] = (
+        _x86_graph
+        + f"""
+, me AS (
+  SELECT f.src_id AS src, f.nbr_id AS dst
+  FROM graph f JOIN graph g2
+    ON f.src_id = g2.nbr_id AND f.nbr_id = g2.src_id
+), nodes AS (
+  SELECT vec_id AS id FROM embeddings
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM me GROUP BY src
+), ej AS (
+  SELECT me.src, me.dst, deg.deg FROM me JOIN deg USING (src)
+), r0 AS (
+  SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+){_pr_iters}
+SELECT id AS vec_id, {W.round_half_up_sql('r', 12)} AS rank FROM r3
+"""
+    )
+    d["x89_zorder_locality"] = f"""
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events
+), stats AS (
+  SELECT min(u) AS umin, max(u) AS umax,
+         min(h) AS hmin, max(h) AS hmax
+  FROM base
+), nrm AS (
+  SELECT u, h,
+         ((u - umin) * 65536) // (umax - umin + 1) AS un,
+         ((h - hmin) * 65536) // (hmax - hmin + 1) AS hn
+  FROM base CROSS JOIN stats
+), z AS (
+  SELECT u, h, {LA.zorder_key_sql('un', 'hn', 16)} AS zval FROM nrm
+)
+SELECT CAST(zval >> 26 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(u) AS u_min, max(u) AS u_max,
+       min(h) AS h_min, max(h) AS h_max
+FROM z GROUP BY 1
+"""
     d["x87_bpe_pair_counts"] = """
 WITH words AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (

@@ -1015,3 +1015,53 @@ def test_w22_allocations_sum_exactly_to_budget(spark, sf001):
         .count()
     )
     assert bad == 0
+
+
+def test_x89_zorder_buckets_are_tight_rectangles(spark, sf01):
+    """The point of the Z-order layout: every one of the 64 'files'
+    must cover a SMALL rectangle of (user, hour) space — top-3-bits
+    interleave means each bucket spans ≤ 1/8 of each normalized dim
+    (plus integer-grid boundary slack), so min/max skipping works on
+    BOTH columns."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x89_zorder_locality"](spark, sf01).collect()
+    assert len(rows) >= 32  # dense grid at this SF
+    u_lo = min(r.u_min for r in rows)
+    u_hi = max(r.u_max for r in rows)
+    h_lo = min(r.h_min for r in rows)
+    h_hi = max(r.h_max for r in rows)
+    u_cap = (u_hi - u_lo) / 8 + 2  # 1/8 grid cell + rounding slack
+    h_cap = (h_hi - h_lo) / 8 + 2
+    for r in rows:
+        assert r.u_max - r.u_min <= u_cap, r
+        assert r.h_max - r.h_min <= h_cap, r
+
+
+def test_x90_pagerank_invariants(spark, sf01):
+    """Static-PageRank sanity on the mutual-kNN graph: every node holds
+    at least the teleport floor 0.15/N, isolated nodes (no mutual
+    edges) hold EXACTLY the floor, total mass stays ≤ 1 (mass leaks at
+    dangling nodes by design — GraphX staticPageRank semantics), and
+    connected nodes strictly out-rank the floor."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        knn_graph,
+        mutual_knn_edges,
+    )
+
+    rows = entrymod.queries()["x90_pagerank_knn"](spark, sf01).collect()
+    n = len(rows)
+    assert n == 500
+    floor = 0.15 / n
+    ranks = {r.vec_id: r["rank"] for r in rows}
+    assert all(v >= floor - 1e-12 for v in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+
+    emb = entrymod.load_table(spark, sf01, "embeddings")
+    me = mutual_knn_edges(knn_graph(emb, k=5, n_probe=2))
+    linked = {r.id_a for r in me.collect()} | {r.id_b for r in me.collect()}
+    for vid, v in ranks.items():
+        if vid not in linked:
+            assert abs(v - floor) < 1e-12, f"isolated {vid} off the floor: {v}"
+    assert any(ranks[v] > floor * 1.5 for v in linked), "no node accumulated rank"

@@ -617,3 +617,14 @@ class _autobroadcast_off:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_x89_zorder_no_global_sort_or_window(spark, sf01):
+    """x89's layout math must be pure aggregation: no window function,
+    no global sort, no Python — the writer twin is repartitionByRange +
+    sortWithinPartitions, so the audit itself must not smuggle in a
+    single-partition operator."""
+    plan = _plan(spark, sf01, "x89_zorder_locality")
+    assert "Window (" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
