@@ -4221,6 +4221,94 @@ def x86b_mutual_knn_edges(spark, sf_dir):
     return S.mutual_knn_edges(x86_knn_graph(spark, sf_dir))
 
 
+# io6/oracle shared target: rows per compacted output file
+IO6_TARGET_ROWS = 5000
+
+
+def io6_compaction_plan(spark, sf_dir):
+    """Small-file COMPACTION planning — the lakehouse maintenance op
+    that keeps a streaming-ingested table readable (thousands of tiny
+    per-trigger files → target-sized outputs). Planning is pure
+    METADATA math: the inventory here is one row per date 'file' (its
+    row count — at 100 TB this frame comes from the table-format
+    manifest, ~10⁶ rows max), and the plan assigns CONTIGUOUS files to
+    output groups via a prefix-sum: group = floor(rows_before /
+    target). Contiguity is the point — compaction must preserve the
+    table's sort/cluster order (x89's Z-order rectangles survive), so
+    bin-packing heuristics that reorder files are wrong here. The
+    prefix window runs unpartitioned over the metadata-sized inventory
+    only — the data itself is touched once by the per-file count (in
+    production: zero times; counts live in the manifest). Returns each
+    planned output file's span + size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inv = li.groupBy(F.to_date("l_shipdate").alias("f_date")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.orderBy("f_date").rowsBetween(Window.unboundedPreceding, -1)
+    planned = inv.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    ).withColumn("grp", F.expr(f"cum_before div {IO6_TARGET_ROWS}"))
+    return planned.groupBy(F.col("grp").cast("long").alias("file_group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.date_format(F.min("f_date"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("f_date"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+def x91_cell_occupancy(spark, sf_dir):
+    """IVF index-balance AUDIT — the health check a vector store runs
+    after (re)training its codebook: per-cell occupancy of the
+    ceil(√N)-cell assignment, reduced to one row of balance stats. Why
+    it matters at 100 TB: cells are the partition-pruning unit (x5f),
+    so a hot cell is a hot partition — `hotspot_factor` (max occupancy
+    over the perfectly-balanced N/cells) prices the worst probe, and
+    the occupancy ENTROPY (ln N − Σnᵢ·ln nᵢ/N) summarizes overall
+    balance (= ln n_cells when uniform). The entropy sum is per-term
+    quantized to an int64 1e-6 grid before aggregation — order-
+    independent, exactly SQL-replayable (the Lloyd/PageRank
+    discipline). One broadcast-codebook pass + one cell-keyed agg +
+    one 1-row reduce."""
+    import math as _math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_centroids = max(1, _math.ceil(_math.sqrt(n)))
+    cent = S._ivf_codebook(emb, "vec_id", "embedding", n_centroids)
+    cells = (
+        S._ivf_assign(emb, cent, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    occ_d = F.col("occ").cast("double")
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occupied"),
+        F.min("occ").cast("bigint").alias("occ_min"),
+        F.max("occ").cast("bigint").alias("occ_max"),
+        F.sum(
+            F.floor(occ_d * F.log(occ_d) * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("_qsum"),
+    )
+    return agg.select(
+        F.lit(n_centroids).cast("bigint").alias("n_centroids"),
+        "n_occupied",
+        "occ_min",
+        "occ_max",
+        W.round_half_up(
+            F.col("occ_max").cast("double")
+            / (F.lit(float(n)) / F.lit(float(n_centroids))),
+            6,
+        ).alias("hotspot_factor"),
+        W.round_half_up(
+            F.lit(_math.log(n))
+            - (F.col("_qsum").cast("double") / F.lit(1000000.0)) / F.lit(float(n)),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
 def x90_pagerank_knn(spark, sf_dir):
     """PageRank CENTRALITY over the mutual-kNN semantic graph — the
     graph-based data-selection signal (a vector central in its
@@ -8022,6 +8110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x88_nn_descent_round": x88_nn_descent_round,
         "x89_zorder_locality": x89_zorder_locality,
         "x90_pagerank_knn": x90_pagerank_knn,
+        "io6_compaction_plan": io6_compaction_plan,
+        "x91_cell_occupancy": x91_cell_occupancy,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12060,6 +12150,62 @@ FROM (
 SELECT id AS vec_id, {W.round_half_up_sql('r', 12)} AS rank FROM r3
 """
     )
+    d["io6_compaction_plan"] = f"""
+WITH inv AS (
+  SELECT CAST(l_shipdate AS DATE) AS f_date,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), planned AS (
+  SELECT f_date, n_rows,
+         COALESCE(sum(n_rows) OVER (ORDER BY f_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM inv
+)
+SELECT CAST(cum_before // {IO6_TARGET_ROWS} AS BIGINT) AS file_group,
+       CAST(count(*) AS BIGINT) AS n_input_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       strftime(min(f_date), '%Y-%m-%d') AS first_date,
+       strftime(max(f_date), '%Y-%m-%d') AS last_date
+FROM planned GROUP BY 1
+"""
+    d["x91_cell_occupancy"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < (SELECT nc FROM nn)
+), assigned AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+), cells AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS occ FROM assigned GROUP BY cell
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+         min(occ) AS occ_min, max(occ) AS occ_max,
+         sum(CAST(floor(CAST(occ AS DOUBLE) * ln(CAST(occ AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)) AS _qsum
+  FROM cells
+)
+SELECT (SELECT nc FROM nn) AS n_centroids,
+       n_occupied, occ_min, occ_max,
+       {W.round_half_up_sql(
+           "CAST(occ_max AS DOUBLE) / (CAST((SELECT n FROM nn) AS DOUBLE)"
+           " / CAST((SELECT nc FROM nn) AS DOUBLE))", 6)} AS hotspot_factor,
+       {W.round_half_up_sql(
+           "ln(CAST((SELECT n FROM nn) AS DOUBLE))"
+           " - (CAST(_qsum AS DOUBLE) / 1000000.0)"
+           " / CAST((SELECT n FROM nn) AS DOUBLE)", 6)} AS entropy_nats
+FROM agg
+"""
     d["x89_zorder_locality"] = f"""
 WITH base AS (
   SELECT CAST(user_id AS BIGINT) AS u,

@@ -49,9 +49,20 @@ def pagerank(
     """
     from ..functions.weather import round_half_up
 
+    from pyspark.storagelevel import StorageLevel
+
     n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ej = edges.join(deg, "src").select("src", "dst", "deg")
+    # ej is re-joined every iteration; without a persist the WHOLE edge
+    # derivation upstream (for x90: the kNN-graph build) re-executes
+    # once per round. Lazy persist (not an eager localCheckpoint — r3
+    # block-leak discipline): materialized on the first action, GC'd
+    # with the frame.
+    ej = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     r = nodes.select(
         F.col(node_col).alias("id"), F.lit(1.0 / n_nodes).alias("r")
     )

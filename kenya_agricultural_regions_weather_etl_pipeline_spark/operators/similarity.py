@@ -393,6 +393,11 @@ def mutual_knn_edges(graph: DataFrame) -> DataFrame:
     ``id_a < id_b``. ``cos_sim`` is direction-independent (same
     dimension-ordered fold both ways), so either edge's value works.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # referenced twice (forward + reversed); lazily persist so the
+    # upstream graph build executes once, not per reference
+    graph = graph.persist(StorageLevel.MEMORY_AND_DISK)
     fwd = graph.select(
         F.col("src_id").alias("id_a"),
         F.col("nbr_id").alias("id_b"),
@@ -435,6 +440,12 @@ def nn_descent_round(
     :func:`knn_graph`; recall vs brute-force is monotonically
     non-decreasing in rounds (pinned by pytest at sf0.01).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # the incoming graph subtree is referenced 3× below (fwd, reversed,
+    # incumbent union) — lazily persist so an expensive upstream build
+    # (x86's cell-join) runs once, not per reference
+    graph = graph.persist(StorageLevel.MEMORY_AND_DISK)
     fwd = graph.select("src_id", "nbr_id")
     b = fwd.union(
         graph.select(

@@ -158,6 +158,9 @@ PROBED_QUERIES = (
     "x54_dsir_importance",
     "x55_fuzzy_decontamination",
     "x59_line_dedup",
+    "x86_knn_graph",
+    "x88_nn_descent_round",
+    "x90_pagerank_knn",
 )
 
 

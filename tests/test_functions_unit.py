@@ -1065,3 +1065,27 @@ def test_x90_pagerank_invariants(spark, sf01):
         if vid not in linked:
             assert abs(v - floor) < 1e-12, f"isolated {vid} off the floor: {v}"
     assert any(ranks[v] > floor * 1.5 for v in linked), "no node accumulated rank"
+
+
+def test_io6_compaction_plan_invariants(spark, sf01):
+    """The compaction plan must (a) cover every input row exactly once,
+    (b) keep groups CONTIGUOUS in date order (compaction preserves the
+    table's cluster order), and (c) never overfill a group beyond
+    target + one input file (the prefix-sum assignment's bound)."""
+    import __spark_entry__ as entrymod
+    from __spark_entry__ import IO6_TARGET_ROWS
+
+    rows = sorted(
+        entrymod.queries()["io6_compaction_plan"](spark, sf01).collect(),
+        key=lambda r: r.file_group,
+    )
+    li_n = entrymod.load_table(spark, sf01, "lineitem").count()
+    assert sum(r.total_rows for r in rows) == li_n
+    max_file = max(r.total_rows for r in rows)  # upper bound on any input
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_date < cur.first_date, (prev, cur)
+    for r in rows:
+        assert r.total_rows < IO6_TARGET_ROWS + max_file
+    # plan actually compacts: fewer outputs than inputs
+    n_inputs = sum(r.n_input_files for r in rows)
+    assert len(rows) < n_inputs
