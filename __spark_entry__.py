@@ -4309,6 +4309,35 @@ def x91_cell_occupancy(spark, sf_dir):
     )
 
 
+def x92_incremental_knn_upsert(spark, sf_dir):
+    """INCREMENTAL kNN-graph maintenance proven against the BATCH
+    oracle: the corpus is split 80/20 into an existing index (base
+    graph + stored cell assignment + frozen codebook) and an arriving
+    batch; knn_graph_upsert folds the arrivals in for O(|delta|) work
+    (delta assignment, delta probes, and the base×delta fix-up join —
+    dropped base candidates can never re-enter, so nothing else needs
+    rescoring) and returns EXACTLY what rebuilding x86 from scratch on
+    the full corpus returns — the oracle IS x86's SQL (the st17 == x5d
+    'one oracle, two physical strategies' discipline, applied to the
+    build-vs-maintain axis). The codebook is the index's frozen
+    creation-time config: ceil(√N) cells, trained on the first ceil(√N)
+    vectors (all inside the base split)."""
+    import math as _math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nc = max(1, _math.ceil(_math.sqrt(n)))
+    b = (n * 4) // 5
+    base = emb.filter(F.col("vec_id") < b)
+    delta = emb.filter(F.col("vec_id") >= b)
+    cent = S._ivf_codebook(base, "vec_id", "embedding", nc)
+    base_graph = S.knn_graph(base, k=5, n_centroids=nc, n_probe=2)
+    assigned_base = S._ivf_assign(base, cent, "vec_id", "embedding")
+    return S.knn_graph_upsert(
+        base_graph, assigned_base, delta, cent, k=5, n_probe=2
+    )
+
+
 def x90_pagerank_knn(spark, sf_dir):
     """PageRank CENTRALITY over the mutual-kNN semantic graph — the
     graph-based data-selection signal (a vector central in its
@@ -8112,6 +8141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x90_pagerank_knn": x90_pagerank_knn,
         "io6_compaction_plan": io6_compaction_plan,
         "x91_cell_occupancy": x91_cell_occupancy,
+        "x92_incremental_knn_upsert": x92_incremental_knn_upsert,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12074,6 +12104,9 @@ WITH c AS (
     FROM scored) WHERE rank <= 5
 )"""
     d["x86_knn_graph"] = _x86_graph + "\nSELECT * FROM graph"
+    # the incremental upsert must equal the batch rebuild exactly —
+    # one oracle, two physical strategies (build vs maintain)
+    d["x92_incremental_knn_upsert"] = d["x86_knn_graph"]
     d["x86b_mutual_knn_edges"] = (
         _x86_graph
         + """

@@ -413,6 +413,107 @@ def mutual_knn_edges(graph: DataFrame) -> DataFrame:
     )
 
 
+def knn_graph_upsert(
+    base_graph: DataFrame,
+    assigned_base: DataFrame,
+    delta: DataFrame,
+    cent: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """INCREMENTAL maintenance of a :func:`knn_graph` under insert-only
+    arrivals — the operation that makes the graph affordable at 100 TB:
+    the O(N^1.5) build (SURVEY §9's x86 row) is paid once; every
+    subsequent batch pays O(|delta|) plus the bounded fix-up below, and
+    the result EQUALS the batch rebuild bit-for-bit, so the batch
+    oracle verifies the incremental path (the st17 == x5d discipline).
+
+    Inputs are the index's STORED state: the incumbent edge list
+    (``base_graph``), the cell assignment (``assigned_base`` —
+    physically the x5f partitioned layout), and the frozen codebook
+    (``cent`` — cell count is fixed at index creation; re-sharding the
+    codebook is a rebuild, not an upsert). Work per batch:
+
+    1. assign delta vectors to cells (one broadcast-codebook map pass);
+    2. delta sources: probe n_probe cells, candidates = full members
+       of probed cells (cell-keyed shuffle join — |delta|-driven);
+    3. existing sources: the only batch-rebuild candidates NOT already
+       reflected in the incumbent top-k are delta vectors landing in a
+       cell the source probes — one join of the (map-recomputed, in
+       production stored) base probe lists against the delta
+       assignment, |delta|-driven again;
+    4. rescore incumbent ∪ new pairs from raw vectors and keep top-k
+       per source. Dropped base candidates can never re-enter (they
+       ranked below the incumbent top-k and delta adds no base
+       vectors), which is the exactness argument.
+    """
+    assigned_delta = _ivf_assign(delta, cent, id_col, vec_col)
+    assigned_full = assigned_base.unionByName(assigned_delta)
+    vecs = (
+        assigned_full.select(
+            F.col("vec_id").alias("_vid"), F.col("cvec").alias("_v")
+        )
+        .withColumn("_nrm", norm(F.col("_v")))
+    )
+    probes_delta = _ivf_probes(delta, cent, id_col, vec_col, n_probe)
+    cand_delta = (
+        assigned_full.join(probes_delta.select("query_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("cand"))
+    )
+    probes_base = _ivf_probes(
+        assigned_base.select("vec_id", "cvec"), cent, "vec_id", "cvec", n_probe
+    )
+    cand_base_new = (
+        assigned_delta.select("vec_id", "cell")
+        .join(probes_base.select("query_id", "cell"), "cell")
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("cand"))
+    )
+    cand_incumbent = base_graph.select(
+        F.col("src_id").alias("src"), F.col("nbr_id").alias("cand")
+    )
+    cand = cand_delta.unionByName(cand_base_new).unionByName(cand_incumbent)
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("_vid").alias("src"),
+                F.col("_v").alias("sv"),
+                F.col("_nrm").alias("snrm"),
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("cand"),
+                F.col("_v").alias("cv"),
+                F.col("_nrm").alias("cnrm"),
+            ),
+            "cand",
+        )
+        .withColumn(
+            "sim_full",
+            cosine_given_norms(
+                F.col("cv"), F.col("sv"), F.col("cnrm"), F.col("snrm")
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim_full").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("cand").alias("nbr_id"),
+            F.round(F.col("sim_full"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def nn_descent_round(
     graph: DataFrame,
     corpus: DataFrame,
