@@ -3649,6 +3649,20 @@ def st17_vector_index_ingest(spark, sf_dir):
     return ST.run_vector_index_ingest(spark, sf_dir)
 
 
+def st21_knn_graph_ingest(spark, sf_dir):
+    """Streaming kNN-GRAPH maintenance
+    (streaming/micro_batch.run_knn_graph_ingest) — the third leg of the
+    graph triangle: batch build (x86), incremental upsert (x92), and
+    continuous ingest, one oracle for all three. Each arriving
+    embedding batch folds into the standing graph via knn_graph_upsert
+    against the frozen codebook; state = st17's batch-keyed assignment
+    index + st14/st20's version-chained edge list (both replay-safe).
+    The drained HEAD state equals the batch x86 rebuild bit-for-bit,
+    for any arrival order."""
+    apply_runtime_confs(spark)
+    return ST.run_knn_graph_ingest(spark, sf_dir)
+
+
 def st18_corpus_telemetry(spark, sf_dir):
     """Dataset-card telemetry maintained ON INGEST
     (streaming/micro_batch.run_corpus_telemetry): per-language doc/
@@ -8142,6 +8156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io6_compaction_plan": io6_compaction_plan,
         "x91_cell_occupancy": x91_cell_occupancy,
         "x92_incremental_knn_upsert": x92_incremental_knn_upsert,
+        "st21_knn_graph_ingest": st21_knn_graph_ingest,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12104,9 +12119,11 @@ WITH c AS (
     FROM scored) WHERE rank <= 5
 )"""
     d["x86_knn_graph"] = _x86_graph + "\nSELECT * FROM graph"
-    # the incremental upsert must equal the batch rebuild exactly —
-    # one oracle, two physical strategies (build vs maintain)
+    # the incremental upsert and the streaming ingest must equal the
+    # batch rebuild exactly — one oracle, three physical strategies
+    # (build vs maintain vs continuous ingest)
     d["x92_incremental_knn_upsert"] = d["x86_knn_graph"]
+    d["st21_knn_graph_ingest"] = d["x86_knn_graph"]
     d["x86b_mutual_knn_edges"] = (
         _x86_graph
         + """

@@ -905,6 +905,130 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN-GRAPH maintenance (st21) — the third leg of the
+    graph triangle: batch build (x86), incremental batch upsert (x92),
+    and now continuous ingest, all verified by ONE oracle (x86's SQL).
+    Embedding batches arrive on a file stream; each micro-batch is
+    folded into the standing graph by ``knn_graph_upsert`` against the
+    pre-deployed frozen codebook (st17's quantizer discipline), so per
+    batch the work is O(|batch|): assign + probe the arrivals, fix up
+    only existing sources that probe a cell an arrival landed in,
+    rescore bounded candidate sets.
+
+    State, exactly-once: two stores. (a) The cell ASSIGNMENT index —
+    st17's batch_id-keyed dynamic-partition-overwrite layout: a replay
+    rewrites its own ``ingest_batch={b}`` partitions, and each batch
+    reads ``ingest_batch < b`` so it sees exactly the pre-batch state
+    either way. (b) The GRAPH edge list — st14/st20's version-chained
+    state: ``v{b}`` is derived from ``v{b-1}`` + the batch and written
+    by overwrite, so replays are idempotent. (At 100 TB the edge list
+    would be partitioned by source cell and merged per-partition; the
+    version chain is the exactness contract, not the layout.)
+
+    After the backlog drains, the HEAD graph state is returned and
+    equals the batch x86 rebuild bit-for-bit — arrival order does not
+    matter because the upsert's exactness argument (dropped candidates
+    rank below the incumbent top-k forever) holds per batch by
+    induction."""
+    import math as _math
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import (
+        _ivf_assign,
+        _ivf_codebook,
+        knn_graph_upsert,
+    )
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nc = max(1, _math.ceil(_math.sqrt(emb.count())))
+    cent = _ivf_codebook(emb, "vec_id", "embedding", nc)
+
+    workdir = tempfile.mkdtemp(prefix="kw_st21_")
+    src_dir = os.path.join(workdir, "arrivals")
+    index = os.path.join(workdir, "assign_index")
+    graph_dir = os.path.join(workdir, "graph")
+    os.makedirs(src_dir)
+    os.makedirs(graph_dir)
+    t0 = int(_time.time()) - 3600
+    for i in range(4):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    empty_graph = spark.createDataFrame(
+        [], "src_id bigint, nbr_id bigint, cos_sim double, rank int"
+    )
+    empty_assign = spark.createDataFrame(
+        [], "vec_id bigint, cvec array<double>, cell bigint"
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if batch_id > 0:
+            assigned_base = (
+                sp.read.parquet(index)
+                .filter(F.col("ingest_batch") < batch_id)
+                .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+            )
+            base_graph = sp.read.parquet(
+                os.path.join(graph_dir, f"v{batch_id - 1}")
+            )
+        else:
+            assigned_base, base_graph = empty_assign, empty_graph
+        knn_graph_upsert(
+            base_graph, assigned_base, batch, cent, k=5, n_probe=2
+        ).write.mode("overwrite").parquet(os.path.join(graph_dir, f"v{batch_id}"))
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                _ivf_assign(batch, cent, "vec_id", "embedding")
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(index)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    head = max(
+        int(d[1:]) for d in os.listdir(graph_dir) if d.startswith("v")
+    )
+    out = spark.read.parquet(
+        os.path.join(graph_dir, f"v{head}")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring ON INGEST (st19): a batch-trained artifact — w16's
     per-(event_type, hour) median/MAD anomaly profile — applied to an

@@ -444,3 +444,20 @@ def test_st16_cdc_epoch_order_is_semantic(spark, sf001):
     assert not (up_then_del & set(got)), "upsert-then-delete keys leaked"
     for key, want_price in del_then_up:
         assert got.get(key) == want_price, (key, got.get(key), want_price)
+
+
+def test_st21_graph_ingest_equals_batch_rebuild(spark, sf001):
+    """st21's drained HEAD graph must equal the batch x86 rebuild as a
+    SET (the upsert exactness argument, by induction over 4 arrival
+    batches split vec_id % 4 — an order unrelated to the id-ordered
+    codebook)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_knn_graph_ingest,
+    )
+
+    out = run_knn_graph_ingest(spark, sf001)
+    batch = entrymod.queries()["x86_knn_graph"](spark, sf001)
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
