@@ -4352,6 +4352,26 @@ def x92_incremental_knn_upsert(spark, sf_dir):
     )
 
 
+def x93_graph_beam_search(spark, sf_dir):
+    """QUERY-TIME graph-ANN beam search (the HNSW/DiskANN search
+    idiom) over x86's kNN graph — completes the graph-index story:
+    build (x86) → refine (x88) → maintain (x92/st21) → SEARCH. Each
+    of the 8 probe queries enters at its IVF cell (same ceil(√N)
+    codebook the graph was built with), then 3 deterministic beam
+    rounds walk the edge list: candidates = beam ∪ neighbors(beam),
+    re-scored with exact cosine, top-10 kept. Per-round work is
+    Q·beam·graph_k — independent of corpus size N, which is the whole
+    point of searching a graph instead of probing cells; the beam
+    frame is always the broadcast side against the (prunable) edge
+    list and vector table. Fully deterministic → exact DuckDB oracle
+    with the hops unrolled as CTEs; hop-monotone recall vs x5's exact
+    top-k pinned by pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = S.knn_graph(emb, k=5, n_probe=2)
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.graph_beam_search(emb, graph, q, k=10, beam=10, hops=3)
+
+
 def x90_pagerank_knn(spark, sf_dir):
     """PageRank CENTRALITY over the mutual-kNN semantic graph — the
     graph-based data-selection signal (a vector central in its
@@ -8157,6 +8177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x91_cell_occupancy": x91_cell_occupancy,
         "x92_incremental_knn_upsert": x92_incremental_knn_upsert,
         "st21_knn_graph_ingest": st21_knn_graph_ingest,
+        "x93_graph_beam_search": x93_graph_beam_search,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12131,6 +12152,51 @@ SELECT f.src_id AS id_a, f.nbr_id AS id_b, f.cos_sim
 FROM graph f JOIN graph r
   ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
 WHERE f.src_id < f.nbr_id
+"""
+    )
+    # x93: beam search over the shared graph CTE. Entry = the query's
+    # own assigned cell (assignment rank-1 == probe rank-1: identical
+    # ordering over the same codebook), then each hop is two CTEs —
+    # candidates (beam ∪ graph neighbors, distinct) and the re-scored
+    # top-10 beam. beam == k == 10, so the final beam IS the answer.
+    _x93_cos = V.cosine_sql("cc.cvec", "qa.qvec")
+    _x93_sql = (
+        _x86_graph
+        + f"""
+, qa AS (
+  SELECT vec_id AS query_id, cvec AS qvec, cell
+  FROM assigned WHERE vec_id < 8
+), b0 AS (
+  SELECT query_id, node, sim FROM (
+    SELECT qa.query_id, cc.vec_id AS node, {_x93_cos} AS sim,
+           row_number() OVER (PARTITION BY qa.query_id
+               ORDER BY {_x93_cos} DESC, cc.vec_id ASC) AS rn
+    FROM qa JOIN assigned cc ON cc.cell = qa.cell) WHERE rn <= 10
+)"""
+    )
+    for _h in range(1, 4):
+        _x93_sql += f"""
+, c{_h} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM b{_h - 1}
+    UNION ALL
+    SELECT b.query_id, g.nbr_id AS node
+    FROM b{_h - 1} b JOIN graph g ON b.node = g.src_id)
+), b{_h} AS (
+  SELECT query_id, node, sim FROM (
+    SELECT cd.query_id, cd.node, {_x93_cos} AS sim,
+           row_number() OVER (PARTITION BY cd.query_id
+               ORDER BY {_x93_cos} DESC, cd.node ASC) AS rn
+    FROM c{_h} cd JOIN c cc ON cc.vec_id = cd.node
+                  JOIN qa ON qa.query_id = cd.query_id) WHERE rn <= 10
+)"""
+    d["x93_graph_beam_search"] = (
+        _x93_sql
+        + """
+SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, node ASC) AS INT) AS rank
+FROM b3
 """
     )
     d["x88_nn_descent_round"] = (

@@ -607,6 +607,140 @@ def nn_descent_round(
     )
 
 
+def graph_beam_search(
+    corpus: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 10,
+    hops: int = 3,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """QUERY-TIME graph-ANN search — the consumer of the
+    :func:`knn_graph` build artifact (the HNSW-base-layer / DiskANN
+    search idiom): start each query from its IVF entry cell, then run
+    ``hops`` rounds of deterministic beam search along graph edges,
+    re-scoring candidates with exact cosine and keeping the ``beam``
+    best per query each round.
+
+    Semantics per hop (fully deterministic, hence oracle-replayable):
+    ``candidates_h = beam_{h-1} ∪ neighbors(beam_{h-1})`` (distinct),
+    ``beam_h = top-beam of candidates_h`` by (cosine desc, id asc).
+    With ``beam >= k`` the search is hop-monotone: a true top-k member
+    can only be displaced by a node with strictly higher cosine, which
+    is itself a true top-k member — so recall vs brute force never
+    decreases with hops (pinned by pytest).
+
+    Why this shape survives 100 TB: the per-query state is tiny
+    (``beam`` ids), so every round is a broadcast of the Q·beam frame
+    against the two big, pre-built artifacts — the edge list (join on
+    ``src_id``: a point-lookup pattern that partition-prunes when the
+    graph is stored cell-partitioned) and the vector table (join on
+    the id). Per-round candidate work is Q·beam·graph_k rows,
+    INDEPENDENT of corpus size N — unlike IVF probing, whose candidate
+    count tracks the N/√N cell occupancy. The entry stage is one
+    bounded cell scan (the query's own nearest cell, same codebook the
+    graph was built with).
+
+    Returns (query_id, vec_id, cos_sim, rank): top-``k`` of the final
+    beam, rank 1 = nearest. Capability parity: reference repo stores
+    flat rows only (`daily_weather_etl_kenya.py` has no vector path);
+    this is part of the §2.8 training-data extension surface.
+    """
+    import math
+
+    from pyspark.storagelevel import StorageLevel
+
+    if n_centroids is None:
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    # entry: the query's single nearest cell (n_probe=1 — identical
+    # ordering to assignment, so a corpus-member query enters via its
+    # own cell), scored exactly and cut to the initial beam
+    probes = _ivf_probes(queries, cent, query_id_col, vec_col, 1)
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col)
+    qframe = (
+        probes.select("query_id", "qvec")
+        .withColumn("qnrm", norm(F.col("qvec")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    entry_scored = (
+        assigned.withColumn("cnrm", norm(F.col("cvec")))
+        .join(F.broadcast(probes.withColumn("qnrm", norm(F.col("qvec")))), "cell")
+        .withColumn(
+            "sim",
+            cosine_given_norms(
+                F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    beam_df = (
+        entry_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= beam)
+        .select("query_id", F.col("vec_id").alias("node"), "sim")
+    )
+    # referenced once per hop (edges) / per rescore (vectors) — persist
+    # lazily so the upstream graph build and corpus scan run once
+    graph = graph.persist(StorageLevel.MEMORY_AND_DISK)
+    cframe = (
+        corpus.select(
+            F.col(id_col).alias("node"),
+            to_double_array(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _hop in range(hops):
+        # beam is Q·beam rows — ALWAYS the broadcast side; the edge
+        # list and vector table are the big, possibly-pruned sides
+        expanded = graph.join(
+            F.broadcast(beam_df.select("query_id", F.col("node").alias("src_id"))),
+            "src_id",
+        ).select("query_id", F.col("nbr_id").alias("node"))
+        cand = beam_df.select("query_id", "node").union(expanded).distinct()
+        scored = (
+            cframe.join(F.broadcast(cand), "node")
+            .join(F.broadcast(qframe), "query_id")
+            .withColumn(
+                "sim",
+                cosine_given_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cnrm"), F.col("qnrm")
+                ),
+            )
+        )
+        w_h = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("node").asc()
+        )
+        beam_df = (
+            scored.withColumn("rn", F.row_number().over(w_h))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "node", "sim")
+            # per-hop cut: keeps the next round's plan rooted at a
+            # Q·beam frame instead of re-deriving every prior hop
+            # (each hop references its predecessor twice)
+            .localCheckpoint(eager=False)
+        )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("vec_id"),
+            F.round(F.col("sim"), 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_ivf_adaptive(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1089,3 +1089,49 @@ def test_io6_compaction_plan_invariants(spark, sf01):
     # plan actually compacts: fewer outputs than inputs
     n_inputs = sum(r.n_input_files for r in rows)
     assert len(rows) < n_inputs
+
+
+def test_graph_beam_search_hop_monotone_recall(spark, sf01):
+    """x93's beam search must be hop-monotone: with beam >= k, a true
+    top-k member can only be displaced by a strictly-better node that
+    is itself a true top-k member, so recall@10 vs brute force never
+    decreases with hops — and the walk must genuinely add recall over
+    the entry-cell-only baseline (hops=0)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        graph_beam_search,
+        knn_graph,
+    )
+
+    emb = entrymod.load_table(spark, sf01, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    graph = knn_graph(emb, k=5, n_probe=2)
+
+    def recall(hops):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in graph_beam_search(
+                emb, graph, q, k=10, beam=10, hops=hops
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_entry, r_walked = recall(0), recall(3)
+    # measured at sf0.01: 0.7875 (entry cell only) -> 0.8375 (1 hop)
+    # -> 0.85 (2+ hops; plateau = the graph's own 0.28 edge recall
+    # bounds what walking can reach on uniform synthetic embeddings)
+    assert r_walked >= r_entry, (
+        f"beam search lost recall walking the graph: "
+        f"{r_entry:.4f} -> {r_walked:.4f}"
+    )
+    assert r_walked >= r_entry + 0.04, (
+        f"graph walk added no recall: {r_entry:.4f} -> {r_walked:.4f}"
+    )
+    assert r_walked >= 0.8, f"walked recall collapsed: {r_walked}"
