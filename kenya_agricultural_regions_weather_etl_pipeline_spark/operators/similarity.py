@@ -618,6 +618,7 @@ def graph_beam_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """QUERY-TIME graph-ANN search — the consumer of the
     :func:`knn_graph` build artifact (the HNSW-base-layer / DiskANN
@@ -721,11 +722,14 @@ def graph_beam_search(
             scored.withColumn("rn", F.row_number().over(w_h))
             .filter(F.col("rn") <= beam)
             .select("query_id", "node", "sim")
+        )
+        if truncate_lineage:
             # per-hop cut: keeps the next round's plan rooted at a
             # Q·beam frame instead of re-deriving every prior hop
-            # (each hop references its predecessor twice)
-            .localCheckpoint(eager=False)
-        )
+            # (each hop references its predecessor twice). Off only
+            # for plan inspection — the hop joins are invisible
+            # behind the checkpoint scan.
+            beam_df = beam_df.localCheckpoint(eager=False)
     w_f = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("node").asc()
     )

@@ -628,3 +628,40 @@ def test_x89_zorder_no_global_sort_or_window(spark, sf01):
     assert "Window (" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x93_beam_side_broadcasts_by_hint_not_stats(spark, sf01):
+    """x93's per-hop joins put the Q·beam frame against the edge list
+    and the vector table — the library must HINT those broadcasts (the
+    beam is structurally tiny at ANY corpus size), so they survive
+    with size-stat auto-broadcast disabled; and nothing may plan a
+    cartesian product or Python eval. The graph-build subtree keeps
+    its cell-keyed shuffle join (x86's own contract)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf01, "embeddings")
+    with _autobroadcast_off(spark):
+        graph = S.knn_graph(emb, k=5, n_probe=2)
+        q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        plan_df = S.graph_beam_search(
+            emb, graph, q, k=10, beam=10, hops=3, truncate_lineage=False
+        )
+        jvm_mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        plan = plan_df._jdf.queryExecution().explainString(jvm_mode)
+    # the final hop alone hints beam->edges, cand->vectors, qframe:
+    # at least those explicit broadcasts must survive stats-off
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
