@@ -161,6 +161,9 @@ PROBED_QUERIES = (
     "x86_knn_graph",
     "x88_nn_descent_round",
     "x90_pagerank_knn",
+    "x92_incremental_knn_upsert",
+    "x93_graph_beam_search",
+    "st21_knn_graph_ingest",
 )
 
 
@@ -173,6 +176,12 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=3, help="corpus multiplier")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="probe only these query names (skips st11 unless listed)",
+    )
     args = ap.parse_args()
     mult = args.mult
     probe_dir = f"/tmp/sfprobe/sf0.{mult}x"
@@ -180,16 +189,24 @@ def main() -> int:
     spark = get_spark("scale-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     build_probe_dir(spark, probe_dir, mult)
     q = E.queries()
+    probed = (
+        PROBED_QUERIES
+        if args.only is None
+        else tuple(n for n in PROBED_QUERIES if n in args.only)
+    )
     results: dict[str, dict] = {}
-    for name in PROBED_QUERIES:
+    for name in probed:
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
         timed(f"{name}@{mult}x", lambda: q[name](spark, probe_dir), results)
-    timed("st11@days=3", lambda: run_weather_stream_etl(spark, days=3), results)
-    timed(
-        f"st11@days={3 * mult}",
-        lambda: run_weather_stream_etl(spark, days=3 * mult),
-        results,
-    )
+    if args.only is None or "st11" in args.only:
+        timed(
+            "st11@days=3", lambda: run_weather_stream_etl(spark, days=3), results
+        )
+        timed(
+            f"st11@days={3 * mult}",
+            lambda: run_weather_stream_etl(spark, days=3 * mult),
+            results,
+        )
     print(json.dumps(results, indent=1))
     return 0
 
