@@ -4372,6 +4372,51 @@ def x93_graph_beam_search(spark, sf_dir):
     return S.graph_beam_search(emb, graph, q, k=10, beam=10, hops=3)
 
 
+def x94_hierarchical_ivf(spark, sf_dir):
+    """TWO-LEVEL IVF assignment audit — the scale rung above the flat
+    ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
+    centroids) first, then compare only against the centroids inside
+    it, cutting assignment work from N·√N to ~N^1.25 comparisons.
+    The trade is approximation (the true nearest centroid can live in
+    a different super-cell), so this query MEASURES it instead of
+    assuming: joins the hierarchical assignment against the flat
+    rank-1 assignment and reports the agreement rate plus how many
+    super-cells the corpus actually spreads over. Both codebooks are
+    the deterministic first-rows policy; n_super = ceil(√√N) via two
+    IEEE sqrts so both engines size identically at any SF. All
+    codebook joins broadcast ≤ √N-row frames; the corpus is touched
+    by two rank-1 windows only."""
+    import math as _math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nc = max(1, _math.ceil(_math.sqrt(emb.count())))
+    cent = S._ivf_codebook(emb, "vec_id", "embedding", nc)
+    flat = S._ivf_assign(emb, cent, "vec_id", "embedding").select(
+        "vec_id", F.col("cell").alias("flat_cell")
+    )
+    hier = S.hierarchical_ivf_assign(emb, n_centroids=nc)
+    return (
+        hier.join(flat, "vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("cell") == F.col("flat_cell"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+            F.countDistinct("super_id").cast("bigint").alias("n_super_used"),
+        )
+        .select(
+            "n_vectors",
+            "n_agree",
+            W.round_half_up(
+                F.col("n_agree") / F.col("n_vectors"), 6
+            ).alias("agreement_rate"),
+            "n_super_used",
+        )
+    )
+
+
 def x90_pagerank_knn(spark, sf_dir):
     """PageRank CENTRALITY over the mutual-kNN semantic graph — the
     graph-based data-selection signal (a vector central in its
@@ -8178,6 +8223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x92_incremental_knn_upsert": x92_incremental_knn_upsert,
         "st21_knn_graph_ingest": st21_knn_graph_ingest,
         "x93_graph_beam_search": x93_graph_beam_search,
+        "x94_hierarchical_ivf": x94_hierarchical_ivf,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12199,6 +12245,59 @@ SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
 FROM b3
 """
     )
+    # x94: two-level assignment replayed with nested rank-1 CTEs;
+    # n_super = ceil(sqrt(sqrt(N))) — two IEEE sqrts, never pow(x,.25)
+    d["x94_hierarchical_ivf"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), nc AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
+), ns AS (
+  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS n FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, cvec AS cent_vec
+  FROM c WHERE vec_id < (SELECT n FROM nc)
+), sup AS (
+  SELECT centroid_id AS super_id, cent_vec AS super_vec
+  FROM cent WHERE centroid_id < (SELECT n FROM ns)
+), cent_super AS (
+  SELECT centroid_id, cent_vec, super_id FROM (
+    SELECT cent.centroid_id, cent.cent_vec, sup.super_id,
+           row_number() OVER (PARTITION BY cent.centroid_id
+               ORDER BY {V.cosine_sql('cent.cent_vec', 'sup.super_vec')} DESC,
+                        sup.super_id ASC) AS rn
+    FROM cent CROSS JOIN sup) WHERE rn = 1
+), vec_super AS (
+  SELECT vec_id, cvec, super_id FROM (
+    SELECT c.vec_id, c.cvec, sup.super_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('c.cvec', 'sup.super_vec')} DESC,
+                        sup.super_id ASC) AS rn
+    FROM c CROSS JOIN sup) WHERE rn = 1
+), hier AS (
+  SELECT vec_id, super_id, cell FROM (
+    SELECT v.vec_id, v.super_id, cs.centroid_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {V.cosine_sql('v.cvec', 'cs.cent_vec')} DESC,
+                        cs.centroid_id ASC) AS rn
+    FROM vec_super v JOIN cent_super cs USING (super_id)) WHERE rn = 1
+), flat AS (
+  SELECT vec_id, flat_cell FROM (
+    SELECT c.vec_id, cent.centroid_id AS flat_cell,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('c.cvec', 'cent.cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN h.cell = f.flat_cell THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       {W.round_half_up_sql(
+           'sum(CASE WHEN h.cell = f.flat_cell THEN 1 ELSE 0 END)'
+           '::DOUBLE / count(*)', 6)} AS agreement_rate,
+       CAST(count(DISTINCT h.super_id) AS BIGINT) AS n_super_used
+FROM hier h JOIN flat f USING (vec_id)
+"""
     d["x88_nn_descent_round"] = (
         _x86_graph
         + f"""

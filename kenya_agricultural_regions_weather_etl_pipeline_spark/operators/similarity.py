@@ -745,6 +745,82 @@ def graph_beam_search(
     )
 
 
+def hierarchical_ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_super: int | None = None,
+) -> DataFrame:
+    """TWO-LEVEL (hierarchical) IVF assignment — the next scale rung
+    above the flat ceil(√N) codebook (SURVEY §9's x40c note): flat
+    assignment costs N·√N centroid comparisons, which at 10⁹+ vectors
+    is the dominant index-build term. Here the √N centroids are
+    themselves clustered under ceil(N^¼) SUPER-centroids; a vector
+    first picks its super-cell (N·N^¼ work), then compares only
+    against the ~√N/N^¼ centroids inside it — total ≈ 2·N^¾·N^¼-ish
+    comparisons ≈ N^1.25 vs flat N^1.5, the standard coarse-to-fine
+    trade (approximate: the nearest centroid can sit in a different
+    super-cell; x94 MEASURES that agreement instead of assuming it).
+
+    Both codebooks follow the deterministic first-rows policy
+    (oracle-replayable); n_super defaults to ceil(√√N) via two IEEE
+    sqrts — identical on every engine, unlike pow(x, 0.25). All joins
+    broadcast bounded codebook/metadata frames (≤ √N rows); the only
+    corpus-sized frames are the two rank-1 windows.
+
+    Returns (vec_id, super_id, cell): the chosen super-cell and the
+    final (approximate) cell.
+    """
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+    if n_super is None:
+        n_super = max(1, math.ceil(math.sqrt(math.sqrt(corpus.count()))))
+    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    sup = cent.filter(F.col("centroid_id") < n_super).select(
+        F.col("centroid_id").alias("super_id"),
+        F.col("cent_vec").alias("super_vec"),
+    )
+    # level-0 metadata: each centroid's super-cell (√N × N^¼ rows,
+    # computed once — at scale this lives with the codebook artifact)
+    w_cs = Window.partitionBy("centroid_id").orderBy(
+        F.col("s_sim").desc(), F.col("super_id").asc()
+    )
+    cent_super = (
+        cent.join(F.broadcast(sup))
+        .withColumn("s_sim", cosine(F.col("cent_vec"), F.col("super_vec")))
+        .withColumn("rn", F.row_number().over(w_cs))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "cent_vec", "super_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    )
+    w_vs = Window.partitionBy("vec_id").orderBy(
+        F.col("s_sim").desc(), F.col("super_id").asc()
+    )
+    vec_super = (
+        c.join(F.broadcast(sup))
+        .withColumn("s_sim", cosine(F.col("cvec"), F.col("super_vec")))
+        .withColumn("rn", F.row_number().over(w_vs))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cvec", "super_id")
+    )
+    w_vc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        vec_super.join(F.broadcast(cent_super), "super_id")
+        .withColumn("c_sim", cosine(F.col("cvec"), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(w_vc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "super_id", F.col("centroid_id").alias("cell"))
+    )
+
+
 def cosine_topk_ivf_adaptive(
     corpus: DataFrame,
     queries: DataFrame,

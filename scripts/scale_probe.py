@@ -164,6 +164,7 @@ PROBED_QUERIES = (
     "x92_incremental_knn_upsert",
     "x93_graph_beam_search",
     "st21_knn_graph_ingest",
+    "x94_hierarchical_ivf",
 )
 
 
