@@ -3663,6 +3663,21 @@ def st21_knn_graph_ingest(spark, sf_dir):
     return ST.run_knn_graph_ingest(spark, sf_dir)
 
 
+def st22_vector_serve_stream(spark, sf_dir):
+    """Streaming vector-index SERVING
+    (streaming/micro_batch.run_vector_serve_stream) — the online axis
+    st17 doesn't cover: the index is deployed once (x5f's
+    cell-partitioned layout), then QUERY batches stream in and each
+    is answered with bounded work — probe its cells, partition-pruned
+    read of only those directories, exact rerank — written
+    replay-safe by serve_batch dynamic partition overwrite. Drained
+    union == batch x5d on the full query set: one oracle, FOUR
+    physical strategies (x5d join-pruned, x5f layout-pruned, st17
+    stream-ingested, st22 stream-served)."""
+    apply_runtime_confs(spark)
+    return ST.run_vector_serve_stream(spark, sf_dir)
+
+
 def st18_corpus_telemetry(spark, sf_dir):
     """Dataset-card telemetry maintained ON INGEST
     (streaming/micro_batch.run_corpus_telemetry): per-language doc/
@@ -8224,6 +8239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st21_knn_graph_ingest": st21_knn_graph_ingest,
         "x93_graph_beam_search": x93_graph_beam_search,
         "x94_hierarchical_ivf": x94_hierarchical_ivf,
+        "st22_vector_serve_stream": st22_vector_serve_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12026,6 +12042,9 @@ FROM j GROUP BY agreement
     # st17's incrementally-ingested IVF index must answer probes
     # identically to the batch x5d search — one oracle covers both
     d["st17_vector_index_ingest"] = d["x5d_cosine_topk_ivf"]
+    # st22 serves the same query set from the same index shape in
+    # streaming batches — drained union == the batch search
+    d["st22_vector_serve_stream"] = d["x5d_cosine_topk_ivf"]
     # st19 deploys w16's trained profile to the stream — scoring is
     # stateless per row, so the streamed flag set == the batch filter
     d["st19_model_score_stream"] = d["w16_seasonal_anomaly"]

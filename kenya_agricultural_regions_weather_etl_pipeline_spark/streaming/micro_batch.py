@@ -1029,6 +1029,124 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index SERVING (st22) — the axis st17 doesn't
+    cover: there the DATA streams and queries run once at the end;
+    here the index is built once (x5f's physically cell-partitioned
+    layout, the deploy step) and the QUERIES stream — the online
+    ANN-serving path. Each micro-batch of arriving queries is
+    answered independently: probe its n_probe cells (broadcast
+    codebook), resolve the ≤ 2·|batch| distinct target cells
+    driver-side (bounded metadata), read ONLY those cell directories
+    through partition pruning, exact-rerank, and write the batch's
+    answers keyed by ``serve_batch={batch_id}`` dynamic partition
+    overwrite — replay-safe exactly-once, the same discipline as
+    st17's ingest side. Per-batch work is |batch|-driven
+    (probe + pruned cell scan + top-k); the index history and the
+    other queries are never touched — the shape an online serving
+    tier needs at 100 TB.
+
+    After the backlog drains, the union of all served batches equals
+    the batch x5d IVF search on the full query set — ONE oracle now
+    covers four physical strategies: batch join-pruned (x5d), batch
+    layout-pruned (x5f), streaming-ingested (st17), and
+    streaming-SERVED (st22)."""
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import (
+        _ivf_assign,
+        _ivf_codebook,
+        _ivf_probes,
+        _ivf_rerank,
+    )
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_codebook(emb, "vec_id", "embedding", 16)
+
+    workdir = tempfile.mkdtemp(prefix="kw_st22_")
+    src_dir = os.path.join(workdir, "query_arrivals")
+    index = os.path.join(workdir, "index")
+    results = os.path.join(workdir, "results")
+    os.makedirs(src_dir)
+    # deploy: assign-once, cell-partitioned layout (x5f) — built
+    # BEFORE any query arrives, as a serving index is
+    _ivf_assign(emb, cent, "vec_id", "embedding").write.partitionBy(
+        "cell"
+    ).parquet(index)
+
+    # 8 queries arrive in 4 mtime-ordered batches of 2 (vec_id mod 4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    t0 = int(_time.time()) - 3600
+    for i in range(4):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        queries.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(qbatch: DataFrame, batch_id: int) -> None:
+        sp = qbatch.sparkSession
+        probes = _ivf_probes(
+            qbatch.withColumnRenamed("vec_id", "query_id"),
+            cent,
+            "query_id",
+            "embedding",
+            2,
+        ).localCheckpoint(eager=True)
+        # bounded driver-side metadata: ≤ n_probe·|batch| cell ids
+        cells = [r[0] for r in probes.select("cell").distinct().collect()]
+        layout = (
+            sp.read.parquet(index)
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+        )
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                _ivf_rerank(layout, probes, k=10)
+                .withColumn("serve_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("serve_batch")
+                .parquet(results)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(queries.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = (
+        spark.read.parquet(results)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring ON INGEST (st19): a batch-trained artifact — w16's
     per-(event_type, hour) median/MAD anomaly profile — applied to an

@@ -461,3 +461,20 @@ def test_st21_graph_ingest_equals_batch_rebuild(spark, sf001):
     assert out.count() == batch.count() > 0
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_st22_streaming_serving_equals_batch_search(spark, sf001):
+    """st22's drained served answers must equal the batch x5d IVF
+    search as a SET — queries arriving in 4 separate serve batches
+    (vec_id % 4, an order unrelated to cell layout) may not change a
+    single answer row."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_vector_serve_stream,
+    )
+
+    out = run_vector_serve_stream(spark, sf001)
+    batch = entrymod.queries()["x5d_cosine_topk_ivf"](spark, sf001)
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
