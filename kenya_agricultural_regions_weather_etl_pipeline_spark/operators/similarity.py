@@ -235,6 +235,35 @@ def _ivf_codebook(
     )
 
 
+def _ivf_rank_cells(
+    corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Top-``n`` nearest cells per vector in ONE broadcast-codebook
+    pass — the shared derivation behind assignment (rank 1) and
+    probing (rank ≤ n_probe). Callers that need both (st21's ingest
+    path) compute this once per batch instead of paying two
+    cross-join windows; the float math is the same dot/(norm·norm)
+    expression `_ivf_assign`/`_ivf_probes` use, so derived frames are
+    bit-identical to theirs. Returns (vec_id, cvec, cell, cell_rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        c.join(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("cvec"), F.col("cent_vec")))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n)
+        .select(
+            "vec_id", "cvec", F.col("centroid_id").alias("cell"), "cell_rank"
+        )
+    )
+
+
 def _ivf_assign(
     corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -422,6 +451,9 @@ def knn_graph_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    probes_base: DataFrame | None = None,
+    assigned_delta: DataFrame | None = None,
+    probes_delta: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL maintenance of a :func:`knn_graph` under insert-only
     arrivals — the operation that makes the graph affordable at 100 TB:
@@ -441,15 +473,22 @@ def knn_graph_upsert(
        of probed cells (cell-keyed shuffle join — |delta|-driven);
     3. existing sources: the only batch-rebuild candidates NOT already
        reflected in the incumbent top-k are delta vectors landing in a
-       cell the source probes — one join of the (map-recomputed, in
-       production stored) base probe lists against the delta
-       assignment, |delta|-driven again;
+       cell the source probes — one join of the base probe lists
+       against the delta assignment, |delta|-driven again. Pass
+       ``probes_base`` to use STORED probe lists (they are
+       creation-time index state — the codebook is frozen, so a
+       vector's probe cells never change; st21 stores them per ingest
+       batch); when omitted they are map-recomputed from
+       ``assigned_base``, which costs an extra N·√N codebook pass per
+       call — fine for a one-shot upsert (x92), the wrong shape for
+       continuous ingest;
     4. rescore incumbent ∪ new pairs from raw vectors and keep top-k
        per source. Dropped base candidates can never re-enter (they
        ranked below the incumbent top-k and delta adds no base
        vectors), which is the exactness argument.
     """
-    assigned_delta = _ivf_assign(delta, cent, id_col, vec_col)
+    if assigned_delta is None:
+        assigned_delta = _ivf_assign(delta, cent, id_col, vec_col)
     assigned_full = assigned_base.unionByName(assigned_delta)
     vecs = (
         assigned_full.select(
@@ -457,15 +496,21 @@ def knn_graph_upsert(
         )
         .withColumn("_nrm", norm(F.col("_v")))
     )
-    probes_delta = _ivf_probes(delta, cent, id_col, vec_col, n_probe)
+    if probes_delta is None:
+        probes_delta = _ivf_probes(delta, cent, id_col, vec_col, n_probe)
     cand_delta = (
         assigned_full.join(probes_delta.select("query_id", "cell"), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(F.col("query_id").alias("src"), F.col("vec_id").alias("cand"))
     )
-    probes_base = _ivf_probes(
-        assigned_base.select("vec_id", "cvec"), cent, "vec_id", "cvec", n_probe
-    )
+    if probes_base is None:
+        probes_base = _ivf_probes(
+            assigned_base.select("vec_id", "cvec"),
+            cent,
+            "vec_id",
+            "cvec",
+            n_probe,
+        )
     cand_base_new = (
         assigned_delta.select("vec_id", "cell")
         .join(probes_base.select("query_id", "cell"), "cell")

@@ -916,15 +916,21 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     only existing sources that probe a cell an arrival landed in,
     rescore bounded candidate sets.
 
-    State, exactly-once: two stores. (a) The cell ASSIGNMENT index —
+    State, exactly-once: three stores. (a) The cell ASSIGNMENT index —
     st17's batch_id-keyed dynamic-partition-overwrite layout: a replay
     rewrites its own ``ingest_batch={b}`` partitions, and each batch
     reads ``ingest_batch < b`` so it sees exactly the pre-batch state
-    either way. (b) The GRAPH edge list — st14/st20's version-chained
-    state: ``v{b}`` is derived from ``v{b-1}`` + the batch and written
-    by overwrite, so replays are idempotent. (At 100 TB the edge list
-    would be partitioned by source cell and merged per-partition; the
-    version chain is the exactness contract, not the layout.)
+    either way. (b) The PROBE-LIST index, same layout: a vector's
+    n_probe cells are frozen at arrival (the codebook never changes
+    post-deploy), so each batch writes its arrivals' probe lists once
+    and every later batch REUSES them — without this store, the
+    base×delta fix-up recomputes an N·√N codebook pass per batch (the
+    measured super-linear term in the first st21 probe). (c) The
+    GRAPH edge list — st14/st20's version-chained state: ``v{b}`` is
+    derived from ``v{b-1}`` + the batch and written by overwrite, so
+    replays are idempotent. (At 100 TB the edge list would be
+    partitioned by source cell and merged per-partition; the version
+    chain is the exactness contract, not the layout.)
 
     After the backlog drains, the HEAD graph state is returned and
     equals the batch x86 rebuild bit-for-bit — arrival order does not
@@ -936,8 +942,8 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from ..operators.similarity import (
-        _ivf_assign,
         _ivf_codebook,
+        _ivf_rank_cells,
         knn_graph_upsert,
     )
     from ..sources.tables import load_table
@@ -949,6 +955,7 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="kw_st21_")
     src_dir = os.path.join(workdir, "arrivals")
     index = os.path.join(workdir, "assign_index")
+    probes_dir = os.path.join(workdir, "probe_index")
     graph_dir = os.path.join(workdir, "graph")
     os.makedirs(src_dir)
     os.makedirs(graph_dir)
@@ -979,23 +986,62 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("ingest_batch") < batch_id)
                 .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
             )
+            probes_base = (
+                sp.read.parquet(probes_dir)
+                .filter(F.col("ingest_batch") < batch_id)
+                .select(
+                    "query_id", F.col("cell").cast("long").alias("cell")
+                )
+            )
             base_graph = sp.read.parquet(
                 os.path.join(graph_dir, f"v{batch_id - 1}")
             )
         else:
             assigned_base, base_graph = empty_assign, empty_graph
+            probes_base = sp.createDataFrame(
+                [], "query_id bigint, cell bigint"
+            )
+        # ONE broadcast-codebook pass over the arrivals feeds
+        # everything below: the upsert's delta assignment AND delta
+        # probes, the assignment-index write, and the probe-store
+        # write (bit-identical to _ivf_assign/_ivf_probes — same
+        # expression, shared window)
+        ranked = _ivf_rank_cells(
+            batch, cent, "vec_id", "embedding", 2
+        ).localCheckpoint(eager=True)
+        assigned_delta = ranked.filter(F.col("cell_rank") == 1).select(
+            "vec_id", "cvec", "cell"
+        )
+        probes_delta = ranked.select(
+            F.col("vec_id").alias("query_id"), "cell"
+        )
         knn_graph_upsert(
-            base_graph, assigned_base, batch, cent, k=5, n_probe=2
+            base_graph,
+            assigned_base,
+            batch,
+            cent,
+            k=5,
+            n_probe=2,
+            probes_base=probes_base,
+            assigned_delta=assigned_delta,
+            probes_delta=probes_delta,
         ).write.mode("overwrite").parquet(os.path.join(graph_dir, f"v{batch_id}"))
         prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
         try:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (
-                _ivf_assign(batch, cent, "vec_id", "embedding")
-                .withColumn("ingest_batch", F.lit(batch_id))
+                assigned_delta.withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")
                 .parquet(index)
+            )
+            # the arrivals' probe lists, written ONCE at arrival and
+            # reused by every later batch's base×delta fix-up
+            (
+                probes_delta.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(probes_dir)
             )
         finally:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
