@@ -855,6 +855,26 @@ def a6_pivot(spark, sf_dir):
     )
 
 
+def a19_join_skew_audit(spark, sf_dir):
+    """Pre-join skew AUDIT (operators/skew.key_skew_profile) on the
+    event stream's join key (user_id — the key st13's stream-stream
+    join and w13's transition chains shuffle on): per-key histogram
+    reduced to the decision numbers — hotspot_factor (straggler-task
+    multiplier a shuffle on this key buys) and n_hot_keys (keys above
+    2× fair share, each a salting candidate for b2's salted_join).
+    The hot test multiplies INTEGERS (cnt·n_keys > 2·n_rows) so no
+    float threshold can split the engines; ratios are half-up 6dp.
+    One key-grouped count is the only corpus-sized shuffle; the 1-row
+    reductions compose by broadcast cross-join. This is the audit a
+    100 TB pipeline runs BEFORE choosing plain/AQE/salted joins."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, F.col("user_id"), hot_factor=2)
+
+
 def b2_salted_join(spark, sf_dir):
     """Skew-mitigated join: lineitem ⋈ orders with an 8-way salt on the
     hot key (operators/skew.py). The result is IDENTICAL to the plain
@@ -8243,6 +8263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x92_incremental_knn_upsert": x92_incremental_knn_upsert,
         "x93_graph_beam_search": x93_graph_beam_search,
         "x94_hierarchical_ivf": x94_hierarchical_ivf,
+        "a19_join_skew_audit": a19_join_skew_audit,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12267,6 +12288,29 @@ SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
 FROM b3
 """
     )
+    # a19: the hot-key test is pure integer arithmetic; only the two
+    # 6dp ratios touch floats (same half-up formula both engines)
+    d["a19_join_skew_audit"] = f"""
+WITH counts AS (
+  SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM counts
+), h AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hot_keys
+  FROM counts, t WHERE cnt * n_keys > 2 * n_rows
+), tk AS (
+  SELECT k AS top_key FROM counts ORDER BY cnt DESC, k ASC LIMIT 1
+)
+SELECT n_rows, n_keys, max_cnt,
+       {W.round_half_up_sql('n_rows::DOUBLE / n_keys', 6)} AS mean_cnt,
+       {W.round_half_up_sql(
+           'max_cnt::DOUBLE * n_keys / n_rows', 6)} AS hotspot_factor,
+       n_hot_keys, top_key
+FROM t, h, tk
+"""
     # x94: two-level assignment replayed with nested rank-1 CTEs;
     # n_super = ceil(sqrt(sqrt(N))) — two IEEE sqrts, never pow(x,.25)
     d["x94_hierarchical_ivf"] = f"""
