@@ -4274,6 +4274,37 @@ def x86b_mutual_knn_edges(spark, sf_dir):
 IO6_TARGET_ROWS = 5000
 
 
+def io7_export_manifest(spark, sf_dir):
+    """Training-data EXPORT manifest — the integrity artifact handed to
+    the training job alongside the shards: each document lands in a
+    shard by CONTENT hash (x11's md5 bucket machinery, so the layout is
+    deterministic, engine-portable, and stable under re-partitioning —
+    re-exporting an unchanged corpus byte-reproduces the manifest), and
+    each shard reports doc/char counts plus an ORDER-INDEPENDENT
+    fingerprint: the per-doc polynomial rolling hash (x9b's, DuckDB
+    list_reduce twin) summed mod 1e9+7, so shard-internal row order —
+    which Spark does not guarantee — cannot change the signature. A
+    mismatched fingerprint at load time means the shard was corrupted
+    or regenerated from different data. One narrow map (hashing fuses
+    into the scan) + one shard-keyed aggregation; at >10⁹ docs/shard
+    the modular sum should fold per-partition partials (sum-then-mod
+    overflows long at ~9·10⁹ docs), noted here for the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (SMP.split_bucket(F.col("text")) % 8).alias("shard")
+    fp = T.rolling_hash(F.col("text")).alias("fp")
+    return (
+        docs.select(shard, F.col("n_chars"), fp)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.pmod(F.sum("fp"), F.lit(1_000_000_007))
+            .cast("bigint")
+            .alias("fingerprint"),
+        )
+    )
+
+
 def io6_compaction_plan(spark, sf_dir):
     """Small-file COMPACTION planning — the lakehouse maintenance op
     that keeps a streaming-ingested table readable (thousands of tiny
@@ -8264,6 +8295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x93_graph_beam_search": x93_graph_beam_search,
         "x94_hierarchical_ivf": x94_hierarchical_ivf,
         "a19_join_skew_audit": a19_join_skew_audit,
+        "io7_export_manifest": io7_export_manifest,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12288,6 +12320,25 @@ SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
 FROM b3
 """
     )
+    # io7: content-hash sharding (x11's md5 bucket) + order-independent
+    # modular fingerprint (x9b's rolling hash summed mod p)
+    d["io7_export_manifest"] = """
+WITH d AS (
+  SELECT (('0x' || substr(md5(text), 1, 4))::INT % 1000) % 8 AS shard,
+         n_chars,
+         list_reduce(
+           [0::BIGINT] || list_transform(
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+             c -> ascii(c)::BIGINT),
+           (acc, x) -> (acc * 257 + x) % 1000000007) AS fp
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(fp) % 1000000007 AS BIGINT) AS fingerprint
+FROM d GROUP BY shard
+"""
     # a19: the hot-key test is pure integer arithmetic; only the two
     # 6dp ratios touch floats (same half-up formula both engines)
     d["a19_join_skew_audit"] = f"""
