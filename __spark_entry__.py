@@ -4438,6 +4438,24 @@ def x93_graph_beam_search(spark, sf_dir):
     return S.graph_beam_search(emb, graph, q, k=10, beam=10, hops=3)
 
 
+def x95_refined_graph_search(spark, sf_dir):
+    """The FULL production graph-ANN chain in one exact-oracled
+    composite: build the IVF-seeded kNN graph (x86), run one
+    NN-descent refinement round (x88 — recall@5 0.28 → 0.40 on this
+    corpus), then answer the 8 probe queries with 3-hop beam search
+    over the REFINED edge list (x93's walk). Pure composition of the
+    three existing operators — no new physics — and the oracle chains
+    their CTEs the same way, so the whole build → refine → search
+    pipeline replays exactly in DuckDB. Walking the refined graph must
+    not lose recall vs walking the seed graph (better edges → better
+    frontier), pinned by pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = S.knn_graph(emb, k=5, n_probe=2)
+    refined = S.nn_descent_round(graph, emb, k=5).select("src_id", "nbr_id")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return S.graph_beam_search(emb, refined, q, k=10, beam=10, hops=3)
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8296,6 +8314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x94_hierarchical_ivf": x94_hierarchical_ivf,
         "a19_join_skew_audit": a19_join_skew_audit,
         "io7_export_manifest": io7_export_manifest,
+        "x95_refined_graph_search": x95_refined_graph_search,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12275,50 +12294,78 @@ FROM graph f JOIN graph r
 WHERE f.src_id < f.nbr_id
 """
     )
-    # x93: beam search over the shared graph CTE. Entry = the query's
-    # own assigned cell (assignment rank-1 == probe rank-1: identical
-    # ordering over the same codebook), then each hop is two CTEs —
-    # candidates (beam ∪ graph neighbors, distinct) and the re-scored
-    # top-10 beam. beam == k == 10, so the final beam IS the answer.
-    _x93_cos = V.cosine_sql("cc.cvec", "qa.qvec")
-    _x93_sql = (
-        _x86_graph
-        + f"""
+    # Beam search unrolled as CTEs over ANY edge-list CTE (x93 walks
+    # the seed graph, x95 walks the NN-descent-refined one). Entry =
+    # the query's own assigned cell (assignment rank-1 == probe
+    # rank-1: identical ordering over the same codebook), then each
+    # hop is two CTEs — candidates (beam ∪ graph neighbors, distinct)
+    # and the re-scored top-10 beam. beam == k == 10, so the final
+    # beam IS the answer.
+    def _beam_search_sql(graph_cte: str) -> str:
+        cos = V.cosine_sql("cc.cvec", "qa.qvec")
+        s = f"""
 , qa AS (
   SELECT vec_id AS query_id, cvec AS qvec, cell
   FROM assigned WHERE vec_id < 8
 ), b0 AS (
   SELECT query_id, node, sim FROM (
-    SELECT qa.query_id, cc.vec_id AS node, {_x93_cos} AS sim,
+    SELECT qa.query_id, cc.vec_id AS node, {cos} AS sim,
            row_number() OVER (PARTITION BY qa.query_id
-               ORDER BY {_x93_cos} DESC, cc.vec_id ASC) AS rn
+               ORDER BY {cos} DESC, cc.vec_id ASC) AS rn
     FROM qa JOIN assigned cc ON cc.cell = qa.cell) WHERE rn <= 10
 )"""
-    )
-    for _h in range(1, 4):
-        _x93_sql += f"""
-, c{_h} AS (
+        for h in range(1, 4):
+            s += f"""
+, c{h} AS (
   SELECT DISTINCT query_id, node FROM (
-    SELECT query_id, node FROM b{_h - 1}
+    SELECT query_id, node FROM b{h - 1}
     UNION ALL
     SELECT b.query_id, g.nbr_id AS node
-    FROM b{_h - 1} b JOIN graph g ON b.node = g.src_id)
-), b{_h} AS (
+    FROM b{h - 1} b JOIN {graph_cte} g ON b.node = g.src_id)
+), b{h} AS (
   SELECT query_id, node, sim FROM (
-    SELECT cd.query_id, cd.node, {_x93_cos} AS sim,
+    SELECT cd.query_id, cd.node, {cos} AS sim,
            row_number() OVER (PARTITION BY cd.query_id
-               ORDER BY {_x93_cos} DESC, cd.node ASC) AS rn
-    FROM c{_h} cd JOIN c cc ON cc.vec_id = cd.node
+               ORDER BY {cos} DESC, cd.node ASC) AS rn
+    FROM c{h} cd JOIN c cc ON cc.vec_id = cd.node
                   JOIN qa ON qa.query_id = cd.query_id) WHERE rn <= 10
 )"""
-    d["x93_graph_beam_search"] = (
-        _x93_sql
-        + """
+        return s + """
 SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY sim DESC, node ASC) AS INT) AS rank
 FROM b3
 """
+
+    d["x93_graph_beam_search"] = _x86_graph + _beam_search_sql("graph")
+    # x95: x88's one refinement round re-expressed as a CTE, then the
+    # same beam walk over the refined edge list — one oracle covering
+    # the full production chain build -> refine -> search
+    _refined_cte = f"""
+, bu AS (
+  SELECT src_id, nbr_id FROM graph
+  UNION
+  SELECT nbr_id AS src_id, src_id AS nbr_id FROM graph
+), rcand AS (
+  SELECT g1.src_id AS src_id, g2.nbr_id AS cand_id
+  FROM bu g1 JOIN bu g2 ON g1.nbr_id = g2.src_id
+  WHERE g1.src_id <> g2.nbr_id
+  UNION
+  SELECT src_id, nbr_id AS cand_id FROM graph
+), rsc AS (
+  SELECT rcand.src_id, rcand.cand_id,
+         {V.cosine_sql('e1.cvec', 'e2.cvec')} AS sim
+  FROM rcand JOIN c e1 ON rcand.src_id = e1.vec_id
+             JOIN c e2 ON rcand.cand_id = e2.vec_id
+), refined AS (
+  SELECT src_id, cand_id AS nbr_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY sim DESC, cand_id ASC) AS rk
+    FROM rsc) WHERE rk <= 5
+)"""
+    d["x95_refined_graph_search"] = (
+        _x86_graph + _refined_cte + _beam_search_sql("refined")
     )
     # io7: content-hash sharding (x11's md5 bucket) + order-independent
     # modular fingerprint (x9b's rolling hash summed mod p)

@@ -1151,3 +1151,37 @@ def test_x94_hierarchical_assign_agreement(spark, sf01):
     assert r.agreement_rate >= 0.4, r
     assert r.n_super_used >= 2, r
     assert abs(r.agreement_rate - r.n_agree / r.n_vectors) < 1e-6, r
+
+
+def test_x95_refined_walk_dominates_seed_walk(spark, sf01):
+    """Walking the NN-descent-refined graph (x95) must not lose
+    recall@10 vs walking the seed graph (x93) — better edges can only
+    improve the beam frontier — and must clear its own floor."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = entrymod.load_table(spark, sf01, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+
+    def recall(name):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in entrymod.queries()[name](spark, sf01).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed, r_refined = (
+        recall("x93_graph_beam_search"),
+        recall("x95_refined_graph_search"),
+    )
+    # measured at sf0.01: 0.85 (seed walk) -> 0.9375 (refined walk)
+    assert r_refined >= r_seed, (r_seed, r_refined)
+    assert r_refined >= 0.9, r_refined
