@@ -165,6 +165,7 @@ PROBED_QUERIES = (
     "x93_graph_beam_search",
     "st21_knn_graph_ingest",
     "x94_hierarchical_ivf",
+    "x95_refined_graph_search",
 )
 
 
