@@ -4456,6 +4456,58 @@ def x95_refined_graph_search(spark, sf_dir):
     return S.graph_beam_search(emb, refined, q, k=10, beam=10, hops=3)
 
 
+def x96_lsh_parameter_plan(spark, sf_dir):
+    """MinHash-LSH PARAMETER PLANNER — the S-curve solver run before
+    deploying a near-dup pass (datasketch/Spark-LSH users do this by
+    hand): for a 16-hash signature budget, enumerate every (bands,
+    rows) factorization and report the estimated Jaccard threshold
+    (1/b)^(1/r) plus the collision probability 1-(1-s^r)^b at four
+    reference similarities — the numbers that tell you which banding
+    catches 0.7-similar pairs without flooding candidates with
+    0.3-similar ones. 'chosen' marks the banding nearest the 0.5
+    design threshold x2's family targets (b=4, r=4 — the deployed
+    configuration). Pure metadata math on 5 rows (the planner is
+    driver-free and corpus-free by design: planning must not cost a
+    scan); floats are half-up 6dp so both engines agree."""
+    target = 0.5
+    plans = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,)], "n_bands int"
+    ).withColumn("rows_per_band", (F.lit(16) / F.col("n_bands")).cast("int"))
+    est = F.pow(
+        F.lit(1.0) / F.col("n_bands"), F.col("n_bands") / F.lit(16.0)
+    )
+    cols = [
+        "n_bands",
+        "rows_per_band",
+        W.round_half_up(est, 6).alias("est_threshold"),
+    ]
+    for s in (0.3, 0.5, 0.7, 0.9):
+        p = F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.lit(s), F.col("rows_per_band")),
+            F.col("n_bands"),
+        )
+        cols.append(
+            W.round_half_up(p, 6).alias(f"p_at_{str(s).replace('.', '')}")
+        )
+    scored = plans.select(*cols).withColumn(
+        "dist", F.abs(F.col("est_threshold") - F.lit(target))
+    )
+    w = Window.orderBy(F.col("dist").asc(), F.col("n_bands").asc())
+    return (
+        scored.withColumn("pick", F.row_number().over(w))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "est_threshold",
+            "p_at_03",
+            "p_at_05",
+            "p_at_07",
+            "p_at_09",
+            (F.col("pick") == 1).alias("chosen"),
+        )
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8315,6 +8367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_join_skew_audit": a19_join_skew_audit,
         "io7_export_manifest": io7_export_manifest,
         "x95_refined_graph_search": x95_refined_graph_search,
+        "x96_lsh_parameter_plan": x96_lsh_parameter_plan,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12367,6 +12420,32 @@ FROM b3
     d["x95_refined_graph_search"] = (
         _x86_graph + _refined_cte + _beam_search_sql("refined")
     )
+    # x96: pure 5-row planner math; rounding half-up 6dp absorbs any
+    # cross-libm pow ulp
+    _x96_ps = "".join(
+        f""",
+       {W.round_half_up_sql(
+           f'1.0 - pow(1.0 - pow({s}, rows_per_band), n_bands)', 6)}
+         AS p_at_{str(s).replace('.', '')}"""
+        for s in (0.3, 0.5, 0.7, 0.9)
+    )
+    d["x96_lsh_parameter_plan"] = f"""
+WITH plans AS (
+  SELECT n_bands, CAST(16 / n_bands AS INT) AS rows_per_band
+  FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_bands)
+), scored AS (
+  SELECT n_bands, rows_per_band,
+       {W.round_half_up_sql(
+           'pow(1.0 / n_bands, n_bands / 16.0)', 6)} AS est_threshold{_x96_ps}
+  FROM plans
+)
+SELECT n_bands, rows_per_band, est_threshold,
+       p_at_03, p_at_05, p_at_07, p_at_09,
+       (row_number() OVER (
+          ORDER BY abs(est_threshold - 0.5) ASC, n_bands ASC) = 1)
+         AS chosen
+FROM scored
+"""
     # io7: content-hash sharding (x11's md5 bucket) + order-independent
     # modular fingerprint (x9b's rolling hash summed mod p)
     d["io7_export_manifest"] = """
