@@ -3698,6 +3698,19 @@ def st22_vector_serve_stream(spark, sf_dir):
     return ST.run_vector_serve_stream(spark, sf_dir)
 
 
+def st23_export_manifest_stream(spark, sf_dir):
+    """io7's export manifest maintained ON INGEST
+    (streaming/micro_batch.run_export_manifest_stream): every per-shard
+    statistic is a commutative monoid (counts add, the
+    order-independent fingerprint is a modular sum), so each batch
+    folds via the combiner law with mod applied per fold — which is
+    ALSO the overflow guard io7's batch form defers to the scale path.
+    8-row version-chained state, replay-safe; drained head == batch
+    io7 exactly (one oracle, batch and streaming)."""
+    apply_runtime_confs(spark)
+    return ST.run_export_manifest_stream(spark, sf_dir)
+
+
 def st18_corpus_telemetry(spark, sf_dir):
     """Dataset-card telemetry maintained ON INGEST
     (streaming/micro_batch.run_corpus_telemetry): per-language doc/
@@ -8117,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st19_model_score_stream": st19_model_score_stream,
         "st21_knn_graph_ingest": st21_knn_graph_ingest,
         "st22_vector_serve_stream": st22_vector_serve_stream,
+        "st23_export_manifest_stream": st23_export_manifest_stream,
         "qv1_quality_verdict": qv1_quality_verdict,
         "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
@@ -8127,7 +8141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql2_star_join_sql": sql2_star_join_sql,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
         "sql4_windowed_sql": sql4_windowed_sql,
-        "sql5_recursive_cte": sql5_recursive_cte,
         "q1_pricing_summary": q1_pricing_summary,
         "f1_range_filter": f1_range_filter,
         "f3_date_filter": f3_date_filter,
@@ -8144,11 +8157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_group_counts": a4_group_counts,
         "s2_json_access": s2_json_access,
         "sql1_quality_sql": sql1_quality_sql,
-        # slots 51+: displaced from the window in r4 to admit st21/st22
-        # (the streaming surface stays fully driver-verified; these two
-        # have many local-pass window-function siblings)
+        # slots 51+: displaced from the window in r4 to admit
+        # st21/st22/st23 (the streaming surface stays fully
+        # driver-verified; these have in-window siblings — w12+/sql2-4)
         "w10_ohlc_bars": w10_ohlc_bars,
         "w11_cumulative_distinct": w11_cumulative_distinct,
+        "sql5_recursive_cte": sql5_recursive_cte,
         "b1_broadcast_join": b1_broadcast_join,
         "q5_regional_revenue": q5_regional_revenue,
         "j1_asof_join": j1_asof_join,
@@ -12465,6 +12479,8 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(fp) % 1000000007 AS BIGINT) AS fingerprint
 FROM d GROUP BY shard
 """
+    # st23 folds io7's monoid partials per batch — drained head == io7
+    d["st23_export_manifest_stream"] = d["io7_export_manifest"]
     # a19: the hot-key test is pure integer arithmetic; only the two
     # 6dp ratios touch floats (same half-up formula both engines)
     d["a19_join_skew_audit"] = f"""

@@ -1193,6 +1193,117 @@ def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_export_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest maintained ON INGEST (st23) — io7's integrity
+    artifact as a stream fold, so the manifest is always current
+    instead of a full-corpus recompute before each export. Every
+    per-shard statistic io7 reports is a COMMUTATIVE MONOID: doc/char
+    counts add, and the order-independent fingerprint is a modular
+    sum, so merging a batch is agg(A∪B) = merge(agg(A), agg(B)) —
+    r6/st18's combiner law — with the mod applied at every fold
+    (associativity of + mod p), which doubles as the overflow guard
+    the batch io7 docstring defers to the scale path: partials never
+    exceed p + batch contribution. State = 8 rows forever,
+    version-chained v{b} from v{b-1} (replay-safe exactly-once); the
+    drained head equals batch io7 EXACTLY — one oracle, batch and
+    streaming."""
+    import shutil
+
+    from ..functions.text import rolling_hash
+    from ..operators.sampling import split_bucket
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    _P = 1_000_000_007
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st23_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(docs.repartition(4), src_dir)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                (split_bucket(F.col("text")) % 8).alias("shard"),
+                "n_chars",
+                rolling_hash(F.col("text")).alias("fp"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars"),
+                F.pmod(F.sum("fp"), F.lit(_P)).cast("long").alias("fp_sum"),
+            )
+        )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = partials(batch)
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("shard")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("n_chars"),
+                    F.pmod(F.sum("fp_sum"), F.lit(_P))
+                    .cast("long")
+                    .alias("fp_sum"),
+                )
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    out = (
+        spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            F.col("fp_sum").alias("fingerprint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring ON INGEST (st19): a batch-trained artifact — w16's
     per-(event_type, hour) median/MAD anomaly profile — applied to an
