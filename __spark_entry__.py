@@ -3698,6 +3698,21 @@ def st22_vector_serve_stream(spark, sf_dir):
     return ST.run_vector_serve_stream(spark, sf_dir)
 
 
+def st24_graph_serve_stream(spark, sf_dir):
+    """Streaming GRAPH-ANN serving
+    (streaming/micro_batch.run_graph_serve_stream) — the fourth leg of
+    the vector platform (ingest st17 / graph-maintain st21 / IVF-serve
+    st22 / GRAPH-serve st24): query batches answered by x93's beam
+    search against DEPLOYED index state — stored codebook, stored
+    cell-partitioned assignment read partition-pruned per batch (only
+    the batch's entry cells), stored edge list. Per-batch cost is the
+    walk itself, N-independent; answers land replay-safe in
+    serve_batch partitions. Drained union == batch x93 — one oracle,
+    batch and served."""
+    apply_runtime_confs(spark)
+    return ST.run_graph_serve_stream(spark, sf_dir)
+
+
 def st23_export_manifest_stream(spark, sf_dir):
     """io7's export manifest maintained ON INGEST
     (streaming/micro_batch.run_export_manifest_stream): every per-shard
@@ -8131,8 +8146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st21_knn_graph_ingest": st21_knn_graph_ingest,
         "st22_vector_serve_stream": st22_vector_serve_stream,
         "st23_export_manifest_stream": st23_export_manifest_stream,
+        "st24_graph_serve_stream": st24_graph_serve_stream,
         "qv1_quality_verdict": qv1_quality_verdict,
-        "qv2_expectation_suite": qv2_expectation_suite,
         "a18_column_profiler": a18_column_profiler,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
@@ -8163,6 +8178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_ohlc_bars": w10_ohlc_bars,
         "w11_cumulative_distinct": w11_cumulative_distinct,
         "sql5_recursive_cte": sql5_recursive_cte,
+        "qv2_expectation_suite": qv2_expectation_suite,
         "b1_broadcast_join": b1_broadcast_join,
         "q5_regional_revenue": q5_regional_revenue,
         "j1_asof_join": j1_asof_join,
@@ -12434,6 +12450,9 @@ FROM b3
     d["x95_refined_graph_search"] = (
         _x86_graph + _refined_cte + _beam_search_sql("refined")
     )
+    # st24 serves the same query set by the same walk from deployed
+    # state in streaming batches — drained union == the batch search
+    d["st24_graph_serve_stream"] = d["x93_graph_beam_search"]
     # x96: pure 5-row planner math; rounding half-up 6dp absorbs any
     # cross-libm pow ulp
     _x96_ps = "".join(

@@ -664,6 +664,8 @@ def graph_beam_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     truncate_lineage: bool = True,
+    cent: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """QUERY-TIME graph-ANN search — the consumer of the
     :func:`knn_graph` build artifact (the HNSW-base-layer / DiskANN
@@ -700,14 +702,20 @@ def graph_beam_search(
 
     from pyspark.storagelevel import StorageLevel
 
-    if n_centroids is None:
-        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
-    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    # ``cent``/``assigned`` are creation-time index state — a SERVING
+    # caller (st24) passes the stored codebook and the (possibly
+    # partition-pruned) stored assignment instead of recomputing
+    # either from the corpus
+    if cent is None:
+        if n_centroids is None:
+            n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+        cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
     # entry: the query's single nearest cell (n_probe=1 — identical
     # ordering to assignment, so a corpus-member query enters via its
     # own cell), scored exactly and cut to the initial beam
     probes = _ivf_probes(queries, cent, query_id_col, vec_col, 1)
-    assigned = _ivf_assign(corpus, cent, id_col, vec_col)
+    if assigned is None:
+        assigned = _ivf_assign(corpus, cent, id_col, vec_col)
     qframe = (
         probes.select("query_id", "qvec")
         .withColumn("qnrm", norm(F.col("qvec")))

@@ -1193,6 +1193,141 @@ def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GRAPH-ANN serving (st24) — the fourth leg of the
+    vector platform: st17 ingests the corpus into the cell layout,
+    st21 maintains the kNN graph, st22 serves by IVF probing, and
+    here query batches are answered by x93's BEAM SEARCH against the
+    DEPLOYED index state — stored codebook, stored cell-partitioned
+    assignment (each batch reads only its entry cells through
+    partition pruning), stored edge list. Per-batch work is the walk
+    itself: entry-cell scan for the batch's queries + hops·beam·k
+    broadcast lookups — N-independent, the reason graph serving beats
+    cell probing at 100 TB query rates. Answers land replay-safe in
+    serve_batch partitions (st22's discipline); the drained union ==
+    batch x93 on the full query set — one oracle, batch and served."""
+    import math
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import (
+        _ivf_assign,
+        _ivf_codebook,
+        _ivf_probes,
+        graph_beam_search,
+        knn_graph,
+    )
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nc = max(1, math.ceil(math.sqrt(n)))
+    cent = _ivf_codebook(emb, "vec_id", "embedding", nc)
+
+    workdir = tempfile.mkdtemp(prefix="kw_st24_")
+    src_dir = os.path.join(workdir, "query_arrivals")
+    assign_dir = os.path.join(workdir, "assign_index")
+    graph_path = os.path.join(workdir, "graph")
+    results = os.path.join(workdir, "results")
+    os.makedirs(src_dir)
+    # deploy once: cell-partitioned assignment + the kNN edge list
+    _ivf_assign(emb, cent, "vec_id", "embedding").write.partitionBy(
+        "cell"
+    ).parquet(assign_dir)
+    knn_graph(emb, k=5, n_centroids=nc, n_probe=2).write.parquet(graph_path)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    t0 = int(_time.time()) - 3600
+    for i in range(4):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        queries.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(qbatch: DataFrame, batch_id: int) -> None:
+        sp = qbatch.sparkSession
+        if os.environ.get("ST24_DEBUG"):
+            print(f"[st24] batch {batch_id}: {qbatch.count()} queries")
+        qs = qbatch.withColumnRenamed("vec_id", "query_id")
+        # bounded driver-side metadata: the batch's entry cells only
+        cells = [
+            r[0]
+            for r in _ivf_probes(qs, cent, "query_id", "embedding", 1)
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        assigned = (
+            sp.read.parquet(assign_dir)
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+        )
+        out = graph_beam_search(
+            emb,
+            sp.read.parquet(graph_path),
+            qs,
+            k=10,
+            beam=10,
+            hops=3,
+            cent=cent,
+            assigned=assigned,
+        )
+        # `out` mixes frames from the outer session (emb/cent: deployed
+        # index state) and the micro-batch session clone (qs/assigned)
+        # — the write resolves its conf against out.sparkSession, NOT
+        # necessarily `sp`, so set dynamic overwrite THERE or each
+        # batch wipes the prior serve_batch partitions (st22 never hit
+        # this: its whole lineage lives in the batch session)
+        wsess = out.sparkSession
+        prev_mode = wsess.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                out.withColumn("serve_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("serve_batch")
+                .parquet(results)
+            )
+        finally:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(queries.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = (
+        spark.read.parquet(results)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_export_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export manifest maintained ON INGEST (st23) — io7's integrity
     artifact as a stream fold, so the manifest is always current

