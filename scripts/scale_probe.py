@@ -166,6 +166,8 @@ PROBED_QUERIES = (
     "st21_knn_graph_ingest",
     "x94_hierarchical_ivf",
     "x95_refined_graph_search",
+    "st22_vector_serve_stream",
+    "st24_graph_serve_stream",
 )
 
 
