@@ -8172,9 +8172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_group_counts": a4_group_counts,
         "s2_json_access": s2_json_access,
         "sql1_quality_sql": sql1_quality_sql,
-        # slots 51+: displaced from the window in r4 to admit
-        # st21/st22/st23 (the streaming surface stays fully
-        # driver-verified; these have in-window siblings — w12+/sql2-4)
+        # slots 51+: displaced from the window in r4 to admit st21-st24
+        # (the streaming surface stays fully driver-verified; these
+        # have in-window siblings — w12+/sql2-4/qv1)
         "w10_ohlc_bars": w10_ohlc_bars,
         "w11_cumulative_distinct": w11_cumulative_distinct,
         "sql5_recursive_cte": sql5_recursive_cte,
