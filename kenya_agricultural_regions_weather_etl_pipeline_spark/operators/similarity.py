@@ -350,6 +350,7 @@ def knn_graph(
     vec_col: str = "embedding",
     n_centroids: int | None = None,
     n_probe: int = 2,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-blocked k-nearest-neighbor GRAPH over the corpus itself —
     every vector's approximate top-k neighbors, the build artifact
@@ -372,16 +373,41 @@ def knn_graph(
     codebook stays broadcastable (√N rows — 32 k rows of dim-64
     doubles ≈ 16 MB at N = 10⁹).
 
+    Assignment (rank 1) and probe lists (rank ≤ n_probe) are derived
+    from ONE ``_ivf_rank_cells`` pass over the corpus — the N·√N
+    codebook scan is the build's dominant map cost, and the corpus is
+    both the assigned side AND the probing side here, so paying it
+    twice (the pre-r4 shape: separate ``_ivf_assign`` +
+    ``_ivf_probes`` passes) doubled the most expensive stage for
+    bit-identical output. The thin ranked frame (2 rows/vector) is
+    lazily persisted so its two consumers don't re-execute the scan.
+
+    ``cent`` lets a caller pass an already-built codebook frame (e.g.
+    a deployed index's stored codebook, st24) — it must have the
+    `_ivf_codebook` schema (centroid_id, cent_vec).
+
     Returns (src_id, nbr_id, cos_sim, rank): ``k`` directed edges per
     vector, self-edges excluded, rank 1 = nearest.
     """
     import math
 
+    from pyspark.storagelevel import StorageLevel
+
     if n_centroids is None:
         n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
-    cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
-    assigned = _ivf_assign(corpus, cent, id_col, vec_col)
-    probes = _ivf_probes(corpus, cent, id_col, vec_col, n_probe)
+    if cent is None:
+        cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+    ranked = _ivf_rank_cells(corpus, cent, id_col, vec_col, n_probe).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    assigned = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cvec", "cell"
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cvec").alias("qvec"),
+        "cell",
+    )
     scored = (
         assigned.withColumn("cnrm", norm(F.col("cvec")))
         # cell-keyed shuffle join, deliberately NOT broadcast: probes is

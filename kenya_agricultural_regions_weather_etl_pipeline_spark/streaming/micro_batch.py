@@ -1234,7 +1234,9 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_assign(emb, cent, "vec_id", "embedding").write.partitionBy(
         "cell"
     ).parquet(assign_dir)
-    knn_graph(emb, k=5, n_centroids=nc, n_probe=2).write.parquet(graph_path)
+    knn_graph(emb, k=5, n_centroids=nc, n_probe=2, cent=cent).write.parquet(
+        graph_path
+    )
 
     queries = emb.filter(F.col("vec_id") < 8)
     t0 = int(_time.time()) - 3600
