@@ -35,6 +35,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  #
     packing as PK,
     sampling as SMP,
     similarity as S,
+    tokenizer as TK,
     topk as K,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (  # noqa: E402
@@ -4536,6 +4537,98 @@ def x96_lsh_parameter_plan(spark, sf_dir):
     )
 
 
+def x97_bpe_merge_train(spark, sf_dir):
+    """Distributed BPE TOKENIZER TRAINING — x87's pair-count step run
+    as the real iterative merge loop (Sennrich et al., ACL'16): 5
+    rounds, each picking the globally most frequent adjacent symbol
+    pair (tie-broken count DESC, left ASC, right ASC) and rewriting
+    the vocabulary with that pair merged via a left-to-right greedy
+    fold. The corpus is touched ONCE (word-frequency pass); every
+    round after that is vocabulary-sized (Zipf-bounded), the arg-max
+    compiles to TakeOrderedAndProject, and the winning rule broadcasts
+    into a map-side rewrite — the per-round cost production trainers
+    pay for thousands of rounds. Fold semantics are string-encoded
+    (chr(31)-delimited symbols) so the identical greedy rewrite runs
+    as DuckDB list_reduce in the oracle's chained CTEs: the whole
+    training TRAJECTORY — which pair wins every round and how each
+    word re-segments — is replayed exactly, not just the final counts.
+    See operators/tokenizer.py for the scale analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    return TK.bpe_train(words, n_merges=5)
+
+
+def x98_graph_triangle_audit(spark, sf_dir):
+    """TRIANGLE CENSUS of the mutual-kNN graph (x86 → x86b) — the
+    structural audit behind graph-index quality and community
+    structure: the global clustering coefficient (3·triangles /
+    wedges) says whether the neighborhood graph is locally dense
+    (duplicate clusters, tight semantic groups) or tree-like (a weak
+    index that beam search would traverse poorly). Edge list is
+    degree-bounded by construction (mutual-kNN degree ≤ k), so wedges
+    ≤ N·k² and the two-join triangle enumeration is linear in N —
+    never the |E|³ naive shape. Edges checkpoint once and feed the
+    wedge join, the closure probe, and the degree aggregate; the
+    canonical a<b<c ordering counts each triangle exactly once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        S.mutual_knn_edges(S.knn_graph(emb, k=5, n_probe=2))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    wedges = edges.alias("e1").join(
+        edges.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a")
+    ).select(
+        F.col("e1.id_a").alias("a"),
+        F.col("e1.id_b").alias("b"),
+        F.col("e2.id_b").alias("c"),
+    )
+    tri = wedges.join(
+        edges.select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("c")
+        ),
+        ["a", "c"],
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("v"))
+        .union(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1)") / F.lit(2)).cast("bigint").alias("n_wedges")
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                tri.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n_wedges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            W.round_half_up(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8398,6 +8491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io7_export_manifest": io7_export_manifest,
         "x95_refined_graph_search": x95_refined_graph_search,
         "x96_lsh_parameter_plan": x96_lsh_parameter_plan,
+        "x97_bpe_merge_train": x97_bpe_merge_train,
+        "x98_graph_triangle_audit": x98_graph_triangle_audit,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12377,6 +12472,35 @@ FROM graph f JOIN graph r
 WHERE f.src_id < f.nbr_id
 """
     )
+    d["x98_graph_triangle_audit"] = (
+        _x86_graph
+        + f"""
+, me AS (
+  SELECT f.src_id AS id_a, f.nbr_id AS id_b
+  FROM graph f JOIN graph r
+    ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
+  WHERE f.src_id < f.nbr_id
+), tri AS (
+  SELECT 1 AS one
+  FROM me e1
+  JOIN me e2 ON e1.id_b = e2.id_a
+  JOIN me e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT id_a AS v FROM me UNION ALL SELECT id_b AS v FROM me)
+  GROUP BY v
+), tots AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM me) AS n_edges,
+    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+    (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
+)
+SELECT n_edges, n_triangles, n_wedges,
+       {W.round_half_up_sql(
+           '3.0 * n_triangles / greatest(n_wedges, 1)', 6)} AS global_clustering
+FROM tots
+"""
+    )
     # Beam search unrolled as CTEs over ANY edge-list CTE (x93 walks
     # the seed graph, x95 walks the NN-descent-refined one). Entry =
     # the query's own assigned cell (assignment rank-1 == probe
@@ -12479,6 +12603,53 @@ SELECT n_bands, rows_per_band, est_threshold,
          AS chosen
 FROM scored
 """
+    # x97: the BPE merge loop unrolled — round i's CTE trio (pair
+    # counts p{i} over v{i-1}, arg-max rule b{i}, rewritten vocab
+    # v{i}) chains off round i-1; the list_reduce fold is the same
+    # string-encoded greedy rewrite operators/tokenizer.py runs, so
+    # the full training trajectory replays, not just final counts
+    _x97_round = """
+, p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(wf) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(s, chr(31)) AS a, wf FROM v{j}) t,
+       LATERAL unnest(list_transform(range(1, len(a)),
+                                     k -> {{'l': a[k], 'r': a[k+1]}})) AS u(pr)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT {i} AS merge_round, l, r, l || r AS m, pair_count FROM p{i}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+), v{i} AS (
+  SELECT list_reduce(string_split(s, chr(31)),
+           (acc, x) -> CASE
+              WHEN (acc = b{i}.l OR ends_with(acc, chr(31) || b{i}.l))
+                   AND x = b{i}.r
+                THEN left(acc, length(acc) - length(b{i}.l)) || b{i}.m
+              ELSE acc || chr(31) || x END) AS s, wf
+  FROM v{j}, b{i}
+)"""
+    d["x97_bpe_merge_train"] = (
+        """
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents)
+  GROUP BY w
+), v0 AS (
+  SELECT left(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+              length(regexp_replace(w, '(.)', '\\1' || chr(31), 'g')) - 1)
+           AS s, wf
+  FROM words
+)"""
+        + "".join(_x97_round.format(i=i, j=i - 1) for i in range(1, 6))
+        + """
+SELECT merge_round, l AS left_sym, r AS right_sym, m AS merged, pair_count
+FROM ("""
+        + " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, 6))
+        + """)
+ORDER BY merge_round
+"""
+    )
     # io7: content-hash sharding (x11's md5 bucket) + order-independent
     # modular fingerprint (x9b's rolling hash summed mod p)
     d["io7_export_manifest"] = """
