@@ -1185,3 +1185,44 @@ def test_x95_refined_walk_dominates_seed_walk(spark, sf01):
     # measured at sf0.01: 0.85 (seed walk) -> 0.9375 (refined walk)
     assert r_refined >= r_seed, (r_seed, r_refined)
     assert r_refined >= 0.9, r_refined
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """The merge rewrite is Sennrich's LEFT-TO-RIGHT non-overlapping
+    greedy: 'aaaa' under rule (a,a) becomes [aa, aa] (never [a, aa, a]
+    or a re-merged [aaaa]), and a just-created symbol participates in
+    LATER rules as a unit. Pair counts are frequency-weighted and
+    overlapping-adjacent ('aaa' contributes (a,a) twice)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        [("aaa", 3), ("aaaa", 1), ("banana", 2), ("ab", 5), ("x", 7)],
+        "w string, wf long",
+    )
+    got = bpe_train(words, n_merges=2).collect()
+    # round 1: (a,a) weight 3*2 + 1*3 = 9 beats (a,b) 5(+0) and the
+    # banana pairs (an/na at 4); round 2: with aa fused, 'banana'
+    # pairs (a,n)/(n,a) at weight 4 win over (aa,a) [aaa only: 3],
+    # (aa,aa) [aaaa: 1], (a,b) [ab: 5]... (a,b) is 5 — tiebreak check:
+    # an=4, na=4, ab=5 -> (a,b) wins round 2 at 5.
+    assert [(r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in got] == [
+        (1, "a", "a", "aa", 9),
+        (2, "a", "b", "ab", 5),
+    ]
+
+
+def test_bpe_train_rejects_unbounded_rounds(spark):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame([("ab", 1)], "w string, wf long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(words, n_merges=0)
+    with _pytest.raises(ValueError):
+        bpe_train(words, n_merges=100_000)
