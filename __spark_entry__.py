@@ -4629,6 +4629,52 @@ def x98_graph_triangle_audit(spark, sf_dir):
     )
 
 
+def x99_bpe_fertility_trained(spark, sf_dir):
+    """Tokenizer APPLY path — re-segment the corpus with x97's trained
+    merge rules and report per-source fertility (tokens per word), the
+    statistic that tells you whether a tokenizer fits a source (x56
+    measures it under a fixed regex proxy; this is the real thing
+    under the corpus' own trained BPE). The rule table is index state
+    (5 rows, bounded by bpe_train's guard), collected once and folded
+    into ONE chained map expression — the corpus-side apply is a
+    single narrow pass, no joins, no shuffles (operators/tokenizer.py
+    bpe_apply). Training itself re-runs x97's loop; at 100 TB the
+    rules would be read from the tokenizer artifact instead. The
+    oracle replays the identical training CTEs and joins v5's final
+    segmentation to per-source counts, so rules AND application both
+    hash-verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    words_src = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wfs")
+    )
+    words_global = words_src.groupBy("w").agg(F.sum("wfs").alias("wf"))
+    merges = TK.bpe_train(words_global, n_merges=5)
+    segged = TK.bpe_apply(TK.symbolize(words_global), merges).select(
+        "w", F.size(F.split(F.col("s"), TK.US)).cast("bigint").alias("n_tok")
+    )
+    return (
+        words_src.join(segged, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("wfs").cast("bigint").alias("n_words"),
+            F.sum(F.col("wfs") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+            W.round_half_up(
+                F.lit(1.0)
+                * F.sum(F.col("wfs") * F.col("n_tok"))
+                / F.sum("wfs"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8493,6 +8539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x96_lsh_parameter_plan": x96_lsh_parameter_plan,
         "x97_bpe_merge_train": x97_bpe_merge_train,
         "x98_graph_triangle_audit": x98_graph_triangle_audit,
+        "x99_bpe_fertility_trained": x99_bpe_fertility_trained,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12619,7 +12666,7 @@ FROM scored
   SELECT {i} AS merge_round, l, r, l || r AS m, pair_count FROM p{i}
   ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
 ), v{i} AS (
-  SELECT list_reduce(string_split(s, chr(31)),
+  SELECT w, list_reduce(string_split(s, chr(31)),
            (acc, x) -> CASE
               WHEN (acc = b{i}.l OR ends_with(acc, chr(31) || b{i}.l))
                    AND x = b{i}.r
@@ -12636,7 +12683,7 @@ WITH words AS (
     FROM documents)
   GROUP BY w
 ), v0 AS (
-  SELECT left(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+  SELECT w, left(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
               length(regexp_replace(w, '(.)', '\\1' || chr(31), 'g')) - 1)
            AS s, wf
   FROM words
@@ -12648,6 +12695,32 @@ FROM ("""
         + " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, 6))
         + """)
 ORDER BY merge_round
+"""
+    )
+    # x99 replays x97's training chain (identical rule CTEs) and joins
+    # the FINAL vocabulary segmentation v5 back to per-source word
+    # counts — trained-tokenizer fertility, the x56 statistic under
+    # the corpus' own tokenizer instead of the fixed regex proxy
+    d["x99_bpe_fertility_trained"] = (
+        d["x97_bpe_merge_train"].split("SELECT merge_round,")[0]
+        + f"""
+, words_src AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS wfs FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents)
+  GROUP BY source, w
+)
+SELECT ws.source,
+       CAST(sum(ws.wfs) AS BIGINT) AS n_words,
+       CAST(sum(ws.wfs * len(string_split(v5.s, chr(31)))) AS BIGINT)
+         AS n_tokens,
+       {W.round_half_up_sql(
+           '1.0 * sum(ws.wfs * len(string_split(v5.s, chr(31))))'
+           ' / sum(ws.wfs)', 6)} AS fertility
+FROM words_src ws JOIN v5 ON ws.w = v5.w
+GROUP BY ws.source
 """
     )
     # io7: content-hash sharding (x11's md5 bucket) + order-independent

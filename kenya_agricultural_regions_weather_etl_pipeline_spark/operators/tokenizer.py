@@ -72,6 +72,63 @@ transform(
 """
 
 
+def symbolize(words: DataFrame, word_col: str = "w") -> DataFrame:
+    """Add the initial symbol string ``s`` (one character per symbol,
+    US-delimited) alongside the existing columns. The regexp appends a
+    trailing delimiter; substr drops it — same shape as the oracle CTE."""
+    rr = F.regexp_replace(F.col(word_col), "(.)", "$1" + US)
+    return words.withColumn("s", rr.substr(F.lit(1), F.length(rr) - F.lit(1)))
+
+
+def _apply_one_merge(s, left: str, right: str, merged: str):
+    """Column expression applying ONE merge rule to symbol string ``s``
+    — the same left-to-right greedy fold as ``_APPLY_MERGE``, built
+    with ``F.lit`` so arbitrary corpus symbols (quotes included) are
+    safe, and gated on a cheap contains() prefilter (false positives
+    across symbol boundaries just run the fold, which is the decider)."""
+    arr = F.split(s, US)
+
+    def step(acc, x):
+        match = (
+            (acc == F.lit(left))
+            | acc.endswith(F.concat(F.lit(US), F.lit(left)))
+        ) & (x == F.lit(right))
+        keep = acc.substr(F.lit(1), F.length(acc) - F.lit(len(left)))
+        return (
+            F.when(acc == F.lit(""), x)
+            .when(match, F.concat(keep, F.lit(merged)))
+            .otherwise(F.concat(acc, F.lit(US), x))
+        )
+
+    folded = F.aggregate(arr, F.lit(""), step)
+    return F.when(
+        s.contains(F.concat(F.lit(left), F.lit(US), F.lit(right))), folded
+    ).otherwise(s)
+
+
+def bpe_apply(
+    df: DataFrame, merges: DataFrame, sym_col: str = "s"
+) -> DataFrame:
+    """Re-segment symbol strings with a TRAINED rule table — the
+    tokenizer-apply path: rules fold into one chained map expression
+    (no joins, no shuffles; the corpus pays a single narrow pass
+    however many rules there are). The rule table is index state, not
+    data — bounded by ``bpe_train``'s n_merges guard — so collecting
+    it driver-side is the broadcast-a-model pattern, same as the
+    Lloyd codebooks. Rules MUST apply in training order (round n's
+    rule consumes symbols round n-1 created)."""
+    rules = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    if len(rules) > 1000:
+        raise ValueError(f"merge table too large to inline: {len(rules)}")
+    col = F.col(sym_col)
+    for left, right, merged in rules:
+        col = _apply_one_merge(col, left, right, merged)
+    return df.withColumn(sym_col, col)
+
+
 def bpe_train(
     words: DataFrame,
     n_merges: int,
@@ -94,13 +151,11 @@ def bpe_train(
     if not 1 <= n_merges <= 1000:
         raise ValueError(f"n_merges must be in [1, 1000], got {n_merges}")
 
-    # initial symbolization: one character per symbol (regexp appends a
-    # trailing delimiter; left() drops it) — same shape as the oracle CTE
-    vocab = words.selectExpr(
-        "left(regexp_replace(" + word_col + ", '(.)', concat('$1', char(31))),"
-        " length(regexp_replace(" + word_col + ", '(.)', concat('$1', char(31)))) - 1) AS s",
-        f"CAST({freq_col} AS BIGINT) AS wf",
-    ).localCheckpoint(eager=True)
+    vocab = (
+        symbolize(words, word_col)
+        .select("s", F.col(freq_col).cast("bigint").alias("wf"))
+        .localCheckpoint(eager=True)
+    )
 
     merges: list[DataFrame] = []
     for rnd in range(1, n_merges + 1):
