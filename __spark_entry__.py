@@ -3727,6 +3727,21 @@ def st23_export_manifest_stream(spark, sf_dir):
     return ST.run_export_manifest_stream(spark, sf_dir)
 
 
+def st25_bpe_stats_stream(spark, sf_dir):
+    """x87's BPE pair-count statistic maintained ON INGEST
+    (streaming/micro_batch.run_bpe_stats_stream): a word's pair
+    multiset is a fixed function of the word, so frequency-weighted
+    pair counts form a commutative monoid over document batches —
+    each arrival folds via the r6/st18/st23 combiner law into an
+    alphabet²-bounded state table (~1.5 k rows regardless of corpus
+    size), version-chained and replay-safe. Top-50 ranked once at
+    drain; drained head == batch x87 exactly (one oracle, batch and
+    streaming) — tokenizer-training statistics stay current without a
+    corpus recount."""
+    apply_runtime_confs(spark)
+    return ST.run_bpe_stats_stream(spark, sf_dir)
+
+
 def st18_corpus_telemetry(spark, sf_dir):
     """Dataset-card telemetry maintained ON INGEST
     (streaming/micro_batch.run_corpus_telemetry): per-language doc/
@@ -8540,6 +8555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x97_bpe_merge_train": x97_bpe_merge_train,
         "x98_graph_triangle_audit": x98_graph_triangle_audit,
         "x99_bpe_fertility_trained": x99_bpe_fertility_trained,
+        "st25_bpe_stats_stream": st25_bpe_stats_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -12983,4 +12999,7 @@ FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT 50
 """
+    # st25 folds x87's pair-count monoid per batch — drained top-50
+    # == the batch statistic exactly
+    d["st25_bpe_stats_stream"] = d["x87_bpe_pair_counts"]
     return d

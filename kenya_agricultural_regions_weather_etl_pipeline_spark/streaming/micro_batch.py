@@ -1441,6 +1441,111 @@ def run_export_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_bpe_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair-count statistics maintained ON INGEST (st25) — x87's
+    tokenizer-training statistic as a stream fold. Pair counts are a
+    COMMUTATIVE MONOID over document batches: a word's pair multiset
+    is a fixed function of the word, so Σ_batches wf_batch(w)·pairs(w)
+    = wf_total(w)·pairs(w) — merging a batch is agg(A∪B) =
+    merge(agg(A), agg(B)), the r6/st18/st23 combiner law. State is the
+    FULL pair table (alphabet²-bounded — ~1.5 k rows whatever the
+    corpus size), version-chained v{b} from v{b-1} (replay-safe
+    exactly-once); the global top-50 is taken once at drain, so no
+    per-batch ranking work. Drained head EQUALS batch x87 — one
+    oracle, batch and streaming. At 100 TB this is how tokenizer
+    retraining stays current without a corpus recount: each arrival
+    batch pays one vocabulary-keyed aggregation over ITS OWN words
+    plus a bounded state merge."""
+    import shutil
+
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st25_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(docs.repartition(4), src_dir)
+
+    def partials(df: DataFrame) -> DataFrame:
+        words = (
+            df.select(
+                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wf"))
+        )
+        return (
+            words.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1),"
+                        " i -> substring(w, i, 2))"
+                    )
+                ).alias("pair"),
+                "wf",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+        )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = partials(batch)
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("pair")
+                .agg(F.sum("pair_count").cast("bigint").alias("pair_count"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    out = (
+        spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring ON INGEST (st19): a batch-trained artifact — w16's
     per-(event_type, hour) median/MAD anomaly profile — applied to an
