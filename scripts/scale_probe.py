@@ -168,6 +168,10 @@ PROBED_QUERIES = (
     "x95_refined_graph_search",
     "st22_vector_serve_stream",
     "st24_graph_serve_stream",
+    "x97_bpe_merge_train",
+    "x98_graph_triangle_audit",
+    "x99_bpe_fertility_trained",
+    "st25_bpe_stats_stream",
 )
 
 
