@@ -4690,6 +4690,101 @@ def x99_bpe_fertility_trained(spark, sf_dir):
     )
 
 
+def a20_data_contract(spark, sf_dir):
+    """DATA CONTRACT enforcement (the Great-Expectations /
+    Delta-constraints pattern): a declarative expectation suite —
+    not-null, uniqueness, numeric range, allowed values, date bounds,
+    and CROSS-TABLE referential integrity — compiled into the MINIMUM
+    number of passes: every single-table expectation is one counter in
+    ONE wide aggregation over orders (adding an expectation widens the
+    agg, never adds a scan — a18's profiler discipline applied to
+    pass/fail contracts), and the foreign-key check is one anti-join
+    count (orphaned o_custkey values). The reference hand-rolled this
+    as separate per-check SQL round-trips in data_quality_check
+    (daily_weather_etl_kenya.py:470-540: region-count probe, null-sum
+    probe, range probe — one query each); here the whole contract is
+    two jobs regardless of how many expectations it carries. Returns
+    one row per expectation: (expectation, target, violations,
+    passed) — the table a CI gate or writer-side circuit breaker
+    consumes."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("_null_key"),
+        F.countDistinct("o_orderkey").alias("_nd_key"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1000000),
+                1,
+            ).otherwise(0)
+        ).alias("_range_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("_bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("_bad_date"),
+    )
+    orphans = (
+        o.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("_orphans"))
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("not_null").alias("expectation"),
+            F.lit("o_orderkey").alias("target"),
+            F.col("_null_key").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("unique").alias("expectation"),
+            F.lit("o_orderkey").alias("target"),
+            (F.col("_n") - F.col("_nd_key")).cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("range_0_1m").alias("expectation"),
+            F.lit("o_totalprice").alias("target"),
+            F.col("_range_price").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("allowed_values").alias("expectation"),
+            F.lit("o_orderstatus").alias("target"),
+            F.col("_bad_status").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("date_bounds").alias("expectation"),
+            F.lit("o_orderdate").alias("target"),
+            F.col("_bad_date").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("ref_integrity").alias("expectation"),
+            F.lit("o_custkey").alias("target"),
+            F.col("_orphans").cast("bigint").alias("violations"),
+        ),
+    )
+    return (
+        wide.crossJoin(F.broadcast(orphans))
+        .select(F.explode(rows).alias("e"))
+        .select(
+            "e.expectation",
+            "e.target",
+            "e.violations",
+            (F.col("e.violations") == 0).alias("passed"),
+        )
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8556,6 +8651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x98_graph_triangle_audit": x98_graph_triangle_audit,
         "x99_bpe_fertility_trained": x99_bpe_fertility_trained,
         "st25_bpe_stats_stream": st25_bpe_stats_stream,
+        "a20_data_contract": a20_data_contract,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13002,4 +13098,36 @@ LIMIT 50
     # st25 folds x87's pair-count monoid per batch — drained top-50
     # == the batch statistic exactly
     d["st25_bpe_stats_stream"] = d["x87_bpe_pair_counts"]
+    d["a20_data_contract"] = """
+WITH wide AS (
+  SELECT count(*) AS _n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS _null_key,
+         count(DISTINCT o_orderkey) AS _nd_key,
+         sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                  THEN 1 ELSE 0 END) AS _range_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS _bad_status,
+         sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                    OR o_orderdate > DATE '1998-12-31'
+                  THEN 1 ELSE 0 END) AS _bad_date
+  FROM orders
+), orph AS (
+  SELECT count(*) AS _orphans FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), rows_ AS (
+  SELECT 'not_null' AS expectation, 'o_orderkey' AS target,
+         CAST(_null_key AS BIGINT) AS violations FROM wide
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', CAST(_n - _nd_key AS BIGINT) FROM wide
+  UNION ALL
+  SELECT 'range_0_1m', 'o_totalprice', CAST(_range_price AS BIGINT) FROM wide
+  UNION ALL
+  SELECT 'allowed_values', 'o_orderstatus', CAST(_bad_status AS BIGINT) FROM wide
+  UNION ALL
+  SELECT 'date_bounds', 'o_orderdate', CAST(_bad_date AS BIGINT) FROM wide
+  UNION ALL
+  SELECT 'ref_integrity', 'o_custkey', CAST(_orphans AS BIGINT) FROM orph
+)
+SELECT expectation, target, violations, (violations = 0) AS passed FROM rows_
+"""
     return d
