@@ -665,3 +665,35 @@ def test_x93_beam_side_broadcasts_by_hint_not_stats(spark, sf01):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x99_apply_path_has_no_joins_after_training(spark, sf01):
+    """x99's scale claim: the tokenizer APPLY is one chained map
+    expression — the segmentation of the vocabulary must introduce no
+    join and no Python eval (the trained rules are inlined literals,
+    not a joined table). Training runs eagerly inside the callable
+    (checkpointed), so the returned plan shows only the fertility
+    derivation: words_src agg + segged map + one join back on the word
+    key — the 'Join' allowance is exactly that single equi-join."""
+    plan = _plan(spark, sf01, "x99_bpe_fertility_trained")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    joins = _re.findall(r"^\(\d+\) [A-Za-z]*Join", plan, _re.MULTILINE)
+    assert len(joins) == 1, f"expected exactly the words_src⋈segged join: {joins}"
+
+
+def test_a20_contract_is_two_scans_of_orders_no_python(spark, sf01):
+    """a20's scale claim: however many expectations the contract
+    carries, orders is scanned exactly twice (the fused wide agg + the
+    referential anti-join) and customer once; no Python eval; the
+    1-row combine is the scalar-broadcast pattern (BroadcastNestedLoop
+    over single-row aggregates), never a real cartesian blow-up."""
+    plan = _plan(spark, sf01, "a20_data_contract")
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.MULTILINE)
+    assert len(scans) == 3, scans
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
