@@ -605,12 +605,21 @@ def test_x86_graph_has_no_forced_broadcast_of_corpus_side(spark, sf01):
 class _autobroadcast_off:
     """Temporarily disable size-based auto-broadcast so the plan shows
     the join strategy the library actually encodes (what a 100 TB-sized
-    side would get)."""
+    side would get).
+
+    Also clears the session cache: earlier tests may have materialized
+    lazily-persisted library frames (e.g. knn_graph's ranked pass), and
+    the CacheManager substitutes InMemoryRelation for any plan-identical
+    subtree — hiding the very join nodes these contracts assert on
+    (observed: the x86 SortMergeJoin vanished when a prior test had
+    collected the same graph). Cache reuse is desirable in production;
+    here the contract is about the COLD plan."""
 
     def __init__(self, spark):
         self.spark = spark
 
     def __enter__(self):
+        self.spark.catalog.clearCache()
         self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         return self
