@@ -4785,6 +4785,22 @@ def a20_data_contract(spark, sf_dir):
     )
 
 
+def st26_contract_stream(spark, sf_dir):
+    """a20's data contract enforced ON INGEST (streaming/micro_batch.
+    run_contract_stream): the writer-side circuit breaker. The
+    reference audits quality AFTER the load lands
+    (daily_weather_etl_kenya.py:470-540, one SQL probe per check);
+    here every arriving orders micro-batch folds its violations into a
+    standing scoreboard — additive counters for the five single-table
+    clauses + FK orphans (r6's combiner law, one wide agg per batch),
+    and a keyed per-orderkey count state for UNIQUENESS, the one
+    clause that straddles batches. Version-chained exactly-once; the
+    drained scoreboard equals the batch contract — st26 shares a20's
+    DuckDB oracle verbatim."""
+    apply_runtime_confs(spark)
+    return ST.run_contract_stream(spark, sf_dir)
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8652,6 +8668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x99_bpe_fertility_trained": x99_bpe_fertility_trained,
         "st25_bpe_stats_stream": st25_bpe_stats_stream,
         "a20_data_contract": a20_data_contract,
+        "st26_contract_stream": st26_contract_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13130,4 +13147,7 @@ WITH wide AS (
 )
 SELECT expectation, target, violations, (violations = 0) AS passed FROM rows_
 """
+    # st26 folds the same contract per arriving micro-batch — drained
+    # scoreboard == the batch contract exactly (one oracle for both)
+    d["st26_contract_stream"] = d["a20_data_contract"]
     return d

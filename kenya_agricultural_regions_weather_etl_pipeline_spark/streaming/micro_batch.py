@@ -2648,3 +2648,242 @@ def run_streaming_heavy_hitters(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+def run_contract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a20's declarative data contract enforced ON INGEST (st26): the
+    writer-side circuit breaker. The reference runs its quality probes
+    as a post-load batch step (daily_weather_etl_kenya.py:470-540 —
+    one SQL round-trip per check, after the data already landed); here
+    every arriving micro-batch of orders folds its violations into a
+    standing contract scoreboard, so a breach is visible at ARRIVAL
+    time, not at tomorrow's audit.
+
+    State is two version-chained tables (v{batch_id} from
+    v{batch_id-1}, overwrite-on-replay = exactly-once under
+    crash-replay, the st15/st18 discipline):
+
+    - ``counters`` — ONE row of additive partials (row count, null
+      keys, range/status/date violations, FK orphans). Merging a batch
+      is elementwise sum — r6's combiner law — so however many
+      expectations the contract carries, per-batch cost is one wide
+      aggregation of the batch's OWN rows plus a broadcast anti-probe
+      of the customer dim. Adding an expectation widens the agg; it
+      never adds a pass.
+    - ``keys`` — (o_orderkey, cnt) counts for the UNIQUENESS
+      expectation, the one contract clause that is NOT a 1-row monoid:
+      duplicates can straddle batches, so the fold keeps per-key
+      counts (merge = sum by key, the same keyed state a real stream
+      dedup carries; watermark/TTL prunes it in an unbounded
+      deployment). Distinct non-null keys = rows of this state;
+      duplicate violations = total rows − distinct keys, exactly
+      a20's ``n − countDistinct`` arithmetic.
+
+    Referential integrity per batch is a LEFT join against the
+    broadcast customer key dim (marker column, orphan ⇔ no hit) so the
+    whole batch contract — all five single-table clauses AND the FK
+    clause — is ONE aggregation over one joined pass of the batch.
+
+    Over the finite backlog the drained scoreboard equals the batch
+    contract on the full table: st26 shares a20's DuckDB oracle
+    verbatim (same expectation/target/violations/passed rows).
+    """
+    import glob as _glob
+    import shutil
+    from datetime import datetime, timezone
+
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # parquet lands TIMESTAMP_NTZ; the session is pinned UTC, so the
+        # cast is wall-clock-identical and the epoch-µs bounds line up
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "o_date_us"
+        ),
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_date_us", LongType()),
+        ]
+    )
+    # a20's date bounds as integer epoch-µs literals (UTC session):
+    # o_orderdate < 1992-01-01 OR > 1998-12-31 (midnight semantics of
+    # the TIMESTAMP-vs-DATE comparison both engines share).
+    lo_us = int(
+        datetime(1992, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    hi_us = int(
+        datetime(1998, 12, 31, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    cust_keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+
+    workdir = tempfile.mkdtemp(prefix="kw_st26_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(orders.repartition(4), src_dir)
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        b = batch.localCheckpoint(eager=True)
+        cur = (
+            b.join(F.broadcast(cust_keys), "o_custkey", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum(
+                    F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+                ).cast("long").alias("_null_key"),
+                F.sum(
+                    F.when(
+                        (F.col("o_totalprice") <= 0)
+                        | (F.col("o_totalprice") > 1000000),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("_range_price"),
+                F.sum(
+                    F.when(
+                        ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+                    ).otherwise(0)
+                ).cast("long").alias("_bad_status"),
+                F.sum(
+                    F.when(
+                        (F.col("o_date_us") < lo_us)
+                        | (F.col("o_date_us") > hi_us),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("_bad_date"),
+                F.sum(
+                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                ).cast("long").alias("_orphans"),
+            )
+        )
+        keys = (
+            b.filter(F.col("o_orderkey").isNotNull())
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        if batch_id > 0:
+            prev_c = sp.read.parquet(
+                os.path.join(state, "counters", f"v{batch_id - 1}")
+            )
+            cur = prev_c.unionByName(cur).agg(
+                *[
+                    F.sum(c).cast("long").alias(c)
+                    for c in (
+                        "_n",
+                        "_null_key",
+                        "_range_price",
+                        "_bad_status",
+                        "_bad_date",
+                        "_orphans",
+                    )
+                ]
+            )
+            prev_k = sp.read.parquet(
+                os.path.join(state, "keys", f"v{batch_id - 1}")
+            )
+            keys = (
+                prev_k.unionByName(keys)
+                .groupBy("o_orderkey")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, "counters", f"v{batch_id}")
+        )
+        keys.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, "keys", f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final_c = max(
+        _glob.glob(os.path.join(state, "counters", "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    final_k = max(
+        _glob.glob(os.path.join(state, "keys", "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    counters = spark.read.parquet(final_c)
+    nd = spark.read.parquet(final_k).agg(
+        F.count(F.lit(1)).cast("long").alias("_nd_key")
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("not_null").alias("expectation"),
+            F.lit("o_orderkey").alias("target"),
+            F.col("_null_key").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("unique").alias("expectation"),
+            F.lit("o_orderkey").alias("target"),
+            (F.col("_n") - F.col("_nd_key")).cast("bigint").alias(
+                "violations"
+            ),
+        ),
+        F.struct(
+            F.lit("range_0_1m").alias("expectation"),
+            F.lit("o_totalprice").alias("target"),
+            F.col("_range_price").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("allowed_values").alias("expectation"),
+            F.lit("o_orderstatus").alias("target"),
+            F.col("_bad_status").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("date_bounds").alias("expectation"),
+            F.lit("o_orderdate").alias("target"),
+            F.col("_bad_date").cast("bigint").alias("violations"),
+        ),
+        F.struct(
+            F.lit("ref_integrity").alias("expectation"),
+            F.lit("o_custkey").alias("target"),
+            F.col("_orphans").cast("bigint").alias("violations"),
+        ),
+    )
+    out = (
+        counters.crossJoin(F.broadcast(nd))
+        .select(F.explode(rows).alias("e"))
+        .select(
+            "e.expectation",
+            "e.target",
+            "e.violations",
+            (F.col("e.violations") == 0).alias("passed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

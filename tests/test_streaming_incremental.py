@@ -478,3 +478,70 @@ def test_st22_streaming_serving_equals_batch_search(spark, sf001):
     assert out.count() == batch.count() > 0
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_st26_contract_counts_violations_across_batches(spark, tmp_path):
+    """st26's keyed uniqueness state is the one contract clause that
+    cannot be a 1-row monoid: duplicates straddling micro-batches must
+    still be counted once per extra occurrence. Craft an orders table
+    where every expectation has a known violation count (dup keys, a
+    null key, an orphan custkey, out-of-range price/status/date) and
+    assert the drained scoreboard matches the hand count — the backlog
+    streams as 4 files, so the counters and key state provably fold
+    across batches."""
+    from datetime import datetime
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_contract_stream,
+    )
+
+    def d(s):
+        return datetime.strptime(s, "%Y-%m-%d")
+
+    orders = spark.createDataFrame(
+        [
+            # (key, custkey, status, price, date)
+            (1, 10, "O", 100.0, d("1995-06-01")),
+            (1, 10, "F", 200.0, d("1996-06-01")),   # dup of key 1
+            (2, 11, "P", 300.0, d("1997-06-01")),
+            (3, 12, "O", 400.0, d("1993-06-01")),
+            (3, 12, "O", 500.0, d("1994-06-01")),   # dup of key 3
+            (3, 12, "O", 600.0, d("1995-06-01")),   # dup of key 3
+            (None, 10, "O", 700.0, d("1995-06-01")),  # null key
+            (4, 99, "O", 800.0, d("1995-06-01")),   # orphan custkey
+            (5, 10, "X", 900.0, d("1995-06-01")),   # bad status
+            (6, 10, "O", -5.0, d("1995-06-01")),    # bad price
+            (7, 10, "O", 1000.0, d("1991-06-01")),  # date too early
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz",
+    ).withColumn("o_orderpriority", F.lit("1-URGENT"))
+    cust = spark.createDataFrame(
+        [(10,), (11,), (12,)], "c_custkey long"
+    ).withColumn("c_name", F.lit("c"))
+    sf_dir = str(tmp_path)
+    orders.coalesce(1).write.parquet(f"{sf_dir}/_o")
+    cust.coalesce(1).write.parquet(f"{sf_dir}/_c")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(f"{sf_dir}/_o/part-*.parquet")[0],
+                f"{sf_dir}/orders.parquet")
+    shutil.move(glob.glob(f"{sf_dir}/_c/part-*.parquet")[0],
+                f"{sf_dir}/customer.parquet")
+
+    got = {
+        r["expectation"]: r["violations"]
+        for r in run_contract_stream(spark, sf_dir).collect()
+    }
+    # unique: 11 rows total, 7 distinct non-null keys -> 4 violations
+    # (the 3 extra dup occurrences + the null-key row, exactly a20's
+    # n - countDistinct arithmetic)
+    assert got == {
+        "not_null": 1,
+        "unique": 4,
+        "range_0_1m": 1,
+        "allowed_values": 1,
+        "date_bounds": 1,
+        "ref_integrity": 1,
+    }
