@@ -4801,6 +4801,54 @@ def st26_contract_stream(spark, sf_dir):
     return ST.run_contract_stream(spark, sf_dir)
 
 
+def x101_temperature_mixture(spark, sf_dir):
+    """TEMPERATURE-resampled source mixture (the multilingual-corpus
+    rebalancing of XLM-R/mT5: w_s ∝ p_s^α with α=0.5): unlike x23's
+    hand-pinned per-source weights, the schedule here is DERIVED FROM
+    THE DATA — per-source token shares are raised to α and
+    renormalized, up-weighting tail sources and damping the head, then
+    scaled back to the corpus token budget to yield each source's
+    epoch factor (>1 = repeat, <1 = subsample) and target token count.
+    α=0.5 makes the arithmetic engine-exact: p^0.5 via IEEE sqrt
+    (correctly rounded, bit-identical everywhere, unlike pow/ln), and
+    sqrt(tot) cancels in the normalization so weights reduce to
+    sqrt(tokens_s)/Σ sqrt(tokens_t). Cost shape at 100 TB: ONE
+    source-keyed shuffle of the corpus (the token rollup), then two
+    1-row scalar-broadcast folds over the |sources|-row schedule —
+    adding sources widens nothing. The output is the policy table a
+    materializer (x23's content-hash epoch draw) consumes; the
+    reference has no analogue (single-source ETL), this is the
+    LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("tokens_in"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens_in").cast("double").alias("_tot"),
+        F.sum(F.sqrt(F.col("tokens_in").cast("double"))).alias("_z"),
+    )
+    t_in = F.col("tokens_in").cast("double")
+    w = F.sqrt(t_in) / F.col("_z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens_in",
+            W.round_half_up(t_in / F.col("_tot"), 6).alias("share_in"),
+            W.round_half_up(w, 6).alias("weight"),
+            W.round_half_up(w * F.col("_tot") / t_in, 4).alias(
+                "epoch_factor"
+            ),
+            F.floor(w * F.col("_tot") + F.lit(0.5))
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8669,6 +8717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st25_bpe_stats_stream": st25_bpe_stats_stream,
         "a20_data_contract": a20_data_contract,
         "st26_contract_stream": st26_contract_stream,
+        "x101_temperature_mixture": x101_temperature_mixture,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13150,4 +13199,27 @@ SELECT expectation, target, violations, (violations = 0) AS passed FROM rows_
     # st26 folds the same contract per arriving micro-batch — drained
     # scoreboard == the batch contract exactly (one oracle for both)
     d["st26_contract_stream"] = d["a20_data_contract"]
+    d["x101_temperature_mixture"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS tokens_in
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens_in) AS DOUBLE) AS _tot,
+         sum(sqrt(CAST(tokens_in AS DOUBLE))) AS _z
+  FROM per_src
+)
+SELECT source, n_docs, tokens_in,
+       {W.round_half_up_sql('CAST(tokens_in AS DOUBLE) / _tot', 6)}
+         AS share_in,
+       {W.round_half_up_sql('sqrt(CAST(tokens_in AS DOUBLE)) / _z', 6)}
+         AS weight,
+       {W.round_half_up_sql(
+           'sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot'
+           ' / CAST(tokens_in AS DOUBLE)', 4)} AS epoch_factor,
+       CAST(floor(sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot + 0.5)
+            AS BIGINT) AS target_tokens
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
     return d

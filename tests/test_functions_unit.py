@@ -1226,3 +1226,26 @@ def test_bpe_train_rejects_unbounded_rounds(spark):
         bpe_train(words, n_merges=0)
     with _pytest.raises(ValueError):
         bpe_train(words, n_merges=100_000)
+
+
+def test_x101_temperature_schedule_invariants(spark, sf01):
+    """α=0.5 temperature rebalancing must (a) conserve the token
+    budget (Σ target ≈ Σ input), (b) normalize weights to 1, and
+    (c) move every source's epoch factor TOWARD the mean — tail
+    sources repeat (>1), head sources subsample (<1), ordering
+    inverse to input share."""
+    import __spark_entry__ as entrymod
+
+    rows = (
+        entrymod.queries()["x101_temperature_mixture"](spark, sf01)
+        .collect()
+    )
+    tot_in = sum(r["tokens_in"] for r in rows)
+    tot_out = sum(r["target_tokens"] for r in rows)
+    assert abs(tot_out - tot_in) <= len(rows)  # per-source floor error
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    by_share = sorted(rows, key=lambda r: r["share_in"])
+    factors = [r["epoch_factor"] for r in by_share]
+    # epoch factor strictly decreases as input share grows
+    assert all(a >= b for a, b in zip(factors, factors[1:]))
+    assert factors[0] > 1.0 and factors[-1] < 1.0
