@@ -4849,6 +4849,98 @@ def x101_temperature_mixture(spark, sf_dir):
     )
 
 
+def a21_drift_psi(spark, sf_dir):
+    """TRAIN/SERVE DRIFT monitor — Population Stability Index between
+    the standing corpus (reference = every source except src0) and the
+    newest dump (current = src0) over two per-doc metrics (n_chars,
+    whitespace tokens), each binned into 16 fixed-width buckets.
+    PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) with add-half
+    smoothing so empty bins never hit ln(0); > 0.2 is the classic
+    'significant shift' gate a retraining/quarantine trigger consumes.
+    The reference's audit compares static expectations only
+    (daily_weather_etl_kenya.py:470-540); drift vs a moving baseline
+    is the monitoring leg an LLM-ingest pipeline actually needs.
+
+    Exactness: each bin's PSI term is quantized to integer 1e-8 units
+    BEFORE the per-metric sum (x94's floor(·×10⁶)-discipline) so the
+    fold is order-independent integer addition — the only float ops
+    are per-bin (one ln, one multiply), bit-identical per term in both
+    engines. Scale shape: ONE pass over the corpus (the metric/bin
+    explode is a narrow ×2 map), one (metric,bin)-keyed shuffle
+    bounded at 32 rows, then broadcast folds — corpus size only
+    touches the first scan; adding metrics widens the explode, never
+    adds a pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = (
+        docs.select(
+            (F.col("source") == "src0").alias("is_cur"),
+            F.least(F.floor(F.col("n_chars") / 64), F.lit(15))
+            .cast("int")
+            .alias("chars_bin"),
+            F.least(
+                F.floor(T.token_count(F.col("text")) / 16), F.lit(15)
+            )
+            .cast("int")
+            .alias("tok_bin"),
+        )
+        .select(
+            "is_cur",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_chars").alias("metric"),
+                        F.col("chars_bin").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("n_tokens").alias("metric"),
+                        F.col("tok_bin").alias("bin"),
+                    ),
+                )
+            ).alias("mb"),
+        )
+        .select("is_cur", "mb.metric", "mb.bin")
+    )
+    counts = binned.groupBy("metric", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    metrics = spark.createDataFrame(
+        [("n_chars",), ("n_tokens",)], "metric string"
+    )
+    grid = F.broadcast(metrics).crossJoin(
+        spark.range(16).select(F.col("id").cast("int").alias("bin"))
+    )
+    dense = grid.join(counts, ["metric", "bin"], "left").fillna(
+        0, ["c_ref", "c_cur"]
+    )
+    tot = dense.groupBy("metric").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    j = dense.join(F.broadcast(tot), "metric")
+    p_ref = (F.col("c_ref") + F.lit(0.5)) / (F.col("n_ref") + F.lit(8.0))
+    p_cur = (F.col("c_cur") + F.lit(0.5)) / (F.col("n_cur") + F.lit(8.0))
+    term_q = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.groupBy("metric")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            W.round_half_up(
+                F.sum(term_q).cast("double") / F.lit(1e8), 6
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.2)
+        .orderBy("metric")
+    )
+
+
 def x94_hierarchical_ivf(spark, sf_dir):
     """TWO-LEVEL IVF assignment audit — the scale rung above the flat
     ceil(√N) codebook: vectors pick a SUPER-cell (ceil(√√N) coarse
@@ -8718,6 +8810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_data_contract": a20_data_contract,
         "st26_contract_stream": st26_contract_stream,
         "x101_temperature_mixture": x101_temperature_mixture,
+        "a21_drift_psi": a21_drift_psi,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13221,5 +13314,54 @@ SELECT source, n_docs, tokens_in,
             AS BIGINT) AS target_tokens
 FROM per_src CROSS JOIN tot
 ORDER BY source
+"""
+    d["a21_drift_psi"] = f"""
+WITH binned AS (
+  SELECT (source = 'src0') AS is_cur,
+         LEAST(CAST(floor(n_chars / 64.0) AS INT), 15) AS chars_bin,
+         LEAST(CAST(floor(({T.token_count_sql('text')}) / 16.0) AS INT),
+               15) AS tok_bin
+  FROM documents
+), longf AS (
+  SELECT is_cur, 'n_chars' AS metric, chars_bin AS bin FROM binned
+  UNION ALL
+  SELECT is_cur, 'n_tokens' AS metric, tok_bin AS bin FROM binned
+), counts AS (
+  SELECT metric, bin,
+         CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_ref,
+         CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_cur
+  FROM longf GROUP BY metric, bin
+), grid AS (
+  SELECT m.metric, CAST(g.range AS INT) AS bin
+  FROM (SELECT 'n_chars' AS metric UNION ALL SELECT 'n_tokens') m
+  CROSS JOIN range(0, 16) g
+), dense AS (
+  SELECT grid.metric, grid.bin,
+         COALESCE(counts.c_ref, 0) AS c_ref,
+         COALESCE(counts.c_cur, 0) AS c_cur
+  FROM grid LEFT JOIN counts
+    ON grid.metric = counts.metric AND grid.bin = counts.bin
+), tot AS (
+  SELECT metric, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM dense GROUP BY metric
+), terms AS (
+  SELECT dense.metric, tot.n_ref, tot.n_cur,
+         CAST(floor(
+           ((c_cur + 0.5) / (n_cur + 8.0) - (c_ref + 0.5) / (n_ref + 8.0))
+           * ln(((c_cur + 0.5) / (n_cur + 8.0))
+                / ((c_ref + 0.5) / (n_ref + 8.0)))
+           * 100000000.0 + 0.5) AS BIGINT) AS term_q
+  FROM dense JOIN tot ON dense.metric = tot.metric
+), psi AS (
+  SELECT metric, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+         {W.round_half_up_sql(
+             'CAST(sum(term_q) AS DOUBLE) / 100000000.0', 6)} AS psi
+  FROM terms GROUP BY metric
+)
+SELECT metric, n_ref, n_cur, psi, (psi > 0.2) AS drifted
+FROM psi ORDER BY metric
 """
     return d
