@@ -3558,7 +3558,16 @@ def e2e_corpus_report(spark, sf_dir):
             F.sum((F.col("n_fp") > 1).cast("int")).cast("bigint").alias(
                 "n_dup_docs"
             ),
-            W.round_half_up(F.avg("q"), 4).alias("avg_quality"),
+            # integer-quantized mean (order-free fold; src8 flake class)
+            W.round_half_up(
+                F.sum(
+                    F.floor(F.col("q") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_quality"),
             F.sum("tok").cast("bigint").alias("sum_tokens"),
             F.countDistinct("lang").alias("n_langs"),
         )
@@ -5363,9 +5372,20 @@ def e2e_weather_sim(spark, sf_dir):
         F.year("data_timestamp").alias("year"),
         F.month("data_timestamp").alias("month"),
     )
+    # heat_index doubles are bit-identical PER ROW in both engines, but a
+    # raw double avg folds in engine-dependent order — at a 4dp half
+    # boundary the rounded value flips (the src8 flake class). Quantize
+    # per row to integer centi-units, sum exactly, divide once.
+    hi_q = F.floor(F.col("heat_index") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
     return derived.groupBy("region", "year", "month").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("heat_index"), 4).alias("avg_heat_index"),
+        W.round_half_up(
+            F.sum(hi_q).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            4,
+        ).alias("avg_heat_index"),
         F.sum(F.when(F.col("is_favorable_temp"), 1).otherwise(0)).alias("n_favorable"),
         F.sum(F.when(F.col("rainfall_category") == "No Rain", 1).otherwise(0)).alias(
             "n_no_rain"
@@ -5400,7 +5420,9 @@ WITH pseudo AS (
 )
 SELECT region, year, month,
        count(*) AS n,
-       round(avg(heat_index), 4) AS avg_heat_index,
+       {W.round_half_up_sql(
+           'CAST(sum(CAST(floor(heat_index * 100.0 + 0.5) AS BIGINT))'
+           ' AS DOUBLE) / (100.0 * count(*))', 4)} AS avg_heat_index,
        CAST(sum(CASE WHEN is_favorable_temp THEN 1 ELSE 0 END) AS BIGINT) AS n_favorable,
        CAST(sum(CASE WHEN rainfall_category = 'No Rain' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_rain
 FROM derived
@@ -5670,10 +5692,21 @@ def e2e_corpus_clean(spark, sf_dir):
     cleaned = deduped.filter(T.quality_score(F.col("text")) >= 0.5).filter(
         T.lang_id(F.col("text")) == "en"
     )
+    # quality_score doubles are bit-identical PER DOC in both engines,
+    # but a raw double avg folds in engine-dependent order — src8's
+    # true mean sits 1.2e-10 from the 6dp half boundary, so the rounded
+    # digit flipped between runs. Quantize per doc to integer
+    # micro-units, sum exactly (order-free), divide once.
+    q_int = F.floor(
+        T.quality_score(F.col("text")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
     return cleaned.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count(F.col("text"))).alias("sum_tokens"),
-        F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("avg_quality"),
+        W.round_half_up(
+            F.sum(q_int).cast("double") / (F.lit(1e6) * F.count(F.lit(1))),
+            6,
+        ).alias("avg_quality"),
     )
 
 
@@ -5693,7 +5726,10 @@ WITH fp AS (
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
-       round(avg({T.quality_score_sql('text')}), 6) AS avg_quality
+       {W.round_half_up_sql(
+           "CAST(sum(CAST(floor((" + T.quality_score_sql('text')
+           + ") * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+           " / (1000000.0 * count(*))", 6)} AS avg_quality
 FROM cleaned GROUP BY source
 """
 
@@ -10091,7 +10127,9 @@ WITH enriched AS (
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       {W.round_half_up_sql("avg(q)", 4)} AS avg_quality,
+       {W.round_half_up_sql(
+           "CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT))"
+           " AS DOUBLE) / (1000000.0 * count(*))", 4)} AS avg_quality,
        CAST(sum(tok) AS BIGINT) AS sum_tokens,
        count(DISTINCT lang) AS n_langs
 FROM enriched JOIN fpc USING (fp)
@@ -12090,7 +12128,9 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        {W.round_half_up_sql(
-           f"sum({T.quality_score_sql('text')}) / count(*)", 4)}
+           f"CAST(sum(CAST(floor(({T.quality_score_sql('text')})"
+           " * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+           " / (1000000.0 * count(*))", 4)}
          AS mean_quality
 FROM documents GROUP BY lang
 """

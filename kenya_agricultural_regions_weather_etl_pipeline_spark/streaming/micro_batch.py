@@ -1691,11 +1691,18 @@ def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_jsonl(docs.repartition(4), src_dir)
 
     def partials(df: DataFrame) -> DataFrame:
+        # quality folds as integer micro-units: per-doc quantize, then
+        # exact (order-free) long sums across batches — a raw double
+        # q_sum re-associates per run and can flip a 4dp half boundary
+        # (the src8 flake class in e2e_corpus_clean)
+        q_int = F.floor(
+            quality_score(F.col("text")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
         return df.groupBy("lang").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
-            F.sum(quality_score(F.col("text"))).alias("q_sum"),
+            F.sum(q_int).cast("long").alias("q_sum"),
         )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1710,7 +1717,7 @@ def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_docs").cast("long").alias("n_docs"),
                     F.sum("n_tokens").cast("long").alias("n_tokens"),
                     F.sum("sum_chars").cast("long").alias("sum_chars"),
-                    F.sum("q_sum").alias("q_sum"),
+                    F.sum("q_sum").cast("long").alias("q_sum"),
                 )
             )
         cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
@@ -1747,9 +1754,11 @@ def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "sum_chars",
-        round_half_up(F.col("q_sum") / F.col("n_docs"), 4).alias(
-            "mean_quality"
-        ),
+        round_half_up(
+            F.col("q_sum").cast("double")
+            / (F.lit(1e6) * F.col("n_docs")),
+            4,
+        ).alias("mean_quality"),
     ).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
