@@ -2150,6 +2150,36 @@ def mm8_video_frame_stats(spark, sf_dir):
     return MM.video_frame_stats(media)
 
 
+def mm9_perceptual_dedup(spark, sf_dir):
+    """PERCEPTUAL image dedup — the near-dup axis mm4's byte-md5
+    cannot see: every synthetic BMP asset exists as TWO physical
+    editions (original bytes + a re-encoded nearest-neighbor 16×12
+    resize) that share not a single payload byte, yet the 4×4
+    mean-threshold aHash collapses each asset's editions with ZERO
+    Hamming distance — provably, because the 16×12 intermediate is an
+    exact multiple of the hash grid, so the floor-mapped resample
+    composes into the identical source-pixel reads
+    (operators/multimodal.perceptual_hash_editions). The rollup groups
+    by hash: 2 editions per asset fold to one perceptual identity
+    (cross-asset hash collisions, if any, surface as n_assets > 1 —
+    reported, not hidden). Decode + hash is one Arrow mapInPandas pass
+    over real codec bytes; the shuffle carries only (asset_id,
+    edition, 16-bit hash). The oracle replays decode, resize, sampling
+    and thresholding in pure integer SQL from the synthetic pixel
+    formula."""
+    media = MM.synthetic_image_media(spark, 64)
+    return (
+        MM.perceptual_hash_editions(media)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_editions"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.min("asset_id").alias("canonical_asset"),
+        )
+        .orderBy("phash")
+    )
+
+
 def e2e_multimodal_curation(spark, sf_dir):
     """The multimodal capstone: ONE pipeline over a heterogeneous lake
     of all three REAL formats (BMP images + PCM-WAV audio + Y4M video)
@@ -8847,6 +8877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st26_contract_stream": st26_contract_stream,
         "x101_temperature_mixture": x101_temperature_mixture,
         "a21_drift_psi": a21_drift_psi,
+        "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13403,5 +13434,43 @@ WITH binned AS (
 )
 SELECT metric, n_ref, n_cur, psi, (psi > 0.2) AS drifted
 FROM psi ORDER BY metric
+"""
+    # mm9: the oracle replays decode → resize → 4×4 sample → threshold
+    # in pure integer SQL from the synthetic pixel formula, computing
+    # BOTH editions' sample coordinates independently (it would expose
+    # a broken resize mapping rather than assume the invariance proof)
+    d["mm9_perceptual_dedup"] = """
+WITH assets AS (
+  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
+  FROM range(64) WHERE range % 3 = 0
+), cells AS (
+  SELECT a, ed.ed, gi.range AS gi, gj.range AS gj,
+         CASE WHEN ed.ed = 'orig' THEN (gj.range * w0) // 4
+              ELSE (((gj.range * 16) // 4) * w0) // 16 END AS sx,
+         CASE WHEN ed.ed = 'orig' THEN (gi.range * h0) // 4
+              ELSE (((gi.range * 12) // 4) * h0) // 12 END AS sy
+  FROM assets,
+       (SELECT 'orig' AS ed UNION ALL SELECT 'up16') ed,
+       range(4) gi, range(4) gj
+), grays AS (
+  SELECT a, ed, gi, gj,
+         (((a*7 + sx*13 + sy*31) % 256)
+          + ((a*11 + sx*17 + sy*5) % 256)
+          + ((a*3 + sx*29 + sy*23) % 256)) // 3 AS g
+  FROM cells
+), tot AS (
+  SELECT a, ed, sum(g) AS total FROM grays GROUP BY a, ed
+), hashes AS (
+  SELECT grays.a, grays.ed,
+         CAST(sum(CASE WHEN 16 * g >= total
+                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM grays JOIN tot ON grays.a = tot.a AND grays.ed = tot.ed
+  GROUP BY grays.a, grays.ed
+)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_editions,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_assets,
+       CAST(min(a) AS BIGINT) AS canonical_asset
+FROM hashes GROUP BY phash ORDER BY phash
 """
     return d

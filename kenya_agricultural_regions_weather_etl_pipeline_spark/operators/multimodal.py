@@ -689,3 +689,97 @@ def media_feature_census(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "media_type", "payload").mapInPandas(
         census, CENSUS_SCHEMA
     )
+
+
+PERCEPTUAL_HASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("edition", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+#: aHash geometry: 4×4 mean-threshold grid; resized editions pass
+#: through a 16×12 intermediate whose dimensions are exact multiples of
+#: the grid — see perceptual_hash_editions for why that makes the hash
+#: provably resize-invariant under the codec's floor-mapped
+#: nearest-neighbor resampling.
+PHASH_GRID = 4
+PHASH_MID_W, PHASH_MID_H = 16, 12
+
+
+def _ahash_from_rows(
+    rows: list[list[tuple[int, int, int]]], w: int, h: int
+) -> int:
+    """Average-hash of a decoded pixel grid: sample a PHASH_GRID² lattice
+    with the codec's floor mapping (sx = j·w // G), grayscale each
+    sample by integer mean of the three channels, threshold against the
+    16-sample mean (compared as 16·g ≥ Σg so no float ever appears),
+    and pack the bits row-major. Pure integer arithmetic end to end —
+    the DuckDB oracle replays every step from the synthetic pixel
+    formula."""
+    g = PHASH_GRID
+    samples = []
+    for i in range(g):
+        sy = i * h // g
+        for j in range(g):
+            sx = j * w // g
+            b, gr, r = rows[sy][sx]
+            samples.append((b + gr + r) // 3)
+    total = sum(samples)
+    bits = 0
+    for k, s in enumerate(samples):
+        if len(samples) * s >= total:
+            bits |= 1 << k
+    return bits
+
+
+def perceptual_hash_editions(media: DataFrame) -> DataFrame:
+    """Per-asset perceptual hashes for TWO physical editions of every
+    image: the original payload and a re-encoded nearest-neighbor
+    resize to 16×12 — the multimodal near-dup axis mm4's byte-md5
+    cannot see (re-encoded/rescaled copies share not a single payload
+    byte).
+
+    The aHash is provably invariant under the codec's resize for this
+    geometry: sampling the 16×12 edition at grid column j reads
+    resized pixel x₁₆ = j·16//4 = 4j, which the resize built from
+    source x = (4j·w)//16 = (j·w)//4 — exactly the pixel the original
+    edition samples (same argument for rows with 12 = 4·3). So both
+    editions of an asset produce IDENTICAL hashes by integer-arithmetic
+    identity, not approximation, and the dedup rollup collapses them
+    with zero distance threshold. For editions resized to non-multiple
+    geometries the hash degrades gracefully to near-duplicate (Hamming
+    proximity), which a banded bucket join handles exactly like SimHash
+    (operators/dedup.py x4's pigeonhole blocks).
+
+    Scale shape: decode + hash is one Arrow-batched mapInPandas pass
+    (payload bytes never cross a shuffle); the emitted frame is 2 thin
+    rows per asset, and the group-by key is the 16-bit hash — the
+    exchange carries (asset_id, edition, phash) only. Same honest-codec
+    discipline as image_channel_stats: real bytes decoded, no stub."""
+    from ..functions import codecs as C
+
+    def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "edition": [],
+                "phash": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, rows = C.decode_bmp(raw)
+                out["asset_id"].append(aid)
+                out["edition"].append("orig")
+                out["phash"].append(_ahash_from_rows(rows, w, h))
+                resized = C.resize_bmp(raw, PHASH_MID_W, PHASH_MID_H)
+                rw, rh, rrows = C.decode_bmp(resized)
+                out["asset_id"].append(aid)
+                out["edition"].append("up16")
+                out["phash"].append(_ahash_from_rows(rrows, rw, rh))
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        hashes, PERCEPTUAL_HASH_SCHEMA
+    )

@@ -1249,3 +1249,32 @@ def test_x101_temperature_schedule_invariants(spark, sf01):
     # epoch factor strictly decreases as input share grows
     assert all(a >= b for a, b in zip(factors, factors[1:]))
     assert factors[0] > 1.0 and factors[-1] < 1.0
+
+
+def test_mm9_phash_resize_invariant_but_bytes_differ(spark):
+    """The mm9 claim decomposed: (a) each asset's original and 16x12
+    re-encoded editions produce the IDENTICAL aHash (integer-arithmetic
+    invariance, not proximity), while (b) their payload bytes share no
+    md5 — so byte-level dedup (mm4) sees nothing and the perceptual
+    axis is genuinely new information."""
+    import hashlib
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    media = MM.synthetic_image_media(spark, 64)
+    hashes = MM.perceptual_hash_editions(media).collect()
+    by_asset = {}
+    for r in hashes:
+        by_asset.setdefault(r.asset_id, {})[r.edition] = r.phash
+    assert len(by_asset) == 22
+    for aid, eds in by_asset.items():
+        assert eds["orig"] == eds["up16"], f"asset {aid} hash not invariant"
+    # (b) byte distinctness, checked off-Spark on one asset's editions
+    raw = C.synthetic_bmp(0, 8, 6)
+    resized = C.resize_bmp(raw, MM.PHASH_MID_W, MM.PHASH_MID_H)
+    assert hashlib.md5(raw).hexdigest() != hashlib.md5(resized).hexdigest()
