@@ -10,7 +10,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb  # noqa: E402
+import duckdb
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
 from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (  # noqa: E402
@@ -31,6 +32,11 @@ def norm(v):
         if math.isnan(v):
             return None
         return round(v, 9)
+    # pandas NaT (null timestamps from BOTH engines) is not equal to
+    # itself — normalize to None or every null-timestamp row spuriously
+    # mismatches (j1_asof_join burned an hour on this)
+    if v is pd.NaT:
+        return None
     return v
 
 
