@@ -4908,76 +4908,30 @@ def a21_drift_psi(spark, sf_dir):
     explode is a narrow ×2 map), one (metric,bin)-keyed shuffle
     bounded at 32 rows, then broadcast folds — corpus size only
     touches the first scan; adding metrics widens the explode, never
-    adds a pass."""
+    adds a pass. Shared math: operators/quality.drift_binned_counts +
+    psi_scoreboard — st27 folds the identical counts per micro-batch,
+    so ONE oracle covers the batch monitor and its streaming
+    deployment."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quality import (
+        drift_binned_counts,
+        psi_scoreboard,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    binned = (
-        docs.select(
-            (F.col("source") == "src0").alias("is_cur"),
-            F.least(F.floor(F.col("n_chars") / 64), F.lit(15))
-            .cast("int")
-            .alias("chars_bin"),
-            F.least(
-                F.floor(T.token_count(F.col("text")) / 16), F.lit(15)
-            )
-            .cast("int")
-            .alias("tok_bin"),
-        )
-        .select(
-            "is_cur",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("n_chars").alias("metric"),
-                        F.col("chars_bin").alias("bin"),
-                    ),
-                    F.struct(
-                        F.lit("n_tokens").alias("metric"),
-                        F.col("tok_bin").alias("bin"),
-                    ),
-                )
-            ).alias("mb"),
-        )
-        .select("is_cur", "mb.metric", "mb.bin")
-    )
-    counts = binned.groupBy("metric", "bin").agg(
-        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0))
-        .cast("long")
-        .alias("c_ref"),
-        F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
-        .cast("long")
-        .alias("c_cur"),
-    )
-    metrics = spark.createDataFrame(
-        [("n_chars",), ("n_tokens",)], "metric string"
-    )
-    grid = F.broadcast(metrics).crossJoin(
-        spark.range(16).select(F.col("id").cast("int").alias("bin"))
-    )
-    dense = grid.join(counts, ["metric", "bin"], "left").fillna(
-        0, ["c_ref", "c_cur"]
-    )
-    tot = dense.groupBy("metric").agg(
-        F.sum("c_ref").cast("long").alias("n_ref"),
-        F.sum("c_cur").cast("long").alias("n_cur"),
-    )
-    j = dense.join(F.broadcast(tot), "metric")
-    p_ref = (F.col("c_ref") + F.lit(0.5)) / (F.col("n_ref") + F.lit(8.0))
-    p_cur = (F.col("c_cur") + F.lit(0.5)) / (F.col("n_cur") + F.lit(8.0))
-    term_q = F.floor(
-        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e8) + F.lit(0.5)
-    ).cast("long")
-    return (
-        j.groupBy("metric")
-        .agg(
-            F.max("n_ref").cast("long").alias("n_ref"),
-            F.max("n_cur").cast("long").alias("n_cur"),
-            W.round_half_up(
-                F.sum(term_q).cast("double") / F.lit(1e8), 6
-            ).alias("psi"),
-        )
-        .withColumn("drifted", F.col("psi") > 0.2)
-        .orderBy("metric")
-    )
+    return psi_scoreboard(spark, drift_binned_counts(docs))
+
+
+def st27_drift_stream(spark, sf_dir):
+    """a21's PSI drift monitor maintained ON INGEST (streaming/
+    micro_batch.run_drift_stream): each document micro-batch folds its
+    (metric, bin) counts into a 32-row standing state by the combiner
+    law — distribution drift of the newest dump is visible at ARRIVAL,
+    not at the next batch audit. Version-chained exactly-once; PSI
+    finalization runs once at drain; the scoreboard == batch a21 (one
+    oracle for the monitor and its deployment — with st26 this
+    completes the ingest-time monitoring pair: contract + drift)."""
+    apply_runtime_confs(spark)
+    return ST.run_drift_stream(spark, sf_dir)
 
 
 def x94_hierarchical_ivf(spark, sf_dir):
@@ -8878,6 +8832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x101_temperature_mixture": x101_temperature_mixture,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
+        "st27_drift_stream": st27_drift_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13473,4 +13428,7 @@ SELECT phash, CAST(count(*) AS BIGINT) AS n_editions,
        CAST(min(a) AS BIGINT) AS canonical_asset
 FROM hashes GROUP BY phash ORDER BY phash
 """
+    # st27 folds a21's (metric, bin) count monoid per arriving batch —
+    # the drained scoreboard equals the batch monitor exactly
+    d["st27_drift_stream"] = d["a21_drift_psi"]
     return d

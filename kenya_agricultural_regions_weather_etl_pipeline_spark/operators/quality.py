@@ -86,3 +86,117 @@ def quality_verdict(
         if k.startswith("null_"):
             verdict[f"{k}_ok"] = (v or 0) == 0
     return verdict
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring (PSI) — a21 batch / st27 streaming share
+# this math so one oracle covers both
+# ---------------------------------------------------------------------------
+
+#: PSI binning geometry: 16 fixed-width buckets per metric.
+DRIFT_N_BINS = 16
+DRIFT_METRICS = ("n_chars", "n_tokens")
+
+
+def drift_binned_counts(
+    docs: DataFrame, cur_source: str = "src0"
+) -> DataFrame:
+    """Per-(metric, bin) reference/current counts for the PSI drift
+    monitor: reference = every source except ``cur_source`` (the
+    standing corpus), current = ``cur_source`` (the newest dump). ONE
+    pass over the rows it is given — the metric/bin explode is a
+    narrow ×2 map, the only shuffle is (metric, bin)-keyed and bounded
+    at 32 rows. Counts are a commutative monoid (merge = sum by key),
+    which is exactly what lets st27 fold them per micro-batch."""
+    from ..functions.text import token_count
+
+    binned = (
+        docs.select(
+            (F.col("source") == cur_source).alias("is_cur"),
+            F.least(
+                F.floor(F.col("n_chars") / 64), F.lit(DRIFT_N_BINS - 1)
+            )
+            .cast("int")
+            .alias("chars_bin"),
+            F.least(
+                F.floor(token_count(F.col("text")) / 16),
+                F.lit(DRIFT_N_BINS - 1),
+            )
+            .cast("int")
+            .alias("tok_bin"),
+        )
+        .select(
+            "is_cur",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_chars").alias("metric"),
+                        F.col("chars_bin").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("n_tokens").alias("metric"),
+                        F.col("tok_bin").alias("bin"),
+                    ),
+                )
+            ).alias("mb"),
+        )
+        .select("is_cur", "mb.metric", "mb.bin")
+    )
+    return binned.groupBy("metric", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+    )
+
+
+def psi_scoreboard(spark, counts: DataFrame) -> DataFrame:
+    """Finalize (metric, bin, c_ref, c_cur) counts into the PSI
+    scoreboard: densify over the full bin grid (empty bins matter —
+    add-half smoothing gives them mass), then fold per-bin PSI terms
+    quantized to integer 1e-8 units (order-independent; the x94
+    floor-quantize discipline — only the per-bin ln/multiply is float,
+    bit-identical per term in both engines). psi > 0.2 is the classic
+    'significant shift' gate."""
+    from ..functions.weather import round_half_up
+
+    metrics = spark.createDataFrame(
+        [(m,) for m in DRIFT_METRICS], "metric string"
+    )
+    grid = F.broadcast(metrics).crossJoin(
+        spark.range(DRIFT_N_BINS).select(
+            F.col("id").cast("int").alias("bin")
+        )
+    )
+    dense = grid.join(counts, ["metric", "bin"], "left").fillna(
+        0, ["c_ref", "c_cur"]
+    )
+    tot = dense.groupBy("metric").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    j = dense.join(F.broadcast(tot), "metric")
+    half_bins = float(DRIFT_N_BINS) / 2.0
+    p_ref = (F.col("c_ref") + F.lit(0.5)) / (
+        F.col("n_ref") + F.lit(half_bins)
+    )
+    p_cur = (F.col("c_cur") + F.lit(0.5)) / (
+        F.col("n_cur") + F.lit(half_bins)
+    )
+    term_q = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.groupBy("metric")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            round_half_up(
+                F.sum(term_q).cast("double") / F.lit(1e8), 6
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.2)
+        .orderBy("metric")
+    )

@@ -2896,3 +2896,88 @@ def run_contract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a21's PSI drift monitor maintained ON INGEST (st27): distribution
+    drift of the newest dump vs the standing corpus, visible at arrival
+    time instead of at the next batch audit. Each arriving document
+    micro-batch folds its (metric, bin) reference/current counts into a
+    standing 32-row state table — counts are a commutative monoid
+    (operators/quality.drift_binned_counts), so merging a batch is one
+    sum-by-key of its OWN rows, r6's combiner law again; state is
+    bounded by |metrics|·|bins| forever. Version-chained
+    (v{batch_id} from v{batch_id-1}, overwrite-on-replay exactly-once,
+    the st15/st18 discipline). The PSI finalization
+    (operators/quality.psi_scoreboard: densify, smooth, integer-
+    quantized term fold) runs ONCE at drain; over the finite backlog
+    the scoreboard equals batch a21 — one oracle for the monitor and
+    its streaming deployment."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.quality import drift_binned_counts, psi_scoreboard
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st27_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(docs.repartition(4), src_dir)
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = drift_binned_counts(batch)
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("metric", "bin")
+                .agg(
+                    F.sum("c_ref").cast("long").alias("c_ref"),
+                    F.sum("c_cur").cast("long").alias("c_cur"),
+                )
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = max(
+        _glob.glob(os.path.join(state, "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    counts = spark.read.parquet(final)
+    out = psi_scoreboard(spark, counts).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
