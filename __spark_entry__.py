@@ -4388,6 +4388,66 @@ def io7_export_manifest(spark, sf_dir):
     )
 
 
+def io8_sync_plan(spark, sf_dir):
+    """INCREMENTAL SYNC planning from manifest diffs — the
+    rsync/table-format-checkpoint idiom for training-data exports:
+    after a new dump lands (src0, the same slice a21's drift gate
+    monitors), which of io7's content-hash shards must a consumer
+    re-fetch? BOTH epochs' manifests fold in ONE pass over the corpus:
+    per-shard conditional partials (old = every source except src0,
+    new = everything; old ⊆ new, so 'removed' cannot arise and the
+    one-pass fusion is lossless) — doc/char counts plus the
+    order-independent modular rolling-hash fingerprint per epoch, then
+    shard status by fingerprint comparison: unchanged shards are
+    skipped, changed re-fetched, added fetched fresh. One scan, one
+    8-row shard-keyed shuffle, however many epochs the manifest
+    carries. The per-shard delta counts also MEASURE the layout's sync
+    cost: content-hash sharding scatters additions across every shard
+    (maximal re-fetch — the price of rebalance-free determinism),
+    where a time-partitioned layout would localize them; io8 makes
+    that trade visible instead of assumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_old = (F.col("source") != "src0").cast("long")
+    m = (
+        docs.select(
+            (SMP.split_bucket(F.col("text")) % 8).alias("shard"),
+            F.col("n_chars"),
+            T.rolling_hash(F.col("text")).alias("fp"),
+            is_old.alias("is_old"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.sum("is_old").cast("bigint").alias("docs_old"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_new"),
+            F.sum("n_chars").cast("bigint").alias("chars_new"),
+            F.pmod(F.sum(F.col("fp") * F.col("is_old")), F.lit(1_000_000_007))
+            .cast("bigint")
+            .alias("fingerprint_old"),
+            F.pmod(F.sum("fp"), F.lit(1_000_000_007))
+            .cast("bigint")
+            .alias("fingerprint_new"),
+        )
+    )
+    status = (
+        F.when(F.col("docs_old") == 0, F.lit("added"))
+        .when(
+            (F.col("fingerprint_old") == F.col("fingerprint_new"))
+            & (F.col("docs_old") == F.col("docs_new")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return m.select(
+        "shard",
+        status.alias("status"),
+        "docs_old",
+        "docs_new",
+        "chars_new",
+        "fingerprint_old",
+        "fingerprint_new",
+    ).orderBy("shard")
+
+
 def io6_compaction_plan(spark, sf_dir):
     """Small-file COMPACTION planning — the lakehouse maintenance op
     that keeps a streaming-ingested table readable (thousands of tiny
@@ -8833,6 +8893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
+        "io8_sync_plan": io8_sync_plan,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -13041,6 +13102,35 @@ FROM d GROUP BY shard
 """
     # st23 folds io7's monoid partials per batch — drained head == io7
     d["st23_export_manifest_stream"] = d["io7_export_manifest"]
+    d["io8_sync_plan"] = """
+WITH d AS (
+  SELECT (('0x' || substr(md5(text), 1, 4))::INT % 1000) % 8 AS shard,
+         n_chars,
+         list_reduce(
+           [0::BIGINT] || list_transform(
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+             c -> ascii(c)::BIGINT),
+           (acc, x) -> (acc * 257 + x) % 1000000007) AS fp,
+         CASE WHEN source <> 'src0' THEN 1 ELSE 0 END AS is_old
+  FROM documents
+), m AS (
+  SELECT shard,
+         CAST(sum(is_old) AS BIGINT) AS docs_old,
+         CAST(count(*) AS BIGINT) AS docs_new,
+         CAST(sum(n_chars) AS BIGINT) AS chars_new,
+         CAST(sum(fp * is_old) % 1000000007 AS BIGINT) AS fingerprint_old,
+         CAST(sum(fp) % 1000000007 AS BIGINT) AS fingerprint_new
+  FROM d GROUP BY shard
+)
+SELECT shard,
+       CASE WHEN docs_old = 0 THEN 'added'
+            WHEN fingerprint_old = fingerprint_new AND docs_old = docs_new
+              THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       docs_old, docs_new, chars_new, fingerprint_old, fingerprint_new
+FROM m ORDER BY shard
+"""
     # a19: the hot-key test is pure integer arithmetic; only the two
     # 6dp ratios touch floats (same half-up formula both engines)
     d["a19_join_skew_audit"] = f"""
