@@ -2180,6 +2180,35 @@ def mm9_perceptual_dedup(spark, sf_dir):
     )
 
 
+def mm10_audio_perceptual_dedup(spark, sf_dir):
+    """PERCEPTUAL audio dedup — mm9's re-encoded-edition story on the
+    audio axis: every synthetic WAV asset exists as TWO physical
+    editions (original + a re-encoded gain-doubled master) that share
+    no data-chunk checksum, yet the 15-bit energy-contour fingerprint
+    (16 integer window energies, bit k = [E(k+1) > E(k)]) collapses
+    them at ZERO distance — provably, because |2s| = 2|s| exactly and
+    the sign of every energy delta survives uniform gain
+    (operators/multimodal.audio_fingerprint_editions). The rollup
+    groups by fingerprint; cross-asset collisions surface as
+    n_assets > 1 (reported, not hidden — 15 comparison bits over
+    similar synthetic contours DO collide, which is exactly the banded
+    LSH regime x4 handles). Decode + fingerprint is one Arrow
+    mapInPandas pass over real codec bytes; the oracle replays the
+    sample formula, the window split, the gain-2 edition and the bit
+    packing in pure integer SQL."""
+    media = MM.synthetic_audio_media(spark, 64)
+    return (
+        MM.audio_fingerprint_editions(media)
+        .groupBy("afp")
+        .agg(
+            F.count(F.lit(1)).alias("n_editions"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.min("asset_id").alias("canonical_asset"),
+        )
+        .orderBy("afp")
+    )
+
+
 def e2e_multimodal_curation(spark, sf_dir):
     """The multimodal capstone: ONE pipeline over a heterogeneous lake
     of all three REAL formats (BMP images + PCM-WAV audio + Y4M video)
@@ -4946,6 +4975,178 @@ def x101_temperature_mixture(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def x100_nb_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier (the fastText/CCNet-style filter every
+    LLM data pipeline runs: 'score the crawl against a curated seed'):
+    a multinomial Naive Bayes trained IN-ENGINE — seed positives are
+    the curated source (src0), negatives everything else — then applied
+    to every document in the same job. Training is pure aggregation:
+    per-term class counts (one term-keyed shuffle), class token totals
+    and vocabulary size (a 1-row broadcast fold), add-one-smoothed
+    per-term log-odds w_t = ln((c_pos+1)/(N_pos+V)) −
+    ln((c_neg+1)/(N_neg+V)). Scoring joins tokens to the weight table
+    ON TERM — a vocabulary-scaled shuffle join, never a broadcast (the
+    x25 rule: vocab grows with the corpus) — and folds per doc. Each
+    term weight (and the Laplace-smoothed class prior) is quantized to
+    integer 1e-6 units BEFORE the per-doc sum, so the fold is exact
+    int64 arithmetic — order-independent across engines and partition
+    counts (the a21/flake-probe discipline). At 100 TB: one corpus
+    token pass, two term-keyed shuffles, one doc-keyed fold; the model
+    itself is never collected to the driver. The reference has no
+    trained component; this is the LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").cast("int").alias("is_pos"),
+        T.tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    toks = base.select(
+        "doc_id", "is_pos", F.explode("toks").alias("term")
+    )
+    tc = toks.groupBy("term").agg(
+        F.sum("is_pos").cast("long").alias("c_pos"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("c_neg"),
+    )
+    tot = tc.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w_units = F.floor(
+        (
+            F.log(
+                (F.col("c_pos") + F.lit(1.0))
+                / (F.col("n_pos") + F.col("v"))
+            )
+            - F.log(
+                (F.col("c_neg") + F.lit(1.0))
+                / (F.col("n_neg") + F.col("v"))
+            )
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    wts = tc.crossJoin(F.broadcast(tot)).select(
+        "term", w_units.alias("w_units")
+    )
+    prior = base.agg(
+        F.floor(
+            F.log(
+                (F.sum("is_pos") + F.lit(1.0))
+                / (F.count(F.lit(1)) - F.sum("is_pos") + F.lit(1.0))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prior_units")
+    )
+    scored = (
+        toks.join(wts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_units").alias("units"),
+        )
+    )
+    total_units = F.col("units") + F.col("prior_units")
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_tokens",
+        (total_units.cast("double") / F.lit(1_000_000.0) + F.lit(0.0)).alias(
+            "nb_score"
+        ),
+        (total_units > 0).cast("int").alias("predicted_pos"),
+    )
+
+
+def x102_crossdoc_span_dedup(spark, sf_dir):
+    """CROSS-DOCUMENT exact-substring census (the ExactSubstr dedup of
+    Lee et al., 'Deduplicating Training Data Makes Language Models
+    Better', expressed relationally instead of via a suffix array):
+    every 8-token span that appears verbatim in ≥2 DISTINCT documents
+    marks its 8 token positions as duplicated; per document the query
+    reports how many spans are shared and what fraction of its tokens
+    sits inside shared spans — the signal that drives span-level
+    trimming where doc-level dedup (x1/x2) keeps both copies of a
+    half-boilerplate page. Shape at 100 TB: positional 8-grams explode
+    linearly (n_tokens − 7 per doc), the duplicate test is ONE
+    gram-keyed shuffle (GROUP BY gram HAVING count(DISTINCT doc) ≥ 2 —
+    an inverted-index membership probe, NOT x3's pair self-join, so
+    there is no Σ df² blowup at any duplication level), and coverage
+    is an 8× bounded explode over matched grams only. At scale the
+    join key would be the 64-bit rolling hash of the span rather than
+    its text (same exact-replay property, 8× fewer shuffle bytes);
+    the text key is kept here so the oracle reads plainly."""
+    n = 8
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select("doc_id", F.posexplode(gram_arr).alias("idx", "gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        "doc_id", (F.col("idx") + 1).alias("start")
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    dupg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    )
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .join(dupg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            covered.alias("covered_tokens"),
+            W.round_half_up(
+                covered / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def st28_token_budget_stream(spark, sf_dir):
+    """Streaming ADMISSION CONTROL against a global token budget
+    (streaming/micro_batch.run_token_budget_stream): x68's
+    'spend-the-training-budget' selection enforced ON INGEST — the
+    standing state is ONE row (cumulative tokens seen), each
+    doc_id-range micro-batch admits the prefix that keeps the running
+    total under budget, and monotonicity makes the streamed admission
+    set EQUAL to the batch prefix-sum cutoff, so the DuckDB oracle is
+    a single integer window over doc_id order. Version-chained state +
+    batch-keyed admitted partitions = replay-safe exactly-once."""
+    apply_runtime_confs(spark)
+    return ST.run_token_budget_stream(spark, sf_dir)
 
 
 def a21_drift_psi(spark, sf_dir):
@@ -8890,6 +9091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_data_contract": a20_data_contract,
         "st26_contract_stream": st26_contract_stream,
         "x101_temperature_mixture": x101_temperature_mixture,
+        "x100_nb_quality_classifier": x100_nb_quality_classifier,
+        "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
+        "st28_token_budget_stream": st28_token_budget_stream,
+        "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -13521,4 +13726,134 @@ FROM hashes GROUP BY phash ORDER BY phash
     # st27 folds a21's (metric, bin) count monoid per arriving batch —
     # the drained scoreboard equals the batch monitor exactly
     d["st27_drift_stream"] = d["a21_drift_psi"]
+    d["x100_nb_quality_classifier"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_pos, unnest(toks) AS term FROM base
+), tc AS (
+  SELECT term,
+         CAST(sum(is_pos) AS BIGINT) AS c_pos,
+         CAST(sum(1 - is_pos) AS BIGINT) AS c_neg
+  FROM toks GROUP BY term
+), tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+         CAST(sum(c_neg) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS v
+  FROM tc
+), wts AS (
+  SELECT term,
+         CAST(floor((ln((c_pos + 1.0) / (n_pos + v))
+                     - ln((c_neg + 1.0) / (n_neg + v)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_units
+  FROM tc, tot
+), prior AS (
+  SELECT CAST(floor(ln((sum(is_pos) + 1.0)
+                       / (count(*) - sum(is_pos) + 1.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS prior_units
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w_units) AS BIGINT) AS units
+  FROM toks JOIN wts USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       (CAST(units + prior_units AS DOUBLE) / 1000000.0 + 0.0) AS nb_score,
+       CAST(CASE WHEN units + prior_units > 0 THEN 1 ELSE 0 END AS INT)
+         AS predicted_pos
+FROM scored, prior
+"""
+    d["x102_crossdoc_span_dedup"] = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS start, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM toked, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, start FROM grams JOIN dup USING (gram)
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens FROM (
+    SELECT DISTINCT doc_id, p
+    FROM hits, LATERAL unnest(generate_series(start, start + 7)) AS s(p)
+  ) GROUP BY doc_id
+), dupg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       {W.round_half_up_sql(
+           "CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(t)", 6
+       )} AS dup_fraction
+FROM toked
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN dupg USING (doc_id)
+"""
+    # st28 admits the same prefix the batch window selects: positive
+    # token counts make the cumulative strictly monotone, so streamed
+    # admission == the global prefix-sum cutoff (integer-exact).
+    d["st28_token_budget_stream"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 10000
+"""
+    # mm10: replay the synthetic sample formula, the 16-window energy
+    # split (sample counts are multiples of 16, so i // (n//16) is the
+    # exact window), the gain-2 edition (energies ×2), and the
+    # sign-of-delta bit packing — all integer arithmetic.
+    d["mm10_audio_perceptual_dedup"] = """
+WITH aud AS (
+  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
+  FROM range(0, 64) t(id) WHERE id % 3 = 1
+), sam AS (
+  SELECT asset_id, n, unnest(range(0, n)) AS i FROM aud
+), winsum AS (
+  SELECT asset_id, least(i // (n // 16), 15) AS k,
+         CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
+              AS BIGINT) AS e
+  FROM sam GROUP BY asset_id, least(i // (n // 16), 15)
+), eds AS (
+  SELECT asset_id, 'orig' AS ed, k, e FROM winsum
+  UNION ALL
+  SELECT asset_id, 'gain2' AS ed, k, 2 * e FROM winsum
+), tagged AS (
+  SELECT asset_id, ed, k, e,
+         lead(e) OVER (PARTITION BY asset_id, ed ORDER BY k) AS e_next
+  FROM eds
+), fp AS (
+  SELECT asset_id, ed,
+         CAST(coalesce(sum(CASE WHEN e_next > e THEN 1 << k ELSE 0 END), 0)
+              AS BIGINT) AS afp
+  FROM tagged WHERE k < 15 GROUP BY asset_id, ed
+)
+SELECT afp,
+       CAST(count(*) AS BIGINT) AS n_editions,
+       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+       CAST(min(asset_id) AS BIGINT) AS canonical_asset
+FROM fp GROUP BY afp ORDER BY afp
+"""
     return d

@@ -783,3 +783,86 @@ def perceptual_hash_editions(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         hashes, PERCEPTUAL_HASH_SCHEMA
     )
+
+
+#: Audio fingerprint geometry: 16 equal energy windows → 15 comparison
+#: bits. The synthetic WAV fixtures' sample counts are all multiples of
+#: 16, so the window split is exact on both engines.
+AUDIO_FP_WINDOWS = 16
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("edition", StringType(), False),
+        StructField("afp", LongType(), False),
+    ]
+)
+
+
+def _energy_fingerprint(
+    samples: list[int], n_windows: int = AUDIO_FP_WINDOWS
+) -> int:
+    """Energy-contour fingerprint of a PCM sample array: split into
+    ``n_windows`` equal windows, integer |amplitude| sum per window,
+    bit k set iff E[k+1] > E[k] (the Haitsma–Kalker sign-of-delta
+    idea reduced to one band). Comparison-only over integer sums, so
+    any uniform gain g > 0 scales every window energy by exactly g and
+    leaves every bit — hence the fingerprint — unchanged."""
+    n = len(samples)
+    chunk = max(1, n // n_windows)
+    e = [
+        sum(abs(v) for v in samples[k * chunk : (k + 1) * chunk])
+        for k in range(n_windows)
+    ]
+    fp = 0
+    for k in range(n_windows - 1):
+        if e[k + 1] > e[k]:
+            fp |= 1 << k
+    return fp
+
+
+def audio_fingerprint_editions(media: DataFrame) -> DataFrame:
+    """Per-asset perceptual audio fingerprints for TWO physical
+    editions of every clip: the original WAV payload and a re-encoded
+    gain-doubled master (every sample ×2 — a different data chunk,
+    different checksum, same recording louder). The energy-contour
+    fingerprint is PROVABLY gain-invariant by integer identity:
+    |2s| = 2|s| exactly (samples stay within int16 at ±9972), so every
+    window energy doubles and every E[k+1] > E[k] comparison — hence
+    every bit — is unchanged. That is the near-dup axis mm4's byte-md5
+    cannot see for audio, completing mm9's story across modalities.
+    Editions with non-uniform edits (fades, trims) degrade to Hamming
+    proximity, which bands through x4's SimHash pigeonhole blocks
+    unchanged.
+
+    Scale shape: decode + window + fingerprint is one Arrow-batched
+    mapInPandas pass (payload bytes never shuffle); the emitted frame
+    is 2 thin rows per asset and the rollup key is the 15-bit
+    fingerprint. The gain-2 edition goes through a full encode→decode
+    roundtrip, so a codec header/stride/byte-order bug changes the
+    fingerprint and the oracle catches it."""
+    from ..functions import codecs as C
+
+    def fps(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "edition": [],
+                "afp": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                rate, samples = C.decode_wav(raw)
+                out["asset_id"].append(aid)
+                out["edition"].append("orig")
+                out["afp"].append(_energy_fingerprint(samples))
+                louder = C.encode_wav([2 * v for v in samples], rate)
+                _, s2 = C.decode_wav(louder)
+                out["asset_id"].append(aid)
+                out["edition"].append("gain2")
+                out["afp"].append(_energy_fingerprint(s2))
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        fps, AUDIO_FP_SCHEMA
+    )

@@ -2981,3 +2981,144 @@ def run_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = psi_scoreboard(spark, counts).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_token_budget_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    budget: int = 10_000,
+) -> DataFrame:
+    """st28: streaming ADMISSION CONTROL against a global token budget —
+    the ingest-time form of x68's 'take documents until the training
+    budget is spent'. Documents arrive in doc_id-range micro-batches
+    (mtime-ordered backlog = arrival order); the standing state is ONE
+    row — cumulative tokens seen — so each batch admits exactly the
+    rows whose carried-in + within-batch running total stays under the
+    budget. Because per-doc token counts are positive, the cumulative
+    is strictly monotone and admission is a prefix: once the budget
+    trips mid-batch every later batch admits nothing, which is
+    precisely the batch prefix-sum cutoff — the DuckDB oracle replays
+    it as one window over doc_id order, integer arithmetic only.
+    Replay safety: state is version-chained (v{b} from v{b-1},
+    overwrite) and admitted rows land in batch_id-keyed directories
+    (overwrite), so a reprocessed batch rewrites, never double-admits.
+    Scale notes: the carried total is a 1-row read (bounded driver
+    probe, the Misra-Gries pattern); the within-batch running sum is a
+    single-partition window BOUNDED BY THE MICRO-BATCH, not the
+    corpus — a huge trigger would use x68's bucketed prefix-sum form
+    inside the batch."""
+    import shutil
+    import time as _time
+    from functools import reduce
+
+    from pyspark.sql import Window as _W
+
+    from ..functions.text import token_count
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    max_id = scored.agg(F.max("doc_id")).first()[0]
+
+    workdir = tempfile.mkdtemp(prefix="kw_st28_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    admitted_dir = os.path.join(workdir, "admitted")
+    os.makedirs(src_dir)
+
+    # doc_id-range arrivals, mtime-ordered (the FileStreamSource
+    # backlog contract: past mtimes, strictly increasing)
+    t0 = int(_time.time()) - 3600
+    bounds = [(max_id + 1) * k // n_files for k in range(n_files + 1)]
+    for i in range(n_files):
+        part = scored.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        tmp = os.path.join(workdir, f"tmp{i}")
+        part.coalesce(1).write.json(tmp)
+        pf = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".json")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.json")
+        shutil.move(os.path.join(tmp, pf), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        carried = 0
+        if batch_id > 0:
+            carried = (
+                sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+                .first()["total_tokens"]
+            )
+        w = _W.orderBy("doc_id").rowsBetween(
+            _W.unboundedPreceding, _W.currentRow
+        )
+        cum = batch.select(
+            "doc_id",
+            "n_tokens",
+            (F.lit(carried) + F.sum("n_tokens").over(w))
+            .cast("long")
+            .alias("cum_tokens"),
+        ).localCheckpoint(eager=True)
+        cum.filter(F.col("cum_tokens") <= budget).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(admitted_dir, f"b{batch_id}"))
+        tot = batch.agg(
+            (F.lit(carried) + F.coalesce(F.sum("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("total_tokens")
+        )
+        tot.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("cum_tokens", LongType()),
+        ]
+    )
+    frames = [
+        spark.read.schema(out_schema).parquet(
+            os.path.join(admitted_dir, p)
+        )
+        for p in sorted(os.listdir(admitted_dir))
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), frames).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
