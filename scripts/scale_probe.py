@@ -172,6 +172,9 @@ PROBED_QUERIES = (
     "x98_graph_triangle_audit",
     "x99_bpe_fertility_trained",
     "st25_bpe_stats_stream",
+    "x100_nb_quality_classifier",
+    "x102_crossdoc_span_dedup",
+    "st28_token_budget_stream",
 )
 
 
