@@ -1278,3 +1278,123 @@ def test_mm9_phash_resize_invariant_but_bytes_differ(spark):
     raw = C.synthetic_bmp(0, 8, 6)
     resized = C.resize_bmp(raw, MM.PHASH_MID_W, MM.PHASH_MID_H)
     assert hashlib.md5(raw).hexdigest() != hashlib.md5(resized).hexdigest()
+
+
+def test_mm10_audio_fp_gain_invariant_but_bytes_differ(spark):
+    """The mm10 claim decomposed: (a) each asset's original and
+    gain-doubled re-encoded editions produce the IDENTICAL
+    energy-contour fingerprint (integer identity |2s| = 2|s|, not
+    proximity), while (b) the two editions' payload bytes share no md5
+    — byte-level dedup (mm4) sees nothing, the perceptual axis is new
+    information."""
+    import hashlib
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    media = MM.synthetic_audio_media(spark, 64)
+    rows = MM.audio_fingerprint_editions(media).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, {})[r.edition] = r.afp
+    assert len(by_asset) == 21
+    for aid, eds in by_asset.items():
+        assert eds["orig"] == eds["gain2"], f"asset {aid} fp not invariant"
+    raw = C.synthetic_wav(1, 512)
+    _, samples = C.decode_wav(raw)
+    louder = C.encode_wav([2 * v for v in samples], 8000)
+    assert hashlib.md5(raw).hexdigest() != hashlib.md5(louder).hexdigest()
+    # the doubled samples stay within int16 (no clipping in the proof)
+    assert max(abs(2 * v) for v in samples) < 32768
+
+
+def test_x100_nb_classifier_separates_seed_classes(spark, sf01):
+    """The trained NB filter must actually separate its training
+    classes: mean score of curated-source (src0) docs strictly above
+    the mean of the rest, and the score of every doc is finite (the
+    add-one smoothing guarantees no -inf even for class-exclusive
+    terms)."""
+    import math
+
+    import __spark_entry__ as E
+
+    scored = E.queries()["x100_nb_quality_classifier"](spark, sf01)
+    docs = spark.read.parquet(f"{sf01}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    j = scored.join(docs, "doc_id").collect()
+    pos = [r.nb_score for r in j if r.source == "src0"]
+    neg = [r.nb_score for r in j if r.source != "src0"]
+    assert pos and neg
+    assert all(math.isfinite(s) for s in pos + neg)
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_x102_span_coverage_bounds_and_crafted_exactness(spark, sf01, tmp_path):
+    """Span-census invariants on the real corpus (0 ≤ covered ≤
+    n_tokens, zero iff no dup grams), then the sharp end on a CRAFTED
+    corpus: an exact-duplicate pair is 100% covered, a doc sharing
+    only one 8-gram window covers exactly 8 tokens, and a disjoint doc
+    covers zero."""
+    import __spark_entry__ as E
+
+    q = E.queries()["x102_crossdoc_span_dedup"]
+    for r in q(spark, sf01).collect():
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert (r.n_dup_grams == 0) == (r.covered_tokens == 0)
+
+    shared = "a b c d e f g h"  # one exact 8-gram window
+    crafted = spark.createDataFrame(
+        [
+            (0, shared + " i j", "en", "src0", 0),
+            (1, shared + " i j", "en", "src1", 0),  # exact duplicate of 0
+            (2, "z y " + shared + " q w", "en", "src2", 0),  # shares 1 window
+            (3, "p q r s t u v w x", "en", "src3", 0),  # disjoint
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    crafted.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    res = {r.doc_id: r for r in q(spark, str(tmp_path)).collect()}
+    assert res[0].covered_tokens == res[0].n_tokens == 10
+    assert res[1].covered_tokens == res[1].n_tokens == 10
+    # doc 2: only the verbatim 'a..h' window is shared (12 tokens total)
+    assert res[2].n_tokens == 12
+    assert res[2].n_dup_grams == 1 and res[2].covered_tokens == 8
+    assert res[3].n_dup_grams == 0 and res[3].covered_tokens == 0
+
+
+def test_st28_admission_is_the_batch_prefix(spark, sf001):
+    """Streaming budget admission == the batch prefix-sum cutoff, on a
+    different SF than the oracle gate exercises (multi-batch streaming
+    path at sf0.001): cumulative totals are strictly monotone, capped
+    by the budget, and the admitted doc_id set is exactly the docs
+    whose batch-side running total fits."""
+    import __spark_entry__ as E
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    out = sorted(
+        E.queries()["st28_token_budget_stream"](spark, sf001).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert out and all(r.cum_tokens <= 10_000 for r in out)
+    cums = [r.cum_tokens for r in out]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
+    docs = (
+        spark.read.parquet(f"{sf001}/documents.parquet")
+        .select("doc_id", token_count(F.col("text")).alias("n"))
+        .sort("doc_id")
+        .collect()
+    )
+    total, expect = 0, []
+    for r in docs:
+        total += r.n
+        if total > 10_000:
+            break
+        expect.append((r.doc_id, total))
+    assert [(r.doc_id, r.cum_tokens) for r in out] == expect
