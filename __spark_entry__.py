@@ -4477,6 +4477,61 @@ def io8_sync_plan(spark, sf_dir):
     ).orderBy("shard")
 
 
+def io9_schema_evolution(spark, sf_dir):
+    """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
+    surface every long-lived table eventually needs: generation 1 of
+    the orders export was written WITHOUT ``o_orderstatus``; generation
+    2 (later ship dates) adds the column. A ``mergeSchema`` parquet
+    read unions the physical generations into ONE logical schema —
+    old files surface the late column as NULL (additive evolution,
+    never a rewrite of history) — and the audit reports, per
+    generation, how much of the table predates the column and what the
+    backfill burden would be. Scale notes: mergeSchema=true costs a
+    footer read per FILE at planning time — fine for a directory, the
+    wrong tool at 10⁶ files; there the merged schema comes from the
+    table-format manifest (io3's snapshot metadata), and this audit
+    runs identically on top. Column pruning/pushdown still reach both
+    generations (missing columns prune to a null literal). The oracle
+    replays the generation split + null-fill from the source table
+    closed-form."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    path = tempfile.mkdtemp(prefix="io9_evo_")
+    try:
+        cut_ts = F.lit(cut).cast("timestamp_ntz")
+        orders.filter(F.col("o_orderdate") < cut_ts).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{path}/gen=1")
+        orders.filter(F.col("o_orderdate") >= cut_ts).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(f"{path}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        out = (
+            merged.groupBy(F.col("gen").cast("int").alias("gen"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.col("o_orderstatus").isNull().cast("int")
+                )
+                .cast("bigint")
+                .alias("n_missing_status"),
+                F.countDistinct("o_orderstatus")
+                .cast("bigint")
+                .alias("n_statuses"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def io6_compaction_plan(spark, sf_dir):
     """Small-file COMPACTION planning — the lakehouse maintenance op
     that keeps a streaming-ingested table readable (thousands of tiny
@@ -5059,6 +5114,78 @@ def x100_nb_quality_classifier(spark, sf_dir):
             "nb_score"
         ),
         (total_units > 0).cast("int").alias("predicted_pos"),
+    )
+
+
+def x103_mixture_materializer(spark, sf_dir):
+    """MATERIALIZE the learned mixture — x101's α=0.5 temperature
+    schedule executed, closing the plan→materialize loop (x101 derives
+    the policy, x23 showed hand-pinned weights; here the DERIVED
+    per-source epoch factor drives x23's content-hash draw): each
+    document repeats floor(ef) times plus one fractional copy iff its
+    md5 bucket clears the per-mille threshold — a pure function of
+    content, so the materialized corpus is identical across runs,
+    engines, and re-shards. The epoch factor arithmetic is the
+    IEEE-sqrt-exact x101 chain (sqrt correctly rounded everywhere, one
+    division order written identically on both engines); the threshold
+    is the explicit half-up floor. Spark EXPLODES the real epoch rows
+    (narrow map, no shuffle — the path that feeds the shard writer at
+    100 TB) and audits per source; the oracle computes the same audit
+    CLOSED-FORM (Σ n_copies, Σ n_copies·tokens), so the check proves
+    materialized == planned. The policy join is a broadcast (|sources|
+    is bounded — the mixture-domain rule, opposite of the x25 vocab
+    rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+        SMP.split_bucket(F.col("text")).alias("bucket"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("tokens_in")
+    )
+    tot = per_src.agg(
+        F.sum("tokens_in").cast("double").alias("_tot"),
+        F.sum(F.sqrt(F.col("tokens_in").cast("double"))).alias("_z"),
+    )
+    t_in = F.col("tokens_in").cast("double")
+    ef = F.sqrt(t_in) / F.col("_z") * F.col("_tot") / F.col("tokens_in")
+    policy = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_in",
+        ef.alias("ef"),
+        F.floor(F.sqrt(t_in) / F.col("_z") * F.col("_tot") + F.lit(0.5))
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    n_copies = (
+        F.floor(F.col("ef")).cast("int")
+        + (
+            F.col("bucket")
+            < F.floor(
+                (F.col("ef") - F.floor(F.col("ef"))) * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+        ).cast("int")
+    )
+    exploded = (
+        d.join(F.broadcast(policy), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+    )
+    return exploded.groupBy("source").agg(
+        F.max("tokens_in").alias("tokens_in"),
+        F.max("target_tokens").alias("target_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+        F.sum("n_tok").cast("long").alias("tokens_out"),
+        W.round_half_up(
+            F.sum("n_tok") / F.max("target_tokens"), 4
+        ).alias("achieved_ratio"),
     )
 
 
@@ -9093,8 +9220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x101_temperature_mixture": x101_temperature_mixture,
         "x100_nb_quality_classifier": x100_nb_quality_classifier,
         "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
+        "x103_mixture_materializer": x103_mixture_materializer,
         "st28_token_budget_stream": st28_token_budget_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
+        "io9_schema_evolution": io9_schema_evolution,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -13820,6 +13949,66 @@ WITH scored AS (
   FROM scored
 )
 SELECT doc_id, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 10000
+"""
+    # x103: the oracle audits the materialized mixture CLOSED-FORM
+    # (sum n_copies == exploded row count), proving planned == built.
+    d["x103_mixture_materializer"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tok,
+         {SMP.split_bucket_sql('text')} AS bucket
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_in
+  FROM d GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens_in) AS DOUBLE) AS _tot,
+         sum(sqrt(CAST(tokens_in AS DOUBLE))) AS _z
+  FROM per_src
+), policy AS (
+  SELECT source, tokens_in,
+         sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot / tokens_in AS ef,
+         CAST(floor(sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot + 0.5)
+              AS BIGINT) AS target_tokens
+  FROM per_src, tot
+), cop AS (
+  SELECT d.doc_id, d.source, d.n_tok, p.tokens_in, p.target_tokens,
+         CAST(floor(ef) AS INT)
+         + (CASE WHEN d.bucket < floor((ef - floor(ef)) * 1000.0 + 0.5)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM d JOIN policy p USING (source)
+)
+SELECT source,
+       CAST(max(tokens_in) AS BIGINT) AS tokens_in,
+       CAST(max(target_tokens) AS BIGINT) AS target_tokens,
+       CAST(count(DISTINCT CASE WHEN n_copies > 0 THEN doc_id END)
+            AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(sum(n_copies * n_tok) AS BIGINT) AS tokens_out,
+       {W.round_half_up_sql(
+           "CAST(sum(n_copies * n_tok) AS BIGINT) / max(target_tokens)", 4
+       )} AS achieved_ratio
+FROM cop GROUP BY source HAVING sum(n_copies) > 0
+"""
+    # io9: the generation split + null-fill replayed closed-form from
+    # the source table (gen1 predates the o_orderstatus column).
+    d["io9_schema_evolution"] = """
+WITH g AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              THEN 1 ELSE 2 END AS gen,
+         o_totalprice,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              THEN o_orderstatus END AS st
+  FROM orders
+)
+SELECT CAST(gen AS INT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_status,
+       CAST(count(DISTINCT st) AS BIGINT) AS n_statuses,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM g GROUP BY gen
 """
     # mm10: replay the synthetic sample formula, the 16-window energy
     # split (sample counts are multiples of 16, so i // (n//16) is the
