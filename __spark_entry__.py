@@ -5032,25 +5032,11 @@ def x101_temperature_mixture(spark, sf_dir):
     )
 
 
-def x100_nb_quality_classifier(spark, sf_dir):
-    """TRAINED quality classifier (the fastText/CCNet-style filter every
-    LLM data pipeline runs: 'score the crawl against a curated seed'):
-    a multinomial Naive Bayes trained IN-ENGINE — seed positives are
-    the curated source (src0), negatives everything else — then applied
-    to every document in the same job. Training is pure aggregation:
-    per-term class counts (one term-keyed shuffle), class token totals
-    and vocabulary size (a 1-row broadcast fold), add-one-smoothed
-    per-term log-odds w_t = ln((c_pos+1)/(N_pos+V)) −
-    ln((c_neg+1)/(N_neg+V)). Scoring joins tokens to the weight table
-    ON TERM — a vocabulary-scaled shuffle join, never a broadcast (the
-    x25 rule: vocab grows with the corpus) — and folds per doc. Each
-    term weight (and the Laplace-smoothed class prior) is quantized to
-    integer 1e-6 units BEFORE the per-doc sum, so the fold is exact
-    int64 arithmetic — order-independent across engines and partition
-    counts (the a21/flake-probe discipline). At 100 TB: one corpus
-    token pass, two term-keyed shuffles, one doc-keyed fold; the model
-    itself is never collected to the driver. The reference has no
-    trained component; this is the LLM-pipeline extension surface."""
+def _nb_score_units(spark, sf_dir):
+    """Shared train+score chain for x100/x104: per-document integer
+    score units (1e-6-quantized term log-odds summed per doc + the
+    Laplace class prior). See x100's docstring for the full scale
+    argument; both consumers read this one lineage."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -5106,14 +5092,102 @@ def x100_nb_quality_classifier(spark, sf_dir):
             F.sum("w_units").alias("units"),
         )
     )
-    total_units = F.col("units") + F.col("prior_units")
     return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("units") + F.col("prior_units")).alias("units_total"),
+    )
+
+
+def x100_nb_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier (the fastText/CCNet-style filter every
+    LLM data pipeline runs: 'score the crawl against a curated seed'):
+    a multinomial Naive Bayes trained IN-ENGINE — seed positives are
+    the curated source (src0), negatives everything else — then applied
+    to every document in the same job. Training is pure aggregation:
+    per-term class counts (one term-keyed shuffle), class token totals
+    and vocabulary size (a 1-row broadcast fold), add-one-smoothed
+    per-term log-odds w_t = ln((c_pos+1)/(N_pos+V)) −
+    ln((c_neg+1)/(N_neg+V)). Scoring joins tokens to the weight table
+    ON TERM — a vocabulary-scaled shuffle join, never a broadcast (the
+    x25 rule: vocab grows with the corpus) — and folds per doc. Each
+    term weight (and the Laplace-smoothed class prior) is quantized to
+    integer 1e-6 units BEFORE the per-doc sum, so the fold is exact
+    int64 arithmetic — order-independent across engines and partition
+    counts (the a21/flake-probe discipline). At 100 TB: one corpus
+    token pass, two term-keyed shuffles, one doc-keyed fold; the model
+    itself is never collected to the driver. The reference has no
+    trained component; this is the LLM-pipeline extension surface."""
+    scored = _nb_score_units(spark, sf_dir)
+    total_units = F.col("units_total")
+    return scored.select(
         "doc_id",
         "n_tokens",
         (total_units.cast("double") / F.lit(1_000_000.0) + F.lit(0.0)).alias(
             "nb_score"
         ),
         (total_units > 0).cast("int").alias("predicted_pos"),
+    )
+
+
+def x104_classifier_calibration(spark, sf_dir):
+    """CALIBRATION audit of the trained filter — the evaluate leg that
+    closes x100's train→score loop (the curve a data team reads before
+    picking the keep-threshold): documents ranked by NB score, split
+    into 10 global deciles, per-decile seed-label precision and
+    cumulative recall. The global rank is the SCALABLE form, not a
+    single-partition ntile: scores bucket by their integer unit
+    (monotone in the ordering key), per-bucket counts prefix-sum on a
+    bucket-sized frame, and each row's rank = bucket prefix + a window
+    partitioned BY BUCKET (x68's distributed prefix-sum pattern — the
+    corpus never flows through one global sort). decile = ((rank−1)·10)
+    div N is pure integer arithmetic, so the oracle (which may use a
+    plain single-node row_number) assigns bit-identical deciles.
+    Precision/recall are integer ratios rounded half-up."""
+    scored = _nb_score_units(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    labs = docs.select(
+        "doc_id", (F.col("source") == "src0").cast("int").alias("is_pos")
+    )
+    ranked = scored.join(labs, "doc_id").withColumn(
+        "bucket",
+        F.floor(F.col("units_total") / F.lit(1_000_000)).cast("long"),
+    )
+    btot = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("prefix")
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("units_total").desc(), F.col("doc_id").asc()
+    )
+    n_total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    with_rank = (
+        ranked.join(F.broadcast(prefix), "bucket")
+        .withColumn("rn", F.col("prefix") + F.row_number().over(wd))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("decile", F.expr("((rn - 1) * 10) div n_all"))
+    )
+    per = with_rank.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(F.sum("n_pos").cast("long").alias("total_pos"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "n_pos",
+        W.round_half_up(
+            F.col("n_pos") / F.col("n_docs"), 6
+        ).alias("precision_at"),
+        W.round_half_up(
+            F.sum("n_pos").over(wc) / F.col("total_pos"), 6
+        ).alias("cum_recall"),
     )
 
 
@@ -9221,6 +9295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x100_nb_quality_classifier": x100_nb_quality_classifier,
         "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
         "x103_mixture_materializer": x103_mixture_materializer,
+        "x104_classifier_calibration": x104_classifier_calibration,
         "st28_token_budget_stream": st28_token_budget_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
@@ -13855,7 +13930,8 @@ FROM hashes GROUP BY phash ORDER BY phash
     # st27 folds a21's (metric, bin) count monoid per arriving batch —
     # the drained scoreboard equals the batch monitor exactly
     d["st27_drift_stream"] = d["a21_drift_psi"]
-    d["x100_nb_quality_classifier"] = """
+    # Shared NB train+score CTE chain (x100 scores, x104 calibrates)
+    nb_cte = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos,
@@ -13891,12 +13967,42 @@ WITH base AS (
          CAST(sum(w_units) AS BIGINT) AS units
   FROM toks JOIN wts USING (term)
   GROUP BY doc_id
-)
+), scored_u AS (
+  SELECT doc_id, n_tokens,
+         CAST(units + prior_units AS BIGINT) AS units_total
+  FROM scored, prior
+)"""
+    d["x100_nb_quality_classifier"] = nb_cte + """
 SELECT doc_id, n_tokens,
-       (CAST(units + prior_units AS DOUBLE) / 1000000.0 + 0.0) AS nb_score,
-       CAST(CASE WHEN units + prior_units > 0 THEN 1 ELSE 0 END AS INT)
+       (CAST(units_total AS DOUBLE) / 1000000.0 + 0.0) AS nb_score,
+       CAST(CASE WHEN units_total > 0 THEN 1 ELSE 0 END AS INT)
          AS predicted_pos
-FROM scored, prior
+FROM scored_u
+"""
+    d["x104_classifier_calibration"] = nb_cte + f"""
+, labs AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), ranked AS (
+  SELECT s.doc_id, l.is_pos,
+         row_number() OVER (ORDER BY s.units_total DESC, s.doc_id ASC)
+           AS rn,
+         count(*) OVER () AS n_all
+  FROM scored_u s JOIN labs l USING (doc_id)
+), per AS (
+  SELECT ((rn - 1) * 10) // n_all AS decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_pos) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY 1
+), ptot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM per)
+SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
+       {W.round_half_up_sql("CAST(n_pos AS DOUBLE) / n_docs", 6)}
+         AS precision_at,
+       {W.round_half_up_sql(
+           "CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+           "PRECEDING AND CURRENT ROW) AS DOUBLE) / total_pos", 6
+       )} AS cum_recall
+FROM per, ptot
 """
     d["x102_crossdoc_span_dedup"] = f"""
 WITH toked AS (

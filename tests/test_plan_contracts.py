@@ -706,3 +706,27 @@ def test_a20_contract_is_two_scans_of_orders_no_python(spark, sf01):
     assert len(scans) == 3, scans
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x100_vocab_join_shuffles_on_term(spark, sf01):
+    """x100's scale rule (same as x20/x25): the NB weight table is
+    vocabulary-sized, so the scoring join must NOT be broadcast by the
+    LIBRARY — with size-stat auto-broadcast off it must plan as a
+    term-keyed shuffle join (at tiny SFs AQE may legitimately broadcast
+    from stats; the contract is that no hint forces the vocab
+    broadcast). The frames that DO broadcast by hint are the 1-row
+    class totals and prior, which survive stats-off."""
+    with _autobroadcast_off(spark):
+        plan = _plan(spark, sf01, "x100_nb_quality_classifier")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_x104_rank_window_is_bucket_partitioned(spark, sf01):
+    """x104's global decile rank must run as x68's distributed
+    prefix-sum: the per-document row_number window PARTITIONED BY
+    BUCKET, with only bucket-sized frames in unpartitioned windows —
+    the corpus never flows through one global sort."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf01, "x104_classifier_calibration")
+    assert "windowspecdefinition(bucket" in plan, plan[:2000]
