@@ -175,6 +175,8 @@ PROBED_QUERIES = (
     "x100_nb_quality_classifier",
     "x102_crossdoc_span_dedup",
     "st28_token_budget_stream",
+    "x103_mixture_materializer",
+    "x104_classifier_calibration",
 )
 
 
