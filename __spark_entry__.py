@@ -2209,6 +2209,34 @@ def mm10_audio_perceptual_dedup(spark, sf_dir):
     )
 
 
+def mm11_video_perceptual_dedup(spark, sf_dir):
+    """PERCEPTUAL video dedup — the triptych closed (mm9 image/resize,
+    mm10 audio/gain, mm11 video/upscale): every synthetic Y4M asset
+    exists as TWO physical editions — original 16×12 and a re-encoded
+    2× nearest-neighbor upscale with 4× the plane bytes — that the
+    per-frame 4×4 luma aHash collapses at ZERO distance, provably:
+    the upscaled grid read (6i, 8j) floor-composes to source pixel
+    (3i, 4j), exactly the original's grid read (mm9's integer-identity
+    argument on the luma plane). The asset fingerprint is the md5 of
+    the frame-ordered hash sequence, so temporal structure counts:
+    same frames in a different order = a different asset. Decode +
+    hash is one Arrow mapInPandas pass over real codec bytes
+    (operators/multimodal.video_fingerprint_editions); the oracle
+    replays plane formula, grid sampling, thresholding, bit packing
+    and the ordered-md5 combine in SQL."""
+    media = MM.synthetic_video_media(spark, 64)
+    return (
+        MM.video_fingerprint_editions(media)
+        .groupBy("vfp")
+        .agg(
+            F.count(F.lit(1)).alias("n_editions"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.min("asset_id").alias("canonical_asset"),
+        )
+        .orderBy("vfp")
+    )
+
+
 def e2e_multimodal_curation(spark, sf_dir):
     """The multimodal capstone: ONE pipeline over a heterogeneous lake
     of all three REAL formats (BMP images + PCM-WAV audio + Y4M video)
@@ -9298,6 +9326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x104_classifier_calibration": x104_classifier_calibration,
         "st28_token_budget_stream": st28_token_budget_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
+        "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
@@ -14150,5 +14179,47 @@ SELECT afp,
        CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
        CAST(min(asset_id) AS BIGINT) AS canonical_asset
 FROM fp GROUP BY afp ORDER BY afp
+"""
+    # mm11: replay the Y4M plane formula at the 4x4 grid reads
+    # (3i, 4j), threshold, pack row-major, md5 the frame-ordered hash
+    # sequence. The up2x edition's grid reads floor-compose to the SAME
+    # source pixels (integer identity), so its fingerprint is this
+    # arithmetic verbatim — the oracle replays both editions.
+    d["mm11_video_perceptual_dedup"] = """
+WITH vid AS (
+  SELECT id AS asset_id, 2 + (id % 4) AS n_frames
+  FROM range(0, 64) t(id) WHERE id % 3 = 2
+), fr AS (
+  SELECT asset_id, unnest(range(0, n_frames)) AS f FROM vid
+), cell AS (
+  SELECT asset_id, f, gi, gj,
+         (asset_id * 3 + f * 7
+          + ((gi * 12 // 4) * 16 + (gj * 16 // 4)) * 5) % 256 AS s
+  FROM fr, LATERAL unnest(range(0, 4)) a(gi),
+           LATERAL unnest(range(0, 4)) b(gj)
+), tot AS (
+  SELECT asset_id, f, CAST(sum(s) AS BIGINT) AS total
+  FROM cell GROUP BY asset_id, f
+), bits AS (
+  SELECT c.asset_id, c.f,
+         CAST(sum(CASE WHEN 16 * s >= total
+                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM cell c JOIN tot USING (asset_id, f)
+  GROUP BY c.asset_id, c.f
+), fp AS (
+  SELECT asset_id,
+         md5(string_agg(phash::VARCHAR, '-' ORDER BY f)) AS vfp
+  FROM bits GROUP BY asset_id
+), eds AS (
+  SELECT asset_id, vfp FROM fp
+  UNION ALL
+  SELECT asset_id, vfp FROM fp
+)
+SELECT vfp,
+       CAST(count(*) AS BIGINT) AS n_editions,
+       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+       CAST(min(asset_id) AS BIGINT) AS canonical_asset
+FROM eds GROUP BY vfp ORDER BY vfp
 """
     return d

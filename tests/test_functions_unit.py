@@ -1398,3 +1398,39 @@ def test_st28_admission_is_the_batch_prefix(spark, sf001):
             break
         expect.append((r.doc_id, total))
     assert [(r.doc_id, r.cum_tokens) for r in out] == expect
+
+
+def test_mm11_video_fp_upscale_invariant_but_bytes_differ(spark):
+    """The mm11 claim decomposed: (a) each asset's original and 2×
+    nearest-neighbor upscaled editions produce the IDENTICAL
+    frame-sequence fingerprint (floor-composition integer identity),
+    while (b) the editions' payloads differ in every way that matters
+    (4× plane bytes, different md5) — byte dedup sees nothing."""
+    import hashlib
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    media = MM.synthetic_video_media(spark, 64)
+    rows = MM.video_fingerprint_editions(media).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, {})[r.edition] = r.vfp
+    assert len(by_asset) == 21
+    for aid, eds in by_asset.items():
+        assert eds["orig"] == eds["up2x"], f"asset {aid} fp not invariant"
+    # (b) byte distinctness + size growth, checked off-Spark
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        codecs as C,
+    )
+
+    raw = C.synthetic_y4m(2, 16, 12, 3)
+    w, h, fps, frames = C.decode_y4m(raw)
+    uy = bytes(
+        frames[0][0][(r // 2) * w + (c // 2)]
+        for r in range(2 * h)
+        for c in range(2 * w)
+    )
+    assert len(uy) == 4 * len(frames[0][0])
+    assert hashlib.md5(raw).hexdigest() != hashlib.md5(uy).hexdigest()
