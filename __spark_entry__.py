@@ -3558,6 +3558,65 @@ def e2e_dedup_survivors(spark, sf_dir):
     )
 
 
+def x105_quality_canonicalization(spark, sf_dir):
+    """POLICY-driven dedup canonicalization — the curation rule real
+    pipelines ship that min-id survivors (x14/e2e_dedup_survivors)
+    can't express: within each near-dup cluster keep the
+    HIGHEST-QUALITY member (x7's composite score, doc_id tiebreak),
+    and report per cluster what the policy changed vs the naive
+    min-id pick and how much quality it bought. Shape at 100 TB: the
+    cluster labels come from x14's propagation (edge-keyed shuffles),
+    the quality join is doc-keyed, and the argmax is one row_number
+    window PARTITIONED BY CLUSTER — bounded by cluster size, never
+    global. The oracle replays the recursive closure, the score, and
+    the argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.4, max_shingle_df=50
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    m = cc.join(scored, "id")
+    w = Window.partitionBy("lbl").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lbl",
+            F.col("id").alias("canonical_doc"),
+            F.col("q").alias("q_canon"),
+        )
+    )
+    naive = m.groupBy("lbl").agg(
+        F.min("id").alias("naive_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    naive_q = scored.select(
+        F.col("id").alias("naive_doc"), F.col("q").alias("q_naive")
+    )
+    return (
+        best.join(naive, "lbl")
+        .join(naive_q, "naive_doc")
+        .select(
+            F.col("lbl").cast("bigint").alias("component"),
+            "n_members",
+            F.col("canonical_doc").cast("bigint").alias("canonical_doc"),
+            F.col("naive_doc").cast("bigint").alias("naive_doc"),
+            (F.col("canonical_doc") != F.col("naive_doc"))
+            .cast("int")
+            .alias("changed"),
+            W.round_half_up(
+                F.col("q_canon") - F.col("q_naive"), 6
+            ).alias("quality_gain"),
+        )
+    )
+
+
 def w8_forward_fill(spark, sf_dir):
     """Forward-fill (LOCF) over a gappy sensor series: last non-null
     value per user up to each event — F.last(ignorenulls=True) over a
@@ -9324,6 +9383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
         "x103_mixture_materializer": x103_mixture_materializer,
         "x104_classifier_calibration": x104_classifier_calibration,
+        "x105_quality_canonicalization": x105_quality_canonicalization,
         "st28_token_budget_stream": st28_token_budget_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
@@ -11010,6 +11070,34 @@ c AS (SELECT count(*) AS n_grouped,
 SELECT n_vecs, n_grouped, n_groups,
        CAST(n_vecs - n_grouped + n_groups AS BIGINT) AS n_survivors
 FROM t CROSS JOIN c
+"""
+    d["x105_quality_canonicalization"] = f"""
+WITH cc AS ({d["x14_dedup_clusters"].strip()}),
+scored AS (
+  SELECT doc_id AS id, {T.quality_score_sql('text')} AS q FROM documents
+), m AS (
+  SELECT c.doc_id AS id, c.component AS lbl, s.q
+  FROM cc c JOIN scored s ON s.id = c.doc_id
+), best AS (
+  SELECT lbl, id AS canonical_doc, q AS q_canon,
+         row_number() OVER (PARTITION BY lbl ORDER BY q DESC, id ASC) AS rn
+  FROM m
+), naive AS (
+  SELECT lbl, CAST(min(id) AS BIGINT) AS naive_doc,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM m GROUP BY lbl
+)
+SELECT CAST(b.lbl AS BIGINT) AS component,
+       n.n_members,
+       CAST(b.canonical_doc AS BIGINT) AS canonical_doc,
+       n.naive_doc,
+       CAST(CASE WHEN b.canonical_doc <> n.naive_doc THEN 1 ELSE 0 END AS INT)
+         AS changed,
+       {W.round_half_up_sql("b.q_canon - s2.q", 6)} AS quality_gain
+FROM best b
+JOIN naive n USING (lbl)
+JOIN scored s2 ON s2.id = n.naive_doc
+WHERE b.rn = 1
 """
     # the dedup decision composes x14's closure with the corpus total
     d["e2e_dedup_survivors"] = f"""
