@@ -5120,70 +5120,16 @@ def x101_temperature_mixture(spark, sf_dir):
 
 
 def _nb_score_units(spark, sf_dir):
-    """Shared train+score chain for x100/x104: per-document integer
-    score units (1e-6-quantized term log-odds summed per doc + the
-    Laplace class prior). See x100's docstring for the full scale
-    argument; both consumers read this one lineage."""
+    """Shared train+score chain for x100/x104 (library:
+    operators/quality.nb_train + nb_score — st29 deploys the same
+    artifact on the stream): per-document integer score units."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        quality as QL,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        (F.col("source") == "src0").cast("int").alias("is_pos"),
-        T.tokens(F.lower(F.col("text"))).alias("toks"),
-    )
-    toks = base.select(
-        "doc_id", "is_pos", F.explode("toks").alias("term")
-    )
-    tc = toks.groupBy("term").agg(
-        F.sum("is_pos").cast("long").alias("c_pos"),
-        F.sum(1 - F.col("is_pos")).cast("long").alias("c_neg"),
-    )
-    tot = tc.agg(
-        F.sum("c_pos").cast("long").alias("n_pos"),
-        F.sum("c_neg").cast("long").alias("n_neg"),
-        F.count(F.lit(1)).cast("long").alias("v"),
-    )
-    w_units = F.floor(
-        (
-            F.log(
-                (F.col("c_pos") + F.lit(1.0))
-                / (F.col("n_pos") + F.col("v"))
-            )
-            - F.log(
-                (F.col("c_neg") + F.lit(1.0))
-                / (F.col("n_neg") + F.col("v"))
-            )
-        )
-        * F.lit(1_000_000.0)
-        + F.lit(0.5)
-    ).cast("long")
-    wts = tc.crossJoin(F.broadcast(tot)).select(
-        "term", w_units.alias("w_units")
-    )
-    prior = base.agg(
-        F.floor(
-            F.log(
-                (F.sum("is_pos") + F.lit(1.0))
-                / (F.count(F.lit(1)) - F.sum("is_pos") + F.lit(1.0))
-            )
-            * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("prior_units")
-    )
-    scored = (
-        toks.join(wts, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("w_units").alias("units"),
-        )
-    )
-    return scored.crossJoin(F.broadcast(prior)).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("units") + F.col("prior_units")).alias("units_total"),
-    )
+    weights, prior = QL.nb_train(docs)
+    return QL.nb_score(docs, weights, prior)
 
 
 def x100_nb_quality_classifier(spark, sf_dir):
@@ -5435,6 +5381,20 @@ def st28_token_budget_stream(spark, sf_dir):
     batch-keyed admitted partitions = replay-safe exactly-once."""
     apply_runtime_confs(spark)
     return ST.run_token_budget_stream(spark, sf_dir)
+
+
+def st29_nb_deploy_stream(spark, sf_dir):
+    """TRAINED-MODEL deployment on the stream
+    (streaming/micro_batch.run_nb_deploy_stream): x100's Naive Bayes
+    weight TABLE — vocabulary-sized, never broadcast — frozen to
+    storage before the stream (the st17/st20 offline-artifact
+    pattern), then every document micro-batch scored through the same
+    library apply path as the batch query (term-keyed join + integer
+    fold) into batch-keyed partitions, replay-safe. Stateless scoring
+    under a frozen model makes the drained union EQUAL batch x100:
+    one oracle covers training, batch scoring, and deployment."""
+    apply_runtime_confs(spark)
+    return ST.run_nb_deploy_stream(spark, sf_dir)
 
 
 def a21_drift_psi(spark, sf_dir):
@@ -9385,6 +9345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x104_classifier_calibration": x104_classifier_calibration,
         "x105_quality_canonicalization": x105_quality_canonicalization,
         "st28_token_budget_stream": st28_token_budget_stream,
+        "st29_nb_deploy_stream": st29_nb_deploy_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
@@ -14121,6 +14082,9 @@ SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
        )} AS cum_recall
 FROM per, ptot
 """
+    # st29 scores the replayed corpus under the frozen x100 model —
+    # stateless per doc, so the drained union == batch x100 exactly
+    d["st29_nb_deploy_stream"] = d["x100_nb_quality_classifier"]
     d["x102_crossdoc_span_dedup"] = f"""
 WITH toked AS (
   SELECT doc_id,

@@ -200,3 +200,88 @@ def psi_scoreboard(spark, counts: DataFrame) -> DataFrame:
         .withColumn("drifted", F.col("psi") > 0.2)
         .orderBy("metric")
     )
+
+
+def nb_train(docs: DataFrame, pos_source: str = "src0"):
+    """Train the multinomial Naive Bayes quality filter in-engine
+    (x100/st29): seed positives = the curated source, negatives =
+    everything else. Returns ``(weights, prior)`` — the deployable
+    model artifact: ``weights`` is a vocabulary-sized (term, w_units)
+    table of add-one-smoothed log-odds quantized to integer 1e-6 units
+    (so every downstream fold is order-free int64 arithmetic), and
+    ``prior`` is a 1-row frame with the Laplace-smoothed class prior in
+    the same units. Training is pure aggregation: one term-keyed
+    shuffle + a 1-row broadcast fold — the model never touches the
+    driver."""
+    from ..functions.text import tokens
+
+    base = docs.select(
+        "doc_id",
+        (F.col("source") == pos_source).cast("int").alias("is_pos"),
+        tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    toks = base.select("is_pos", F.explode("toks").alias("term"))
+    tc = toks.groupBy("term").agg(
+        F.sum("is_pos").cast("long").alias("c_pos"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("c_neg"),
+    )
+    tot = tc.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w_units = F.floor(
+        (
+            F.log(
+                (F.col("c_pos") + F.lit(1.0))
+                / (F.col("n_pos") + F.col("v"))
+            )
+            - F.log(
+                (F.col("c_neg") + F.lit(1.0))
+                / (F.col("n_neg") + F.col("v"))
+            )
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weights = tc.crossJoin(F.broadcast(tot)).select(
+        "term", w_units.alias("w_units")
+    )
+    prior = base.agg(
+        F.floor(
+            F.log(
+                (F.sum("is_pos") + F.lit(1.0))
+                / (F.count(F.lit(1)) - F.sum("is_pos") + F.lit(1.0))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prior_units")
+    )
+    return weights, prior
+
+
+def nb_score(docs: DataFrame, weights: DataFrame, prior: DataFrame) -> DataFrame:
+    """Apply a trained NB model (x100/st29): tokens join the weight
+    table ON TERM — a vocabulary-scaled shuffle join, never a broadcast
+    (the x25 rule) — and fold per document in exact integer units.
+    Returns (doc_id, n_tokens, units_total)."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    scored = (
+        toks.join(weights, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_units").alias("units"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("units") + F.col("prior_units")).alias("units_total"),
+    )

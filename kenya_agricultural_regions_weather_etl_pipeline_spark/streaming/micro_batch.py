@@ -3122,3 +3122,107 @@ def run_token_budget_stream(
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_nb_deploy_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """st29: a TRAINED model deployed to the stream — the missing
+    rung between st19 (a 2-number median/MAD profile) and real ML
+    serving: the artifact here is x100's full Naive Bayes weight
+    TABLE (vocabulary-sized — too big to broadcast, the x25 rule),
+    frozen to parquet before the stream starts (the st17/st20
+    offline-codebook pattern). Each arriving document micro-batch is
+    scored by the SAME library apply path the batch query uses
+    (operators/quality.nb_score: term-keyed join against the stored
+    weights + integer-unit fold) and lands in batch_id-keyed
+    partitions — overwrite-on-replay exactly-once. Scoring is
+    stateless per doc given the frozen model, so the drained union
+    EQUALS batch x100 verbatim: one oracle covers offline training,
+    batch scoring, and streaming deployment. At 100 TB the weights
+    live as a bucketed table co-partitioned with the token stream's
+    term key; per-batch cost is the batch's tokens only."""
+    import shutil
+
+    from ..operators.quality import nb_score, nb_train
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st29_")
+    model_dir = os.path.join(workdir, "model")
+    scored_dir = os.path.join(workdir, "scored")
+    src_dir = os.path.join(workdir, "arrivals")
+    os.makedirs(src_dir)
+
+    # offline training, artifact frozen to storage before the stream
+    weights, prior = nb_train(docs)
+    weights.write.mode("overwrite").parquet(os.path.join(model_dir, "w"))
+    prior.write.mode("overwrite").parquet(os.path.join(model_dir, "p"))
+
+    for i in range(n_files):
+        docs.filter(F.col("doc_id") % n_files == i).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("append").json(src_dir)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        w = sp.read.parquet(os.path.join(model_dir, "w"))
+        p = sp.read.parquet(os.path.join(model_dir, "p"))
+        out = nb_score(batch, w, p).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(
+            os.path.join(scored_dir, f"b{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("units_total", LongType()),
+        ]
+    )
+    from functools import reduce
+
+    frames = [
+        spark.read.schema(out_schema).parquet(os.path.join(scored_dir, p))
+        for p in sorted(os.listdir(scored_dir))
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), frames)
+    out = merged.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("units_total").cast("double") / F.lit(1_000_000.0)
+            + F.lit(0.0)
+        ).alias("nb_score"),
+        (F.col("units_total") > 0).cast("int").alias("predicted_pos"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
