@@ -4564,6 +4564,66 @@ def io8_sync_plan(spark, sf_dir):
     ).orderBy("shard")
 
 
+def a22_exact_quantiles_distributed(spark, sf_dir):
+    """EXACT quantiles WITHOUT a global sort or per-group buffering —
+    the scale-safe form of exact percentiles: Spark's exact
+    `percentile` aggregate buffers every value in executor memory and
+    a naive rank needs one global sort (both are the operators that
+    fall over first at 100 TB). Here the x68/x104 distributed
+    prefix-sum pattern finds the EXACT nearest-rank p50/p90/p99 of
+    l_extendedprice: values histogram into ~1k price buckets (monotone
+    in the order key), bucket counts prefix-sum on the bucket-sized
+    frame, each row's global rank = bucket prefix + a row_number
+    window PARTITIONED BY BUCKET (with a full column tiebreak so both
+    engines pick the identical row among equal values), and the 3
+    target ranks k = ceil(p·N) broadcast-join against rank equality.
+    Two passes over the data, no partition ever holds more than one
+    bucket's rows. The oracle uses a plain single-node row_number —
+    identical ranks by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ps = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "p double"
+    )
+    ks = ps.crossJoin(F.broadcast(n)).select(
+        "p",
+        "n_rows",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("p") * F.col("n_rows")).cast("long"),
+        ).alias("k"),
+    )
+    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
+    btot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre")
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("value").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
+        "rk", F.col("pre") + F.row_number().over(wd)
+    )
+    return (
+        ranked.join(F.broadcast(ks), F.col("rk") == F.col("k"))
+        .select(
+            "p",
+            F.col("k").alias("rank_k"),
+            "n_rows",
+            F.col("value").alias("quantile_value"),
+        )
+        .orderBy("p")
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -9349,6 +9409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
+        "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -14196,6 +14257,24 @@ SELECT CAST(gen AS INT) AS gen,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          AS total_price
 FROM g GROUP BY gen
+"""
+    d["a22_exact_quantiles_distributed"] = """
+WITH v AS (
+  SELECT l_extendedprice AS value, l_orderkey, l_linenumber FROM lineitem
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v
+), ks AS (
+  SELECT p, n_rows,
+         CAST(greatest(1, ceil(p * n_rows)) AS BIGINT) AS k
+  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS p), n
+), r AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, l_orderkey, l_linenumber)
+           AS rk
+  FROM v
+)
+SELECT p, k AS rank_k, n_rows, value AS quantile_value
+FROM ks JOIN r ON r.rk = ks.k ORDER BY p
 """
     # mm10: replay the synthetic sample formula, the 16-window energy
     # split (sample counts are multiples of 16, so i // (n//16) is the

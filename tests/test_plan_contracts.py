@@ -730,3 +730,14 @@ def test_x104_rank_window_is_bucket_partitioned(spark, sf01):
     spark.catalog.clearCache()
     plan = _plan(spark, sf01, "x104_classifier_calibration")
     assert "windowspecdefinition(bucket" in plan, plan[:2000]
+
+
+def test_a22_rank_window_is_bucket_partitioned(spark, sf01):
+    """a22's exact-quantile claim: the per-row rank window must be
+    PARTITIONED BY BUCKET (x68's distributed prefix-sum), and the plan
+    must not contain Spark's buffering exact percentile aggregate —
+    the two operators this query exists to avoid."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf01, "a22_exact_quantiles_distributed")
+    assert "windowspecdefinition(bucket" in plan, plan[:2000]
+    assert "percentile" not in plan.lower()
