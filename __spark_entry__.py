@@ -5374,59 +5374,16 @@ def x102_crossdoc_span_dedup(spark, sf_dir):
     join key would be the 64-bit rolling hash of the span rather than
     its text (same exact-replay property, 8× fewer shuffle bytes);
     the text key is kept here so the oracle reads plainly."""
-    n = 8
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
-    )
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (n - 1)),
-        lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
-    )
-    grams = (
-        toked.filter(F.size("t") >= n)
-        .select("doc_id", F.posexplode(gram_arr).alias("idx", "gram"))
-    )
+    grams = D.positional_ngrams(docs, n=8)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 2)
         .select("gram")
     )
-    hits = grams.join(dup, "gram").select(
-        "doc_id", (F.col("idx") + 1).alias("start")
-    )
-    cov = (
-        hits.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
-    )
-    dupg = hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
-    )
-    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
-    return (
-        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-        .join(cov, "doc_id", "left")
-        .join(dupg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_dup_grams"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_grams"),
-            covered.alias("covered_tokens"),
-            W.round_half_up(
-                covered / F.col("n_tokens"), 6
-            ).alias("dup_fraction"),
-        )
-    )
+    hits = grams.join(dup, "gram").select("doc_id", "start")
+    return D.span_coverage(docs, hits, n=8)
 
 
 def st28_token_budget_stream(spark, sf_dir):
@@ -5455,6 +5412,21 @@ def st29_nb_deploy_stream(spark, sf_dir):
     one oracle covers training, batch scoring, and deployment."""
     apply_runtime_confs(spark)
     return ST.run_nb_deploy_stream(spark, sf_dir)
+
+
+def st30_span_index_stream(spark, sf_dir):
+    """Positional n-gram inverted INDEX maintained ON INGEST
+    (streaming/micro_batch.run_span_index_stream) — the exact-substring
+    leg of the dedup-on-ingest family (st12 fingerprints / st14 LSH /
+    st20 embeddings / st30 spans): per batch, gram hits are written
+    once into a batch-keyed positional store and gram distinct-doc
+    counts fold additively (docs are batch-disjoint, so the combiner
+    law holds without cross-batch dedup); coverage is retroactive, so
+    the census finalizes at drain through the SAME library tail as
+    batch x102 (operators/dedup.span_coverage) — one oracle for
+    both."""
+    apply_runtime_confs(spark)
+    return ST.run_span_index_stream(spark, sf_dir)
 
 
 def a21_drift_psi(spark, sf_dir):
@@ -9406,6 +9378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x105_quality_canonicalization": x105_quality_canonicalization,
         "st28_token_budget_stream": st28_token_budget_stream,
         "st29_nb_deploy_stream": st29_nb_deploy_stream,
+        "st30_span_index_stream": st30_span_index_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
@@ -14180,6 +14153,9 @@ FROM toked
 LEFT JOIN cov USING (doc_id)
 LEFT JOIN dupg USING (doc_id)
 """
+    # st30 finalizes the streamed span index through the same census
+    # tail — drained scoreboard == batch x102 exactly
+    d["st30_span_index_stream"] = d["x102_crossdoc_span_dedup"]
     # st28 admits the same prefix the batch window selects: positive
     # token counts make the cumulative strictly monotone, so streamed
     # admission == the global prefix-sum cutoff (integer-exact).

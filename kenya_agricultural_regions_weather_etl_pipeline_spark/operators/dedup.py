@@ -951,3 +951,70 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def positional_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Positional token n-grams for exact-substring (ExactSubstr) span
+    work (x102 batch census / st30 streaming index): one row per gram
+    INSTANCE — (doc_id, start, gram) with start 1-based on the
+    lowercased whitespace-token grid. A narrow explode, linear in
+    tokens; docs shorter than ``n`` tokens emit nothing. At 100 TB the
+    gram key would be the 64-bit rolling hash of the span (8× fewer
+    shuffle bytes, same exact replay); the text key keeps the oracles
+    readable."""
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+    )
+    return (
+        toked.filter(F.size("t") >= n)
+        .select("doc_id", F.posexplode(gram_arr).alias("idx", "gram"))
+        .select("doc_id", (F.col("idx") + 1).alias("start"), "gram")
+    )
+
+
+def span_coverage(docs: DataFrame, hits: DataFrame, n: int = 8) -> DataFrame:
+    """Census tail shared by x102 (batch) and st30 (streaming drain):
+    given the DUPLICATED gram instances (doc_id, start), report per
+    document the shared-span count, covered-token count (union of the
+    n-token windows), and coverage fraction. The coverage explode is
+    n×-bounded over matched grams only; every shuffle is doc-keyed."""
+    from ..functions.weather import round_half_up
+
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    dupg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    )
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .join(dupg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            covered.alias("covered_tokens"),
+            round_half_up(covered / F.col("n_tokens"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

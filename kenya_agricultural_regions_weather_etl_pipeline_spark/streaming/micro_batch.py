@@ -3226,3 +3226,114 @@ def run_nb_deploy_stream(
     ).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_span_index_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """st30: a positional n-gram inverted INDEX maintained ON INGEST —
+    the fourth leg of the dedup-on-ingest family (st12 exact
+    fingerprints, st14 text LSH, st20 embeddings, st30 exact-substring
+    SPANS). Each arriving document batch folds two artifacts:
+    (a) the gram-frequency state (gram → distinct-doc count) — each
+    document lives wholly in ONE batch, so per-gram distinct-doc
+    counts are ADDITIVE across batches (the combiner law, no cross-
+    batch dedup needed) — version-chained v{b} from v{b-1}; and
+    (b) the positional hits store (doc_id, start, gram), appended
+    batch-keyed (overwrite-on-replay exactly-once) — this IS the
+    inverted index, written once at arrival, never recomputed.
+    Duplicate-span coverage is inherently RETROACTIVE (a gram turning
+    duplicated in batch 3 marks spans of a batch-0 doc), so the census
+    finalizes once at drain — the st27 scoreboard pattern — by probing
+    the stored index against the final gram state through the SAME
+    library tail as the batch query (operators/dedup.span_coverage);
+    the drained census EQUALS batch x102, one oracle for both. At
+    100 TB per-batch cost is one gram-keyed fold over the BATCH's
+    grams plus the index append; history is never rescanned."""
+    import shutil
+    from functools import reduce
+
+    from ..operators.dedup import positional_ngrams, span_coverage
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = tempfile.mkdtemp(prefix="kw_st30_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    hits_dir = os.path.join(workdir, "hits")
+    os.makedirs(src_dir)
+
+    for i in range(n_files):
+        docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).json(src_dir)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        grams = positional_ngrams(batch, n=8).localCheckpoint(eager=True)
+        grams.write.mode("overwrite").parquet(
+            os.path.join(hits_dir, f"b{batch_id}")
+        )
+        cur = grams.groupBy("gram").agg(
+            F.countDistinct("doc_id").cast("long").alias("ndocs")
+        )
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("gram")
+                .agg(F.sum("ndocs").cast("long").alias("ndocs"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    gstate = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    dup = gstate.filter(F.col("ndocs") >= 2).select("gram")
+    hit_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("start", LongType()),
+            StructField("gram", StringType()),
+        ]
+    )
+    frames = [
+        spark.read.schema(hit_schema).parquet(os.path.join(hits_dir, p))
+        for p in sorted(os.listdir(hits_dir))
+    ]
+    all_hits = reduce(lambda a, b: a.unionByName(b), frames)
+    hits = all_hits.join(dup, "gram").select("doc_id", "start")
+    out = span_coverage(docs, hits, n=8).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
