@@ -1089,6 +1089,52 @@ def x3_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.4, max_shingle_df=50)
 
 
+def x106_dedup_threshold_curve(spark, sf_dir):
+    """Dedup POLICY-TUNING curve — the sweep a data team runs before
+    pinning the near-dup threshold: the exact Jaccard pair set is
+    computed ONCE at the loosest cut (0.2, same inverted-index shape as
+    x3), then five candidate thresholds are applied as a broadcast
+    5-row join — n_pairs and docs-touched per threshold from one pair
+    pass, never five. The marginal rows between curve points are
+    exactly the docs a stricter policy spares; at 100 TB re-running the
+    pair join per candidate threshold is the cost this query exists to
+    avoid. Thresholds compare against the 6dp-rounded Jaccard on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.2, max_shingle_df=50
+    )
+    th = spark.createDataFrame(
+        [(0.2,), (0.3,), (0.4,), (0.5,), (0.6,)], "t double"
+    )
+    j = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("t")
+    )
+    per = j.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    ids = (
+        j.select("t", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_with_dup"))
+    )
+    return (
+        th.join(per, "t", "left")
+        .join(ids, "t", "left")
+        .select(
+            "t",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs_with_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_with_dup"),
+        )
+        .orderBy("t")
+    )
+
+
 def x4_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, 64-bit / 4-block / hamming≤3 pigeonhole
     blocking — exact under the guarantee (rows-only check: xxhash64
@@ -9383,6 +9429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
         "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
+        "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -14156,6 +14203,48 @@ LEFT JOIN dupg USING (doc_id)
     # st30 finalizes the streamed span index through the same census
     # tail — drained scoreboard == batch x102 exactly
     d["st30_span_index_stream"] = d["x102_crossdoc_span_dedup"]
+    d["x106_dedup_threshold_curve"] = f"""
+WITH toks AS (
+  SELECT doc_id, {jacc_toks} AS l FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1),
+                             i -> array_to_string(l[i:i+2], ' '))
+    END)) AS sh
+  FROM toks
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+), th AS (
+  SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6]) AS t
+), j AS (
+  SELECT t, id_a, id_b FROM pairs, th WHERE jaccard >= t
+), per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY t
+), ids AS (
+  SELECT t, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_with_dup
+  FROM (SELECT t, unnest([id_a, id_b]) AS id FROM j) GROUP BY t
+)
+SELECT t,
+       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup
+FROM th LEFT JOIN per USING (t) LEFT JOIN ids USING (t) ORDER BY t
+"""
     # st28 admits the same prefix the batch window selects: positive
     # token counts make the cumulative strictly monotone, so streamed
     # admission == the global prefix-sum cutoff (integer-exact).
