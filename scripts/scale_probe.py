@@ -177,6 +177,9 @@ PROBED_QUERIES = (
     "st28_token_budget_stream",
     "x103_mixture_materializer",
     "x104_classifier_calibration",
+    "st29_nb_deploy_stream",
+    "st30_span_index_stream",
+    "x106_dedup_threshold_curve",
 )
 
 
