@@ -1135,6 +1135,94 @@ def x106_dedup_threshold_curve(spark, sf_dir):
     )
 
 
+def x107_retrieval_ndcg(spark, sf_dir):
+    """Ranking-quality EVAL for the vector stack — nDCG@10 of exact
+    cosine retrieval against label relevance (the metric that grades
+    x5/x5d/x93 beyond hit-counting recall: position matters). Per
+    query (the x5 query set): top-11 exact neighbors, self-hit
+    excluded, relevance = label match, DCG = Σ rel_p/log₂(p+1) with
+    each positional gain QUANTIZED to integer 1e-9 units before the
+    fold (the a21/x100 order-free discipline — ln-based weights are
+    identical doubles on both engines, the sum is exact int64), and
+    IDCG from the label's corpus population (min(10, |label|−1) ideal
+    hits). Cost shape: the x5 broadcast-query scan + two label-keyed
+    bounded joins + a 10-row weight table; the eval adds nothing
+    super-linear to the search it grades."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ret = S.cosine_topk_bruteforce(emb, q, k=11).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    hits = ret.withColumn("p", F.row_number().over(wp)).filter(
+        F.col("p") <= 10
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    w_units = F.floor(
+        F.lit(1_000_000_000.0) * F.log(F.lit(2.0)) / F.log(F.col("p") + 1.0)
+        + F.lit(0.5)
+    ).cast("long")
+    gains = (
+        hits.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            w_units.alias("w_units"),
+        )
+    )
+    dcg = gains.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("long").alias("n_rel_retrieved"),
+        F.sum(F.col("rel") * F.col("w_units")).cast("long").alias("dcg_units"),
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    wtab = spark.range(1, 11).select(
+        F.col("id").alias("p"),
+        F.floor(
+            F.lit(1_000_000_000.0)
+            * F.log(F.lit(2.0))
+            / F.log(F.col("id") + 1.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_units"),
+    )
+    ideal = (
+        dcg.join(lc, dcg.qlabel == lc.label)
+        .join(
+            F.broadcast(wtab),
+            F.col("p") <= F.least(F.lit(10), F.col("c") - 1),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("w_units").cast("long").alias("idcg_units"))
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("query_label"),
+            "n_rel_retrieved",
+            F.when(
+                F.coalesce(F.col("idcg_units"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                W.round_half_up(
+                    F.col("dcg_units").cast("double") / F.col("idcg_units"),
+                    6,
+                )
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def x4_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, 64-bit / 4-block / hamming≤3 pigeonhole
     blocking — exact under the guarantee (rows-only check: xxhash64
@@ -9430,6 +9518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io9_schema_evolution": io9_schema_evolution,
         "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
+        "x107_retrieval_ndcg": x107_retrieval_ndcg,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -14244,6 +14333,60 @@ SELECT t,
        CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
        CAST(COALESCE(n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup
 FROM th LEFT JOIN per USING (t) LEFT JOIN ids USING (t) ORDER BY t
+"""
+    d["x107_retrieval_ndcg"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+), hits AS (
+  SELECT query_id, qlabel, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS p
+  FROM ranked WHERE vec_id <> query_id AND rank <= 11
+), gains AS (
+  SELECT query_id, qlabel,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+         CAST(floor(1000000000.0 * ln(2.0) / ln(p + 1.0) + 0.5) AS BIGINT)
+           AS w_units
+  FROM hits WHERE p <= 10
+), dcg AS (
+  SELECT query_id, qlabel,
+         CAST(sum(rel) AS BIGINT) AS n_rel_retrieved,
+         CAST(sum(rel * w_units) AS BIGINT) AS dcg_units
+  FROM gains GROUP BY query_id, qlabel
+), lc AS (
+  SELECT label, count(*) AS c FROM c GROUP BY label
+), wtab AS (
+  SELECT p,
+         CAST(floor(1000000000.0 * ln(2.0) / ln(p + 1.0) + 0.5) AS BIGINT)
+           AS w_units
+  FROM (SELECT unnest(range(1, 11)) AS p)
+), ideal AS (
+  SELECT d.query_id, CAST(sum(w.w_units) AS BIGINT) AS idcg_units
+  FROM dcg d JOIN lc ON lc.label = d.qlabel
+  JOIN wtab w ON w.p <= least(10, lc.c - 1)
+  GROUP BY d.query_id
+)
+SELECT d.query_id,
+       CAST(d.qlabel AS INT) AS query_label,
+       d.n_rel_retrieved,
+       CASE WHEN COALESCE(i.idcg_units, 0) = 0 THEN 0.0
+            ELSE {W.round_half_up_sql(
+                "CAST(d.dcg_units AS DOUBLE) / i.idcg_units", 6)}
+       END AS ndcg
+FROM dcg d LEFT JOIN ideal i USING (query_id) ORDER BY d.query_id
 """
     # st28 admits the same prefix the batch window selects: positive
     # token counts make the cumulative strictly monotone, so streamed
