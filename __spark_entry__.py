@@ -5520,6 +5520,79 @@ def x102_crossdoc_span_dedup(spark, sf_dir):
     return D.span_coverage(docs, hits, n=8)
 
 
+def x108_span_trimming(spark, sf_dir):
+    """ExactSubstr TRIMMING — the transformation x102's census drives
+    (Lee et al. remove the duplicated spans, they don't just count
+    them): every token position covered by a cross-document 8-gram is
+    DROPPED, the survivors reassemble in position order, and the query
+    reports per doc the before/after token counts plus the md5 of the
+    trimmed text (the content-addressed identity the downstream shard
+    writer dedups on). Shape at 100 TB: the covered-position set is
+    the same n×-bounded explode as x102, the drop is one doc+pos-keyed
+    anti-join, and reassembly is a doc-keyed sort_array(collect_list)
+    — bounded by document length, never global. A doc that is pure
+    boilerplate trims to the empty string — reported, not dropped
+    (the keep/drop policy belongs to the caller). One oracle replays
+    grams, coverage, anti-join, reassembly, and the md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.positional_ngrams(docs, n=8)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + 7)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toked = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    positions = toked.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.posexplode("t").alias("idx", "tok"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("idx") + 1).alias("pos"), "tok"
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("trimmed"),
+    )
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(
+            rebuilt.select("doc_id", "kept_tokens", "trimmed"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.md5(F.coalesce(F.col("trimmed"), F.lit(""))).alias(
+                "trimmed_md5"
+            ),
+        )
+    )
+
+
 def st28_token_budget_stream(spark, sf_dir):
     """Streaming ADMISSION CONTROL against a global token budget
     (streaming/micro_batch.run_token_budget_stream): x68's
@@ -9519,6 +9592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
+        "x108_span_trimming": x108_span_trimming,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -14292,6 +14366,44 @@ LEFT JOIN dupg USING (doc_id)
     # st30 finalizes the streamed span index through the same census
     # tail — drained scoreboard == batch x102 exactly
     d["st30_span_index_stream"] = d["x102_crossdoc_span_dedup"]
+    d["x108_span_trimming"] = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS start,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM toked, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM grams JOIN dup USING (gram),
+       LATERAL unnest(generate_series(start, start + 7)) AS s(p)
+), positions AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos, t[i] AS tok
+  FROM toked, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+), kept AS (
+  SELECT po.doc_id, po.pos, po.tok
+  FROM positions po
+  LEFT JOIN covered cv ON cv.doc_id = po.doc_id AND cv.p = po.pos
+  WHERE cv.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS trimmed
+  FROM kept GROUP BY doc_id
+)
+SELECT td.doc_id,
+       CAST(len(td.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(r.trimmed, '')) AS trimmed_md5
+FROM toked td LEFT JOIN rebuilt r USING (doc_id)
+"""
+
     d["x106_dedup_threshold_curve"] = f"""
 WITH toks AS (
   SELECT doc_id, {jacc_toks} AS l FROM documents

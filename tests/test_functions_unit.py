@@ -1434,3 +1434,36 @@ def test_mm11_video_fp_upscale_invariant_but_bytes_differ(spark):
     )
     assert len(uy) == 4 * len(frames[0][0])
     assert hashlib.md5(raw).hexdigest() != hashlib.md5(uy).hexdigest()
+
+
+def test_x108_trimming_consistent_with_x102_census(spark, sf01):
+    """The trim must remove EXACTLY the tokens x102 counts as covered:
+    kept_tokens == n_tokens − covered_tokens for every document, and a
+    doc with zero dup grams keeps a trimmed_md5 equal to the md5 of
+    its own normalized token stream (nothing removed)."""
+    import hashlib
+
+    import __spark_entry__ as E
+
+    census = {
+        r.doc_id: r
+        for r in E.queries()["x102_crossdoc_span_dedup"](spark, sf01).collect()
+    }
+    trimmed = {
+        r.doc_id: r
+        for r in E.queries()["x108_span_trimming"](spark, sf01).collect()
+    }
+    assert census.keys() == trimmed.keys()
+    checked_untouched = 0
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf01}/documents.parquet").collect()
+    }
+    for did, c in census.items():
+        t = trimmed[did]
+        assert t.kept_tokens == c.n_tokens - c.covered_tokens, did
+        if c.covered_tokens == 0:
+            norm = " ".join(docs[did].lower().split())
+            assert t.trimmed_md5 == hashlib.md5(norm.encode()).hexdigest()
+            checked_untouched += 1
+    assert checked_untouched > 0
