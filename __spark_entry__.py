@@ -4813,6 +4813,67 @@ def io9_schema_evolution(spark, sf_dir):
     return out
 
 
+def io10_compaction_execute(spark, sf_dir):
+    """COMPACTION executed, not just planned — io6's contiguous group
+    plan driven through a real rewrite with an integrity readback:
+    the per-date inventory prefix-sums into target-sized groups
+    (io6's math verbatim), the bounded (date → group) plan broadcasts
+    onto the data, each group lands as one partition directory
+    (dynamic partitionBy — the physical rewrite), and the audit
+    aggregates come FROM THE WRITTEN FILES: row counts plus an
+    order-independent integrity fingerprint (Σ (7919·l_orderkey +
+    l_linenumber) mod 1e9+7 — modular sum, so Spark's unguaranteed
+    file row order can't change it, io7's discipline) that the oracle
+    recomputes closed-form from the source table. Equality proves the
+    rewrite lost nothing and grouped exactly as planned. At 100 TB
+    the plan frame is manifest-sized and the rewrite is one
+    partitioned write; the readback audit is the cheap insurance every
+    compaction job should ship."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("f_date")
+    )
+    inv = li.groupBy("f_date").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("f_date").rowsBetween(Window.unboundedPreceding, -1)
+    plan = inv.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    ).select(
+        "f_date",
+        F.expr(f"cum_before div {IO6_TARGET_ROWS}")
+        .cast("long")
+        .alias("file_group"),
+    )
+    path = tempfile.mkdtemp(prefix="io10_compact_")
+    try:
+        li.join(F.broadcast(plan), "f_date").write.mode(
+            "overwrite"
+        ).partitionBy("file_group").parquet(path)
+        written = spark.read.parquet(path)
+        out = (
+            written.groupBy(F.col("file_group").cast("long").alias("file_group"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("total_rows"),
+                F.countDistinct("f_date").cast("long").alias("n_input_files"),
+                F.pmod(
+                    F.sum(
+                        F.lit(7919) * F.col("l_orderkey")
+                        + F.col("l_linenumber")
+                    ),
+                    F.lit(1_000_000_007),
+                )
+                .cast("long")
+                .alias("fingerprint"),
+            )
+            .orderBy("file_group")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def io6_compaction_plan(spark, sf_dir):
     """Small-file COMPACTION planning — the lakehouse maintenance op
     that keeps a streaming-ingested table readable (thousands of tiny
@@ -9593,6 +9654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
         "x108_span_trimming": x108_span_trimming,
+        "io10_compaction_execute": io10_compaction_execute,
         "a21_drift_psi": a21_drift_psi,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
@@ -14023,6 +14085,28 @@ SELECT CAST(cum_before // {IO6_TARGET_ROWS} AS BIGINT) AS file_group,
        strftime(min(f_date), '%Y-%m-%d') AS first_date,
        strftime(max(f_date), '%Y-%m-%d') AS last_date
 FROM planned GROUP BY 1
+"""
+    d["io10_compaction_execute"] = f"""
+WITH inv AS (
+  SELECT CAST(l_shipdate AS DATE) AS f_date,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), planned AS (
+  SELECT f_date,
+         CAST(COALESCE(sum(n_rows) OVER (ORDER BY f_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {IO6_TARGET_ROWS} AS BIGINT) AS file_group
+  FROM inv
+), rows_g AS (
+  SELECT p.file_group, l.l_orderkey, l.l_linenumber, p.f_date
+  FROM lineitem l JOIN planned p ON CAST(l.l_shipdate AS DATE) = p.f_date
+)
+SELECT file_group,
+       CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(count(DISTINCT f_date) AS BIGINT) AS n_input_files,
+       CAST((sum(7919 * l_orderkey + l_linenumber) % 1000000007)
+            AS BIGINT) AS fingerprint
+FROM rows_g GROUP BY file_group ORDER BY file_group
 """
     d["x91_cell_occupancy"] = f"""
 WITH e AS (
