@@ -89,6 +89,18 @@ def get_spark(app_name: str = "kenya-weather-spark", cpus: str | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Status-store retention: even with the UI off, the app status
+        # listeners retain up to 1000 SQL executions — each holding the
+        # FULL formatted plan string. A 300-query bench session (plus
+        # streaming micro-batches) accumulates gigabytes of old-gen
+        # plan blobs, making every GC progressively costlier (measured:
+        # the mid-bench 5-30x slowdown band in r4 session 4). Long-lived
+        # cluster sessions want the same caps.
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.streaming.ui.retainedQueries", "8")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
