@@ -5697,6 +5697,20 @@ def st30_span_index_stream(spark, sf_dir):
     return ST.run_span_index_stream(spark, sf_dir)
 
 
+def st31_quantile_stream(spark, sf_dir):
+    """EXACT quantiles maintained ON INGEST, sketch-free
+    (streaming/micro_batch.run_quantile_stream): each micro-batch
+    folds its per-bucket counts into a ~1k-row standing histogram
+    (counts = a commutative monoid) and lands its raw rows
+    bucket-PARTITIONED, batch-keyed, replay-safe; at drain the target
+    ranks locate their buckets on the histogram prefix and ONLY those
+    bucket directories are read back for the within-bucket rank pick —
+    history never re-sorted. Drained p50/p90/p99 == batch a22, one
+    oracle; a13's t-digest remains the approximate alternative."""
+    apply_runtime_confs(spark)
+    return ST.run_quantile_stream(spark, sf_dir)
+
+
 def a21_drift_psi(spark, sf_dir):
     """TRAIN/SERVE DRIFT monitor — Population Stability Index between
     the standing corpus (reference = every source except src0) and the
@@ -9647,6 +9661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st28_token_budget_stream": st28_token_budget_stream,
         "st29_nb_deploy_stream": st29_nb_deploy_stream,
         "st30_span_index_stream": st30_span_index_stream,
+        "st31_quantile_stream": st31_quantile_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
@@ -14680,6 +14695,8 @@ WITH v AS (
 SELECT p, k AS rank_k, n_rows, value AS quantile_value
 FROM ks JOIN r ON r.rk = ks.k ORDER BY p
 """
+    # st31 drains to exactly the batch quantile result
+    d["st31_quantile_stream"] = d["a22_exact_quantiles_distributed"]
     # mm10: replay the synthetic sample formula, the 16-window energy
     # split (sample counts are multiples of 16, so i // (n//16) is the
     # exact window), the gain-2 edition (energies ×2), and the

@@ -3337,3 +3337,149 @@ def run_span_index_stream(
     out = span_coverage(docs, hits, n=8).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_quantile_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """st31: EXACT quantiles maintained ON INGEST with no sketch and no
+    re-sort — a22's bucket-histogram machinery as a stream fold. Each
+    arriving micro-batch (a) adds its per-bucket value counts into the
+    standing histogram — counts are a commutative monoid, the
+    r6/st23/st25 combiner law, ~1k rows of state forever — and
+    (b) lands its raw rows bucket-PARTITIONED (batch-keyed inside each
+    bucket directory, overwrite-on-replay exactly-once): the physical
+    layout is the index. At drain the target ranks k = ceil(p·N)
+    locate their buckets on the 1k-row histogram prefix, and ONLY
+    those bucket directories are read back (PartitionFilters — the
+    x5f partition-pruning shape) for the within-bucket rank pick. So
+    the exact p50/p90/p99 of everything ingested costs one bucket fold
+    per batch plus an O(located buckets) final probe — history is
+    never re-sorted, never re-scanned. Drained answer == batch a22,
+    one oracle for both; t-digest (a13) remains the when-approximate-
+    is-fine alternative."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st31_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    store = os.path.join(workdir, "store")
+    os.makedirs(src_dir)
+
+    for i in range(n_files):
+        li.filter(F.col("l_orderkey") % n_files == i).coalesce(2).write.mode(
+            "append"
+        ).json(src_dir)
+
+    schema = StructType(
+        [
+            StructField("value", DoubleType()),
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", LongType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        b = batch.withColumn(
+            "bucket", F.floor(F.col("value") / F.lit(100.0))
+        ).withColumn("batch_id", F.lit(batch_id))
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        b.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+            "bucket", "batch_id"
+        ).parquet(store)
+        cur = b.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("bn")
+        )
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("bucket")
+                .agg(F.sum("bn").cast("long").alias("bn"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = hist.select(
+        "bucket",
+        "bn",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre"),
+    ).localCheckpoint(eager=True)
+    n_rows = int(prefix.agg(F.sum("bn")).first()[0])
+    # k = ceil(p·N) on the same IEEE double product a22's engine
+    # expression computes, so the picked ranks are identical
+    import math as _math
+
+    targets = [(p, max(1, _math.ceil(p * n_rows))) for p in (0.5, 0.9, 0.99)]
+    located = {}
+    for p, k in targets:
+        row = (
+            prefix.filter(
+                (F.col("pre") < k) & (k <= F.col("pre") + F.col("bn"))
+            )
+            .select("bucket", "pre")
+            .first()
+        )
+        located[(p, k)] = (row["bucket"], row["pre"])
+    # read ONLY the located bucket directories (partition-pruned)
+    buckets = sorted({b for b, _ in located.values()})
+    rows = spark.read.parquet(store).filter(F.col("bucket").isin(buckets))
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("value").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ranked = rows.withColumn("rn", F.row_number().over(wd)).localCheckpoint(
+        eager=True
+    )
+    out_rows = []
+    for (p, k), (b, pre) in located.items():
+        v = (
+            ranked.filter(
+                (F.col("bucket") == b) & (F.col("rn") == k - pre)
+            )
+            .select("value")
+            .first()["value"]
+        )
+        out_rows.append((p, k, n_rows, v))
+    out = spark.createDataFrame(
+        out_rows, "p double, rank_k long, n_rows long, quantile_value double"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
