@@ -4856,10 +4856,15 @@ def io10_compaction_execute(spark, sf_dir):
             .agg(
                 F.count(F.lit(1)).cast("long").alias("total_rows"),
                 F.countDistinct("f_date").cast("long").alias("n_input_files"),
+                # per-row mod, unbounded-width sum, final mod: the
+                # io7 discipline — never overflows int64 at any SF
                 F.pmod(
                     F.sum(
-                        F.lit(7919) * F.col("l_orderkey")
-                        + F.col("l_linenumber")
+                        F.pmod(
+                            F.lit(7919) * F.col("l_orderkey")
+                            + F.col("l_linenumber"),
+                            F.lit(1_000_000_007),
+                        ).cast("decimal(38,0)")
                     ),
                     F.lit(1_000_000_007),
                 )
@@ -14119,8 +14124,8 @@ WITH inv AS (
 SELECT file_group,
        CAST(count(*) AS BIGINT) AS total_rows,
        CAST(count(DISTINCT f_date) AS BIGINT) AS n_input_files,
-       CAST((sum(7919 * l_orderkey + l_linenumber) % 1000000007)
-            AS BIGINT) AS fingerprint
+       CAST(sum((7919 * l_orderkey + l_linenumber) % 1000000007)
+            % 1000000007 AS BIGINT) AS fingerprint
 FROM rows_g GROUP BY file_group ORDER BY file_group
 """
     d["x91_cell_occupancy"] = f"""
