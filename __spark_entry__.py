@@ -4758,6 +4758,74 @@ def a22_exact_quantiles_distributed(spark, sf_dir):
     )
 
 
+def x109_equidepth_histogram(spark, sf_dir):
+    """EQUI-DEPTH histogram — the quantile-boundary profile that
+    equi-width binning (a21_histogram) can't give a skewed column:
+    the 9 exact decile boundaries come from a22's bucket-prefix-sum
+    rank machinery (two passes, no global sort, no buffering
+    percentile), then every row bins by counting boundaries below it
+    against the BROADCAST 9-row boundary frame (bin = Σ [value > bᵢ],
+    ties to the lower bin — one narrow 9× fan-out, no shuffle beyond
+    the final 10-row rollup). Per bin: row count, min/max, and the
+    DECIMAL-exact value sum. The oracle picks the same boundaries with
+    a single-node row_number — identical ranks by construction — and
+    replays the same counting rule."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ps = spark.createDataFrame(
+        [(i / 10.0,) for i in range(1, 10)], "p double"
+    )
+    ks = ps.crossJoin(F.broadcast(n)).select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("p") * F.col("n_rows")).cast("long"),
+        ).alias("k")
+    )
+    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
+    btot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre")
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("value").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
+        "rk", F.col("pre") + F.row_number().over(wd)
+    )
+    bounds = ranked.join(F.broadcast(ks), F.col("rk") == F.col("k")).select(
+        F.col("value").alias("boundary")
+    )
+    binned = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("value", "l_orderkey", "l_linenumber")
+        .agg(
+            F.sum((F.col("value") > F.col("boundary")).cast("int"))
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bin")
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -9671,6 +9739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
         "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
+        "x109_equidepth_histogram": x109_equidepth_histogram,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
         "x108_span_trimming": x108_span_trimming,
@@ -14702,6 +14771,34 @@ FROM ks JOIN r ON r.rk = ks.k ORDER BY p
 """
     # st31 drains to exactly the batch quantile result
     d["st31_quantile_stream"] = d["a22_exact_quantiles_distributed"]
+    d["x109_equidepth_histogram"] = """
+WITH v AS (
+  SELECT l_extendedprice AS value, l_orderkey, l_linenumber FROM lineitem
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v
+), ks AS (
+  SELECT CAST(greatest(1, ceil(p * n_rows)) AS BIGINT) AS k
+  FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p), n
+), r AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, l_orderkey, l_linenumber) AS rk
+  FROM v
+), bounds AS (
+  SELECT value AS boundary FROM ks JOIN r ON r.rk = ks.k
+), binned AS (
+  SELECT v.value, v.l_orderkey, v.l_linenumber,
+         CAST(sum(CASE WHEN v.value > b.boundary THEN 1 ELSE 0 END)
+              AS BIGINT) AS bin
+  FROM v CROSS JOIN bounds b
+  GROUP BY v.value, v.l_orderkey, v.l_linenumber
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM binned GROUP BY bin ORDER BY bin
+"""
     # mm10: replay the synthetic sample formula, the 16-window energy
     # split (sample counts are multiples of 16, so i // (n//16) is the
     # exact window), the gain-2 edition (energies ×2), and the
