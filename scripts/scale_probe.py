@@ -180,6 +180,7 @@ PROBED_QUERIES = (
     "st29_nb_deploy_stream",
     "st30_span_index_stream",
     "x106_dedup_threshold_curve",
+    "x108_span_trimming",
 )
 
 
