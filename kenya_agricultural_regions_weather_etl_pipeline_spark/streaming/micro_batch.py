@@ -3340,24 +3340,36 @@ def run_span_index_stream(
 
 
 def run_quantile_stream(
-    spark: SparkSession, sf_dir: str, n_files: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    bucket_width: float = 2000.0,
 ) -> DataFrame:
     """st31: EXACT quantiles maintained ON INGEST with no sketch and no
     re-sort — a22's bucket-histogram machinery as a stream fold. Each
     arriving micro-batch (a) adds its per-bucket value counts into the
     standing histogram — counts are a commutative monoid, the
-    r6/st23/st25 combiner law, ~1k rows of state forever — and
-    (b) lands its raw rows bucket-PARTITIONED (batch-keyed inside each
-    bucket directory, overwrite-on-replay exactly-once): the physical
-    layout is the index. At drain the target ranks k = ceil(p·N)
-    locate their buckets on the 1k-row histogram prefix, and ONLY
-    those bucket directories are read back (PartitionFilters — the
-    x5f partition-pruning shape) for the within-bucket rank pick. So
-    the exact p50/p90/p99 of everything ingested costs one bucket fold
-    per batch plus an O(located buckets) final probe — history is
-    never re-sorted, never re-scanned. Drained answer == batch a22,
-    one oracle for both; t-digest (a13) remains the when-approximate-
-    is-fine alternative."""
+    r6/st23/st25 combiner law, O(range/width) rows of state forever —
+    and (b) lands its raw rows bucket-PARTITIONED (batch-keyed inside
+    each bucket directory, overwrite-on-replay exactly-once): the
+    physical layout is the index. At drain the target ranks
+    k = ceil(p·N) locate their buckets on the tiny histogram prefix,
+    and ONLY those bucket directories are read back (direct-path read
+    under basePath — pruning by construction, never a full listing of
+    the store) for the within-bucket rank pick. So the exact
+    p50/p90/p99 of everything ingested costs one bucket fold per batch
+    plus an O(located buckets) final probe — history is never
+    re-sorted, never re-scanned. Drained answer == batch a22, one
+    oracle for both; t-digest (a13) remains the when-approximate-is-
+    fine alternative.
+
+    Scale notes: `bucket_width` bounds directory/state fan-out at
+    O(value_range / width) — independent of row count, so the store's
+    directory count does NOT grow with data volume, only with value
+    range. Rows are repartition("bucket")-ed before landing, so each
+    micro-batch writes exactly one file per occupied bucket (no
+    tiny-file explosion: files = occupied_buckets × batches, not
+    input_tasks × buckets × batches)."""
     import shutil
 
     from ..sources.tables import load_table
@@ -3374,9 +3386,9 @@ def run_quantile_stream(
     os.makedirs(src_dir)
 
     for i in range(n_files):
-        li.filter(F.col("l_orderkey") % n_files == i).coalesce(2).write.mode(
+        li.filter(F.col("l_orderkey") % n_files == i).coalesce(1).write.mode(
             "append"
-        ).json(src_dir)
+        ).parquet(src_dir)
 
     schema = StructType(
         [
@@ -3389,10 +3401,12 @@ def run_quantile_stream(
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         b = batch.withColumn(
-            "bucket", F.floor(F.col("value") / F.lit(100.0))
+            "bucket", F.floor(F.col("value") / F.lit(bucket_width))
         ).withColumn("batch_id", F.lit(batch_id))
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        b.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        # one file per occupied bucket per batch: co-locate each bucket
+        # in a single task before the partitioned landing
+        b.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket", "batch_id"
         ).parquet(store)
         cur = b.groupBy("bucket").agg(
@@ -3415,9 +3429,8 @@ def run_quantile_stream(
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", "2")
-                .option("pathGlobFilter", "*.json")
-                .json(src_dir)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
                 .writeStream.foreachBatch(one_batch)
                 .outputMode("update")
                 .option("checkpointLocation", ckpt)
@@ -3458,9 +3471,14 @@ def run_quantile_stream(
             .first()
         )
         located[(p, k)] = (row["bucket"], row["pre"])
-    # read ONLY the located bucket directories (partition-pruned)
+    # read ONLY the located bucket directories: direct-path read under
+    # basePath never even LISTS the other buckets (pruning by
+    # construction, stronger than relying on planner PartitionFilters
+    # over a full store listing)
     buckets = sorted({b for b, _ in located.values()})
-    rows = spark.read.parquet(store).filter(F.col("bucket").isin(buckets))
+    rows = spark.read.option("basePath", store).parquet(
+        *[os.path.join(store, f"bucket={b}") for b in buckets]
+    )
     wd = Window.partitionBy("bucket").orderBy(
         F.col("value").asc(), F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
