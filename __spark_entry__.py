@@ -4826,6 +4826,35 @@ def x109_equidepth_histogram(spark, sf_dir):
     )
 
 
+def x110_maxsim_retrieval(spark, sf_dir):
+    """MULTI-VECTOR late-interaction retrieval (ColBERT MaxSim) — the
+    retrieval family single-vector cosine (x5) can't express: each
+    document/query is a BAG of vectors (vec_id DIV 4 groups the
+    embeddings table into 4-vector bags, the token-embedding shape) and
+    doc relevance is Σ_{q ∈ query} max_{d ∈ doc} cos(q, d) — every
+    query vector grabs its best in-doc match and the maxima add.
+    Per-query-vector maxima are quantized to the int64 micro-grid
+    before the cross-vector sum (exact, accumulation-order-free on both
+    engines). Query bags broadcast; corpus streams through one scan
+    with map-side partial maxes — see operators/similarity.maxsim_topk
+    for the 100 TB composition with the IVF-pruned candidate layout.
+    Capability parity: reference stores flat rows only
+    (`daily_weather_etl_kenya.py` has no vector path); §2.8 extension
+    surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = vecs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("vec_id").alias("qvid"),
+        F.col("v").alias("qv"),
+    )
+    return S.maxsim_topk(vecs, q, k=5)
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -9748,6 +9777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
         "io8_sync_plan": io8_sync_plan,
+        "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -14875,5 +14905,37 @@ SELECT vfp,
        CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
        CAST(min(asset_id) AS BIGINT) AS canonical_asset
 FROM eds GROUP BY vfp ORDER BY vfp
+"""
+    # x110: same vec_id DIV 4 bagging, same per-query-vector max cosine
+    # quantized to the int64 micro-grid before the cross-vector sum —
+    # exact integer accumulation on both engines, one division at the end.
+    d["x110_maxsim_retrieval"] = """
+WITH v AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, vec_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), q AS (
+  SELECT doc_id AS query_doc, vec_id AS qvid, v AS qv
+  FROM v WHERE doc_id < 2
+), m AS (
+  SELECT q.query_doc, q.qvid, c.doc_id AS cand_doc,
+         max(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(q.qv, q.qv)))) AS mx
+  FROM v c CROSS JOIN q
+  WHERE c.doc_id <> q.query_doc
+  GROUP BY q.query_doc, q.qvid, c.doc_id
+), s AS (
+  SELECT query_doc, cand_doc,
+         SUM(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS smq
+  FROM m GROUP BY query_doc, cand_doc
+)
+SELECT query_doc, cand_doc,
+       CAST(smq AS DOUBLE) / 1000000.0 AS maxsim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                   ORDER BY smq DESC, cand_doc ASC) AS rank
+      FROM s)
+WHERE rank <= 5
 """
     return d

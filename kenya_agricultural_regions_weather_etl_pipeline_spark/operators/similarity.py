@@ -1305,3 +1305,81 @@ def lloyd_trained_centroids(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim): a
+    document is a BAG of vectors (token/patch embeddings), a query is
+    a bag too, and the relevance of doc D to query Q is
+    ``Σ_{q ∈ Q} max_{d ∈ D} cos(q, d)`` — each query vector grabs its
+    single best match inside the document, and the per-query-vector
+    maxima add up. This is the retrieval family single-vector cosine
+    (x5) cannot express: a doc that matches EVERY query token somewhere
+    beats a doc that matches one token perfectly.
+
+    Inputs: ``doc_vecs`` (doc_id, vec_id, v: array<double>),
+    ``query_vecs`` (query_doc, qvid, qv). Returns the top-``k``
+    candidate docs per query doc (self-matches excluded):
+    (query_doc, cand_doc, maxsim, rank).
+
+    Engine-portable scoring: each per-query-vector max cosine is
+    quantized to the integer micro-grid (floor(m·1e6 + 0.5) as int64)
+    BEFORE the sum, so the doc score is an exact integer sum — no
+    float-accumulation-order sensitivity across partitionings/engines
+    (the a22/lloyd quantization discipline) — divided once at the end.
+
+    Scale shape: the query bag (Q·|Q-vectors| rows — a serving batch)
+    is the BROADCAST side; the corpus vector table streams through one
+    scan. The (query_doc, qvid, cand_doc) max and the (query_doc,
+    cand_doc) sum both partial-aggregate map-side before one shuffle
+    keyed by query; nothing is ever corpus × corpus. At 10⁹+ corpus
+    vectors, compose with the IVF layout exactly like x5d: per query
+    vector, probe its cells for candidate doc ids, then run this exact
+    MaxSim only over the candidate union — the scoring law (and this
+    function, fed the pruned doc_vecs) is unchanged.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    q = (
+        query_vecs.select("query_doc", "qvid", "qv")
+        .withColumn("qnrm", norm(F.col("qv")))
+    )
+    c = doc_vecs.select(
+        F.col("doc_id").alias("cand_doc"), "vec_id", "v"
+    ).withColumn("cnrm", norm(F.col("v")))
+    per_qvec = (
+        c.join(F.broadcast(q), F.col("cand_doc") != F.col("query_doc"))
+        .withColumn(
+            "cos",
+            cosine_given_norms(
+                F.col("v"), F.col("qv"), F.col("cnrm"), F.col("qnrm")
+            ),
+        )
+        .groupBy("query_doc", "qvid", "cand_doc")
+        .agg(F.max("cos").alias("mx"))
+        # integer micro-grid BEFORE the cross-vector sum: exact int64
+        # accumulation, order-free on any engine
+        .withColumn(
+            "mq", F.expr("CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)")
+        )
+    )
+    scores = per_qvec.groupBy("query_doc", "cand_doc").agg(
+        F.sum("mq").alias("smq")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("smq").desc(), F.col("cand_doc").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_doc",
+            "cand_doc",
+            (F.col("smq").cast("double") / F.lit(1000000.0)).alias("maxsim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

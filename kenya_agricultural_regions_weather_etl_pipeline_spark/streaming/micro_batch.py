@@ -2434,7 +2434,11 @@ def run_streaming_semantic_dedup(
         F.col("embedding").cast("array<double>").alias("v"),
         "label",
     )
-    n = emb.count()
+    # one pass for both bounded scalars (count feeds k, max feeds the
+    # arrival-range splitter below) instead of two separate actions
+    n, mx0 = emb.agg(
+        F.count(F.lit(1)), F.max("vec_id")
+    ).first()
     k = max(1, _math.ceil(n / target_cluster_size))
     cents = lloyd_trained_centroids(
         emb.select("vec_id", "v"), k=k, iters=2
@@ -2509,7 +2513,7 @@ def run_streaming_semantic_dedup(
 
     try:
         # vec_id RANGES arriving in order (mtime-ascending backlog)
-        mx = emb.agg(F.max("vec_id")).first()[0] + 1
+        mx = mx0 + 1
         now = _time.time()
         for b in range(n_batches):
             lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
