@@ -42,9 +42,27 @@ def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
     os.makedirs(probe_dir)
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem",
+        "orders",
     ):
         os.symlink(f"{BASE}/{t}.parquet", f"{probe_dir}/{t}.parquet")
+
+    # lineitem ×M: orderkeys disjoint per copy, values untouched — the
+    # st31 axis (same value range, M× rows per histogram bucket: the
+    # probe must show dir/state count flat while volume grows M×)
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    lcopies = [
+        li.withColumn(
+            "l_orderkey",
+            (F.col("l_orderkey") + F.lit(c * 1_000_000_000)).alias(
+                "l_orderkey"
+            ),
+        )
+        for c in range(mult)
+    ]
+    lout = lcopies[0]
+    for c in lcopies[1:]:
+        lout = lout.unionByName(c)
+    lout.write.mode("overwrite").parquet(f"{probe_dir}/lineitem.parquet")
 
     # events ×M: ids/users disjoint per copy and ts shifted by 40 days
     # per copy, so per-user event-time join pairs (st13) and per-user
@@ -181,6 +199,8 @@ PROBED_QUERIES = (
     "st30_span_index_stream",
     "x106_dedup_threshold_curve",
     "x108_span_trimming",
+    "st31_quantile_stream",
+    "x110_maxsim_retrieval",
 )
 
 
