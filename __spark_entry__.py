@@ -6302,6 +6302,125 @@ def e2e_weather_sim(spark, sf_dir):
     )
 
 
+def agro1_growing_degree_days(spark, sf_dir):
+    """GROWING DEGREE DAYS — the agronomic accumulation the reference's
+    consumers compute FROM its weather table (the pipeline's whole
+    point is crop planning for Kenya's regions;
+    daily_weather_etl_kenya.py:342-390 stops at per-reading
+    derivations). Per region-day: tmax/tmin of validated temperatures,
+    capped-average GDD = max(0, min((tmax+tmin)/2, 30°C) − 10°C base),
+    then the cumulative per-region GDD curve (the planting-calendar
+    signal). Arithmetic is integer MILLI-degrees end-to-end — 2dp
+    temperatures quantize exactly to centi-ints, (a+b)·5 is the exact
+    half-sum in milli, greatest/least/running-sum all int64 — one
+    double division at the end, so the running accumulation is
+    order-free on any engine/partitioning (the a22/x104 discipline).
+    Scale shape: one (region, date)-keyed agg with map-side partials +
+    one per-region ordered window — region cardinality bounds state,
+    never row count."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    pseudo = ev.select(
+        F.concat(
+            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
+        ).alias("region"),
+        t.alias("temperature"),
+        F.to_date("ts").alias("date"),
+    )
+    validated = pseudo.filter(
+        (F.col("temperature") >= -5) & (F.col("temperature") <= 50)
+    )
+    daily = validated.groupBy("region", "date").agg(
+        F.floor(F.max("temperature") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("tmax_c"),
+        F.floor(F.min("temperature") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("tmin_c"),
+    )
+    gdd_m = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            (F.col("tmax_c") + F.col("tmin_c")) * 5, F.lit(30000).cast("long")
+        )
+        - F.lit(10000),
+    )
+    w = Window.partitionBy("region").orderBy("date")
+    return (
+        daily.select("region", "date", gdd_m.alias("gdd_m"))
+        .select(
+            "region",
+            F.date_format("date", "yyyy-MM-dd").alias("date"),
+            (F.col("gdd_m").cast("double") / F.lit(1000.0)).alias("gdd"),
+            (
+                F.sum("gdd_m").over(w).cast("double") / F.lit(1000.0)
+            ).alias("cum_gdd"),
+        )
+    )
+
+
+def agro2_dry_spells(spark, sf_dir):
+    """DRY-SPELL detection — the drought signal an agricultural
+    consumer reads off the reference's weather table (rainfall is the
+    pipeline's most scrutinized column; daily_weather_etl_kenya.py's
+    rainfall binning stops at per-reading categories). Per region-day
+    the rainfall total accumulates in integer DECI-millimetres (1dp
+    readings quantize exactly); a day is DRY when its total < 1.0 mm;
+    maximal runs of consecutive dry days are found with the
+    gaps-and-islands window (epoch_day − row_number is constant within
+    a run — pure int64 arithmetic, no session UDF, no iteration) and
+    rolled up per region: dry-day count, spell count, longest and mean
+    spell. "Dry" is RELATIVE — a day below the region's own 25th
+    percentile of daily totals (the w16 learned-threshold discipline:
+    an absolute mm cutoff can't survive reading-density changes, a
+    quantile of the region's own history can). Scale shape: one
+    (region, date) agg + a 15-row learned-threshold broadcast + one
+    per-region window + one (region, island) agg — everything keyed,
+    state bounded by region × day cardinality, order-free integers on
+    every accumulation path."""
+    ev = load_table(spark, sf_dir, "events")
+    rain = F.round(_fm(F.col("value") * 13.7, 60.0), 1)
+    pseudo = ev.select(
+        F.concat(
+            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
+        ).alias("region"),
+        rain.alias("rainfall_1h"),
+        F.to_date("ts").alias("date"),
+    )
+    daily = pseudo.groupBy("region", "date").agg(
+        F.sum(
+            F.floor(F.col("rainfall_1h") * 10.0 + F.lit(0.5)).cast("long")
+        ).alias("rain_deci")
+    )
+    thresh = daily.groupBy("region").agg(
+        F.expr("percentile(rain_deci, 0.25)").alias("p25")
+    )
+    dry = daily.join(F.broadcast(thresh), "region").filter(
+        F.col("rain_deci") < F.col("p25")
+    ).select(
+        "region",
+        "date",
+        F.datediff(F.col("date"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    )
+    w = Window.partitionBy("region").orderBy("epoch_day")
+    islands = dry.withColumn(
+        "grp", F.col("epoch_day") - F.row_number().over(w)
+    )
+    spells = islands.groupBy("region", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("spell_len")
+    )
+    return spells.groupBy("region").agg(
+        F.sum("spell_len").cast("long").alias("n_dry_days"),
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.max("spell_len").cast("long").alias("longest_spell"),
+        (
+            F.sum("spell_len").cast("double") / F.count(F.lit(1))
+        ).alias("mean_spell"),
+    )
+
+
 def _e2e_oracle() -> str:
     t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
     h = "(event_id % 101)"
@@ -9778,6 +9897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st27_drift_stream": st27_drift_stream,
         "io8_sync_plan": io8_sync_plan,
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
+        "agro1_growing_degree_days": agro1_growing_degree_days,
+        "agro2_dry_spells": agro2_dry_spells,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -14937,5 +15058,70 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
                                    ORDER BY smq DESC, cand_doc ASC) AS rank
       FROM s)
 WHERE rank <= 5
+"""
+    # agro1: same pseudo-weather CTE as e2e_weather_sim, same integer
+    # milli-degree GDD arithmetic — the running sum accumulates int64.
+    d["agro1_growing_degree_days"] = """
+WITH pseudo AS (
+  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
+         round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature,
+         CAST(ts AS DATE) AS date
+  FROM events
+), validated AS (
+  SELECT * FROM pseudo WHERE temperature >= -5 AND temperature <= 50
+), daily AS (
+  SELECT region, date,
+         CAST(floor(max(temperature) * 100.0 + 0.5) AS BIGINT) AS tmax_c,
+         CAST(floor(min(temperature) * 100.0 + 0.5) AS BIGINT) AS tmin_c
+  FROM validated GROUP BY region, date
+), g AS (
+  SELECT region, date,
+         greatest(CAST(0 AS BIGINT),
+                  least((tmax_c + tmin_c) * 5, CAST(30000 AS BIGINT))
+                  - 10000) AS gdd_m
+  FROM daily
+)
+SELECT region, strftime(date, '%Y-%m-%d') AS date,
+       CAST(gdd_m AS DOUBLE) / 1000.0 AS gdd,
+       CAST(sum(gdd_m) OVER (PARTITION BY region ORDER BY date)
+            AS DOUBLE) / 1000.0 AS cum_gdd
+FROM g
+"""
+    # agro2: same pseudo-rainfall, deci-mm integer day totals, islands
+    # via epoch_day - row_number (int64 throughout).
+    d["agro2_dry_spells"] = """
+WITH pseudo AS (
+  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
+         round(((value * 13.7) - floor((value * 13.7)/60.0)*60.0), 1)
+           AS rainfall_1h,
+         CAST(ts AS DATE) AS date
+  FROM events
+), daily AS (
+  SELECT region, date,
+         SUM(CAST(floor(rainfall_1h * 10.0 + 0.5) AS BIGINT)) AS rain_deci
+  FROM pseudo GROUP BY region, date
+), thresh AS (
+  SELECT region, quantile_cont(rain_deci, 0.25) AS p25
+  FROM daily GROUP BY region
+), dry AS (
+  SELECT d.region, d.date,
+         date_diff('day', DATE '1970-01-01', d.date) AS epoch_day
+  FROM daily d JOIN thresh t USING (region)
+  WHERE d.rain_deci < t.p25
+), islands AS (
+  SELECT region, epoch_day,
+         epoch_day - row_number() OVER (PARTITION BY region
+                                        ORDER BY epoch_day) AS grp
+  FROM dry
+), spells AS (
+  SELECT region, grp, CAST(count(*) AS BIGINT) AS spell_len
+  FROM islands GROUP BY region, grp
+)
+SELECT region,
+       CAST(sum(spell_len) AS BIGINT) AS n_dry_days,
+       CAST(count(*) AS BIGINT) AS n_spells,
+       CAST(max(spell_len) AS BIGINT) AS longest_spell,
+       CAST(sum(spell_len) AS DOUBLE) / count(*) AS mean_spell
+FROM spells GROUP BY region
 """
     return d
