@@ -5813,6 +5813,19 @@ def st31_quantile_stream(spark, sf_dir):
     return ST.run_quantile_stream(spark, sf_dir)
 
 
+def st32_maxsim_serve_stream(spark, sf_dir):
+    """Streaming MULTI-VECTOR serving
+    (streaming/micro_batch.run_maxsim_serve_stream): the doc-bagged
+    corpus store is frozen before queries arrive (the deploy step,
+    st22's discipline), each micro-batch carries one whole query bag
+    and is answered by the SAME maxsim_topk library path as batch
+    x110, landing replay-safe in serve_batch partitions. MaxSim of one
+    bag never reads other queries, so the drained union == batch x110
+    — one oracle covers the operator and its serving deployment."""
+    apply_runtime_confs(spark)
+    return ST.run_maxsim_serve_stream(spark, sf_dir)
+
+
 def a21_drift_psi(spark, sf_dir):
     """TRAIN/SERVE DRIFT monitor — Population Stability Index between
     the standing corpus (reference = every source except src0) and the
@@ -9899,6 +9912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro2_dry_spells": agro2_dry_spells,
+        "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15124,4 +15138,7 @@ SELECT region,
        CAST(sum(spell_len) AS DOUBLE) / count(*) AS mean_spell
 FROM spells GROUP BY region
 """
+    # st32 drains to exactly the batch MaxSim result (one bag per
+    # micro-batch; a bag's scores never read other queries)
+    d["st32_maxsim_serve_stream"] = d["x110_maxsim_retrieval"]
     return d

@@ -3505,3 +3505,105 @@ def run_quantile_stream(
     ).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_maxsim_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTI-VECTOR serving (st32) — x110's MaxSim late
+    interaction deployed the way st22 deploys single-vector IVF: the
+    corpus vector store (doc-bagged, vec_id DIV 4) is frozen to
+    parquet BEFORE any query arrives (the deploy step), then each
+    micro-batch carries one WHOLE query bag — late interaction scores
+    a bag against the corpus, so a bag is the natural arrival unit —
+    and is answered independently by the SAME library scoring path the
+    batch query uses (operators/similarity.maxsim_topk: broadcast
+    query bag, one corpus scan, int64 micro-grid maxima). Answers land
+    in ``serve_batch={batch_id}`` dynamic-partition-overwrite
+    partitions — replay-safe exactly-once (st22's discipline). MaxSim
+    of one query bag never reads other queries, so the drained union
+    over bags EQUALS batch x110 on the full query set — one oracle
+    covers the batch operator and its serving deployment. Per-batch
+    cost is |corpus| × |bag| scored rows with map-side partial maxima;
+    at 10⁹+ vectors the corpus side is the IVF-pruned candidate
+    layout (maxsim_topk docstring), per-batch cost |bag|-driven."""
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import maxsim_topk
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="kw_st32_")
+    src_dir = os.path.join(workdir, "query_arrivals")
+    store = os.path.join(workdir, "store")
+    results = os.path.join(workdir, "results")
+    os.makedirs(src_dir)
+    # deploy: the doc-bagged corpus store, frozen before queries arrive
+    vecs.write.parquet(store)
+
+    # 2 query bags (doc_id 0 and 1) arrive one per micro-batch,
+    # mtime-ordered — a bag is scored atomically
+    t0 = int(_time.time()) - 3600
+    for i in range(2):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        vecs.filter(F.col("doc_id") == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(qbatch: DataFrame, batch_id: int) -> None:
+        sp = qbatch.sparkSession
+        bag = qbatch.select(
+            F.col("doc_id").alias("query_doc"),
+            F.col("vec_id").alias("qvid"),
+            F.col("v").alias("qv"),
+        )
+        corpus = sp.read.parquet(store)
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                maxsim_topk(corpus, bag, k=5)
+                .withColumn("serve_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("serve_batch")
+                .parquet(results)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(vecs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = (
+        spark.read.parquet(results)
+        .select("query_doc", "cand_doc", "maxsim", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
