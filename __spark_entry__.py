@@ -4855,6 +4855,49 @@ def x110_maxsim_retrieval(spark, sf_dir):
     return S.maxsim_topk(vecs, q, k=5)
 
 
+def x110b_maxsim_pruned(spark, sf_dir):
+    """IVF-PRUNED MaxSim (x110's 10⁹-vector scale path, made real):
+    per QUERY VECTOR, probe its top-2 IVF cells (x5d's deterministic
+    first-16 codebook, oracle-replayable); candidate docs = docs owning
+    ANY vector in a probed cell; then the EXACT MaxSim law re-scores
+    each candidate's FULL bag — prune docs, score exactly. The scoring
+    join is candidate-keyed (rows = Σ_pairs |bag|) instead of
+    corpus-wide: at 10⁹ vectors the corpus side shrinks from N to the
+    probed cells' doc membership (≈ n_probe·Q·G·N/√N vectors), the IVF
+    cell store is the x5f partition-pruned layout, and the scoring
+    stage is byte-identical to x110's. Deterministic pruning ⇒ exact
+    oracle replay (the x5d discipline), approximate only vs the
+    brute-force x110 ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cent = S._ivf_codebook(emb, "vec_id", "embedding", 16)
+    assigned = S._ivf_assign(emb, cent, "vec_id", "embedding").select(
+        "vec_id", "cell"
+    )
+    probes = S._ivf_probes(
+        emb.filter(F.col("vec_id") < 8), cent, "vec_id", "embedding", 2
+    ).select(F.col("query_id").alias("qvid_p"), "cell")
+    cand = (
+        probes.join(assigned, "cell")
+        .select(
+            F.expr("CAST(qvid_p DIV 4 AS BIGINT)").alias("query_doc"),
+            F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("cand_doc"),
+        )
+        .filter(F.col("query_doc") != F.col("cand_doc"))
+        .distinct()
+    )
+    q = vecs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("vec_id").alias("qvid"),
+        F.col("v").alias("qv"),
+    )
+    return S.maxsim_topk(vecs, q, k=5, cand_pairs=cand)
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -9910,6 +9953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st27_drift_stream": st27_drift_stream,
         "io8_sync_plan": io8_sync_plan,
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
+        "x110b_maxsim_pruned": x110b_maxsim_pruned,
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro2_dry_spells": agro2_dry_spells,
         "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
@@ -15141,4 +15185,62 @@ FROM spells GROUP BY region
     # st32 drains to exactly the batch MaxSim result (one bag per
     # micro-batch; a bag's scores never read other queries)
     d["st32_maxsim_serve_stream"] = d["x110_maxsim_retrieval"]
+    # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
+    # probes per query vector) gates WHICH docs score; the MaxSim tail
+    # is x110's verbatim, restricted to candidate pairs.
+    d["x110b_maxsim_pruned"] = """
+WITH v AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, vec_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, doc_id, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.doc_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY (list_dot_product(c.v, cent_vec)
+                         / (sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(cent_vec, cent_vec))))
+                        DESC, cent.centroid_id ASC) AS rn
+    FROM v c CROSS JOIN cent) WHERE rn = 1
+), qv AS (
+  SELECT doc_id AS query_doc, vec_id AS qvid, v AS qv
+  FROM v WHERE doc_id < 2
+), probes AS (
+  SELECT query_doc, qvid, centroid_id AS cell FROM (
+    SELECT q.query_doc, q.qvid, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.qvid
+               ORDER BY (list_dot_product(q.qv, cent_vec)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(cent_vec, cent_vec))))
+                        DESC, cent.centroid_id ASC) AS rn
+    FROM qv q CROSS JOIN cent) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.query_doc, a.doc_id AS cand_doc
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.doc_id <> p.query_doc
+), m AS (
+  SELECT cd.query_doc, q.qvid, cd.cand_doc,
+         max(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(q.qv, q.qv)))) AS mx
+  FROM cand cd
+  JOIN v c ON c.doc_id = cd.cand_doc
+  JOIN qv q ON q.query_doc = cd.query_doc
+  GROUP BY cd.query_doc, q.qvid, cd.cand_doc
+), s AS (
+  SELECT query_doc, cand_doc,
+         SUM(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS smq
+  FROM m GROUP BY query_doc, cand_doc
+)
+SELECT query_doc, cand_doc,
+       CAST(smq AS DOUBLE) / 1000000.0 AS maxsim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                   ORDER BY smq DESC, cand_doc ASC) AS rank
+      FROM s)
+WHERE rank <= 5
+"""
     return d

@@ -1311,6 +1311,7 @@ def maxsim_topk(
     doc_vecs: DataFrame,
     query_vecs: DataFrame,
     k: int = 5,
+    cand_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim): a
     document is a BAG of vectors (token/patch embeddings), a query is
@@ -1341,6 +1342,13 @@ def maxsim_topk(
     vector, probe its cells for candidate doc ids, then run this exact
     MaxSim only over the candidate union — the scoring law (and this
     function, fed the pruned doc_vecs) is unchanged.
+
+    ``cand_pairs`` is that composition's hook (x110b): a
+    (query_doc, cand_doc) frame — typically IVF-probed, deterministic
+    — restricting WHICH docs each query scores. Candidate docs are
+    re-scored against their FULL bags (prune docs, score exactly); the
+    scoring join becomes cand_doc-keyed (rows = Σ_pairs |doc bag|)
+    instead of corpus-wide.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1351,8 +1359,23 @@ def maxsim_topk(
     c = doc_vecs.select(
         F.col("doc_id").alias("cand_doc"), "vec_id", "v"
     ).withColumn("cnrm", norm(F.col("v")))
+    if cand_pairs is not None:
+        # candidate-keyed gate first, then the per-pair query bag join:
+        # only candidate docs' vectors ever meet a query vector
+        c = c.join(
+            cand_pairs.select("query_doc", "cand_doc"), "cand_doc"
+        )
+        scored_src = c.join(
+            F.broadcast(q.withColumnRenamed("query_doc", "qd")),
+            (F.col("qd") == F.col("query_doc"))
+            & (F.col("cand_doc") != F.col("query_doc")),
+        ).drop("qd")
+    else:
+        scored_src = c.join(
+            F.broadcast(q), F.col("cand_doc") != F.col("query_doc")
+        )
     per_qvec = (
-        c.join(F.broadcast(q), F.col("cand_doc") != F.col("query_doc"))
+        scored_src
         .withColumn(
             "cos",
             cosine_given_norms(
