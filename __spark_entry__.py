@@ -2513,6 +2513,64 @@ def io3_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def io11_snapshot_rollback(spark, sf_dir):
+    """Snapshot ROLLBACK — the recovery half of io3's time travel, with
+    the table-format semantic exactly: rolling back NEVER rewrites
+    history, it commits a NEW version whose content is the old
+    snapshot (Iceberg's rollback / Delta's RESTORE). v1..v3 build the
+    table, v4 = rollback-to-v2 (one read_snapshot + one overwrite
+    commit — at 100 TB the commit is a driver-side manifest write; the
+    data files of v2 are re-referenced conceptually, here re-landed),
+    and the bad v3 stays READABLE for forensics (asserted in-code: the
+    pinned v3 read still returns its rows after the rollback). The
+    HEAD audit after rollback == the src0+src1 closed form — proving
+    the rollback landed exactly the old content and nothing of v3
+    leaked. Version/rollback metadata ride along as literals from the
+    snapshot log (bounded driver-side manifest reads)."""
+    import tempfile
+
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.json_sink import (
+        read_snapshot,
+        register_json_sink,
+        snapshot_log,
+    )
+
+    if not register_json_sink(spark):  # pragma: no cover
+        raise RuntimeError("Python DataSource writer API unavailable")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="io11_rb_")
+    schema = "doc_id long, source string, lang string, n_chars long"
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+        docs.filter(F.col("source") == f"src{i}").write.format(
+            "jsonl_commit"
+        ).option("path", path).mode(mode).save()
+    n_v3 = read_snapshot(spark, path, schema, version=3).count()
+    # ROLLBACK: new commit with v2's content — history untouched
+    read_snapshot(spark, path, schema, version=2).write.format(
+        "jsonl_commit"
+    ).option("path", path).mode("overwrite").save()
+    log = snapshot_log(path)
+    assert [s["version"] for s in log] == [1, 2, 3, 4], log
+    # the rolled-back-over version is still pinned-readable (forensics)
+    assert (
+        read_snapshot(spark, path, schema, version=3).count() == n_v3
+    ), "rollback must not destroy history"
+    head = read_snapshot(spark, path, schema)  # HEAD == v4 == v2 content
+    return (
+        head.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn("head_version", F.lit(4).cast("int"))
+        .withColumn("restored_version", F.lit(2).cast("int"))
+    )
+
+
 def a18_column_profiler(spark, sf_dir):
     """One-pass column profiler (the automatic data-profiling report a
     catalog/QC service runs on every new table): per-column row count,
@@ -9957,6 +10015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro2_dry_spells": agro2_dry_spells,
         "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
+        "io11_snapshot_rollback": io11_snapshot_rollback,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15185,6 +15244,20 @@ FROM spells GROUP BY region
     # st32 drains to exactly the batch MaxSim result (one bag per
     # micro-batch; a bag's scores never read other queries)
     d["st32_maxsim_serve_stream"] = d["x110_maxsim_retrieval"]
+    # io11: HEAD after rollback-to-v2 == the src0+src1 closed form;
+    # version metadata are the known constants of the 4-commit script.
+    d["io11_snapshot_rollback"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(4 AS INT) AS head_version,
+       CAST(2 AS INT) AS restored_version
+FROM documents
+WHERE source IN ('src0', 'src1')
+GROUP BY source
+"""
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.

@@ -351,6 +351,7 @@ def knn_graph(
     n_centroids: int | None = None,
     n_probe: int = 2,
     cent: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-blocked k-nearest-neighbor GRAPH over the corpus itself —
     every vector's approximate top-k neighbors, the build artifact
@@ -384,7 +385,12 @@ def knn_graph(
 
     ``cent`` lets a caller pass an already-built codebook frame (e.g.
     a deployed index's stored codebook, st24) — it must have the
-    `_ivf_codebook` schema (centroid_id, cent_vec).
+    `_ivf_codebook` schema (centroid_id, cent_vec). ``ranked`` goes one
+    step further: a caller that ALSO needs the assignment for its own
+    purposes (st24's deploy writes it as the serving index) passes the
+    shared `_ivf_rank_cells` frame so the N·√N codebook scan — the
+    build's dominant map cost — is paid once for both artifacts (the
+    st21 single-pass discipline); the caller owns its persistence.
 
     Returns (src_id, nbr_id, cos_sim, rank): ``k`` directed edges per
     vector, self-edges excluded, rank 1 = nearest.
@@ -393,13 +399,14 @@ def knn_graph(
 
     from pyspark.storagelevel import StorageLevel
 
-    if n_centroids is None:
-        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
-    if cent is None:
-        cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
-    ranked = _ivf_rank_cells(corpus, cent, id_col, vec_col, n_probe).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if ranked is None:
+        if n_centroids is None:
+            n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+        if cent is None:
+            cent = _ivf_codebook(corpus, id_col, vec_col, n_centroids)
+        ranked = _ivf_rank_cells(
+            corpus, cent, id_col, vec_col, n_probe
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     assigned = ranked.filter(F.col("cell_rank") == 1).select(
         "vec_id", "cvec", "cell"
     )

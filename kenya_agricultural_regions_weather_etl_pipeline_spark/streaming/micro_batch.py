@@ -1210,10 +1210,12 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.similarity import (
-        _ivf_assign,
         _ivf_codebook,
         _ivf_probes,
+        _ivf_rank_cells,
         graph_beam_search,
         knn_graph,
     )
@@ -1230,13 +1232,19 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_path = os.path.join(workdir, "graph")
     results = os.path.join(workdir, "results")
     os.makedirs(src_dir)
-    # deploy once: cell-partitioned assignment + the kNN edge list
-    _ivf_assign(emb, cent, "vec_id", "embedding").write.partitionBy(
-        "cell"
-    ).parquet(assign_dir)
-    knn_graph(emb, k=5, n_centroids=nc, n_probe=2, cent=cent).write.parquet(
+    # deploy once: ONE N·√N rank pass feeds both artifacts (the st21
+    # single-pass discipline) — the cell-partitioned assignment
+    # (rank 1, bit-identical to _ivf_assign) and the kNN edge list
+    ranked = _ivf_rank_cells(emb, cent, "vec_id", "embedding", 2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cvec", "cell"
+    ).write.partitionBy("cell").parquet(assign_dir)
+    knn_graph(emb, k=5, n_probe=2, cent=cent, ranked=ranked).write.parquet(
         graph_path
     )
+    ranked.unpersist()
 
     queries = emb.filter(F.col("vec_id") < 8)
     t0 = int(_time.time()) - 3600

@@ -741,3 +741,28 @@ def test_a22_rank_window_is_bucket_partitioned(spark, sf01):
     plan = _plan(spark, sf01, "a22_exact_quantiles_distributed")
     assert "windowspecdefinition(bucket" in plan, plan[:2000]
     assert "percentile" not in plan.lower()
+
+
+def test_x110_query_bags_broadcast_no_cartesian(spark, sf01):
+    """x110's scoring join must be a BROADCAST nested-loop of the tiny
+    query-bag side (the NEQ predicate rules out an equi-join), never a
+    CartesianProduct, and the per-query-vector max must partial-
+    aggregate before the shuffle (HashAggregate both sides of the
+    Exchange)."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf01, "x110_maxsim_retrieval")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # partial max before the (query_doc, qvid, cand_doc) shuffle
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_x110b_gate_is_candidate_keyed_equi_join(spark, sf01):
+    """x110b's pruning claim: the candidate gate joins doc vectors on
+    cand_doc (an EQUI key — hash/sort-merge or broadcast, never a
+    nested loop against the corpus), so scoring rows scale with
+    Σ_pairs |bag|, not N×Q."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf01, "x110b_maxsim_pruned")
+    assert "CartesianProduct" not in plan
+    assert "cand_doc" in plan
