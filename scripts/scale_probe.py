@@ -201,6 +201,8 @@ PROBED_QUERIES = (
     "x108_span_trimming",
     "st31_quantile_stream",
     "x110_maxsim_retrieval",
+    "x110b_maxsim_pruned",
+    "st32_maxsim_serve_stream",
 )
 
 
