@@ -4956,6 +4956,50 @@ def x110b_maxsim_pruned(spark, sf_dir):
     return S.maxsim_topk(vecs, q, k=5, cand_pairs=cand)
 
 
+def x111_source_quality_cutoff(spark, sf_dir):
+    """SOURCE-DEBIASED quality selection — the stratified cut a mixed
+    corpus needs before any GLOBAL quality threshold: web-crawl and
+    curated sources score on different scales, so a single cutoff
+    starves the low-scoring source entirely (the x72
+    duplication×quality interaction shows why that's wrong). Here each
+    source keeps its OWN top quarter: rank within source by x7's
+    quality score (desc, doc_id tiebreak), select iff rn·4 ≤ n_source
+    — an integer cross-multiply, no float percentile knife-edge — and
+    report per source the LEARNED cutoff (the lowest selected score =
+    that source's own 75th-percentile bar), the best score, and the
+    realized selection rate. Scale shape: one per-source window (sort
+    distributes by the partition key; an a22-style bucket prefix-sum
+    replaces it if a single source outgrows a partition) + a
+    |sources|-row broadcast of the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("q_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q_score").desc(), F.col("doc_id").asc()
+    )
+    counts = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "source")
+        .withColumn("selected", F.col("rn") * 4 <= F.col("n_docs"))
+    )
+    return sel.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+        F.min(F.when(F.col("selected"), F.col("q_score"))).alias(
+            "cutoff_score"
+        ),
+        F.max("q_score").alias("best_score"),
+        (
+            F.sum(F.col("selected").cast("long")).cast("double")
+            / F.max("n_docs")
+        ).alias("selection_rate"),
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10016,6 +10060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agro2_dry_spells": agro2_dry_spells,
         "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
         "io11_snapshot_rollback": io11_snapshot_rollback,
+        "x111_source_quality_cutoff": x111_source_quality_cutoff,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15257,6 +15302,44 @@ SELECT source,
 FROM documents
 WHERE source IN ('src0', 'src1')
 GROUP BY source
+"""
+    # x111: x7's exact score expression + per-source integer-rank
+    # quartile cut (rn*4 <= n), learned cutoff = min selected score.
+    d["x111_source_quality_cutoff"] = """
+WITH scored AS (
+  SELECT doc_id, source,
+         round(0.4 * least(length(text)::DOUBLE/1000.0, 1.0)
+               + 0.3 * (1.0 - length(regexp_replace(text,
+                     '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / greatest(length(text)::DOUBLE, 1.0))
+               + 0.3 * least((len(list_filter(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> ''), t -> t IN ('the', 'and', 'of', 'to',
+                     'in', 'is', 'with', 'for')))::DOUBLE
+                   / greatest(len(list_filter(regexp_split_to_array(
+                     lower(text), '\\s+'), t -> t <> '')), 1)) * 10.0,
+                 1.0),
+               6) AS q_score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, q_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q_score DESC, doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM scored
+), sel AS (
+  SELECT source, q_score, n_docs, (rn * 4 <= n_docs) AS selected
+  FROM ranked
+)
+SELECT source,
+       max(n_docs) AS n_docs,
+       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       min(CASE WHEN selected THEN q_score END) AS cutoff_score,
+       max(q_score) AS best_score,
+       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS DOUBLE)
+         / max(n_docs) AS selection_rate
+FROM sel GROUP BY source
 """
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
