@@ -5000,6 +5000,74 @@ def x111_source_quality_cutoff(spark, sf_dir):
     )
 
 
+def x112_embedding_anisotropy(spark, sf_dir):
+    """Embedding-space ANISOTROPY audit — the representation-collapse
+    check x71's per-vector stats can't see: if all vectors crowd one
+    cone, cosine retrieval degenerates (every score high, ranking
+    noise). Per label: the centroid of the L2-NORMALIZED vectors (each
+    coordinate an int64 micro-grid sum — the lloyd discipline, exact
+    under any partitioning — divided once), its norm (the resultant
+    length: ≈1 = collapsed, ≈0 = isotropic), and the mean cosine of
+    members to their centroid (quantized per vector before the
+    averaging sum). Two scans: one posexplode rollup keyed by
+    (label, pos) — dim-bounded state — and one map pass against the
+    broadcast |labels|-row centroid frame. Companion to x74 (which
+    compares LABELS to each other; this measures spread WITHIN one)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        norm as _vnorm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", _vnorm(F.col("v")))
+    unit = v.select(
+        "label",
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
+    )
+    sums = (
+        unit.select("label", F.posexplode("u").alias("pos", "x"))
+        .withColumn(
+            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "mu_i",
+            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+    )
+    cents = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu_i"))),
+            lambda s: s["mu_i"],
+        ).alias("mu")
+    ).withColumn("mu_nrm", _vnorm(F.col("mu")))
+    scored = (
+        unit.join(F.broadcast(cents), "label")
+        .withColumn(
+            "cq",
+            F.expr(
+                "CAST(floor(aggregate(zip_with(u, mu, (a, b) -> a * b),"
+                " 0.0D, (acc, x) -> acc + x) / mu_nrm * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        W.round_half_up(F.max("mu_nrm"), 6).alias("centroid_norm"),
+        (
+            F.sum("cq").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_cos_to_centroid"),
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10061,6 +10129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
         "io11_snapshot_rollback": io11_snapshot_rollback,
         "x111_source_quality_cutoff": x111_source_quality_cutoff,
+        "x112_embedding_anisotropy": x112_embedding_anisotropy,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15340,6 +15409,46 @@ SELECT source,
        CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS DOUBLE)
          / max(n_docs) AS selection_rate
 FROM sel GROUP BY source
+"""
+    # x112: unit-normalize, int64 micro-grid centroid (the lloyd
+    # discipline), cosine-to-centroid quantized per vector before the
+    # averaging sum — exact integer accumulation on both engines.
+    d["x112_embedding_anisotropy"] = """
+WITH v AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), unit AS (
+  SELECT label, vec_id, list_transform(v, x -> x / nrm) AS u FROM v
+), sums AS (
+  SELECT label, pos,
+         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT label, unnest(u) AS x,
+               unnest(range(1, len(u) + 1)) AS pos
+        FROM unit) e
+  GROUP BY label, pos
+), mu AS (
+  SELECT label, list(mu_i ORDER BY pos) AS mu
+  FROM (SELECT label, pos, CAST(sq AS DOUBLE) / n / 1000000.0 AS mu_i
+        FROM sums) m
+  GROUP BY label
+), mun AS (
+  SELECT label, mu, sqrt(list_dot_product(mu, mu)) AS mu_nrm FROM mu
+), scored AS (
+  SELECT u.label, m.mu_nrm,
+         CAST(floor(list_dot_product(u.u, m.mu) / m.mu_nrm
+                    * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM unit u JOIN mun m USING (label)
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       (floor(max(mu_nrm) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+         AS centroid_norm,
+       CAST(sum(cq) AS DOUBLE) / count(*) / 1000000.0
+         AS mean_cos_to_centroid
+FROM scored GROUP BY label
 """
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
