@@ -6026,6 +6026,22 @@ def st31_quantile_stream(spark, sf_dir):
     return ST.run_quantile_stream(spark, sf_dir)
 
 
+def st33_late_data_audit(spark, sf_dir):
+    """WATERMARK LATE-DATA accounting
+    (streaming/micro_batch.run_late_data_audit): 3 mtime-ordered
+    arrival batches over the full date range make late rows
+    deterministic; the drained per-day counts equal the closed-form
+    watermark replay WITH the engine's real one-extra-batch lag (the
+    watermark filtering batch b derives from data through batch b−2 —
+    the lag st13's two-sentinel flush exists for), so the engine's
+    drop set is verified ROW-EXACTLY by the oracle — the observability
+    query that makes watermark data loss explicit and provable instead
+    of trusted. Odd 41-minute delay offset keeps the watermark off
+    every midnight boundary (no </≤ knife-edge)."""
+    apply_runtime_confs(spark)
+    return ST.run_late_data_audit(spark, sf_dir)
+
+
 def st32_maxsim_serve_stream(spark, sf_dir):
     """Streaming MULTI-VECTOR serving
     (streaming/micro_batch.run_maxsim_serve_stream): the doc-bagged
@@ -10130,6 +10146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io11_snapshot_rollback": io11_snapshot_rollback,
         "x111_source_quality_cutoff": x111_source_quality_cutoff,
         "x112_embedding_anisotropy": x112_embedding_anisotropy,
+        "st33_late_data_audit": st33_late_data_audit,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15449,6 +15466,30 @@ SELECT label,
        CAST(sum(cq) AS DOUBLE) / count(*) / 1000000.0
          AS mean_cos_to_centroid
 FROM scored GROUP BY label
+"""
+    # st33: the watermark replay closed-form, with the engine's REAL
+    # one-extra-batch lag (verified empirically, the same lag st13's
+    # two-sentinel flush exists for): the watermark FILTERING batch b
+    # derives from data through batch b-2 — batch b-1's max event time
+    # is folded in at its commit, which batch b's planning has already
+    # passed. So batches 0 AND 1 always count; batch-2 rows count iff
+    # window_end > max(ts over batch 0) - delay.
+    d["st33_late_data_audit"] = """
+WITH e AS (
+  SELECT event_id, ts, event_id % 3 AS b FROM events
+), wm0 AS (
+  SELECT max(ts) - INTERVAL '121 hours' - INTERVAL '41 minutes' AS w
+  FROM e WHERE b = 0
+), acc AS (
+  SELECT date_trunc('day', ts) AS ws FROM e WHERE b <= 1
+  UNION ALL
+  SELECT date_trunc('day', e.ts) FROM e, wm0
+  WHERE e.b = 2
+    AND date_trunc('day', e.ts) + INTERVAL '1 day' > wm0.w
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_day,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM acc GROUP BY ws
 """
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail

@@ -3615,3 +3615,121 @@ def run_maxsim_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_late_data_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "121 hours 41 minutes",
+) -> DataFrame:
+    """st33: WATERMARK LATE-DATA accounting — the observability query
+    that pins exactly WHICH rows a watermark drops, per batch, instead
+    of trusting the engine blindly. The events backlog arrives in 3
+    mtime-ordered micro-batches (event_id % 3); because each batch
+    spans the full date range, batches 1 and 2 necessarily carry rows
+    whose 1-day windows have already closed under the watermark the
+    PREVIOUS batches advanced — deterministic lateness, no sleeps, no
+    clocks. Two far-future sentinel batches flush the final windows
+    (the st13 discipline: watermark advances at the END of a batch, so
+    sentinel 2 is the batch sentinel 1's watermark flushes into); the
+    sentinel windows are filtered from the materialized result.
+
+    The drained per-day counts EQUAL the closed-form watermark replay:
+    a batch-b row is counted iff its window end > max(ts over batches
+    < b) − delay (batch-0 rows always count — the initial watermark is
+    epoch). The delay's odd 41-minute offset keeps the watermark off
+    every midnight window boundary, so the </≤ knife-edge can never
+    decide a row. That replay IS the DuckDB oracle — the engine's drop
+    set is verified row-exactly, which is the audit's whole point
+    (windows the engine finalizes early = silently lost data in a
+    naive pipeline; this query makes the loss explicit and provable).
+    Scale shape: state = open windows only (watermark-bounded), each
+    batch one partial agg; the audit adds nothing to the agg's cost."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st33_")
+    src = os.path.join(workdir, "arrivals")
+    os.makedirs(src)
+    t0 = int(_time.time()) - 3600
+    mx_us = None
+    for b in range(3):
+        tmp = os.path.join(workdir, f"tmp{b}")
+        part_df = ev.filter(F.col("event_id") % 3 == b)
+        if b == 0:
+            mx_us = ev.agg(F.max("ts_us")).first()[0]
+        part_df.coalesce(1).write.json(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-")
+        )
+        dst = os.path.join(src, f"batch_{b}.json")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + b, t0 + b))
+    # two sentinel batches, driver-written: watermark advances at batch
+    # END, so sentinel 2 is the batch sentinel 1's watermark flushes into
+    for i, days in ((3, 365), (4, 366)):
+        fpath = os.path.join(src, f"sentinel_{i}.json")
+        with open(fpath, "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": -i,
+                        "ts_us": mx_us + days * 86_400_000_000,
+                    }
+                )
+                + "\n"
+            )
+        os.utime(fpath, (t0 + i, t0 + i))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    name = f"st33_sink_{abs(hash(workdir)) % 10_000_000}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                .withWatermark("ts", delay)
+                .groupBy(F.window("ts", "1 day").alias("w"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    cutoff = F.timestamp_micros(F.lit(mx_us))
+    out = (
+        spark.table(name)
+        .filter(F.col("w.start") <= cutoff)  # drop sentinel windows
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_day"),
+            "n_events",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
