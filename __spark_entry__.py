@@ -9462,6 +9462,78 @@ def x80_dedup_policy_budget(spark, sf_dir):
     )
 
 
+def w25_cusum_drift(spark, sf_dir):
+    """CUSUM change-point detection per event_type — the drift-ONSET
+    monitor a21's PSI can't give (PSI says distributions differ; CUSUM
+    says WHEN the level shifted): classic one-sided CUSUM
+    S_t = max(0, S_{t-1} + x_t − k) is a sequential recurrence no
+    window function runs — but it equals
+    (P_t − t·k) − min_{j≤t}(P_j − j·k) (prefix sum minus its running
+    minimum), which IS two windows. With the allowance k learned as
+    the type's own mean daily total, everything cross-multiplies into
+    int64: D_t = n·P_t − t·T (daily totals in integer milli-units,
+    n = day count, T = total) keeps the whole recurrence exact — no
+    float accumulation anywhere until the final rescale. Reports per
+    type the drift magnitude (max CUSUM), its onset day (argmax,
+    earliest tie), and the final value. Scale shape: one (type, day)
+    agg + two type-keyed ordered windows + a |types|-row rollup —
+    the recurrence costs exactly what a running sum costs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(floor(value * 1000.0 + 0.5) AS BIGINT)"
+            ).alias("x_m"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("x_m").alias("xd"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("xd").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.join(F.broadcast(totals), "event_type")
+        .withColumn("p", F.sum("xd").over(w_ord))
+        .withColumn("t", F.row_number().over(wn).cast("long"))
+        .withColumn("dt", F.col("nd") * F.col("p") - F.col("t") * F.col("tot"))
+        .withColumn("runmin", F.min("dt").over(w_ord))
+        .withColumn("cusum_n", F.col("dt") - F.col("runmin"))
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_n").desc(), F.col("day").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w_peak))
+        .withColumn(
+            "last", F.max(F.when(F.col("t") == F.col("nd"), F.col("cusum_n"))).over(
+                Window.partitionBy("event_type")
+            )
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            (
+                F.col("cusum_n").cast("double")
+                / F.col("nd")
+                / F.lit(1000.0)
+            ).alias("max_cusum"),
+            F.date_format("day", "yyyy-MM-dd").alias("onset_day"),
+            (
+                F.col("last").cast("double") / F.col("nd") / F.lit(1000.0)
+            ).alias("final_cusum"),
+        )
+    )
+
+
 def w24_stickiness(spark, sf_dir):
     """DAU/MAU stickiness — the engagement ratio product teams track:
     average daily active users divided by the month's total active
@@ -10147,6 +10219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x111_source_quality_cutoff": x111_source_quality_cutoff,
         "x112_embedding_anisotropy": x112_embedding_anisotropy,
         "st33_late_data_audit": st33_late_data_audit,
+        "w25_cusum_drift": w25_cusum_drift,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15490,6 +15563,46 @@ WITH e AS (
 SELECT strftime(ws, '%Y-%m-%d') AS window_day,
        CAST(count(*) AS BIGINT) AS n_events
 FROM acc GROUP BY ws
+"""
+    # w25: the same prefix-sum/running-min CUSUM identity on the same
+    # int64 cross-multiplied grid; windows replay the recurrence.
+    d["w25_cusum_drift"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS xd
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), totals AS (
+  SELECT event_type, SUM(xd) AS tot, CAST(count(*) AS BIGINT) AS nd
+  FROM daily GROUP BY event_type
+), d AS (
+  SELECT daily.event_type, daily.day, totals.nd,
+         SUM(xd) OVER (PARTITION BY daily.event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS p,
+         CAST(row_number() OVER (PARTITION BY daily.event_type
+                                 ORDER BY day) AS BIGINT) AS t,
+         totals.tot
+  FROM daily JOIN totals USING (event_type)
+), c AS (
+  SELECT event_type, day, nd, t,
+         (nd * p - t * tot)
+           - min(nd * p - t * tot)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS cusum_n
+  FROM d
+), pick AS (
+  SELECT event_type, day, nd, cusum_n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cusum_n DESC, day ASC) AS rk,
+         max(CASE WHEN t = nd THEN cusum_n END)
+           OVER (PARTITION BY event_type) AS last_n
+  FROM c
+)
+SELECT event_type,
+       nd AS n_days,
+       CAST(cusum_n AS DOUBLE) / nd / 1000.0 AS max_cusum,
+       strftime(day, '%Y-%m-%d') AS onset_day,
+       CAST(last_n AS DOUBLE) / nd / 1000.0 AS final_cusum
+FROM pick WHERE rk = 1
 """
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
