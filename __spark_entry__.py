@@ -5068,6 +5068,37 @@ def x112_embedding_anisotropy(spark, sf_dir):
     )
 
 
+def x113_unseen_mass(spark, sf_dir):
+    """GOOD-TURING unseen-mass estimate per source — the coverage
+    question Heaps' law (x75) and OOV rate (x43) bracket but don't
+    answer: how much probability mass will the NEXT document's tokens
+    take from types this source has never shown? The Good-Turing
+    answer is N₁/N (singleton tokens over total tokens); N₂ rides
+    along for the discount flavor. High unseen mass = the source is
+    still surprising (keep crawling it / distrust its LM scores); near
+    zero = saturated. All integer counts (term-keyed agg with map-side
+    partials, then a |sources|-bounded frequency-of-frequency rollup)
+    + one final division per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1_singletons"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2_doubletons"),
+        (
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.sum("c")
+        ).alias("unseen_mass"),
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10220,6 +10251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x112_embedding_anisotropy": x112_embedding_anisotropy,
         "st33_late_data_audit": st33_late_data_audit,
         "w25_cusum_drift": w25_cusum_drift,
+        "x113_unseen_mass": x113_unseen_mass,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15603,6 +15635,30 @@ SELECT event_type,
        strftime(day, '%Y-%m-%d') AS onset_day,
        CAST(last_n AS DOUBLE) / nd / 1000.0 AS final_cusum
 FROM pick WHERE rk = 1
+"""
+    # x113: same whitespace tokenizer as the x8/x13 family, integer
+    # frequency-of-frequency rollup, one division per source.
+    d["x113_unseen_mass"] = """
+WITH toks AS (
+  SELECT source, t AS term
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), tc AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n1_singletons,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n2_doubletons,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c)
+         AS unseen_mass
+FROM tc GROUP BY source
 """
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
