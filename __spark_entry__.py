@@ -5099,6 +5099,48 @@ def x113_unseen_mass(spark, sf_dir):
     )
 
 
+def x114_split_leakage_audit(spark, sf_dir):
+    """SPLIT-LEAKAGE audit — the eval-hygiene check decontamination
+    (x22/x55, which guard against EXTERNAL benchmarks) does not cover:
+    near-duplicate pairs that straddle this corpus's OWN train/val/test
+    boundary silently inflate eval scores. Composes two exact-oracled
+    operators — x2c's portable MinHash-LSH near-dup pairs and x11's
+    content-addressed split — and classes every pair by its
+    (lexicographically ordered) split pair: off-diagonal rows ARE the
+    leaks; the diagonal gives the base rate that says whether a clean
+    off-diagonal is luck or hygiene. The content-addressed split makes
+    the audit's fix self-evident: EXACT duplicates hash to the same
+    split by construction (md5 of the text decides), so any leak here
+    is a NEAR-dup whose variants hashed apart — precisely the pairs
+    only a similarity pass can catch. Join keys are integer doc ids;
+    the composition replays exactly."""
+    pairs = x2c_minhash_portable(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard"
+    )
+    splits = x11_train_split(spark, sf_dir)
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10252,6 +10294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st33_late_data_audit": st33_late_data_audit,
         "w25_cusum_drift": w25_cusum_drift,
         "x113_unseen_mass": x113_unseen_mass,
+        "x114_split_leakage_audit": x114_split_leakage_audit,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15660,6 +15703,32 @@ SELECT source,
          AS unseen_mass
 FROM tc GROUP BY source
 """
+    # x114: compose x2c's pair query (scoped as a subquery — its CTEs
+    # stay inside the parens) with x11's split expression.
+    d["x114_split_leakage_audit"] = (
+        """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
+                THEN 'train'
+              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(p.jaccard) AS min_jaccard,
+       max(p.jaccard) AS max_jaccard
+FROM ("""
+        + d["x2c_minhash_portable"]
+        + """) p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
+"""
+    )
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.
