@@ -699,6 +699,7 @@ def graph_beam_search(
     truncate_lineage: bool = True,
     cent: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    cframe: DataFrame | None = None,
 ) -> DataFrame:
     """QUERY-TIME graph-ANN search — the consumer of the
     :func:`knn_graph` build artifact (the HNSW-base-layer / DiskANN
@@ -773,16 +774,21 @@ def graph_beam_search(
         .select("query_id", F.col("vec_id").alias("node"), "sim")
     )
     # referenced once per hop (edges) / per rescore (vectors) — persist
-    # lazily so the upstream graph build and corpus scan run once
+    # lazily so the upstream graph build and corpus scan run once.
+    # ``cframe`` (node, cvec, cnrm) is creation-time index state — the
+    # vector table WITH norms is part of what a deployed graph index
+    # stores (the DiskANN layout); a serving caller (st24) passes it
+    # once instead of re-deriving and re-persisting it per query batch.
     graph = graph.persist(StorageLevel.MEMORY_AND_DISK)
-    cframe = (
-        corpus.select(
-            F.col(id_col).alias("node"),
-            to_double_array(F.col(vec_col)).alias("cvec"),
+    if cframe is None:
+        cframe = (
+            corpus.select(
+                F.col(id_col).alias("node"),
+                to_double_array(F.col(vec_col)).alias("cvec"),
+            )
+            .withColumn("cnrm", norm(F.col("cvec")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .withColumn("cnrm", norm(F.col("cvec")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     for _hop in range(hops):
         # beam is Q·beam rows — ALWAYS the broadcast side; the edge
         # list and vector table are the big, possibly-pruned sides

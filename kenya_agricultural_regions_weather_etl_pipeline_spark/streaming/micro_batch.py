@@ -1245,6 +1245,20 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph_path
     )
     ranked.unpersist()
+    # the vector table WITH norms is deployed index state too (the
+    # DiskANN layout) — built and persisted ONCE, reused by every
+    # serve batch instead of re-derived per batch
+    from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import to_double_array as _tda
+
+    cframe = (
+        emb.select(
+            F.col("vec_id").alias("node"),
+            _tda(F.col("embedding")).alias("cvec"),
+        )
+        .withColumn("cnrm", _vnorm(F.col("cvec")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     queries = emb.filter(F.col("vec_id") < 8)
     t0 = int(_time.time()) - 3600
@@ -1286,6 +1300,7 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             hops=3,
             cent=cent,
             assigned=assigned,
+            cframe=cframe,
         )
         # `out` mixes frames from the outer session (emb/cent: deployed
         # index state) and the micro-batch session clone (qs/assigned)
@@ -1334,6 +1349,7 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cos_sim", "rank")
         .localCheckpoint(eager=True)
     )
+    cframe.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
