@@ -203,6 +203,15 @@ PROBED_QUERIES = (
     "x110_maxsim_retrieval",
     "x110b_maxsim_pruned",
     "st32_maxsim_serve_stream",
+    "agro1_growing_degree_days",
+    "agro2_dry_spells",
+    "x111_source_quality_cutoff",
+    "x112_embedding_anisotropy",
+    "st33_late_data_audit",
+    "w25_cusum_drift",
+    "x113_unseen_mass",
+    "x114_split_leakage_audit",
+    "io11_snapshot_rollback",
 )
 
 
