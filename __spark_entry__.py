@@ -6115,6 +6115,19 @@ def st33_late_data_audit(spark, sf_dir):
     return ST.run_late_data_audit(spark, sf_dir)
 
 
+def st34_unseen_mass_stream(spark, sf_dir):
+    """Good-Turing coverage tracking ON INGEST
+    (streaming/micro_batch.run_unseen_mass_stream): the standing
+    (source, term) count state folds per micro-batch by the combiner
+    law; the singleton/doubleton census derives at drain — fof is NOT
+    additive (two batch-singletons = one overall doubleton), which is
+    exactly why the state is term-keyed counts. Drained == batch x113,
+    one oracle; the crawler-scheduler signal for 'this source stopped
+    being surprising'."""
+    apply_runtime_confs(spark)
+    return ST.run_unseen_mass_stream(spark, sf_dir)
+
+
 def st32_maxsim_serve_stream(spark, sf_dir):
     """Streaming MULTI-VECTOR serving
     (streaming/micro_batch.run_maxsim_serve_stream): the doc-bagged
@@ -10295,6 +10308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w25_cusum_drift": w25_cusum_drift,
         "x113_unseen_mass": x113_unseen_mass,
         "x114_split_leakage_audit": x114_split_leakage_audit,
+        "st34_unseen_mass_stream": st34_unseen_mass_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15729,6 +15743,9 @@ JOIN s sb ON sb.doc_id = p.id_b
 GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
 """
     )
+    # st34 drains to exactly the batch coverage report (term counts are
+    # additive across batch-disjoint documents; fof derived at drain)
+    d["st34_unseen_mass_stream"] = d["x113_unseen_mass"]
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.

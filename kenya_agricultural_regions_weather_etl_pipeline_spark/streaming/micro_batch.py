@@ -3749,3 +3749,107 @@ def run_late_data_audit(
     spark.catalog.dropTempView(name)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_unseen_mass_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st34: Good-Turing COVERAGE tracking ON INGEST — x113's
+    unseen-mass estimate maintained as documents arrive, the signal
+    that tells a crawler scheduler WHEN a source has stopped being
+    surprising (falling N₁/N) without ever rescanning history. State
+    is the standing (source, term) count table — vocabulary-sized,
+    like st30's inverted index: the honest cost of exact
+    frequency-of-frequency statistics, Zipf-bounded in practice —
+    folded per micro-batch by the combiner law (term counts are
+    additive across batches; docs are batch-disjoint). The singleton /
+    doubleton census is DERIVED at drain from the final state version
+    (frequency-of-frequency is NOT additive — a term that is a
+    singleton in two batches is a doubleton overall, which is exactly
+    why the state must be term-keyed counts, not the fof itself).
+    Drained report == batch x113, one oracle. Version-chained
+    overwrite state = replay-safe exactly-once (st25's discipline)."""
+    import shutil
+
+    from ..sources.files import write_jsonl
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st34_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    os.makedirs(src_dir)
+    write_jsonl(docs.repartition(4), src_dir)
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = (
+            batch.select(
+                "source",
+                F.explode(
+                    F.split(F.lower(F.col("text")), r"\s+")
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("source", "term")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    tc = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    out = (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n1_singletons"),
+            F.sum((F.col("c") == 2).cast("long")).alias("n2_doubletons"),
+            (
+                F.sum((F.col("c") == 1).cast("long")).cast("double")
+                / F.sum("c")
+            ).alias("unseen_mass"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
