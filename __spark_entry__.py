@@ -6749,6 +6749,75 @@ def agro2_dry_spells(spark, sf_dir):
     )
 
 
+def e2e_agro_report(spark, sf_dir):
+    """The AGRICULTURAL DECISION REPORT — what the reference pipeline
+    exists to feed (its README's crop-planning goal; the reference
+    itself stops at loading rows): one 15-row per-region verdict
+    joining the season's total growing degree days (agro1's
+    accumulation), the drought profile (agro2's spell census), and the
+    favorable-temperature rate (the reference's own P3 flag,
+    daily_weather_etl_kenya.py:315, aggregated longitudinally). The
+    verdict is a deterministic CASE over the three signals — the
+    decision-support row a county agronomist reads. Composes three
+    exact-oracled derivations on integer grids; the join keys are the
+    15 region codes, so the report replays exactly. Scale shape: three
+    keyed aggs over one events scan each + two 15-row broadcast
+    joins."""
+    gdd = (
+        agro1_growing_degree_days(spark, sf_dir)
+        # re-quantize to the milli grid before summing: per-day gdd is
+        # an exact multiple of 0.001, so the int recovery is lossless
+        # and the cross-day accumulation stays order-free int64
+        .groupBy("region")
+        .agg(
+            (
+                F.sum(
+                    F.expr("CAST(floor(gdd * 1000.0 + 0.5) AS BIGINT)")
+                ).cast("double")
+                / F.lit(1000.0)
+            ).alias("total_gdd"),
+        )
+    )
+    spells = agro2_dry_spells(spark, sf_dir).select(
+        "region", "n_dry_days", "longest_spell"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    pseudo = ev.select(
+        F.concat(
+            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
+        ).alias("region"),
+        t.alias("temperature"),
+    ).filter((F.col("temperature") >= -5) & (F.col("temperature") <= 50))
+    fav = pseudo.groupBy("region").agg(
+        (
+            F.sum(W.is_favorable_temp(F.col("temperature")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("favorable_rate")
+    )
+    rep = gdd.join(F.broadcast(spells), "region").join(
+        F.broadcast(fav), "region"
+    )
+    verdict = (
+        F.when(
+            (F.col("favorable_rate") >= 0.2)
+            & (F.col("longest_spell") <= 3),
+            "plant",
+        )
+        .when(F.col("longest_spell") >= 5, "drought_risk")
+        .otherwise("monitor")
+    )
+    return rep.select(
+        "region",
+        "total_gdd",
+        "n_dry_days",
+        "longest_spell",
+        W.round_half_up(F.col("favorable_rate"), 6).alias("favorable_rate"),
+        verdict.alias("verdict"),
+    )
+
+
 def _e2e_oracle() -> str:
     t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
     h = "(event_id % 101)"
@@ -10309,6 +10378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x113_unseen_mass": x113_unseen_mass,
         "x114_split_leakage_audit": x114_split_leakage_audit,
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
+        "e2e_agro_report": e2e_agro_report,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15746,6 +15816,45 @@ GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
     # st34 drains to exactly the batch coverage report (term counts are
     # additive across batch-disjoint documents; fof derived at drain)
     d["st34_unseen_mass_stream"] = d["x113_unseen_mass"]
+    # e2e_agro_report: compose the agro1/agro2 oracles as scoped
+    # subqueries + the e2e_weather_sim favorable-temp clause; verdict
+    # CASE evaluates the UNrounded rate (as the Spark side does).
+    d["e2e_agro_report"] = (
+        """
+WITH g AS (
+  SELECT region,
+         CAST(sum(CAST(floor(gdd * 1000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000.0 AS total_gdd
+  FROM ("""
+        + d["agro1_growing_degree_days"]
+        + """) a1 GROUP BY region
+), sp AS (
+  SELECT region, n_dry_days, longest_spell FROM ("""
+        + d["agro2_dry_spells"]
+        + """) a2
+), fav AS (
+  SELECT region,
+         CAST(sum(CASE WHEN temperature >= 18 AND temperature <= 28
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS favorable_rate
+  FROM (
+    SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
+           round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature
+    FROM events
+  ) p
+  WHERE temperature >= -5 AND temperature <= 50
+  GROUP BY region
+)
+SELECT g.region, g.total_gdd, sp.n_dry_days, sp.longest_spell,
+       (floor(fav.favorable_rate * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+         AS favorable_rate,
+       CASE WHEN fav.favorable_rate >= 0.2 AND sp.longest_spell <= 3
+              THEN 'plant'
+            WHEN sp.longest_spell >= 5 THEN 'drought_risk'
+            ELSE 'monitor' END AS verdict
+FROM g JOIN sp USING (region) JOIN fav USING (region)
+"""
+    )
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.
