@@ -212,6 +212,8 @@ PROBED_QUERIES = (
     "x113_unseen_mass",
     "x114_split_leakage_audit",
     "io11_snapshot_rollback",
+    "st34_unseen_mass_stream",
+    "e2e_agro_report",
 )
 
 
