@@ -5141,6 +5141,83 @@ def x114_split_leakage_audit(spark, sf_dir):
     )
 
 
+def x115_pooled_retrieval(spark, sf_dir):
+    """POOLED (bi-encoder) retrieval over the same doc bags as x110 —
+    the comparison every retrieval team runs: mean-pool each 4-vector
+    bag into ONE doc vector (coordinates averaged on the int64
+    micro-grid — the x112 centroid discipline, partition-order-free),
+    then exact cosine top-5 between pooled query docs and pooled corpus
+    docs. Completes the retrieval triptych: bi-encoder (THIS — one
+    vector per doc, cheapest to serve), late interaction (x110 — every
+    query vector keeps its own best match), and the IVF-pruned scale
+    path (x110b); ranking disagreements between x115 and x110 are
+    precisely the pairs where pooling loses token-level signal.
+    Pooling is one dim-bounded posexplode rollup; search is the x5
+    broadcast-query shape on a 4×-smaller table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    pooled = (
+        vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
+        .withColumn(
+            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ).alias("pv")
+        )
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine_given_norms as _cgn,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        norm as _vnorm,
+    )
+
+    c = pooled.select(
+        F.col("doc_id").alias("cand_doc"), F.col("pv").alias("cv")
+    ).withColumn("cnrm", _vnorm(F.col("cv")))
+    q = (
+        pooled.filter(F.col("doc_id") < 2)
+        .select(F.col("doc_id").alias("query_doc"), F.col("pv").alias("qv"))
+        .withColumn("qnrm", _vnorm(F.col("qv")))
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_doc").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("cand_doc") != F.col("query_doc"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _cgn(
+                    F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_doc",
+            "cand_doc",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10379,6 +10456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x114_split_leakage_audit": x114_split_leakage_audit,
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
         "e2e_agro_report": e2e_agro_report,
+        "x115_pooled_retrieval": x115_pooled_retrieval,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15855,6 +15933,44 @@ SELECT g.region, g.total_gdd, sp.n_dry_days, sp.longest_spell,
 FROM g JOIN sp USING (region) JOIN fav USING (region)
 """
     )
+    # x115: int64-grid mean pooling (the x112 centroid discipline) +
+    # x5's cosine/rank tail on the pooled table.
+    d["x115_pooled_retrieval"] = """
+WITH v AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), sums AS (
+  SELECT doc_id, pos,
+         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM v) e
+  GROUP BY doc_id, pos
+), pooled AS (
+  SELECT doc_id, list(p ORDER BY pos) AS pv
+  FROM (SELECT doc_id, pos,
+               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
+        FROM sums) m
+  GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS query_doc, pv AS qv FROM pooled WHERE doc_id < 2
+), scored AS (
+  SELECT q.query_doc, c.doc_id AS cand_doc,
+         round(list_dot_product(c.pv, q.qv)
+               / (sqrt(list_dot_product(c.pv, c.pv))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM pooled c CROSS JOIN q
+  WHERE c.doc_id <> q.query_doc
+)
+SELECT query_doc, cand_doc, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                   ORDER BY cos_sim DESC, cand_doc ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.
