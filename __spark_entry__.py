@@ -5218,6 +5218,60 @@ def x115_pooled_retrieval(spark, sf_dir):
     )
 
 
+def x116_retrieval_quality_compare(spark, sf_dir):
+    """HEAD-TO-HEAD retrieval quality — the measured answer to 'did
+    late interaction buy anything over pooling?': both systems' top-5
+    (x110 MaxSim, x115 pooled bi-encoder) graded by label consistency
+    — a hit is relevant iff the candidate bag's label matches the
+    query bag's (bag label = its lowest-vec_id member's, the bags
+    being vec_id-contiguous). Per system: macro precision@5 (integer
+    hit counts, one division), hits@1, and n_queries. The overlap@5
+    between the two is only 0.4 on this corpus — on REAL data this
+    query says which side of the disagreement is right. (On this
+    synthetic corpus embeddings and labels are independently
+    generated, so both precisions sit near chance — the x85 caveat:
+    the value is the machinery and the split, which replay exactly.)
+    Composes two exact-oracled retrievals + a label join."""
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    ).filter(F.col("vec_id") % 4 == 0).select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"), "label"
+    )
+    runs = (
+        x110_maxsim_retrieval(spark, sf_dir)
+        .select("query_doc", "cand_doc", "rank")
+        .withColumn("system", F.lit("late_interaction"))
+        .unionByName(
+            x115_pooled_retrieval(spark, sf_dir)
+            .select("query_doc", "cand_doc", "rank")
+            .withColumn("system", F.lit("pooled"))
+        )
+    )
+    ql = labels.select(
+        F.col("doc_id").alias("query_doc"), F.col("label").alias("qlab")
+    )
+    cl = labels.select(
+        F.col("doc_id").alias("cand_doc"), F.col("label").alias("clab")
+    )
+    hits = (
+        runs.join(F.broadcast(ql), "query_doc")
+        .join(F.broadcast(cl), "cand_doc")
+        .withColumn("hit", (F.col("qlab") == F.col("clab")).cast("long"))
+    )
+    return hits.groupBy("system").agg(
+        F.countDistinct("query_doc").cast("long").alias("n_queries"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(F.col("rank") == 1, F.col("hit")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hits_at_1"),
+        (
+            F.sum("hit").cast("double") / F.count(F.lit(1))
+        ).alias("precision_at_5"),
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10457,6 +10511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
         "e2e_agro_report": e2e_agro_report,
         "x115_pooled_retrieval": x115_pooled_retrieval,
+        "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -15971,6 +16026,39 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
       FROM scored)
 WHERE rank <= 5
 """
+    # x116: union the two retrieval oracles (scoped subqueries), grade
+    # by bag-label consistency, integer hit counts.
+    d["x116_retrieval_quality_compare"] = (
+        """
+WITH labs AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, label
+  FROM embeddings WHERE vec_id % 4 = 0
+), runs AS (
+  SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
+  FROM ("""
+        + d["x110_maxsim_retrieval"]
+        + """) li
+  UNION ALL
+  SELECT query_doc, cand_doc, rank, 'pooled' AS system
+  FROM ("""
+        + d["x115_pooled_retrieval"]
+        + """) po
+), hits AS (
+  SELECT r.system, r.query_doc, r.rank,
+         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS hit
+  FROM runs r
+  JOIN labs ql ON ql.doc_id = r.query_doc
+  JOIN labs cl ON cl.doc_id = r.cand_doc
+)
+SELECT system,
+       CAST(count(DISTINCT query_doc) AS BIGINT) AS n_queries,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS BIGINT)
+         AS hits_at_1,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS precision_at_5
+FROM hits GROUP BY system
+"""
+    )
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.
