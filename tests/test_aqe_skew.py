@@ -66,9 +66,14 @@ def test_aqe_skew_join_engages_and_preserves_result(spark):
             plan = joined._jdf.queryExecution().executedPlan().toString()
             return rows, plan
         finally:
+            # old value None = the key was never explicitly set in this
+            # session: UNSET it (restoring the engine default) — setting
+            # nothing would leak the test's override into later tests
             for k, v in old.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
 
     rows_skew, plan_skew = run(True)
     rows_plain, _ = run(False)

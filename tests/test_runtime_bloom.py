@@ -50,9 +50,13 @@ def test_runtime_bloom_filter_injects_and_preserves_result(spark, sf01):
             rows = tuple(j.collect()[0])
             return rows, plan
         finally:
+            # old value None = never explicitly set: UNSET to restore
+            # the engine default instead of leaking the override
             for k, v in old.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
 
     rows_on, plan_on = run(True)
     rows_off, _ = run(False)
