@@ -6949,6 +6949,64 @@ def e2e_agro_report(spark, sf_dir):
     )
 
 
+def agro3_reference_et0(spark, sf_dir):
+    """REFERENCE EVAPOTRANSPIRATION (Hargreaves–Samani 1985) — the
+    third agronomic consumer: ET₀ = 0.0023·Ra·(Tmean+17.8)·√(Tmax−Tmin)
+    per region-day, the temperature-only ET estimate used exactly where
+    this pipeline operates (no radiation sensors, daily min/max only).
+    Tmean is the standard (Tmax+Tmin)/2; Ra (extraterrestrial
+    radiation) needs latitude the corpus doesn't carry, so it is a
+    per-region FIXTURE constant (20 + idx mod 10 MJ/m²/day, documented
+    stand-in — the formula's structure, not Ra's provenance, is what
+    the engine exercises). Daily tmax/tmin come exact off the centi-int
+    grid (agro1's quantization), the per-day ET₀ is one identical
+    double product chain on both engines, quantized to 1e-6 before the
+    monthly sum — order-free accumulation. Output: per region-month
+    day count, mean and total ET₀ (the irrigation-planning numbers)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
+    pseudo = ev.select(
+        F.concat(
+            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
+        ).alias("region"),
+        (F.col("user_id") % 15).cast("long").alias("ridx"),
+        t.alias("temperature"),
+        F.to_date("ts").alias("date"),
+    ).filter((F.col("temperature") >= -5) & (F.col("temperature") <= 50))
+    daily = pseudo.groupBy("region", "ridx", "date").agg(
+        F.floor(F.max("temperature") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("tmax_c"),
+        F.floor(F.min("temperature") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("tmin_c"),
+    )
+    ra = (F.lit(20.0) + (F.col("ridx") % 10).cast("double"))
+    tmean = (F.col("tmax_c") + F.col("tmin_c")).cast("double") / F.lit(200.0)
+    trange = (F.col("tmax_c") - F.col("tmin_c")).cast("double") / F.lit(
+        100.0
+    )
+    et0 = (
+        F.lit(0.0023) * ra * (tmean + F.lit(17.8)) * F.sqrt(trange)
+    )
+    q = F.floor(et0 * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        daily.withColumn("et0_q", q)
+        .groupBy("region", F.date_format("date", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum("et0_q").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_et0"),
+            (
+                F.sum("et0_q").cast("double") / F.lit(1000000.0)
+            ).alias("total_et0"),
+        )
+    )
+
+
 def _e2e_oracle() -> str:
     t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
     h = "(event_id % 101)"
@@ -10512,6 +10570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_agro_report": e2e_agro_report,
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
+        "agro3_reference_et0": agro3_reference_et0,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -16059,6 +16118,37 @@ SELECT system,
 FROM hits GROUP BY system
 """
     )
+    # agro3: same centi-int daily extremes, identical Hargreaves
+    # product chain, 1e-6 quantize before the monthly sum.
+    d["agro3_reference_et0"] = """
+WITH pseudo AS (
+  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
+         CAST(user_id % 15 AS BIGINT) AS ridx,
+         round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature,
+         CAST(ts AS DATE) AS date
+  FROM events
+), validated AS (
+  SELECT * FROM pseudo WHERE temperature >= -5 AND temperature <= 50
+), daily AS (
+  SELECT region, ridx, date,
+         CAST(floor(max(temperature) * 100.0 + 0.5) AS BIGINT) AS tmax_c,
+         CAST(floor(min(temperature) * 100.0 + 0.5) AS BIGINT) AS tmin_c
+  FROM validated GROUP BY region, ridx, date
+), et AS (
+  SELECT region, date,
+         CAST(floor(
+           0.0023 * (20.0 + CAST(ridx % 10 AS DOUBLE))
+                  * (CAST(tmax_c + tmin_c AS DOUBLE) / 200.0 + 17.8)
+                  * sqrt(CAST(tmax_c - tmin_c AS DOUBLE) / 100.0)
+           * 1000000.0 + 0.5) AS BIGINT) AS et0_q
+  FROM daily
+)
+SELECT region, strftime(date, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(et0_q) AS DOUBLE) / count(*) / 1000000.0 AS mean_et0,
+       CAST(sum(et0_q) AS DOUBLE) / 1000000.0 AS total_et0
+FROM et GROUP BY region, strftime(date, '%Y-%m')
+"""
     # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
     # probes per query vector) gates WHICH docs score; the MaxSim tail
     # is x110's verbatim, restricted to candidate pairs.
