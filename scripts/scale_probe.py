@@ -214,6 +214,9 @@ PROBED_QUERIES = (
     "io11_snapshot_rollback",
     "st34_unseen_mass_stream",
     "e2e_agro_report",
+    "x115_pooled_retrieval",
+    "x116_retrieval_quality_compare",
+    "agro3_reference_et0",
 )
 
 
