@@ -6824,7 +6824,7 @@ def agro2_dry_spells(spark, sf_dir):
     pipeline's most scrutinized column; daily_weather_etl_kenya.py's
     rainfall binning stops at per-reading categories). Per region-day
     the rainfall total accumulates in integer DECI-millimetres (1dp
-    readings quantize exactly); a day is DRY when its total < 1.0 mm;
+    readings quantize exactly);
     maximal runs of consecutive dry days are found with the
     gaps-and-islands window (epoch_day − row_number is constant within
     a run — pure int64 arithmetic, no session UDF, no iteration) and

@@ -392,6 +392,18 @@ def knn_graph(
     build's dominant map cost — is paid once for both artifacts (the
     st21 single-pass discipline); the caller owns its persistence.
 
+    Precedence: when ``ranked`` is supplied it IS the assignment —
+    ``n_centroids``, ``n_probe`` and ``cent`` are not consulted at all
+    (the probe fan-out is whatever ``ranked`` was built with). Passing
+    an explicit ``n_centroids`` together with ``ranked`` is therefore a
+    caller bug (the graph would silently reflect ranked's codebook, not
+    the argument) and raises ``ValueError``. ``cent`` alongside
+    ``ranked`` is tolerated — the supported callers (st24's deploy)
+    pass the very codebook ``ranked`` was derived from, and frame
+    equality can't be checked without a job — and ``n_probe`` is left
+    permissive because its default makes intent undetectable; callers
+    must match both to the ranked build by convention.
+
     Returns (src_id, nbr_id, cos_sim, rank): ``k`` directed edges per
     vector, self-edges excluded, rank 1 = nearest.
     """
@@ -399,6 +411,12 @@ def knn_graph(
 
     from pyspark.storagelevel import StorageLevel
 
+    if ranked is not None and n_centroids is not None:
+        raise ValueError(
+            "knn_graph: `ranked` already fixes the codebook size — an "
+            "explicit conflicting n_centroids would be silently ignored; "
+            "pass one or the other"
+        )
     if ranked is None:
         if n_centroids is None:
             n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))

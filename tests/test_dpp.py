@@ -18,6 +18,8 @@ import pyspark.sql.functions as F
 
 def test_dynamic_partition_pruning_engages(spark, sf01):
     path = tempfile.mkdtemp(prefix="dpp_fact_")
+    conf_key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    old_conf = spark.conf.get(conf_key, None)
     try:
         li = spark.read.parquet(f"{sf01}/lineitem.parquet").select(
             "l_orderkey",
@@ -35,9 +37,7 @@ def test_dynamic_partition_pruning_engages(spark, sf01):
             )
         )
         dim = months.filter(F.col("is_peak"))
-        spark.conf.set(
-            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
-        )
+        spark.conf.set(conf_key, "true")
         joined = fact.join(dim, "ship_month").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
@@ -59,4 +59,11 @@ def test_dynamic_partition_pruning_engages(spark, sf01):
         )
         assert tuple(got) == tuple(want)
     finally:
+        # restore-or-unset: conf.get(k, None) is None for never-set keys,
+        # and restoring None must UNSET, not skip (the conf-leak trap the
+        # sibling AQE/bloom tests guard against).
+        if old_conf is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old_conf)
         shutil.rmtree(path, ignore_errors=True)
