@@ -10275,10 +10275,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st23_export_manifest_stream": st23_export_manifest_stream,
         "st24_graph_serve_stream": st24_graph_serve_stream,
         "qv1_quality_verdict": qv1_quality_verdict,
-        "a18_column_profiler": a18_column_profiler,
+        # r6 window rotation: the r4/r5 flagships (exact distributed
+        # quantiles, streaming quantiles, MaxSim retrieval, the agro
+        # consumer family) enter the driver's sampled window so the
+        # hard correctness signal grades the newest surface; the six
+        # displaced queries (a18/r7/a1/a2/a3/s2) all have in-window
+        # siblings (qv1+sql1 fuse A1-A3; e2e covers S2) and keep
+        # local-pass parity in the pytest oracle sweep below slot 50.
+        "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
-        "r7_incremental_join_view": r7_incremental_join_view,
+        "st31_quantile_stream": st31_quantile_stream,
         "j5_scd2_pointintime": j5_scd2_pointintime,
         "sql2_star_join_sql": sql2_star_join_sql,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
@@ -10293,15 +10300,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_rounding": p8_rounding,
         "r1_dedup_keep_first": r1_dedup_keep_first,
         "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
+        "x110_maxsim_retrieval": x110_maxsim_retrieval,
+        "agro1_growing_degree_days": agro1_growing_degree_days,
+        "agro3_reference_et0": agro3_reference_et0,
+        "a4_group_counts": a4_group_counts,
+        "e2e_agro_report": e2e_agro_report,
+        "sql1_quality_sql": sql1_quality_sql,
+        # slots 51+: displaced from the window — r4 admitted st21-st24,
+        # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report (the
+        # streaming surface stays fully driver-verified; everything here
+        # has in-window siblings — w12+/sql2-4/qv1, and qv1+sql1 fuse
+        # a1-a3, e2e covers s2 — and keeps local-pass oracle parity)
+        "a18_column_profiler": a18_column_profiler,
+        "r7_incremental_join_view": r7_incremental_join_view,
         "a1_count_distinct": a1_count_distinct,
         "a2_null_counts": a2_null_counts,
         "a3_min_max": a3_min_max,
-        "a4_group_counts": a4_group_counts,
         "s2_json_access": s2_json_access,
-        "sql1_quality_sql": sql1_quality_sql,
-        # slots 51+: displaced from the window in r4 to admit st21-st24
-        # (the streaming surface stays fully driver-verified; these
-        # have in-window siblings — w12+/sql2-4/qv1)
         "w10_ohlc_bars": w10_ohlc_bars,
         "w11_cumulative_distinct": w11_cumulative_distinct,
         "sql5_recursive_cte": sql5_recursive_cte,
@@ -10540,11 +10555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st28_token_budget_stream": st28_token_budget_stream,
         "st29_nb_deploy_stream": st29_nb_deploy_stream,
         "st30_span_index_stream": st30_span_index_stream,
-        "st31_quantile_stream": st31_quantile_stream,
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "io9_schema_evolution": io9_schema_evolution,
-        "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "x109_equidepth_histogram": x109_equidepth_histogram,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
@@ -10554,9 +10567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
         "st27_drift_stream": st27_drift_stream,
         "io8_sync_plan": io8_sync_plan,
-        "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "x110b_maxsim_pruned": x110b_maxsim_pruned,
-        "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro2_dry_spells": agro2_dry_spells,
         "st32_maxsim_serve_stream": st32_maxsim_serve_stream,
         "io11_snapshot_rollback": io11_snapshot_rollback,
@@ -10567,10 +10578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x113_unseen_mass": x113_unseen_mass,
         "x114_split_leakage_audit": x114_split_leakage_audit,
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
-        "e2e_agro_report": e2e_agro_report,
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
-        "agro3_reference_et0": agro3_reference_et0,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

@@ -41,6 +41,14 @@ MUST_BE_IN_WINDOW = {
     # w10/w11/sql5/qv2 were displaced below slot 50 in r4 to admit
     # st21-st24 — the full streaming surface outranks queries with
     # in-window siblings (w12+/sql2-4/qv1 keep local-pass parity)
+    # r6 rotation: the r4/r5 flagships enter the window (displacing
+    # a18/r7/a1/a2/a3/s2, each with in-window siblings)
+    "a22_exact_quantiles_distributed",
+    "st31_quantile_stream",
+    "x110_maxsim_retrieval",
+    "agro1_growing_degree_days",
+    "agro3_reference_et0",
+    "e2e_agro_report",
 } | {f"st{i}" for i in range(1, 25)}
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
@@ -60,16 +68,17 @@ DRIVER_WINDOW_SNAPSHOT = [
     "st19_model_score_stream", "st21_knn_graph_ingest",
     "st22_vector_serve_stream", "st23_export_manifest_stream",
     "st24_graph_serve_stream", "qv1_quality_verdict",
-    "a18_column_profiler", "r5_merge_cdc",
-    "r6_incremental_rollup", "r7_incremental_join_view",
+    "a22_exact_quantiles_distributed", "r5_merge_cdc",
+    "r6_incremental_rollup", "st31_quantile_stream",
     "j5_scd2_pointintime", "sql2_star_join_sql", "sql3_top_supplier_sql",
     "sql4_windowed_sql",
     "q1_pricing_summary", "f1_range_filter",
     "f3_date_filter", "p1_agronomic_derivations", "p5_quantity_binning",
     "p6_date_parts", "p7_epoch_conversion", "p8_rounding",
     "r1_dedup_keep_first", "r2_upsert_last_write_wins",
-    "a1_count_distinct", "a2_null_counts", "a3_min_max",
-    "a4_group_counts", "s2_json_access", "sql1_quality_sql",
+    "x110_maxsim_retrieval", "agro1_growing_degree_days",
+    "agro3_reference_et0",
+    "a4_group_counts", "e2e_agro_report", "sql1_quality_sql",
 ]
 
 
