@@ -28,6 +28,51 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# A driver poll (PROGRESS.jsonl, every ~15 min) runs its OWN Spark
+# session for up to ~2 minutes after its recorded ts — a bench query
+# whose wall-clock window overlaps that gets a contaminated (3-10×
+# inflated) timing in a CONTIGUOUS registry band. Historically the
+# builder diagnosed those bands from memory; since round 6 the bench
+# artifact flags them machine-readably instead.
+POLL_SPARK_SECONDS = 120.0
+
+
+def _suspect_band(
+    starts: dict[str, float], timings: dict[str, float]
+) -> list[str]:
+    """Query names whose timed window overlaps a driver-poll window
+    ([poll_ts - 5, poll_ts + POLL_SPARK_SECONDS]) recorded in
+    PROGRESS.jsonl. Best-effort: no polls file, no flags."""
+    progress = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PROGRESS.jsonl"
+    )
+    polls: list[float] = []
+    try:
+        with open(progress) as fh:
+            for line in fh:
+                try:
+                    ts = json.loads(line).get("ts")
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(ts, (int, float)):
+                    polls.append(float(ts))
+    except OSError:
+        return []
+    if not polls:
+        return []
+    lo = min(starts.values(), default=0.0) - POLL_SPARK_SECONDS
+    hi = max(
+        (starts[n] + timings.get(n, 0.0) for n in starts), default=0.0
+    )
+    polls = [p for p in polls if lo <= p <= hi]
+    suspect = []
+    for name, t0 in starts.items():
+        t1 = t0 + timings.get(name, 0.0)
+        if any(p - 5.0 <= t1 and t0 <= p + POLL_SPARK_SECONDS for p in polls):
+            suspect.append(name)
+    return suspect
+
+
 def _sf_of(sf_dir: str) -> float:
     tail = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -97,8 +142,10 @@ def main() -> int:
         pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
+    starts: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        starts[name] = round(time.time(), 2)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -118,6 +165,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "started": starts,
+        "suspect_band": _suspect_band(starts, timings),
         "sf": _sf_of(sf_dir),
     }
     if failures:
@@ -144,6 +193,10 @@ def main() -> int:
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
         "n_failures": len(failures),
+        # queries whose wall-clock window overlapped a driver poll —
+        # their per-query numbers are contamination-suspect (full list
+        # + per-query start epochs in BENCH_full.json)
+        "n_suspect": len(full["suspect_band"]),
     }
     print(json.dumps(compact))
     return 0 if not failures else 1
