@@ -10286,6 +10286,64 @@ def q25_promo_revenue(spark, sf_dir):
     )
 
 
+def x117_containment_dedup(spark, sf_dir):
+    """DIRECTIONAL shingle-containment pairs (operators/dedup.
+    shingle_containment_pairs) — the quote/subset detector the
+    symmetric dedup ladder (x1 exact / x2 LSH / x3 Jaccard / x40
+    semantic) structurally misses: a short doc fully quoted inside a
+    long one has Jaccard ≈ |short|/|long| (arbitrarily small) but
+    containment 1.0, and corpus curation wants exactly that signal —
+    drop the boilerplate-wrapped rehost or excerpt, keep the canonical
+    long form. C(sub → super) = |S(sub) ∩ S(super)| / |S(sub)| over
+    word 3-shingles, df-capped (>50 dropped) so the inverted-index
+    self-join stays anti-quadratic at 100 TB; both directions derive
+    arithmetically from ONE a<b join (same |∩|), so asymmetry costs
+    nothing. Pairs at C ≥ 0.5 (deliberately the x3 regime so the two
+    measures are comparable on the same corpus: every x3 pair appears
+    here in ≥1 direction, plus the asymmetric ones Jaccard hides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(
+        docs, k_shingle=3, threshold=0.5, max_shingle_df=50
+    )
+
+
+def x118_l_diversity(spark, sf_dir):
+    """l-DIVERSITY audit — the release gate one step past x67's
+    k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    yet expose everyone in it if the SENSITIVE attribute is constant
+    within the group (the homogeneity attack k-anonymity ignores).
+    Customers grouped by the (nation, market-segment) quasi-identifier;
+    the sensitive attribute is the account-balance band (5 equal-width
+    bands over [-1000, 10000] — banding IS the generalization step of
+    the privacy model); l = distinct bands in the group; at_risk when
+    l < 3. ONE hash aggregation with a count + count-distinct —
+    map-side partials, a single shuffle on the quasi-identifier, the
+    same single-pass cost profile as x67 whatever the table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.least(
+        F.lit(4),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(2200.0)),
+        ),
+    ).cast("int")
+    return (
+        cust.withColumn("bal_band", band)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).cast("int").alias("at_risk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10632,6 +10690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
+        "x117_containment_dedup": x117_containment_dedup,
+        "x118_l_diversity": x118_l_diversity,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -16267,5 +16327,46 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
                                    ORDER BY smq DESC, cand_doc ASC) AS rank
       FROM s)
 WHERE rank <= 5
+"""
+    d["x117_containment_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, {jacc_toks} AS l FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+    END)) AS sh
+  FROM toks
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), contain AS (
+  SELECT id_a AS id_sub, id_b AS id_super,
+         round(inter::DOUBLE / sa.n_sh, 6) AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_super,
+         round(inter::DOUBLE / sb.n_sh, 6) AS containment
+  FROM inter JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_sub, id_super, containment FROM contain WHERE containment >= 0.5
+"""
+    d["x118_l_diversity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(least(4, greatest(0,
+             floor((c_acctbal + 1000.0) / 2200.0))) AS INT)) AS BIGINT)
+         AS l_distinct,
+       (count(DISTINCT CAST(least(4, greatest(0,
+             floor((c_acctbal + 1000.0) / 2200.0))) AS INT)) < 3)::INT
+         AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
 """
     return d

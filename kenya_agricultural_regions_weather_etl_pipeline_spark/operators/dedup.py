@@ -239,6 +239,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL containment pairs: C(sub → super) =
+    |S(sub) ∩ S(super)| / |S(sub)| over word k-shingles — the
+    quote/subset detector Jaccard misses by construction. A short doc
+    fully quoted inside a long one has tiny Jaccard (the union is the
+    long doc) but containment 1.0; corpus curation needs exactly this
+    signal to drop boilerplate-wrapped rehosts and excerpt spam while
+    keeping the canonical long form (the same asymmetric measure
+    Broder's "containment" resemblance work defines alongside Jaccard).
+
+    Shape = :func:`ngram_jaccard_pairs`'s inverted-index self-join —
+    pairs only form when they share ≥1 (non-ubiquitous, df-capped)
+    shingle, the 100 TB anti-quadratic guard — run ONCE on id_a < id_b
+    and then unfolded into both directions arithmetically (containment
+    of a in b and b in a share the same |∩|), so the directional
+    measure costs the same single join as the symmetric one.
+
+    Returns (id_sub, id_super, containment) rows with
+    containment ≥ threshold, 6dp half-even rounded on both engines.
+    Capability parity: reference repo dedups on exact composite keys
+    only (`daily_weather_etl_kenya.py:300-310`, drop_duplicates); this
+    is §2.8 extension surface.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = base
+    if max_shingle_df is not None:
+        hot = (
+            base.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    fwd = inter.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_verify(
     docs: DataFrame,
     pairs: DataFrame,
