@@ -10344,6 +10344,102 @@ def x118_l_diversity(spark, sf_dir):
     )
 
 
+def x119_t_closeness(spark, sf_dir):
+    """t-CLOSENESS audit — the third rung of the release-privacy ladder
+    (x67 k-anonymity → x118 l-diversity → t-closeness): a group can be
+    large AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (the skewness attack
+    l-diversity ignores — a group that is 90% top-band in a 20%
+    top-band table reveals plenty). Per (nation, market-segment)
+    quasi-group: the 1-D earth-mover's distance between the group's
+    account-balance-band distribution and the global one, EMD =
+    (1/(B−1))·Σᵢ |cumQ(i) − cumP(i)| over the B=5 ordered bands;
+    flagged when t > 0.2.
+
+    Exactness discipline: every cumulative term is the integer
+    |cum_gb·N − cum_b·n_g| (common denominator n_g·N per group), the
+    integer numerators SUM exactly, and ONE double division + 6dp
+    round happens at the end — order-free on both engines, the same
+    quantize-then-divide rule the e2e folds use. Shape: one group×band
+    count (map-side combined), a 5-row global frame broadcast, a
+    groups×5 dense grid (groups-bounded, not data-bounded) — the audit
+    costs one pass + bounded-frame arithmetic at any table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.least(
+        F.lit(4),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(2200.0)),
+        ),
+    ).cast("int")
+    banded = cust.select(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    )
+    gb = banded.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gb")
+    )
+    groups = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    glob = banded.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    n_tot = banded.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    bands = spark.range(5).select(F.col("id").cast("int").alias("bal_band"))
+    # dense (group × band) grid: absent bands must contribute their
+    # zero to the cumulative sums — groups×5 rows, bounded by the
+    # quasi-identifier domain, never by table size
+    grid = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(gb, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .join(F.broadcast(glob), "bal_band", "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "n_g",
+            "n_tot",
+            F.coalesce(F.col("n_gb"), F.lit(0).cast("long")).alias("n_gb"),
+            F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "n_tot",
+        "bal_band",
+        F.abs(
+            F.sum("n_gb").over(wcum) * F.col("n_tot")
+            - F.sum("n_b").over(wcum) * F.col("n_g")
+        ).alias("num"),
+    ).filter(F.col("bal_band") < 4)  # cum at the last band is 0 by def
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("n_g").alias("group_size"),
+            F.round(
+                F.sum("num").cast("double")
+                / (F.lit(4.0) * F.first("n_g") * F.first("n_tot")),
+                6,
+            ).alias("t_emd"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("group_size").cast("long").alias("group_size"),
+            "t_emd",
+            (F.col("t_emd") > 0.2).cast("int").alias("at_risk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10692,6 +10788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
         "x117_containment_dedup": x117_containment_dedup,
         "x118_l_diversity": x118_l_diversity,
+        "x119_t_closeness": x119_t_closeness,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,
@@ -16368,5 +16465,47 @@ SELECT c_nationkey, c_mktsegment,
              floor((c_acctbal + 1000.0) / 2200.0))) AS INT)) < 3)::INT
          AS at_risk
 FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+    d["x119_t_closeness"] = """
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(least(4, greatest(0,
+              floor((c_acctbal + 1000.0) / 2200.0))) AS INT) AS bal_band
+  FROM customer
+), grp AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_g
+  FROM banded GROUP BY 1, 2
+), gbc AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT AS n_gb
+  FROM banded GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT bal_band, count(*)::BIGINT AS n_b FROM banded GROUP BY 1
+), ttot AS (SELECT count(*)::BIGINT AS n_tot FROM banded
+), grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment,
+         CAST(b.range AS INT) AS bal_band, g.n_g, t.n_tot,
+         coalesce(x.n_gb, 0)::BIGINT AS n_gb,
+         coalesce(gl.n_b, 0)::BIGINT AS n_b
+  FROM grp g CROSS JOIN range(0, 5) b CROSS JOIN ttot t
+  LEFT JOIN gbc x ON x.c_nationkey = g.c_nationkey
+                 AND x.c_mktsegment = g.c_mktsegment
+                 AND x.bal_band = b.range
+  LEFT JOIN gdist gl ON gl.bal_band = b.range
+), terms AS (
+  SELECT c_nationkey, c_mktsegment, n_g, n_tot, bal_band,
+         abs(sum(n_gb) OVER w * n_tot - sum(n_b) OVER w * n_g) AS num
+  FROM grid
+  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(any_value(n_g) AS BIGINT) AS group_size,
+       round(sum(num)::DOUBLE
+             / (4.0 * any_value(n_g) * any_value(n_tot)), 6) AS t_emd,
+       (round(sum(num)::DOUBLE
+              / (4.0 * any_value(n_g) * any_value(n_tot)), 6) > 0.2)::INT
+         AS at_risk
+FROM terms WHERE bal_band < 4
+GROUP BY c_nationkey, c_mktsegment
 """
     return d

@@ -150,12 +150,16 @@ def deployed_graph_index(
         ranked = _ivf_rank_cells(
             emb, cent, "vec_id", "embedding", n_probe
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # repartition-by-cell landing (st31's discipline): exactly ONE
+        # file per occupied cell instead of tasks×cells tiny files —
+        # measured 24 s → ~2 s for the write at sf0.1, and bounded file
+        # count is the same property the 100 TB layout needs
         ranked.filter(F.col("cell_rank") == 1).select(
             "vec_id", "cvec", "cell"
-        ).write.partitionBy("cell").parquet(assign_dir)
-        knn_graph(emb, k=k, n_probe=n_probe, cent=cent, ranked=ranked).write.parquet(
-            graph_path
-        )
+        ).repartition("cell").write.partitionBy("cell").parquet(assign_dir)
+        knn_graph(
+            emb, k=k, n_probe=n_probe, cent=cent, ranked=ranked
+        ).coalesce(8).write.parquet(graph_path)
         ranked.unpersist()
         (
             emb.select(
@@ -163,6 +167,7 @@ def deployed_graph_index(
                 to_double_array(F.col("embedding")).alias("cvec"),
             )
             .withColumn("cnrm", norm(F.col("cvec")))
+            .coalesce(4)
             .write.parquet(cframe_path)
         )
     except BaseException:
