@@ -10862,5650 +10862,22 @@ WITH e AS (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins (identical output column names/types). Queries absent
     here (x2, x2b, x4, mm1) are engine-specific (xxhash64 signatures /
-    binary payload hashes) → driver records the weaker rows-only check."""
-    jacc_toks = (
-        "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
-        "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
-    )
-    QCODES, QSCALE = V.quantize_int8_sql("embedding::DOUBLE[]")
-    d = {
-        "q1_pricing_summary": Q1_ORACLE,
-        "f1_range_filter": """
-SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-FROM lineitem
-WHERE l_quantity >= 5 AND l_quantity <= 45
-  AND l_discount >= 0.02 AND l_discount <= 0.08
-""",
-        "f3_date_filter": """
-SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
-""",
-        "p1_agronomic_derivations": _p1_oracle(),
-        "p5_quantity_binning": f"""
-SELECT {W.rainfall_category_sql('l_quantity')} AS bin, count(*) AS n
-FROM lineitem GROUP BY 1
-""",
-        "p6_date_parts": """
-SELECT l_orderkey, l_linenumber,
-       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-       CAST(hour(l_shipdate) AS INT) AS ship_hour,
-       CAST(month(l_shipdate) AS INT) AS ship_month,
-       CAST(year(l_shipdate) AS INT) AS ship_year
-FROM lineitem
-""",
-        "p7_epoch_conversion": """
-SELECT event_id, epoch_us(ts) AS ts_us, date_trunc('second', ts) AS ts_sec
-FROM events
-""",
-        "p8_rounding": f"""
-SELECT l_orderkey, l_linenumber,
-       {W.round_half_up_sql('l_extendedprice * (1 - l_discount)', 2)} AS disc_price_2,
-       {W.round_half_up_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS charged_4
-FROM lineitem
-""",
-        "r1_dedup_keep_first": """
-SELECT user_id, event_type, event_id, ts, value FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
-  FROM events) WHERE rn = 1
-""",
-        "r2_upsert_last_write_wins": """
-WITH unioned AS (
-  SELECT *, 0 AS src FROM events WHERE event_id % 2 = 0
-  UNION ALL
-  SELECT *, 1 AS src FROM events WHERE event_id % 2 = 1
-)
-SELECT user_id, event_type, event_id, ts, value FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY user_id, event_type ORDER BY ts DESC, src DESC) AS rn
-  FROM unioned) WHERE rn = 1
-""",
-        "a1_count_distinct": """
-SELECT count(DISTINCT l_suppkey) AS unique_suppliers,
-       count(DISTINCT l_partkey) AS unique_parts
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
-""",
-        "a2_null_counts": """
-WITH d AS (
-  SELECT CASE WHEN value < 10 THEN NULL ELSE value END AS v,
-         CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS p
-  FROM events)
-SELECT CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-       CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_type,
-       count(*) AS total
-FROM d
-""",
-        "a3_min_max": """
-SELECT min(l_extendedprice) AS min_price,
-       max(l_extendedprice) AS max_price,
-       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
-       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
-FROM lineitem
-""",
-        "a4_group_counts": """
-SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_total
-FROM orders GROUP BY o_orderstatus
-""",
-        "a14_mad_robust": f"""
-WITH med AS (
-  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT l.l_returnflag,
-       {W.round_half_up_sql(
-           "quantile_cont(abs(l.l_extendedprice - m.med), 0.5)", 4)} AS mad,
-       count(*) AS n
-FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
-GROUP BY l.l_returnflag
-""",
-        "a7_quantiles": f"""
-SELECT l_returnflag,
-       {W.round_half_up_sql('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
-       {W.round_half_up_sql('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90,
-       count(*) AS n
-FROM lineitem GROUP BY l_returnflag
-""",
-        "s2_json_access": """
-SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
-FROM events GROUP BY 1
-""",
-        "q2_brand_revenue": f"""
-SELECT p_brand,
-       {W.round_half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
-       count(*) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-""",
-        "q3_top_revenue_orders": """
-SELECT o_orderkey, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey, o_orderpriority
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
-""",
-        "q5_regional_revenue": """
-SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
-""",
-        "b1_broadcast_join": """
-SELECT n_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name
-""",
-        "j1_asof_join": """
-SELECT c.event_id, c.user_id, c.ts,
-       (SELECT max(v.ts) FROM events v
-        WHERE v.event_type = 'view' AND v.user_id = c.user_id
-          AND v.ts <= c.ts) AS asof_view_ts
-FROM events c WHERE c.event_type = 'click'
-""",
-        "j2_range_join": """
-WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
-SELECT c.event_id, c.user_id, c.ts,
-       CAST((SELECT count(*) FROM v
-             WHERE v.user_id = c.user_id
-               AND abs(CAST(floor(epoch(v.ts)) AS BIGINT)
-                       - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 1800) AS BIGINT)
-         AS n_nearby_views
-FROM c
-""",
-        "a6_pivot": """
-SELECT o_orderpriority,
-       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-FROM orders GROUP BY o_orderpriority
-""",
-        "b2_salted_join": f"""
-SELECT o_orderstatus, count(*) AS n_items,
-       {W.round_half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderstatus
-""",
-        "q6_scalar_subquery": """
-SELECT o_orderpriority, count(*) AS n_above
-FROM orders
-WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
-GROUP BY o_orderpriority
-""",
-        "sql1_quality_sql": """
-SELECT count(DISTINCT l_suppkey) AS unique_suppliers,
-       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags,
-       min(l_quantity) AS min_qty,
-       max(l_quantity) AS max_qty,
-       count(*) AS total_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
-""",
-        "w1_topk_per_group": """
-SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-  FROM orders) WHERE rank <= 3
-""",
-        "w2_running_total": f"""
-SELECT o_custkey, o_orderkey,
-       {W.round_half_up_sql(
-           "sum(o_totalprice) OVER (PARTITION BY o_custkey "
-           "ORDER BY o_orderdate ASC, o_orderkey ASC "
-           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
-FROM orders
-""",
-        "w3_lag_delta": f"""
-SELECT o_custkey, o_orderkey,
-       {W.round_half_up_sql(
-           "o_totalprice - lag(o_totalprice, 1) OVER "
-           "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)", 2)}
-           AS price_delta,
-       CAST(date_diff('day',
-            lag(CAST(o_orderdate AS DATE), 1) OVER
-                (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
-            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
-FROM orders
-""",
-        "set1_anti_join": """
-SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-""",
-        "set2_intersect": """
-SELECT o_custkey FROM orders
-WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
-INTERSECT
-SELECT o_custkey FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-""",
-        "set3_semi_join": """
-SELECT s_suppkey, s_name FROM supplier s
-WHERE EXISTS (SELECT 1 FROM lineitem
-              WHERE l_suppkey = s.s_suppkey
-                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
-""",
-        "u1_union_agg": """
-WITH u AS (
-  SELECT * FROM orders WHERE o_totalprice > 50000
-  UNION ALL
-  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
-)
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
-FROM u GROUP BY o_orderstatus
-""",
-        "x1_dedup_exact": f"""
-SELECT {T.fingerprint_md5_sql('text')} AS fp, count(*) AS n_dups,
-       min(doc_id) AS keeper
-FROM documents GROUP BY 1
-""",
-        "x3_ngram_jaccard_pairs": f"""
-WITH toks AS (
-  SELECT doc_id, {jacc_toks} AS l FROM documents
-), sh0 AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
-    END)) AS sh
-  FROM toks
-), hot AS (
-  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
-), sh AS (
-  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.4
-""",
-        "x5_cosine_topk": X5_ORACLE,
-        "x5b_cosine_topk_lsh": _x5b_oracle(),
-        "x5c_lsh_recall": _x5c_oracle(),
-        "x10_embedding_dup_pairs": _x10_oracle(),
-        "e2e_weather_pipeline": _e2e_pipeline_oracle(),
-        "qv1_quality_verdict": _qv1_oracle(),
-        "x9b_rolling_hash": """
-SELECT doc_id, list_reduce(
-  [0::BIGINT] || list_transform(
-    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
-    c -> ascii(c)::BIGINT),
-  (acc, x) -> (acc * 257 + x) % 1000000007) AS rhash
-FROM documents
-""",
-        "x6_lang_id": f"""
-SELECT doc_id, {T.lang_id_sql('text')} AS pred_lang FROM documents
-""",
-        "x6b_lang_id_ngram": f"""
-SELECT doc_id, {T.lang_id_ngram_sql('text')} AS pred_lang FROM documents
-""",
-        "x7_quality_score": f"""
-SELECT doc_id, {T.quality_score_sql('text')} AS q_score FROM documents
-""",
-        "x8_token_stats": f"""
-SELECT source, count(*) AS n_docs,
-       round(avg({T.token_count_sql('text')}), 4) AS avg_tokens,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY source
-""",
-        "x9_fingerprint": f"""
-SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
-""",
-        "x11_train_split": """
-SELECT doc_id,
-       CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
-            WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
-            ELSE 'test' END AS split
-FROM documents
-""",
-        "st1_windowed_counts": f"""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, {W.round_half_up_sql('sum(value)', 4)} AS sum_value
-FROM events GROUP BY 1, 2
-""",
-        "st9_sliding_windows": f"""
-WITH b AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, event_type, value
-  FROM events
-), s AS (
-  SELECT unnest([b0, b0 - INTERVAL '30 minutes']) AS window_start,
-         event_type, value
-  FROM b
-)
-SELECT window_start, event_type, count(*) AS n_events,
-       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
-FROM s GROUP BY 1, 2
-""",
-        "st2_stream_dedup": """
-SELECT DISTINCT user_id, event_type FROM events
-""",
-        "st6_foreach_batch_upsert": """
-SELECT user_id, event_type, event_id, value FROM (
-  SELECT user_id, event_type, event_id, value,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
-  FROM events) WHERE rn = 1
-""",
-        "st5_stream_static_join": f"""
-WITH dim AS (
-  SELECT range::INT AS bucket, 'SEG' || (range % 5)::VARCHAR AS segment
-  FROM range(15)
-)
-SELECT segment, count(*) AS n_events,
-       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
-FROM events JOIN dim ON (user_id % 15) = bucket
-GROUP BY segment
-""",
-        "st3_session_windows": f"""
-WITH o AS (
-  SELECT user_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events
-), g AS (
-  SELECT user_id, ts, value,
-         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM o
-), s AS (
-  SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM g
-)
-SELECT min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       user_id,
-       count(*) AS n_events,
-       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
-FROM s GROUP BY user_id, sid
-""",
-        "st4_stateful_running_totals": f"""
-SELECT user_id, count(*) AS n_events,
-       {W.round_half_up_sql('sum(value)', 4)} AS sum_value
-FROM events GROUP BY user_id
-""",
-        "a5_rollup": """
-SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
-       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY ROLLUP (source, lang)
-""",
-        "a8_cube": f"""
-SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
-       count(*) AS n_docs,
-       {W.round_half_up_sql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 2)}
-           AS avg_chars
-FROM documents GROUP BY CUBE (source, lang)
-""",
-        "x12_top_bigrams": """
-WITH toks AS (
-  SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
-), bg AS (
-  SELECT t[i] || ' ' || t[i + 1] AS bigram
-  FROM toks, unnest(range(1, len(t))) AS u(i)
-)
-SELECT bigram, count(*) AS n FROM bg
-GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
-""",
-        "x13_doc_frequency": f"""
-WITH terms AS (
-  SELECT unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS term
-  FROM documents
-), dfc AS (
-  SELECT term, count(*) AS df FROM terms GROUP BY term
-), n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT term, df,
-       {W.round_half_up_sql("ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS idf
-FROM dfc, n
-ORDER BY df DESC, term ASC LIMIT 100
-""",
-        "x15_stratified_sample": f"""
-SELECT doc_id, lang FROM documents
-WHERE {SMP.stratified_hash_sample_sql(
-            "text",
-            "lang",
-            {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25},
-            default_rate=0.1,
-        )}
-""",
-        "x16_doc_chunks": PK.chunk_documents_sql(chunk_size=50, overlap=10),
-        "x20_unigram_lm_score": f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS term
-  FROM documents
-), vocab AS (
-  SELECT term, count(*) AS tf FROM toks GROUP BY term
-), total AS (SELECT sum(tf) AS corpus_tokens FROM vocab)
-SELECT doc_id, count(*) AS n_tokens,
-       {W.round_half_up_sql(
-           "avg(ln(CAST(tf AS DOUBLE) / corpus_tokens))", 4
-       )} AS avg_logprob
-FROM toks JOIN vocab USING (term), total
-GROUP BY doc_id
-""",
-        "w4_moving_average": f"""
-SELECT event_id, user_id,
-       {W.round_half_up_sql(
-           "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-           "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 6
-       )} AS mov_avg
-FROM events
-""",
-        "x21_repetition_score": f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
-  FROM documents
-), tri AS (
-  SELECT doc_id,
-         CAST(greatest(len(t) - 2, 0) AS INT) AS n_trigrams,
-         CASE WHEN len(t) < 3 THEN 0.0
-              ELSE {W.round_half_up_sql(
-                  "1.0 - CAST(len(list_distinct("
-                  "list_transform(range(1, len(t) - 1),"
-                  " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
-                  ")) AS DOUBLE) / (len(t) - 2)", 6
-              )} END AS trigram_dup_frac
-  FROM toks
-), bg AS (
-  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
-  FROM toks, unnest(range(1, len(t))) AS u(i)
-), per AS (
-  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
-), top AS (
-  SELECT doc_id, {W.round_half_up_sql(
-      "CAST(max(c) AS DOUBLE) / sum(c)", 6
-  )} AS top_bigram_frac
-  FROM per GROUP BY doc_id
-)
-SELECT tri.doc_id, n_trigrams, trigram_dup_frac,
-       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
-FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
-""",
-        "x22_decontamination": """
-WITH s AS (
-  SELECT doc_id, text,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
-              THEN 'train' ELSE 'eval' END AS split
-  FROM documents
-), toks AS (
-  SELECT doc_id, split,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM s
-), sh AS (
-  SELECT doc_id, split, unnest(list_distinct(
-    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 3),
-                             i -> array_to_string(l[i:i+4], ' '))
-    END)) AS sh
-  FROM toks
-), tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
-te AS (SELECT doc_id, sh FROM sh WHERE split = 'eval')
-SELECT doc_id, count(*) AS n_shared_shingles
-FROM te JOIN tr USING (sh)
-GROUP BY doc_id
-""",
-        "q7_correlated_subquery": """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders o
-WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-                      FROM orders o2
-                      WHERE o2.o_custkey = o.o_custkey)
-""",
-        "e2e_training_prep": """
-WITH deduped AS (
-  SELECT doc_id, lang, text FROM (
-    SELECT doc_id, lang, text,
-           row_number() OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-             ORDER BY doc_id ASC) AS rn
-    FROM documents) WHERE rn = 1
-), split AS (
-  SELECT doc_id, lang, text,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
-              THEN 'train' ELSE 'eval' END AS split
-  FROM deduped
-), toks5 AS (
-  SELECT doc_id, split,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM split
-), sh AS (
-  SELECT doc_id, split, unnest(list_distinct(
-    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 3),
-                             i -> array_to_string(l[i:i+4], ' '))
-    END)) AS sh
-  FROM toks5
-), contaminated AS (
-  SELECT DISTINCT te.doc_id
-  FROM (SELECT doc_id, sh FROM sh WHERE split = 'train') te
-  JOIN (SELECT DISTINCT sh FROM sh WHERE split = 'eval') tr USING (sh)
-), clean AS (
-  SELECT s.doc_id, s.lang, s.text FROM split s
-  WHERE s.split = 'train'
-    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
-), ctoks AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
-  FROM clean
-), sized AS (
-  SELECT doc_id, lang, t, len(t) AS n,
-         greatest(1, CAST(ceil((len(t) - 10) / 40.0) AS INT)) AS n_chunks
-  FROM ctoks
-), chunks AS (
-  SELECT doc_id, lang, CAST(u.i AS INT) AS chunk_id,
-         CAST(least(50, n - u.i*40) AS INT) AS n_tokens
-  FROM sized, LATERAL unnest(range(0, n_chunks)) AS u(i)
-), packed AS (
-  SELECT lang, n_tokens,
-         CAST(floor((sum(n_tokens) OVER (
-                PARTITION BY lang ORDER BY doc_id, chunk_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-              ) - n_tokens) / 256) AS INT) AS pack_id
-  FROM chunks
-)
-SELECT lang, pack_id, count(*) AS n_chunks,
-       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-FROM packed GROUP BY lang, pack_id
-""",
-        "q8_not_exists": """
-SELECT c_custkey, c_name
-FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderstatus = 'F')
-""",
-        "w5_rank_functions": """
-SELECT o_orderkey, o_custkey,
-       rank()         OVER w AS rnk,
-       dense_rank()   OVER w AS drnk,
-       percent_rank() OVER w AS prnk,
-       cume_dist()    OVER w AS cdist,
-       ntile(4)       OVER w AS quartile
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey ASC)
-""",
-        "a11_filtered_agg": """
-SELECT l_returnflag,
-       count(*) AS n_rows,
-       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-       CAST(sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS BIGINT)
-         AS qty_high_tax,
-       count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00')
-         AS n_recent
-FROM lineitem
-GROUP BY l_returnflag
-""",
-        "x23_domain_mixture": f"""
-WITH copies AS (
-  SELECT doc_id, source, n_chars,
-         {SMP.domain_mixture_sql_copies(
-             "text", "source", {"src0": 2.5, "src1": 0.5}, 1.0
-         )} AS n_copies
-  FROM documents
-), exploded AS (
-  SELECT doc_id, source, n_chars
-  FROM copies, LATERAL unnest(range(0, n_copies)) AS u(i)
-  WHERE n_copies > 0
-)
-SELECT source, count(DISTINCT doc_id) AS n_docs,
-       count(*) AS n_rows_out,
-       CAST(sum(n_chars) AS BIGINT) AS chars_out
-FROM exploded GROUP BY source
-""",
-        "x24_c4_filters": f"""
-WITH flags AS (
-  SELECT lang,
-         (len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) < 15)
-           AS too_short,
-         ({T.mean_token_len_sql("text")} < 3.0
-          OR {T.mean_token_len_sql("text")} > 10.0) AS bad_word_len
-  FROM documents
-)
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
-       CAST(sum(CASE WHEN bad_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_word_len,
-       CAST(sum(CASE WHEN NOT (too_short OR bad_word_len) THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_keep
-FROM flags GROUP BY lang
-""",
-        "x25_tfidf_top_terms": f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
-), dfc AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY term
-), total AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (
-  SELECT doc_id, term,
-         {W.round_half_up_sql("tf * ln(n_docs::DOUBLE / df)", 6)} AS tfidf
-  FROM tf JOIN dfc USING (term) CROSS JOIN total
-)
-SELECT doc_id, term, tfidf, rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf DESC, term ASC) AS rnk
-  FROM scored)
-WHERE rnk <= 3
-""",
-        "w6_value_windows": """
-SELECT event_id, user_id,
-       first_value(event_id)  OVER w AS cheapest_event,
-       last_value(event_id)   OVER w AS priciest_event,
-       nth_value(event_id, 2) OVER w AS second_event
-FROM events
-WINDOW w AS (PARTITION BY user_id
-             ORDER BY value ASC NULLS FIRST, event_id ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-""",
-        "a12_stats_aggregates": f"""
-SELECT l_returnflag,
-       {W.round_half_up_sql("stddev_samp(l_quantity)", 4)} AS sd_qty,
-       {W.round_half_up_sql("var_samp(l_quantity)", 4)} AS var_qty,
-       {W.round_half_up_sql("corr(l_quantity, l_extendedprice)", 4)}
-         AS corr_qty_price,
-       {W.round_half_up_sql("covar_samp(l_discount, l_tax)", 4)}
-         AS covar_disc_tax,
-       count(*) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag
-""",
-        "set4_full_outer": """
-SELECT status, count(*) AS n_keys, CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
-FROM (
-  SELECT CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
-              WHEN c.c_custkey IS NULL THEN 'order_only'
-              ELSE 'both' END AS status,
-         o.n_orders
-  FROM customer c
-  FULL OUTER JOIN (
-    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
-  ) o ON c.c_custkey = o.o_custkey
-)
-GROUP BY status
-""",
-        "a10_grouping_sets": """
-SELECT COALESCE(source, 'ALL') AS source,
-       COALESCE(lang, 'ALL') AS lang,
-       count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY GROUPING SETS ((source), (lang), ())
-""",
-        "st7_stream_stream_join": """
-SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
-FROM events c JOIN events p
-  ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-""",
-        "st13_stream_outer_join": """
-SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON c.user_id = p.user_id
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-""",
-        "x17_sequence_packing": PK.pack_sequences_sql(
-            "documents", T.token_count_sql("text"), budget=256
-        ),
-        "x18_pii_redaction": f"""
-SELECT c_custkey,
-       {RD.redact_text_sql('c_name')} AS clean_name,
-       {RD.mask_keep_last_sql('c_name')} AS masked_name,
-       CAST(len(regexp_extract_all(c_name, '{RD.PHONE_RE}')) AS INT) AS n_phones,
-       CAST(len(regexp_extract_all(
-           regexp_replace(c_name, '{RD.PHONE_RE}', '{RD.PHONE_TOKEN}', 'g'),
-           '{RD.DIGIT_RUN_RE}')) AS INT) AS n_digit_runs
-FROM customer
-""",
-        "x19_embedding_quantize": f"""
-SELECT vec_id,
-       array_to_string({QCODES}, ',') AS codes,
-       {W.round_half_up_sql(QSCALE, 9)} AS scale
-FROM embeddings
-""",
-        "x5d_cosine_topk_ivf": f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < 16
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-  FROM embeddings WHERE vec_id < 8
-), probes AS (
-  SELECT query_id, qvec, centroid_id AS cell FROM (
-    SELECT q.query_id, q.qvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM q CROSS JOIN cent) WHERE rn <= 2
-), scored AS (
-  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM assigned JOIN probes USING (cell)
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= 10
-""",
-        # filtered search: x5d machinery, full-corpus codebook, corpus
-        # narrowed to label=3 before assignment (per-vector assignment
-        # is independent, so filter-then-assign == assign-then-filter)
-        "x5i_filtered_search": f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-  WHERE label = 3
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < 16
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-  FROM embeddings WHERE vec_id < 8
-), probes AS (
-  SELECT query_id, qvec, centroid_id AS cell FROM (
-    SELECT q.query_id, q.qvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM q CROSS JOIN cent) WHERE rn <= 2
-), scored AS (
-  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM assigned JOIN probes USING (cell)
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= 10
-""",
-        # IVF-PQ: x5d's cells + x44's integer-grid PQ codes + ADC
-        # table-sum shortlist + exact rerank — every stage replayed.
-        # Geometry comes from X5H_PARAMS (shared with the Spark call)
-        # and the sub-vector length derives from len(qv), so the oracle
-        # tracks both retunes and a regenerated embedding width.
-        "x5h_ivfpq_search": f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < {X5H_PARAMS["n_centroids"]}
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-  FROM embeddings WHERE vec_id < 8
-), probes AS (
-  SELECT query_id, centroid_id AS cell FROM (
-    SELECT q.query_id, cent.centroid_id,
-           row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {V.cosine_sql('qvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM q CROSS JOIN cent) WHERE rn <= {X5H_PARAMS["n_probe"]}
-), g AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv,
-         len(embedding) // {X5H_PARAMS["n_sub"]} AS sl
-  FROM embeddings
-), m_ids AS (
-  SELECT CAST(unnest(range(0,{X5H_PARAMS["n_sub"]})) AS INT) AS m
-), cent_sub AS (
-  SELECT CAST(vec_id AS INT) AS cid, m, qv[m*sl+1 : m*sl+sl] AS cv
-  FROM g, m_ids WHERE vec_id < {X5H_PARAMS["n_codes"]}
-), data_sub AS (
-  SELECT vec_id, m, qv[m*sl+1 : m*sl+sl] AS dv FROM g, m_ids
-), codes AS (
-  SELECT vec_id, m, cid AS code FROM (
-    SELECT d.vec_id, d.m, cs.cid,
-           row_number() OVER (PARTITION BY d.vec_id, d.m ORDER BY
-             list_sum(list_transform(range(1, len(d.dv)+1),
-               i -> (d.dv[i]-cs.cv[i])*(d.dv[i]-cs.cv[i]))), cs.cid) AS rn
-    FROM data_sub d JOIN cent_sub cs ON d.m = cs.m) t WHERE rn = 1
-), adc AS (
-  SELECT qs.vec_id AS query_id, qs.m, cs.cid AS code,
-         list_sum(list_transform(range(1, len(qs.dv)+1),
-           i -> (qs.dv[i]-cs.cv[i])*(qs.dv[i]-cs.cv[i]))) AS adc_d2
-  FROM data_sub qs JOIN cent_sub cs ON qs.m = cs.m
-  WHERE qs.vec_id < 8
-), scored AS (
-  SELECT p.query_id, a.vec_id, sum(adc.adc_d2) AS adc
-  FROM probes p
-  JOIN assigned a USING (cell)
-  JOIN codes ON codes.vec_id = a.vec_id
-  JOIN adc ON adc.query_id = p.query_id
-          AND adc.m = codes.m AND adc.code = codes.code
-  GROUP BY 1, 2
-), short AS (
-  SELECT query_id, vec_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc, vec_id) AS r
-    FROM scored) WHERE r <= {X5H_PARAMS["shortlist"]}
-), rer AS (
-  SELECT s.query_id, s.vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM short s
-  JOIN c ON c.vec_id = s.vec_id
-  JOIN q ON q.query_id = s.query_id
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM rer) WHERE rank <= {X5H_PARAMS["k"]}
-""",
-        # x5d's oracle with the adaptive probe rule: cells join their
-        # member counts, and each query keeps the smallest centroid-
-        # similarity-ordered prefix whose cumulative population reaches
-        # min_candidates=64 (running sum over ROWS ... 1 PRECEDING)
-        "x5g_ivf_adaptive_probe": f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < 16
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), sizes AS (
-  SELECT cell, count(*) AS cell_n FROM assigned GROUP BY cell
-), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-  FROM embeddings WHERE vec_id < 8
-), ranked AS (
-  SELECT q.query_id, q.qvec, cent.centroid_id AS cell, s.cell_n,
-         {V.cosine_sql('qvec', 'cent_vec')} AS cent_sim
-  FROM q CROSS JOIN cent
-  JOIN sizes s ON s.cell = cent.centroid_id
-), probes AS (
-  SELECT query_id, qvec, cell FROM (
-    SELECT *, coalesce(sum(cell_n) OVER (PARTITION BY query_id
-                 ORDER BY cent_sim DESC, cell ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               0) AS cum_before
-    FROM ranked) WHERE cum_before < 64
-), scored AS (
-  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM assigned JOIN probes USING (cell)
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= 10
-""",
-        "x8b_bpe_token_stats": f"""
-SELECT source, count(*) AS n_docs,
-       round(avg({T.bpe_ish_token_count_sql('text')}), 4) AS avg_bpe_tokens,
-       CAST(sum({T.bpe_ish_token_count_sql('text')}) AS BIGINT) AS sum_bpe_tokens
-FROM documents GROUP BY source
-""",
-        "mm2_frame_sample": """
-WITH v AS (
-  SELECT range AS asset_id, (range * 40)::INT AS duration_ms
-  FROM range(64) WHERE range % 3 = 2
-), f AS (
-  SELECT asset_id, CAST(unnest(range(greatest(duration_ms // 200, 1))) AS INT) AS frame_idx
-  FROM v
-)
-SELECT asset_id, frame_idx, (frame_idx * 200)::INT AS frame_ts_ms,
-       (18 + length(frame_idx::VARCHAR))::INT AS frame_bytes
-FROM f
-""",
-        "q10_having_filter": """
-SELECT o_custkey, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         AS total_spend
-FROM orders
-GROUP BY o_custkey
-HAVING count(*) > 25
-""",
-        "x33_pmi_collocations": """
-WITH toks AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS t
-  FROM documents
-), uni AS (
-  SELECT unnest(t) AS w FROM toks
-), uc AS (
-  SELECT w, count(*) AS c_w FROM uni GROUP BY w
-), big AS (
-  SELECT t[i+1] AS w1, t[i+2] AS w2
-  FROM toks, unnest(range(greatest(len(t)-1, 0))) AS r(i)
-), bc AS (
-  SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2 HAVING count(*) >= 5
-), tot AS (
-  SELECT (SELECT count(*) FROM uni) AS n_tok,
-         (SELECT count(*) FROM big) AS m_big
-)
-SELECT w1 || ' ' || w2 AS bigram,
-       CAST(c_ab AS BIGINT) AS n_pair,
-       (floor((ln(c_ab::DOUBLE) + 2.0 * ln(n_tok::DOUBLE)
-               - ln(m_big::DOUBLE) - ln(a.c_w::DOUBLE)
-               - ln(b.c_w::DOUBLE)) * 1000000 + 0.5) / 1000000 + 0.0) AS pmi
-FROM bc
-JOIN uc a ON a.w = bc.w1
-JOIN uc b ON b.w = bc.w2
-CROSS JOIN tot
-ORDER BY pmi DESC, bigram ASC
-LIMIT 20
-""",
-        "x32_remove_repeated_spans": """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS t
-  FROM documents
-), chunked AS (
-  SELECT doc_id,
-         list_transform(range(CAST(ceil(len(t) / 10.0) AS INT)),
-                        i -> array_to_string(t[(i*10+1):(i*10+10)], ' '))
-           AS chunks
-  FROM toks
-), kept AS (
-  SELECT doc_id, chunks,
-         list_filter(chunks, (c, i) -> list_position(chunks, c) = i) AS k
-  FROM chunked
-)
-SELECT doc_id,
-       CAST(len(chunks) AS INT) AS n_chunks,
-       CAST(len(chunks) - len(k) AS INT) AS n_removed,
-       array_to_string(k, ' ') AS cleaned_text
-FROM kept
-""",
-        "x36_langid_agreement": f"""
-WITH preds AS (
-  SELECT doc_id,
-         {T.lang_id_sql('text')} AS lang_stopword,
-         {T.lang_id_ngram_sql('text')} AS lang_trigram
-  FROM documents
-)
-SELECT lang_stopword, lang_trigram, count(*) AS n_docs
-FROM preds GROUP BY 1, 2
-""",
-        "x42_sentence_split_udtf": """
-WITH s AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(string_split(text, '.'),
-                          p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
-           p -> p <> '') AS sentences
-  FROM documents
-)
-SELECT doc_id,
-       CAST(len(sentences) AS BIGINT) AS n_sentences,
-       CAST(list_max(list_transform(sentences, p -> length(p))) AS INT)
-         AS longest
-FROM s WHERE len(sentences) > 0
-""",
-        "x41_quality_weighted_sample": f"""
-WITH scored AS (
-  SELECT source,
-         {SMP.split_bucket_sql('text')} AS bucket,
-         CAST(floor((0.1 + 0.8 * {T.quality_score_sql('text')}) * 1000 + 0.5)
-              AS INT) AS mille
-  FROM documents
-)
-SELECT source,
-       count(*) AS n_docs,
-       CAST(sum(CASE WHEN bucket < mille THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_kept,
-       (floor(sum(mille) / (1000.0 * count(*)) * 1000000 + 0.5) / 1000000
-        + 0.0) AS avg_p_keep
-FROM scored GROUP BY source
-""",
-        # 2 Lloyd iterations from the lowest-vec_id seeds; the update
-        # quantizes coordinates to an int64 micro-grid before summing so
-        # trained centroids are bit-identical to the Spark side (see
-        # operators/similarity.lloyd_trained_centroids)
-        "x40_semantic_dedup_pairs": _semdedup_oracle_sql(
-            "SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8"
-        ),
-        # adaptive k = ceil(N / target): same Lloyd replay, seed count
-        # derived from count(*) OVER () instead of a pinned literal
-        "x40b_semantic_dedup_adaptive": _semdedup_oracle_sql(
-            _SEMDEDUP_ADAPTIVE_C0
-        ),
-        # balanced-exponent policy: k = ceil(sqrt(N)) (see x40c docstring)
-        "x40c_semantic_dedup_balanced": _semdedup_oracle_sql(
-            _semdedup_seed_c0("ceil(sqrt(n_vecs))")
-        ),
-        # st20 = x40b's pair machinery + the streaming drop rule
-        # (dropped iff the LARGER id of a verified same-cell pair),
-        # rolled up per label over the untouched embeddings table
-        "st20_semantic_dedup_ingest": _semdedup_oracle_sql(
-            _SEMDEDUP_ADAPTIVE_C0,
-            """
-, dropped AS (
-  SELECT DISTINCT id_b FROM pairs
-)
-SELECT emb.label,
-       CAST(count(*) AS BIGINT) AS n_survivors,
-       min(emb.vec_id) AS min_id,
-       max(emb.vec_id) AS max_id
-FROM embeddings emb
-LEFT JOIN dropped ON emb.vec_id = dropped.id_b
-WHERE dropped.id_b IS NULL
-GROUP BY emb.label
-""",
-        ),
-        "x29_kmeans_step": """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c AS (
-  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
-), d AS (
-  SELECT e.vec_id, c.cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-  FROM e CROSS JOIN c
-)
-SELECT cid, count(*) AS n_members,
-       min(vec_id) AS min_member, max(vec_id) AS max_member
-FROM d WHERE rn = 1
-GROUP BY cid
-""",
-        "x31_length_curriculum": f"""
-WITH hist AS (
-  SELECT {T.token_count_sql('text')} AS n_tok, count(*) AS n_docs
-  FROM documents GROUP BY 1
-), cum AS (
-  SELECT n_tok, n_docs,
-         sum(n_docs) OVER (ORDER BY n_tok) AS cum,
-         (SELECT sum(n_docs) FROM hist) AS total
-  FROM hist
-)
-SELECT CASE WHEN 4 * cum <= total THEN 'Q1'
-            WHEN 2 * cum <= total THEN 'Q2'
-            WHEN 4 * cum <= 3 * total THEN 'Q3'
-            ELSE 'Q4' END AS tier,
-       CAST(sum(n_docs) AS BIGINT) AS n_docs,
-       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
-FROM cum GROUP BY 1
-""",
-        "x35_source_vocab_overlap": f"""
-WITH terms AS (
-  SELECT DISTINCT source,
-         unnest(list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS term
-  FROM documents
-), sizes AS (
-  SELECT source, count(*) AS n_terms FROM terms GROUP BY source
-), inter AS (
-  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
-  FROM terms a JOIN terms b USING (term)
-  WHERE a.source < b.source
-  GROUP BY 1, 2
-)
-SELECT src_a, src_b, n_inter,
-       {W.round_half_up_sql(
-           "n_inter::DOUBLE / (sa.n_terms + sb.n_terms - n_inter)", 6)}
-         AS vocab_jaccard
-FROM inter
-JOIN sizes sa ON sa.source = src_a
-JOIN sizes sb ON sb.source = src_b
-""",
-        "p13_error_safe_arithmetic": f"""
-WITH safe AS (
-  SELECT event_type,
-         CASE WHEN event_id % 7 = 0 THEN NULL
-              ELSE value / (event_id % 7) END AS ratio,
-         try_cast(json_extract_string(props, '$.k') AS INT) AS k_int,
-         event_id % 7 AS denom
-  FROM events
-)
-SELECT event_type,
-       count(*) AS n_rows,
-       CAST(sum(CASE WHEN denom = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_div_zero,
-       CAST(count(ratio) AS BIGINT) AS n_ratio_ok,
-       CAST(count(k_int) AS BIGINT) AS n_k_parsed,
-       {W.round_half_up_sql('min(ratio)', 6)} AS min_ratio,
-       {W.round_half_up_sql('max(ratio)', 6)} AS max_ratio
-FROM safe GROUP BY event_type
-""",
-        "p12_local_time": f"""
-SELECT CAST(extract(hour FROM ts + INTERVAL 3 HOUR) AS INT) AS local_hour,
-       count(*) AS n_events,
-       {W.round_half_up_sql("avg(value)", 4)} AS avg_value
-FROM events
-GROUP BY 1
-""",
-        "w8_forward_fill": """
-WITH gappy AS (
-  SELECT event_id, user_id, ts,
-         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
-  FROM events
-)
-SELECT event_id, user_id,
-       last_value(v IGNORE NULLS) OVER (
-         PARTITION BY user_id
-         ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-FROM gappy
-""",
-        "r3_table_diff": """
-WITH old AS (
-  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 9
-), new AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 1.1
-              ELSE o_totalprice END AS o_totalprice
-  FROM orders
-), j AS (
-  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
-              WHEN b.o_orderkey IS NULL THEN 'removed'
-              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
-              ELSE 'unchanged' END AS status
-  FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey
-)
-SELECT status, count(*) AS n_keys FROM j GROUP BY status
-""",
-        "e2e_corpus_report": f"""
-WITH enriched AS (
-  SELECT doc_id, source, lang,
-         {T.fingerprint_md5_sql("text")} AS fp,
-         {T.quality_score_sql("text")} AS q,
-         {T.token_count_sql("text")} AS tok
-  FROM documents
-), fpc AS (
-  SELECT fp, count(*) AS n_fp FROM enriched GROUP BY fp
-)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       {W.round_half_up_sql(
-           "CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT))"
-           " AS DOUBLE) / (1000000.0 * count(*))", 4)} AS avg_quality,
-       CAST(sum(tok) AS BIGINT) AS sum_tokens,
-       count(DISTINCT lang) AS n_langs
-FROM enriched JOIN fpc USING (fp)
-GROUP BY source
-""",
-        "x26_bigram_lm_score": f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(t), 1)),
-                               i -> t[i] || ' ' || t[i+1])) AS bg
-  FROM toks
-), bgw AS (
-  SELECT doc_id, bg, regexp_split_to_array(bg, ' ')[1] AS w1 FROM bg
-), cbg AS (
-  SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg
-), uni AS (
-  SELECT unnest(t) AS w1 FROM toks
-), cw AS (
-  SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1
-)
-SELECT doc_id, count(*) AS n_bigrams,
-       {W.round_half_up_sql("avg(ln(c_bg::DOUBLE / c_w1))", 4)}
-         AS avg_bigram_logprob
-FROM bgw JOIN cbg USING (bg) JOIN cw USING (w1)
-GROUP BY doc_id
-""",
-        "s3_map_props": """
-WITH kv AS (
-  SELECT unnest(list_transform(json_keys(props),
-           k -> {'k': k,
-                 'v': CAST(json_extract_string(props, '$.' || k) AS INT)}))
-           AS e
-  FROM events
-)
-SELECT e.k AS key, count(*) AS n,
-       CAST(sum(e.v) AS BIGINT) AS sum_val,
-       min(e.v) AS min_val,
-       max(e.v) AS max_val
-FROM kv GROUP BY e.k
-""",
-        "a6b_unpivot": """
-WITH wide AS (
-  SELECT o_orderpriority,
-         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-  FROM orders GROUP BY o_orderpriority
-)
-SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
-UNION ALL
-SELECT o_orderpriority, 'O' AS status, n_o AS n FROM wide
-UNION ALL
-SELECT o_orderpriority, 'P' AS status, n_p AS n FROM wide
-""",
-        "sql2_star_join_sql": """
-SELECT n.n_name,
-       count(DISTINCT s.s_suppkey) AS n_suppliers,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n   ON s.s_nationkey = n.n_nationkey
-WHERE o.o_orderstatus = 'F'
-GROUP BY n.n_name
-""",
-        "u2_union_by_name": """
-WITH v1 AS (
-  SELECT o_orderkey, o_totalprice, 'v1' AS feed_version, NULL AS priority
-  FROM orders WHERE o_orderkey % 2 = 0
-), v2 AS (
-  SELECT o_orderkey, o_totalprice, 'v2' AS feed_version,
-         o_orderpriority AS priority
-  FROM orders WHERE o_orderkey % 2 = 1
-), u AS (
-  SELECT * FROM v1 UNION ALL SELECT * FROM v2
-)
-SELECT feed_version, count(*) AS n_rows,
-       CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null_priority,
-       (floor(sum(o_totalprice) * 100 + 0.5) / 100 + 0.0) AS sum_total
-FROM u GROUP BY feed_version
-""",
-        "j3_fuzzy_join": """
-WITH vals AS (
-  SELECT DISTINCT p_name AS v FROM part
-), blocked AS (
-  SELECT v, regexp_split_to_array(v, '\\s+')[1] AS blk FROM vals
-)
-SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
-FROM blocked a JOIN blocked b USING (blk)
-WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2
-""",
-        "j6_nearest_event_join": """
-WITH c AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-), v AS (
-  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
-), p AS (
-  SELECT c.event_id, c.ts, vp.ts AS pt
-  FROM c ASOF LEFT JOIN v vp
-    ON c.user_id = vp.user_id AND c.ts >= vp.ts
-), n AS (
-  SELECT c.event_id, vn.ts AS nt
-  FROM c ASOF LEFT JOIN v vn
-    ON c.user_id = vn.user_id AND c.ts <= vn.ts
-)
-SELECT p.event_id,
-       epoch_us(p.ts) - epoch_us(p.pt) AS gap_prior_us,
-       epoch_us(n.nt) - epoch_us(p.ts) AS gap_next_us,
-       least(epoch_us(p.ts) - epoch_us(p.pt),
-             epoch_us(n.nt) - epoch_us(p.ts)) AS nearest_us
-FROM p JOIN n USING (event_id)
-""",
-        "j4_interval_overlap_join": """
-WITH iv AS (
-  -- epoch_us // 1e6 truncates like Spark's integer div
-  -- (epoch(ts)::BIGINT would ROUND the fractional second)
-  SELECT user_id, event_id AS id,
-         epoch_us(ts) // 1000000 AS s,
-         epoch_us(ts) // 1000000 + 60 + event_id % 3600 AS e
-  FROM events
-), a AS (SELECT * FROM iv WHERE id % 2 = 0),
-   b AS (SELECT * FROM iv WHERE id % 2 = 1)
-SELECT a.user_id, a.id AS a_id, b.id AS b_id,
-       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
-FROM a JOIN b ON a.user_id = b.user_id
-WHERE a.s <= b.e AND b.s <= a.e
-""",
-        "set6_intersect_all": """
-WITH y95 AS (
-  SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
-), y96 AS (
-  SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-), kept AS (
-  SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96
-)
-SELECT o_custkey, count(*) AS n_retained_slots
-FROM kept GROUP BY o_custkey
-""",
-        "set5_except_all": """
-WITH y95 AS (
-  SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
-), y96 AS (
-  SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-), diff AS (
-  SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96
-)
-SELECT o_custkey, count(*) AS n_lost_slots
-FROM diff GROUP BY o_custkey
-""",
-        "q9_returned_revenue": f"""
-SELECT c_custkey, c_name, n_name,
-       {W.round_half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)}
-         AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
-""",
-        "w7_time_range_window": f"""
-SELECT event_id, user_id,
-       count(*) OVER w AS n_last_hour,
-       {W.round_half_up_sql("sum(value) OVER w", 4)} AS sum_last_hour
-FROM events
-WINDOW w AS (PARTITION BY user_id
-             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-""",
-        "st8_jsonl_ingest": """
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY lang
-""",
-        "mm3_audio_segments": """
-WITH a AS (
-  SELECT range AS asset_id, (range * 40)::INT AS duration_ms
-  FROM range(64) WHERE range % 3 = 1
-), s AS (
-  SELECT asset_id, duration_ms,
-         CAST(unnest(range(greatest((duration_ms + 299) // 300, 1))) AS INT)
-           AS segment_idx
-  FROM a
-)
-SELECT asset_id, segment_idx,
-       (segment_idx * 300)::INT AS start_ms,
-       least(segment_idx * 300 + 400, duration_ms)::INT AS end_ms,
-       (18 + length(segment_idx::VARCHAR))::INT AS segment_bytes
-FROM s
-""",
-        "mm1_multimodal_features": """
-WITH media AS (
-  SELECT range AS asset_id,
-         ['image','audio','video'][(range % 3 + 1)::INT] AS media_type,
-         'BLOB:' || lpad(range::VARCHAR, 12, '0') AS payload
-  FROM range(64)
-), cp AS (
-  SELECT asset_id, media_type, payload,
-         list_transform(regexp_split_to_array(payload, ''),
-                        c -> unicode(c)::BIGINT) AS b
-  FROM media
-), acc AS (
-  -- FNV-1a fold, replicating operators/multimodal._stub_decode
-  SELECT asset_id, media_type, payload,
-         list_reduce(list_prepend(2166136261::BIGINT, b),
-                     (a, x) -> (xor(a, x) * 16777619) % 4294967296) AS h
-  FROM cp
-), f AS (
-  SELECT asset_id, media_type, payload,
-         list_transform(range(8), i -> ((h >> (i % 24)) & 255) / 255.0)
-           AS feats
-  FROM acc
-)
-SELECT asset_id, media_type,
-       length(payload)::INT AS payload_bytes,
-       len(feats)::INT AS feature_dim,
-       printf('%.6f', sqrt(list_sum(list_transform(feats, x -> x*x))))
-         AS feature_norm
-FROM f
-""",
-        # replays the synthetic pixel formula + the nearest-neighbor
-        # floor-division mapping (sx = x*w0 // 64) of the REAL BMP
-        # codec path; payload_bytes = 54-byte header + 64 rows of
-        # stride 192 (64*3, already 4-byte aligned) = 12342
-        "mm5_resize_images": """
-WITH assets AS (
-  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
-  FROM range(64) WHERE range % 3 = 0
-), px AS (
-  SELECT a,
-         ( (a*7  + ((x.range * w0) // 64) * 13 + ((y.range * h0) // 64) * 31) % 256
-         + (a*11 + ((x.range * w0) // 64) * 17 + ((y.range * h0) // 64) * 5 ) % 256
-         + (a*3  + ((x.range * w0) // 64) * 29 + ((y.range * h0) // 64) * 23) % 256
-         ) AS s
-  FROM assets, range(64) x, range(64) y
-)
-SELECT a AS asset_id, 64 AS width, 64 AS height,
-       12342 AS payload_bytes,
-       CAST(sum(s) AS BIGINT) AS pixel_sum
-FROM px GROUP BY a
-""",
-        "mm4_media_dedup": """
-WITH media AS (
-  SELECT range AS asset_id,
-         md5('BLOB:' || lpad((range % 64)::VARCHAR, 12, '0'))
-           AS content_key,
-         (5 + 12)::INT AS payload_bytes
-  FROM range(96)
-)
-SELECT content_key,
-       min(asset_id) AS canonical_asset_id,
-       CAST(count(*) AS BIGINT) AS n_copies,
-       max(payload_bytes) AS payload_bytes
-FROM media GROUP BY content_key
-""",
-        "e2e_weather_sim": _e2e_oracle(),
-        "e2e_corpus_clean": _e2e_corpus_oracle(),
-    }
-    # x5e composes the exact (x5) and IVF (x5d) oracles the same way the
-    # Spark query composes the two DataFrame lineages.
-    # x5f is x5d against a physically partitioned cell layout — two
-    # physical strategies, identical rows, ONE oracle
-    d["x5f_ivf_partitioned_layout"] = d["x5d_cosine_topk_ivf"]
-    d["x5e_ivf_recall"] = f"""
-WITH exact AS ({X5_ORACLE}),
-approx AS ({d["x5d_cosine_topk_ivf"].strip()}),
-hit AS (
-  SELECT e.query_id, e.vec_id FROM exact e
-  JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-)
-SELECT (SELECT count(*) FROM exact) AS n_exact,
-       (SELECT count(*) FROM hit) AS n_hit,
-       round((SELECT count(*) FROM hit)::DOUBLE
-             / (SELECT count(*) FROM exact), 4) AS recall
-"""
-    # x14 clusters the exact pair set x3 emits: its oracle embeds x3's SQL
-    # as the edge list and takes the transitive closure recursively.
-    d["q32_stale_stock"] = """
-WITH last_sale AS (
-  SELECT l_partkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
-), anchor AS (SELECT max(l_shipdate) AS anchor FROM lineitem)
-SELECT p_partkey, p_brand, last_ship,
-       CAST(date_diff('day', last_ship, anchor) AS BIGINT) AS days_idle,
-       p_retailprice AS retail_price
-FROM last_sale
-JOIN part ON p_partkey = l_partkey
-CROSS JOIN anchor
-ORDER BY days_idle DESC, p_partkey ASC
-LIMIT 20
-"""
-    d["x81_source_dup_rate"] = f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
-), edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION
-  SELECT id_b AS s, id_a AS d FROM pairs
-), clustered AS (
-  SELECT DISTINCT s AS doc_id FROM edges
-)
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum((clustered.doc_id IS NOT NULL)::INT) AS BIGINT)
-         AS n_near_dup,
-       {W.round_half_up_sql(
-           "sum((clustered.doc_id IS NOT NULL)::INT)::DOUBLE / count(*)", 6)}
-         AS dup_rate
-FROM documents LEFT JOIN clustered ON clustered.doc_id = documents.doc_id
-GROUP BY source
-"""
-    d["x79_quality_survivors"] = f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
-), edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION
-  SELECT id_b AS s, id_a AS d FROM pairs
-), nodes AS (
-  SELECT DISTINCT s AS id FROM edges
-), reach AS (
-  SELECT id, id AS lbl FROM nodes
-  UNION
-  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
-), cc AS (
-  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
-), scored AS (
-  SELECT component, cc.doc_id, {T.quality_score_sql('text')} AS q,
-         row_number() OVER (PARTITION BY component
-           ORDER BY {T.quality_score_sql('text')} DESC, cc.doc_id ASC) AS rn
-  FROM cc JOIN documents ON documents.doc_id = cc.doc_id
-)
-SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
-       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
-       {W.round_half_up_sql("max(CASE WHEN rn = 1 THEN q END)", 6)}
-         AS survivor_quality
-FROM scored GROUP BY component
-"""
-    d["x14_dedup_clusters"] = f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({d["x3_ngram_jaccard_pairs"].strip()}) AS p
-), edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION
-  SELECT id_b AS s, id_a AS d FROM pairs
-), nodes AS (
-  SELECT DISTINCT s AS id FROM edges
-), reach AS (
-  SELECT id, id AS lbl FROM nodes
-  UNION
-  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
-)
-SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
-"""
-    # the semantic curation verdict: recursive closure over the
-    # scale-adaptive x40b pairs (r4: flagship path off pinned-k)
-    d["e2e_semantic_curation"] = f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({d["x40b_semantic_dedup_adaptive"].strip()}) AS p
-), edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION
-  SELECT id_b AS s, id_a AS d FROM pairs
-), nodes AS (
-  SELECT DISTINCT s AS id FROM edges
-), reach AS (
-  SELECT id, id AS lbl FROM nodes
-  UNION
-  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
-), cc AS (
-  SELECT id, min(lbl) AS component FROM reach GROUP BY id
-), t AS (SELECT count(*) AS n_vecs FROM embeddings),
-c AS (SELECT count(*) AS n_grouped,
-             count(DISTINCT component) AS n_groups FROM cc)
-SELECT n_vecs, n_grouped, n_groups,
-       CAST(n_vecs - n_grouped + n_groups AS BIGINT) AS n_survivors
-FROM t CROSS JOIN c
-"""
-    d["x105_quality_canonicalization"] = f"""
-WITH cc AS ({d["x14_dedup_clusters"].strip()}),
-scored AS (
-  SELECT doc_id AS id, {T.quality_score_sql('text')} AS q FROM documents
-), m AS (
-  SELECT c.doc_id AS id, c.component AS lbl, s.q
-  FROM cc c JOIN scored s ON s.id = c.doc_id
-), best AS (
-  SELECT lbl, id AS canonical_doc, q AS q_canon,
-         row_number() OVER (PARTITION BY lbl ORDER BY q DESC, id ASC) AS rn
-  FROM m
-), naive AS (
-  SELECT lbl, CAST(min(id) AS BIGINT) AS naive_doc,
-         CAST(count(*) AS BIGINT) AS n_members
-  FROM m GROUP BY lbl
-)
-SELECT CAST(b.lbl AS BIGINT) AS component,
-       n.n_members,
-       CAST(b.canonical_doc AS BIGINT) AS canonical_doc,
-       n.naive_doc,
-       CAST(CASE WHEN b.canonical_doc <> n.naive_doc THEN 1 ELSE 0 END AS INT)
-         AS changed,
-       {W.round_half_up_sql("b.q_canon - s2.q", 6)} AS quality_gain
-FROM best b
-JOIN naive n USING (lbl)
-JOIN scored s2 ON s2.id = n.naive_doc
-WHERE b.rn = 1
-"""
-    # the dedup decision composes x14's closure with the corpus total
-    d["e2e_dedup_survivors"] = f"""
-WITH cc AS ({d["x14_dedup_clusters"].strip()}),
-t AS (SELECT count(*) AS n_docs FROM documents),
-c AS (SELECT count(*) AS n_clustered,
-             count(DISTINCT component) AS n_clusters FROM cc)
-SELECT n_docs, n_clustered, n_clusters,
-       CAST(n_docs - n_clustered + n_clusters AS BIGINT) AS n_survivors
-FROM t CROSS JOIN c
-"""
-    d["r4_scd2_dimension"] = """
-WITH runs AS (
-  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate ASC, o_orderkey ASC)
-         - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
-                              ORDER BY o_orderdate ASC, o_orderkey ASC)
-           AS island
-  FROM orders
-), islands AS (
-  SELECT o_custkey, o_orderpriority, island,
-         min(o_orderdate) AS vf, min(o_orderkey) AS k0,
-         count(*) AS n_changes
-  FROM runs GROUP BY o_custkey, o_orderpriority, island
-)
-SELECT o_custkey,
-       o_orderpriority AS attr_value,
-       strftime(vf, '%Y-%m-%d') AS valid_from,
-       strftime(lead(vf) OVER (PARTITION BY o_custkey
-                               ORDER BY vf ASC, k0 ASC),
-                '%Y-%m-%d') AS valid_to,
-       n_changes,
-       lead(vf) OVER (PARTITION BY o_custkey
-                      ORDER BY vf ASC, k0 ASC) IS NULL AS is_current
-FROM islands
-"""
-    # j5 wraps r4's SCD build as a CTE and resolves probes with DuckDB's
-    # NATIVE ASOF JOIN — an independent as-of implementation as oracle.
-    d["j5_scd2_pointintime"] = f"""
-WITH dim0 AS ({d["r4_scd2_dimension"].strip()}),
-dim AS (
-  -- zero-length regimes (same-day flips) are never in effect
-  SELECT * FROM dim0 WHERE valid_to IS NULL OR valid_to > valid_from
-),
-probes AS (
-  SELECT o_custkey, o_orderkey AS probe_id,
-         CAST(o_orderdate AS DATE) + 40 AS t
-  FROM orders
-)
-SELECT d.attr_value,
-       count(*) AS n_probes,
-       count(DISTINCT p.o_custkey) AS n_keys
-FROM probes p
-ASOF JOIN dim d
-  ON p.o_custkey = d.o_custkey AND p.t >= CAST(d.valid_from AS DATE)
-GROUP BY d.attr_value
-"""
-    d["w11_cumulative_distinct"] = """
-WITH first_seen AS (
-  SELECT user_id, min(date_trunc('day', ts)) AS d0
-  FROM events GROUP BY user_id
-), per_day AS (
-  SELECT d0, count(*) AS new_users FROM first_seen GROUP BY d0
-)
-SELECT strftime(d0, '%Y-%m-%d') AS day,
-       new_users,
-       CAST(sum(new_users) OVER (ORDER BY d0
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_users
-FROM per_day
-"""
-    d["w12_sessionize"] = """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
-), g AS (
-  SELECT user_id, event_id, t,
-         CASE WHEN lag(t) OVER (PARTITION BY user_id
-                                ORDER BY t, event_id) IS NULL
-                OR t - lag(t) OVER (PARTITION BY user_id
-                                    ORDER BY t, event_id) > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM e
-), s AS (
-  SELECT user_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-  FROM g
-), per_session AS (
-  SELECT user_id, sess, count(*) AS n_ev FROM s GROUP BY user_id, sess
-)
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(max(n_ev) AS BIGINT) AS longest_session_events,
-       CAST(sum(n_ev) AS BIGINT) AS total_events
-FROM per_session GROUP BY user_id
-"""
-    d["q17_small_quantity_revenue"] = """
-WITH aq AS (
-  SELECT l_partkey, avg(l_quantity) AS avg_qty
-  FROM lineitem GROUP BY l_partkey
-)
-SELECT p_brand,
-       (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 + 0.0)
-         AS small_qty_revenue,
-       count(*) AS n_small
-FROM lineitem
-JOIN aq USING (l_partkey)
-JOIN part ON l_partkey = p_partkey
-WHERE l_quantity < 0.5 * avg_qty
-GROUP BY p_brand
-"""
-    # io1's oracle aggregates the ORIGINAL parquet — equality proves the
-    # Spark ORC write->read roundtrip is lossless.
-    d["io1_orc_roundtrip"] = """
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-       min(doc_id) AS min_doc,
-       max(doc_id) AS max_doc
-FROM documents GROUP BY source
-"""
-    d["x43_oov_rate"] = """
-WITH toks AS (
-  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
-  FROM documents
-), freq AS (
-  SELECT term, count(*) AS n FROM toks GROUP BY term
-), vocab AS (
-  SELECT term FROM freq ORDER BY n DESC, term ASC LIMIT 500
-)
-SELECT t.source,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_oov,
-       (floor((CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
-                    AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
-        + 0.0) AS oov_rate
-FROM toks t LEFT JOIN vocab v ON t.term = v.term
-GROUP BY t.source
-"""
-    d["io2_python_sink_roundtrip"] = """
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       min(doc_id) AS min_doc,
-       max(doc_id) AS max_doc
-FROM documents GROUP BY source
-"""
-    region_values = ",\n    ".join(
-        f"('{name}', CAST(floor({c['lat']!r}*1000000.0+0.5) AS BIGINT), "
-        f"CAST(floor({c['lon']!r}*1000000.0+0.5) AS BIGINT))"
-        for name, c in AGRICULTURAL_REGIONS.items()
-    )
-    d["j7_nearest_region_assignment"] = f"""
-WITH users AS (SELECT DISTINCT user_id FROM events),
-pts AS (
-  SELECT user_id,
-         -4500000 + (user_id % 900) * 10000 AS plat_u,
-         34000000 + (user_id % 800) * 10000 AS plon_u
-  FROM users
-), regions(region, rlat_u, rlon_u) AS (
-  VALUES {region_values}
-), cand AS (
-  SELECT user_id, region,
-         (plat_u - rlat_u) * (plat_u - rlat_u)
-         + (plon_u - rlon_u) * (plon_u - rlon_u) AS d2
-  FROM pts, regions
-), best AS (
-  SELECT user_id, region, d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY d2, region) AS rn
-    FROM cand) t WHERE rn = 1
-)
-SELECT region, CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(d2) AS BIGINT) AS sum_d2_u
-FROM best GROUP BY region
-"""
-    d["x47_zorder_layout"] = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       min(l_partkey) AS min_part,
-       max(l_partkey) AS max_part
-FROM lineitem WHERE l_suppkey >= 10 AND l_suppkey < 20
-"""
-    d["x48_capped_dedup"] = f"""
-WITH ranked AS (
-  SELECT doc_id, source,
-         row_number() OVER (PARTITION BY {T.fingerprint_md5_sql('text')}
-                            ORDER BY doc_id ASC) AS rn
-  FROM documents
-)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-FROM ranked GROUP BY source
-"""
-    d["x46_grouped_agg_udaf"] = """
-WITH ranked AS (
-  SELECT source, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
-         count(*) OVER (PARTITION BY source) AS cnt
-  FROM documents
-)
-SELECT source,
-       CAST(max(cnt) AS BIGINT) AS n_docs,
-       CAST(max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_chars END)
-            AS BIGINT) AS median_chars
-FROM ranked GROUP BY source
-"""
-    d["r7_incremental_join_view"] = """
-SELECT c_mktsegment, o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment, o_orderpriority
-"""
-    d["sql5_recursive_cte"] = """
-WITH RECURSIVE anc(p_partkey, anc_key, depth) AS (
-  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 256
-  UNION ALL
-  SELECT a.p_partkey, a.anc_key // 2, a.depth + 1
-  FROM anc a WHERE a.anc_key > 1
-)
-SELECT depth,
-       CAST(count(*) AS BIGINT) AS n_nodes,
-       CAST(sum(anc_key) AS BIGINT) AS sum_keys
-FROM anc GROUP BY depth
-"""
-    d["w13_event_transitions"] = f"""
-WITH ordered AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY epoch_us(ts), event_id) AS from_type
-  FROM events
-), cnt AS (
-  SELECT from_type, event_type AS to_type, count(*) AS n
-  FROM ordered WHERE from_type IS NOT NULL
-  GROUP BY from_type, event_type
-), tot AS (
-  SELECT from_type, sum(n) AS t FROM cnt GROUP BY from_type
-)
-SELECT c.from_type, c.to_type,
-       CAST(c.n AS BIGINT) AS n_transitions,
-       {W.round_half_up_sql("CAST(c.n AS DOUBLE) / t", 6)} AS p
-FROM cnt c JOIN tot USING (from_type)
-"""
-    d["io3_snapshot_time_travel"] = """
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       min(doc_id) AS min_doc,
-       max(doc_id) AS max_doc
-FROM documents WHERE source IN ('src0', 'src1')
-GROUP BY source
-"""
-    d["s7_xml_roundtrip"] = """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(user_id) AS BIGINT) AS sum_users,
-       min(event_id) AS min_ev,
-       max(event_id) AS max_ev
-FROM events GROUP BY event_type
-"""
-    d["p14_string_surface"] = """
-SELECT c_custkey,
-       upper(c_name) AS up,
-       reverse(c_name) AS rev,
-       translate(c_name, 'aeiou', '#####') AS tr,
-       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
-       split_part(c_name, '#', 1) AS stem,
-       substr(c_name, 2, 5) AS mid,
-       left(c_name, 3) AS l3,
-       right(c_name, 3) AS r3,
-       regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
-       CAST(length(c_name) AS INT) AS len
-FROM customer
-"""
-    d["io4_streaming_sink_commit_log"] = """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       min(event_id) AS min_ev,
-       max(event_id) AS max_ev
-FROM events GROUP BY event_type
-"""
-    d["p15_date_surface"] = """
-SELECT o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
-       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
-       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
-       CAST(quarter(o_orderdate) AS INT) AS qtr,
-       CAST(dayofyear(o_orderdate) AS INT) AS doy,
-       CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
-FROM orders
-"""
-    d["q4_priority_check"] = """
-SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_late_orders
-FROM orders o
-WHERE EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-GROUP BY o_orderpriority
-"""
-    d["q13_order_count_distribution"] = """
-WITH per_cust AS (
-  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o
-    ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
-  GROUP BY c.c_custkey
-)
-SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
-FROM per_cust GROUP BY c_count
-"""
-    d["q16_supplier_variety"] = """
-SELECT p_brand, p_type,
-       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_suppkey NOT IN
-      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY p_brand, p_type
-"""
-    d["q18_large_volume_orders"] = """
-WITH big AS (
-  SELECT l_orderkey, sum(l_quantity) AS sum_qty
-  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
-)
-SELECT c_custkey, c_name, o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-       o_totalprice,
-       CAST(sum_qty AS BIGINT) AS sum_qty
-FROM orders JOIN big ON o_orderkey = l_orderkey
-JOIN customer ON o_custkey = c_custkey
-"""
-    d["q19_disjunctive_revenue"] = """
-SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
-       AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 20 AND 30)
-"""
-    d["q20_relational_division"] = """
-WITH np AS (
-  SELECT count(DISTINCT o_orderpriority) AS np FROM orders
-), per_cust AS (
-  SELECT o_custkey, count(DISTINCT o_orderpriority) AS covered
-  FROM orders GROUP BY o_custkey
-)
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-JOIN per_cust ON c_custkey = o_custkey
-JOIN np ON covered = np
-"""
-    d["w14_ratio_to_report"] = f"""
-SELECT o_orderkey, o_custkey, o_totalprice,
-       {W.round_half_up_sql(
-           "o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
-           " OVER (PARTITION BY o_custkey) AS DOUBLE)", 6)} AS share
-FROM orders
-"""
-    d["q21_sole_late_supplier"] = """
-WITH lines AS (
-  SELECT l_orderkey, l_suppkey,
-         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), per_order AS (
-  SELECT l_orderkey,
-         count(DISTINCT l_suppkey) AS n_supp,
-         count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
-           AS n_late_supp
-  FROM lines GROUP BY l_orderkey
-), blame AS (
-  SELECT DISTINCT l.l_orderkey, l.l_suppkey
-  FROM lines l JOIN per_order p USING (l_orderkey)
-  WHERE l.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1
-)
-SELECT s_suppkey, s_name,
-       CAST(count(*) AS BIGINT) AS n_blamed_orders
-FROM blame JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY s_suppkey, s_name
-ORDER BY n_blamed_orders DESC, s_suppkey ASC LIMIT 10
-"""
-    d["q22_dormant_highvalue"] = """
-WITH thr AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-           / count(*) AS avg_bal
-  FROM customer WHERE c_acctbal > 0
-), dormant AS (
-  SELECT c.c_nationkey, c.c_acctbal
-  FROM customer c, thr
-  WHERE c.c_acctbal > thr.avg_bal
-    AND NOT EXISTS (SELECT 1 FROM orders o
-                    WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderpriority = '1-URGENT')
-)
-SELECT n_name,
-       CAST(count(*) AS BIGINT) AS n_dormant,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-         AS dormant_balance
-FROM dormant JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-"""
-    d["mm7_audio_segment_features"] = """
-WITH aud AS (
-  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
-  FROM range(0, 64) t(id) WHERE id % 3 = 1
-), seg AS (
-  SELECT asset_id, n,
-         unnest(range(0, greatest((n + 239) // 240, 1))) AS k
-  FROM aud
-), sam AS (
-  SELECT asset_id, k, n,
-         unnest(range(k * 240, least(k * 240 + 320, n))) AS i
-  FROM seg
-)
-SELECT asset_id,
-       CAST(k AS INT) AS segment_idx,
-       CAST((k * 240) // 8 AS INT) AS start_ms,
-       CAST(least(k * 240 + 320, n) // 8 AS INT) AS end_ms,
-       CAST(least(k * 240 + 320, n) - k * 240 AS INT) AS n_samples,
-       CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
-            AS BIGINT) AS sum_abs
-FROM sam GROUP BY asset_id, k, n
-"""
-    d["w15_high_watermark"] = f"""
-WITH w AS (
-  SELECT user_id, event_id, value,
-         max(value) OVER (PARTITION BY user_id
-                          ORDER BY epoch_us(ts), event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS pk
-  FROM events
-)
-SELECT user_id, event_id,
-       {W.round_half_up_sql("value", 4)} AS value,
-       {W.round_half_up_sql("pk", 4)} AS peak,
-       value >= pk AS is_record,
-       {W.round_half_up_sql("pk - value", 4)} AS drawdown
-FROM w
-"""
-    d["e2e_multimodal_curation"] = """
-WITH img AS (
-  SELECT id AS asset_id, 8 + (id % 5) AS w, 6 + (id % 4) AS h
-  FROM range(0, 64) t(id) WHERE id % 3 = 0
-), img_px AS (
-  SELECT asset_id, w, h,
-         unnest(range(0, w * h)) AS p
-  FROM img
-), img_feat AS (
-  SELECT asset_id,
-         CAST(max(54 + ((w * 3 + 3) // 4 * 4) * h) AS INT) AS payload_bytes,
-         CAST(sum((asset_id * 7 + (p % w) * 13 + (p // w) * 31) % 256
-                + (asset_id * 11 + (p % w) * 17 + (p // w) * 5) % 256
-                + (asset_id * 3 + (p % w) * 29 + (p // w) * 23) % 256)
-              AS BIGINT) AS feature_sum
-  FROM img_px GROUP BY asset_id
-), aud AS (
-  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
-  FROM range(0, 64) t(id) WHERE id % 3 = 1
-), aud_px AS (
-  SELECT asset_id, n, unnest(range(0, n)) AS i FROM aud
-), aud_feat AS (
-  SELECT asset_id,
-         CAST(max(44 + 2 * n) AS INT) AS payload_bytes,
-         CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
-              AS BIGINT) AS feature_sum
-  FROM aud_px GROUP BY asset_id
-), vid AS (
-  SELECT id AS asset_id, 2 + (id % 4) AS nf
-  FROM range(0, 64) t(id) WHERE id % 3 = 2
-), vid_px AS (
-  SELECT asset_id, nf,
-         unnest(range(0, nf)) AS f
-  FROM vid
-), vid_px2 AS (
-  SELECT asset_id, nf, f, unnest(range(0, 192)) AS i FROM vid_px
-), vid_feat AS (
-  SELECT asset_id,
-         CAST(max(41 + nf * 294) AS INT) AS payload_bytes,
-         CAST(sum((asset_id * 3 + f * 7 + i * 5) % 256) AS BIGINT)
-           AS feature_sum
-  FROM vid_px2 GROUP BY asset_id
-), census AS (
-  SELECT asset_id, 'image' AS media_type, payload_bytes, feature_sum
-  FROM img_feat
-  UNION ALL
-  SELECT asset_id, 'audio', payload_bytes, feature_sum FROM aud_feat
-  UNION ALL
-  SELECT asset_id, 'video', payload_bytes, feature_sum FROM vid_feat
-)
-SELECT media_type,
-       CAST(count(*) AS BIGINT) AS n_assets,
-       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
-       CAST(sum(feature_sum) AS BIGINT) AS total_feature,
-       min(asset_id) AS min_id,
-       max(asset_id) AS max_id
-FROM census GROUP BY media_type
-"""
-    d["mm8_video_frame_stats"] = """
-WITH vid AS (
-  SELECT id AS asset_id, 2 + (id % 4) AS n_frames
-  FROM range(0, 64) t(id) WHERE id % 3 = 2
-), fr AS (
-  SELECT asset_id, unnest(range(0, n_frames)) AS f FROM vid
-), px AS (
-  SELECT asset_id, f, unnest(range(0, 192)) AS i FROM fr
-), luma AS (
-  SELECT asset_id, f,
-         sum((asset_id * 3 + f * 7 + i * 5) % 256) AS s
-  FROM px GROUP BY asset_id, f
-), cpx AS (
-  SELECT asset_id, f, unnest(range(0, 48)) AS i FROM fr
-), cb AS (
-  SELECT asset_id, f,
-         sum((asset_id * 5 + f * 11 + i * 13) % 256) AS s
-  FROM cpx GROUP BY asset_id, f
-), cr AS (
-  SELECT asset_id, f,
-         sum((asset_id * 7 + f * 15 + i * 21) % 256) AS s
-  FROM cpx GROUP BY asset_id, f
-)
-SELECT l.asset_id,
-       CAST(l.f AS INT) AS frame_idx,
-       CAST(l.s AS BIGINT) AS luma_sum,
-       CAST(cb.s AS BIGINT) AS cb_sum,
-       CAST(cr.s AS BIGINT) AS cr_sum
-FROM luma l
-JOIN cb ON l.asset_id = cb.asset_id AND l.f = cb.f
-JOIN cr ON l.asset_id = cr.asset_id AND l.f = cr.f
-"""
-    d["x45_textrank_keywords"] = """
-WITH toks AS (
-  SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
-), pr AS (
-  SELECT t[i] AS a, t[i+1] AS b
-  FROM toks, unnest(range(1, len(t))) AS u(i)
-), pairs AS (
-  SELECT a AS src, b AS dst FROM pr WHERE a <> b
-  UNION ALL
-  SELECT b AS src, a AS dst FROM pr WHERE a <> b
-), edges AS (
-  SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst
-), wdeg AS (
-  SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY src
-), e2 AS (
-  SELECT e.src, e.dst, e.w, d.wd FROM edges e JOIN wdeg d USING (src)
-), r0 AS (
-  SELECT src, CAST(1000000 AS BIGINT) AS r FROM wdeg
-), r1 AS (
-  SELECT e2.dst AS src,
-         150000 + (85 * sum((r0.r * e2.w) // e2.wd)) // 100 AS r
-  FROM e2 JOIN r0 USING (src) GROUP BY e2.dst
-), r2 AS (
-  SELECT e2.dst AS src,
-         150000 + (85 * sum((r1.r * e2.w) // e2.wd)) // 100 AS r
-  FROM e2 JOIN r1 USING (src) GROUP BY e2.dst
-), r3 AS (
-  SELECT e2.dst AS src,
-         150000 + (85 * sum((r2.r * e2.w) // e2.wd)) // 100 AS r
-  FROM e2 JOIN r2 USING (src) GROUP BY e2.dst
-)
-SELECT src AS term, CAST(r AS BIGINT) AS rank_u FROM r3
-ORDER BY rank_u DESC, term ASC LIMIT 20
-"""
-    d["x44_product_quantization"] = """
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS qv
-  FROM embeddings
-), m_ids AS (
-  SELECT CAST(unnest(range(0,8)) AS INT) AS m
-), cent_sub AS (
-  SELECT CAST(vec_id AS INT) AS cid, m,
-         qv[m*8+1 : m*8+8] AS cv
-  FROM q, m_ids WHERE vec_id < 4
-), data_sub AS (
-  SELECT vec_id, m, qv[m*8+1 : m*8+8] AS dv
-  FROM q, m_ids
-), cand AS (
-  SELECT d.vec_id, d.m, c.cid,
-         list_sum(list_transform(range(1,9),
-           i -> (d.dv[i]-c.cv[i])*(d.dv[i]-c.cv[i]))) AS d2
-  FROM data_sub d JOIN cent_sub c ON d.m = c.m
-), assigned AS (
-  SELECT vec_id, m, cid AS code, d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                 ORDER BY d2, cid) AS rn
-    FROM cand) t WHERE rn = 1
-)
-SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
-       CAST(count(*) AS BIGINT) AS n_assigned,
-       CAST(sum(d2) AS BIGINT) AS total_sq_err_u
-FROM assigned GROUP BY m, code
-"""
-    d["s6_variant_access"] = """
-SELECT event_type,
-       count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
-         AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
-FROM events GROUP BY event_type
-"""
-    # per-channel closed-form sums over the synthetic source pixels
-    # (source dims, not resized — mm6 decodes the fixtures directly)
-    d["mm6_image_channel_stats"] = """
-WITH assets AS (
-  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
-  FROM range(64) WHERE range % 3 = 0
-), px AS (
-  SELECT a, w0, h0,
-         (a*7  + x.range * 13 + y.range * 31) % 256 AS b,
-         (a*11 + x.range * 17 + y.range * 5 ) % 256 AS g,
-         (a*3  + x.range * 29 + y.range * 23) % 256 AS r
-  FROM assets, range(12) x, range(9) y
-  WHERE x.range < w0 AND y.range < h0
-)
-SELECT a AS asset_id, CAST(w0 AS INT) AS width, CAST(h0 AS INT) AS height,
-       CAST(sum(b) AS BIGINT) AS sum_b,
-       CAST(sum(g) AS BIGINT) AS sum_g,
-       CAST(sum(r) AS BIGINT) AS sum_r
-FROM px GROUP BY a, w0, h0
-"""
-    # w10's oracle uses the window (row_number) formulation — a
-    # different algorithm than the struct-argmin aggregation.
-    d["w10_ohlc_bars"] = """
-WITH r AS (
-  SELECT user_id, date_trunc('hour', ts) AS h, value,
-         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn_a,
-         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
-  FROM events
-)
-SELECT user_id,
-       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-       max(CASE WHEN rn_a = 1 THEN value END) AS open,
-       max(CASE WHEN rn_d = 1 THEN value END) AS close,
-       max(value) AS high,
-       min(value) AS low,
-       count(*) AS n_ticks
-FROM r GROUP BY user_id, h
-"""
-    d["w9_resample_gapfill"] = """
-WITH hourly AS (
-  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-         count(*) AS n
-  FROM events GROUP BY user_id, h
-), spans AS (
-  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
-), grid AS (
-  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-  FROM spans
-)
-SELECT g.user_id,
-       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
-       hr.n IS NULL AS was_gap,
-       CAST(last_value(hr.n IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.h ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS events_filled
-FROM grid g
-LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
-"""
-    d["x27_chunk_dedup"] = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), chunks AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           range(0, CAST(ceil(len(t) / 10.0) AS INT)),
-           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')))
-           AS chunk_text
-  FROM toks
-), dfreq AS (
-  SELECT chunk_text, count(DISTINCT doc_id) AS df
-  FROM chunks GROUP BY chunk_text
-)
-SELECT c.doc_id, count(*) AS n_chunks,
-       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dup_chunks
-FROM chunks c JOIN dfreq d USING (chunk_text)
-GROUP BY c.doc_id
-"""
-    d["q11_funnel"] = """
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-), s2 AS (
-  SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > s1.t1
-  GROUP BY e.user_id
-), s3 AS (
-  SELECT e.user_id, min(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-  GROUP BY e.user_id
-)
-SELECT '1_view' AS stage, count(*) AS n_users FROM s1
-UNION ALL
-SELECT '2_click' AS stage, count(*) AS n_users FROM s2
-UNION ALL
-SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
-"""
-    d["q15_market_basket"] = """
-WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), part_n AS (
-  SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey
-), tot AS (
-  SELECT count(DISTINCT l_orderkey) AS n_ord FROM li
-), pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= 3
-)
-SELECT part_a, part_b,
-       CAST(c_ab AS BIGINT) AS n_together,
-       (floor(c_ab * CAST(n_ord AS DOUBLE) / (pa.c * pb.c)
-              * 1000000 + 0.5) / 1000000 + 0.0) AS lift
-FROM pairs
-JOIN part_n pa ON pa.l_partkey = part_a
-JOIN part_n pb ON pb.l_partkey = part_b
-CROSS JOIN tot
-ORDER BY lift DESC, part_a ASC, part_b ASC
-LIMIT 20
-"""
-    d["q14_rolling_active_users"] = """
-WITH pairs AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
-), bounds AS (
-  SELECT min(day) AS lo, max(day) AS hi FROM pairs
-), dau AS (
-  SELECT day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY day
-), contrib AS (
-  SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
-                                         INTERVAL 1 DAY)) AS wday
-  FROM pairs
-), wau AS (
-  SELECT wday, count(DISTINCT user_id) AS wau_7d FROM contrib GROUP BY wday
-)
-SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau_7d
-FROM dau d JOIN wau w ON d.day = w.wday CROSS JOIN bounds b
-WHERE d.day >= b.lo + INTERVAL 6 DAY AND d.day <= b.hi
-"""
-    d["q12_cohort_retention"] = """
-WITH first_seen AS (
-  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
-)
-SELECT strftime(CAST(f.t0 AS DATE), '%Y-%m-%d') AS cohort_day,
-       CAST(floor(date_diff('day', CAST(f.t0 AS DATE),
-                            CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
-         AS week_offset,
-       count(DISTINCT e.user_id) AS n_users
-FROM events e JOIN first_seen f USING (user_id)
-GROUP BY cohort_day, week_offset
-"""
-    d["x28_tf_cosine_pairs"] = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
-                               i -> array_to_string(t[i:i+4], ' ')))
-           AS term
-  FROM toks
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY doc_id, term
-), dfreq AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY term
-), nd AS (
-  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
-), capped AS (
-  SELECT tf.doc_id, tf.term, tf.tf
-  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
-  WHERE dfreq.df * 100 <= nd.n_docs OR dfreq.df <= 2
-), norms AS (
-  SELECT doc_id, sum(tf * tf) AS n2 FROM capped GROUP BY doc_id
-), dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
-  FROM capped a JOIN capped b USING (term)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot
-FROM dots
-JOIN norms na ON na.doc_id = id_a
-JOIN norms nb ON nb.doc_id = id_b
-WHERE 25 * dot * dot >= 9 * na.n2 * nb.n2
-"""
-    d["r5_merge_cdc"] = """
-WITH t AS (
-  SELECT o_orderkey, o_totalprice FROM orders
-), changes AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
-              ELSE 'upsert' END AS op,
-         o_totalprice * 1.05 AS o_totalprice
-  FROM orders
-  WHERE o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
-  UNION ALL
-  SELECT o_orderkey + 100000000 AS o_orderkey,
-         'upsert' AS op,
-         o_totalprice + 1.0 AS o_totalprice
-  FROM orders
-  WHERE o_orderkey % 11 = 0
-)
-SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
-       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
-            ELSE t.o_totalprice END AS o_totalprice
-FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
-WHERE c.o_orderkey IS NULL OR c.op <> 'delete'
-"""
-    d["r6_incremental_rollup"] = f"""
-SELECT event_type,
-       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       count(*) AS n_events,
-       {W.round_half_up_sql(
-           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 4)}
-         AS sum_value,
-       {W.round_half_up_sql(
-           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
-         AS avg_value
-FROM events
-GROUP BY 1, 2
-"""
-    _terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    _k1p1, _k1 = repr(BM25_K1 + 1), repr(BM25_K1)
-    _omb, _b = repr(1 - BM25_B), repr(BM25_B)
-    d["x51_bm25_retrieval"] = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-), stats AS (
-  SELECT CAST(sum(dl) AS BIGINT) AS _toks, count(*) AS _n FROM dl
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ({_terms}) GROUP BY doc_id, term
-), dfc AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY term
-)
-SELECT doc_id,
-       {W.round_half_up_sql(
-           "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
-           f" * (tf * {_k1p1}) / (tf + {_k1}"
-           f" * ({_omb} + {_b} * dl / (_toks / _n))))", 6)} AS bm25,
-       CAST(count(*) AS BIGINT) AS n_terms_hit
-FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC LIMIT 20
-"""
-    d["a18_column_profiler"] = """
-WITH n AS (SELECT count(*) AS n_rows FROM orders)
-SELECT 'o_orderkey' AS column, n_rows,
-       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_null,
-       (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
-       (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders) AS min_num,
-       (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders) AS max_num,
-       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-FROM n
-UNION ALL
-SELECT 'o_custkey', n_rows,
-       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
-       (SELECT count(DISTINCT o_custkey) FROM orders),
-       (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders),
-       (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders),
-       NULL, NULL
-FROM n
-UNION ALL
-SELECT 'o_totalprice', n_rows,
-       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
-       (SELECT count(DISTINCT o_totalprice) FROM orders),
-       (SELECT min(o_totalprice) FROM orders),
-       (SELECT max(o_totalprice) FROM orders),
-       NULL, NULL
-FROM n
-UNION ALL
-SELECT 'o_orderstatus', n_rows,
-       (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
-       (SELECT count(DISTINCT o_orderstatus) FROM orders),
-       NULL, NULL,
-       (SELECT min(o_orderstatus) FROM orders),
-       (SELECT max(o_orderstatus) FROM orders)
-FROM n
-UNION ALL
-SELECT 'o_orderpriority', n_rows,
-       (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
-       (SELECT count(DISTINCT o_orderpriority) FROM orders),
-       NULL, NULL,
-       (SELECT min(o_orderpriority) FROM orders),
-       (SELECT max(o_orderpriority) FROM orders)
-FROM n
-"""
-    d["qv2_expectation_suite"] = """
-WITH agg AS (
-  SELECT count(*) AS _n,
-         count(DISTINCT (l_orderkey, l_linenumber)) AS _uniq,
-         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
-         sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS v2,
-         sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.5)
-                  THEN 1 ELSE 0 END) AS v3,
-         sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
-                  THEN 1 ELSE 0 END) AS v4
-  FROM lineitem
-), rows_ AS (
-  SELECT 'orderkey_not_null' AS expectation, v1 AS violations, _n FROM agg
-  UNION ALL
-  SELECT 'quantity_non_negative', v2, _n FROM agg
-  UNION ALL
-  SELECT 'discount_in_range', v3, _n FROM agg
-  UNION ALL
-  SELECT 'returnflag_in_set', v4, _n FROM agg
-  UNION ALL
-  SELECT 'line_key_unique', _n - _uniq, _n FROM agg
-)
-SELECT expectation, CAST(violations AS BIGINT) AS violations,
-       CAST(_n AS BIGINT) AS n_rows, violations = 0 AS passed
-FROM rows_
-"""
-    d["io5_snapshot_diff"] = """
-WITH d AS (SELECT doc_id, source FROM documents),
-diff AS (
-  SELECT doc_id,
-         CASE WHEN source = 'src3' THEN 'added'
-              WHEN source = 'src0' THEN 'removed'
-              WHEN source = 'src1' THEN 'changed'
-              ELSE 'unchanged' END AS status
-  FROM d WHERE source IN ('src0', 'src1', 'src2', 'src3')
-)
-SELECT status, CAST(count(*) AS BIGINT) AS n,
-       min(doc_id) AS min_doc, max(doc_id) AS max_doc
-FROM diff GROUP BY status
-"""
-    d["x52_hybrid_retrieval"] = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-), stats AS (
-  SELECT CAST(sum(dl) AS BIGINT) AS _toks, count(*) AS _n FROM dl
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ({_terms}) GROUP BY doc_id, term
-), dfc AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY term
-), bm AS (
-  SELECT doc_id,
-         {W.round_half_up_sql(
-             "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
-             f" * (tf * {_k1p1}) / (tf + {_k1}"
-             f" * ({_omb} + {_b} * dl / (_toks / _n))))", 6)} AS bm25
-  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-  GROUP BY doc_id
-), lex AS (
-  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
-           AS lex_rank
-  FROM bm QUALIFY lex_rank <= 50
-), qv AS (
-  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
-), scored AS (
-  SELECT c.vec_id AS doc_id,
-         list_dot_product(c.embedding::DOUBLE[], qvec)
-           / (sqrt(list_dot_product(c.embedding::DOUBLE[],
-                                    c.embedding::DOUBLE[]))
-              * sqrt(list_dot_product(qvec, qvec))) AS sim
-  FROM embeddings c CROSS JOIN qv
-), sem AS (
-  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC)
-           AS sem_rank
-  FROM scored QUALIFY sem_rank <= 50
-), fused AS (
-  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-         lex.lex_rank, sem.sem_rank,
-         coalesce(1.0 / (60 + lex.lex_rank), 0.0)
-           + coalesce(1.0 / (60 + sem.sem_rank), 0.0) AS _rrf
-  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-)
-SELECT doc_id, {W.round_half_up_sql("_rrf", 6)} AS rrf_score,
-       CAST(lex_rank AS INT) AS lex_rank,
-       CAST(sem_rank AS INT) AS sem_rank
-FROM fused
-ORDER BY _rrf DESC, doc_id ASC LIMIT 20
-"""
-    d["b3_bloom_filter_join"] = """
-SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders
-WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-GROUP BY o_orderpriority
-"""
-    d["x50_char_entropy"] = f"""
-WITH ch AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(lower(text), ''), c -> c <> ''))
-           AS ch
-  FROM documents
-), cnt AS (
-  SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY doc_id, ch
-)
-SELECT doc_id,
-       CAST(sum(nc) AS BIGINT) AS n_chars2,
-       CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       {W.round_half_up_sql(
-           "ln(sum(nc)) - sum(nc * ln(nc)) / sum(nc)", 4)} AS entropy_nats
-FROM cnt GROUP BY doc_id
-"""
-    _gf = T.gopher_filter_flags_sql("text", min_tokens=20)
-    d["x53_gopher_rules"] = f"""
-SELECT source, count(*) AS n_docs,
-       CAST(sum({_gf['flag_token_count']}::INT) AS BIGINT) AS n_flag_token_count,
-       CAST(sum({_gf['flag_word_len']}::INT) AS BIGINT) AS n_flag_word_len,
-       CAST(sum({_gf['flag_symbol']}::INT) AS BIGINT) AS n_flag_symbol,
-       CAST(sum({_gf['flag_alpha']}::INT) AS BIGINT) AS n_flag_alpha,
-       CAST(sum({_gf['flag_stopword']}::INT) AS BIGINT) AS n_flag_stopword,
-       CAST(sum({_gf['keep']}::INT) AS BIGINT) AS n_keep
-FROM documents GROUP BY source
-"""
-    _rh = (
-        "list_reduce([0::BIGINT] || list_transform("
-        "regexp_split_to_array(trim(regexp_replace(lower(term), '\\s+', ' ', 'g')), ''),"
-        " c -> ascii(c)::BIGINT), (acc, x) -> (acc * 257 + x) % 1000000007)"
-    )
-    d["x54_dsir_importance"] = f"""
-WITH tb AS (
-  SELECT doc_id, lang, {_rh} % 64 AS b
-  FROM (
-    SELECT doc_id, lang,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS term
-    FROM documents
-  )
-), raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
-tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
-lm AS (
-  SELECT raw.b, cr, coalesce(ct, 0) AS ct
-  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
-), tot AS (
-  SELECT sum(cr) AS r_total, sum(ct) AS t_total FROM lm
-), perdoc AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         {W.round_half_up_sql(
-             "avg(ln((ct + 1)::DOUBLE / (t_total + 64))"
-             " - ln((cr + 1)::DOUBLE / (r_total + 64)))", 4)} AS dsir_logratio
-  FROM tb JOIN lm ON tb.b = lm.b CROSS JOIN tot
-  GROUP BY doc_id
-)
-SELECT doc_id, n_tokens, dsir_logratio,
-       (dsir_logratio > 0)::INT AS selected
-FROM perdoc
-"""
-    d["q26_late_shipment_priority"] = """
-SELECT l_linestatus,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-GROUP BY l_linestatus
-"""
-    d["q27_forecast_revenue"] = """
-SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE AS revenue,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24
-"""
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
-        MINHASH_A,
-        MINHASH_B,
-        MINHASH_P,
+    binary payload hashes) → driver records the weaker rows-only check.
+
+    Since round 6 the SQL lives in per-family blocks under
+    ``kenya_agricultural_regions_weather_etl_pipeline_spark/oracles/``
+    (VERDICT r5 item #7 — the 5.6k-line inline builder split into
+    reviewable units); each block binds the names it needs from THIS
+    module (helpers like X5_ORACLE / _semdedup_oracle_sql stay here,
+    next to the queries they mirror) and blocks run in the original
+    assignment order, so cross-entry composition and alias entries
+    keep their semantics. The split was verified byte-identical to the
+    inline builder at extraction time and its structural invariants
+    are pinned by tests/test_oracle_refactor.py.
+    """
+    from kenya_agricultural_regions_weather_etl_pipeline_spark import (
+        oracles as _oracle_blocks,
     )
 
-    _sig_cols = ",\n         ".join(
-        f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS sig{j}"
-        for j in range(16)
-    )
-    _band_rows = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws(',', "
-        + ", ".join(f"sig{b * 4 + r}" for r in range(4))
-        + ") AS key FROM sig"
-        for b in range(4)
-    )
-    # shared portable-MinHash CTE chain: shingle → rolling hash →
-    # 16-way universal-hash signatures → 4-band LSH buckets →
-    # candidates → exact-Jaccard verified ``pairs``. x2c reports the
-    # pairs; st14's streaming survivor rollup derives from them (a doc
-    # is dropped iff it appears as the LARGER id of a verified pair).
-    _mh_pairs_ctes = f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM documents
-), shg AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
-    END)) AS sh
-  FROM toks
-), h AS (
-  SELECT doc_id, sh, list_reduce(
-    [0::BIGINT] || list_transform(
-      regexp_split_to_array(trim(regexp_replace(lower(sh), '\\s+', ' ', 'g')), ''),
-      c -> ascii(c)::BIGINT),
-    (acc, x) -> (acc * 257 + x) % {MINHASH_P}) AS h
-  FROM shg
-), sig AS (
-  SELECT doc_id, count(*) AS n_sh,
-         {_sig_cols}
-  FROM h GROUP BY doc_id
-), bands AS (
-  {_band_rows}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), inter AS (
-  SELECT id_a, id_b, count(*) AS i
-  FROM cand
-  JOIN shg sa ON sa.doc_id = id_a
-  JOIN shg sb ON sb.doc_id = id_b AND sb.sh = sa.sh
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b,
-         round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
-  FROM inter
-  JOIN sig na ON na.doc_id = id_a
-  JOIN sig nb ON nb.doc_id = id_b
-  WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
-)"""
-    d["x2c_minhash_portable"] = (
-        _mh_pairs_ctes + "\nSELECT id_a, id_b, jaccard FROM pairs\n"
-    )
-    d["st14_streaming_near_dedup"] = (
-        _mh_pairs_ctes
-        + """
-, dropped AS (
-  SELECT DISTINCT id_b FROM pairs
-)
-SELECT doc.source,
-       CAST(count(*) AS BIGINT) AS n_survivors,
-       min(doc.doc_id) AS min_id,
-       max(doc.doc_id) AS max_id
-FROM documents doc
-LEFT JOIN dropped ON doc.doc_id = dropped.id_b
-WHERE dropped.id_b IS NULL
-GROUP BY doc.source
-"""
-    )
-    d["x60_knn_label_accuracy"] = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
-  FROM embeddings WHERE vec_id < 64
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings
-), scored AS (
-  SELECT q.query_id, q.true_label, c.vec_id, c.label AS pred_label,
-         list_dot_product(cv, qv)
-           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
-  FROM c CROSS JOIN q
-  WHERE c.vec_id <> q.query_id
-), best AS (
-  SELECT query_id, true_label, pred_label FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, vec_id ASC) AS rn
-    FROM scored) WHERE rn = 1
-)
-SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
-       CAST(sum((pred_label = true_label)::INT) AS BIGINT) AS n_correct
-FROM best GROUP BY true_label
-"""
-    d["x61_matryoshka_fidelity"] = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-), full_nn AS (
-  SELECT query_id, vec_id FROM (
-    SELECT q.query_id, c.vec_id,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY
-             list_dot_product(cv, qv)
-               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-             c.vec_id ASC) AS rn
-    FROM c CROSS JOIN q) WHERE rn <= 5
-), trunc_nn AS (
-  SELECT query_id, vec_id FROM (
-    SELECT q.query_id, c.vec_id,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY
-             list_dot_product(cv[1:16], qv[1:16])
-               / (sqrt(list_dot_product(cv[1:16], cv[1:16]))
-                  * sqrt(list_dot_product(qv[1:16], qv[1:16]))) DESC,
-             c.vec_id ASC) AS rn
-    FROM c CROSS JOIN q) WHERE rn <= 5
-)
-SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap_at_5
-FROM full_nn f JOIN trunc_nn t
-  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
-GROUP BY f.query_id
-"""
-    d["x62_source_divergence"] = f"""
-WITH tb AS (
-  SELECT source, {_rh} % 64 AS b
-  FROM (
-    SELECT source,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS term
-    FROM documents
-  )
-), counts AS (
-  SELECT source, b, count(*) AS c FROM tb GROUP BY 1, 2
-), totals AS (
-  SELECT source, sum(c) AS t FROM counts GROUP BY 1
-), dense AS (
-  SELECT totals.source, bk.b,
-         (coalesce(c, 0) + 1)::DOUBLE / (t + 64) AS p
-  FROM totals
-  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bk
-  LEFT JOIN counts ON counts.source = totals.source AND counts.b = bk.b
-), pairs AS (
-  SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
-  FROM dense a JOIN dense b ON a.b = b.b AND a.source < b.source
-)
-SELECT source_a, source_b,
-       {W.round_half_up_sql(
-           "sum(0.5 * p * ln(p / ((p + q) / 2))"
-           " + 0.5 * q * ln(q / ((p + q) / 2)))", 6)} AS js_divergence
-FROM pairs GROUP BY source_a, source_b
-"""
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.dedup import (
-        SIMHASH_A,
-        SIMHASH_B,
-        SIMHASH_PORTABLE_BITS,
-    )
-
-    _vote_cols = ",\n         ".join(
-        f"sum(2 * ((({SIMHASH_A[j]} * h + {SIMHASH_B[j]}) % {MINHASH_P}) % 2) - 1)"
-        f" AS s{j}"
-        for j in range(SIMHASH_PORTABLE_BITS)
-    )
-    _fp_expr = " + ".join(
-        f"(s{j} > 0)::BIGINT * {1 << j}" for j in range(SIMHASH_PORTABLE_BITS)
-    )
-    d["x4b_simhash_portable"] = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS tok
-  FROM documents
-), h AS (
-  SELECT doc_id, list_reduce(
-    [0::BIGINT] || list_transform(
-      regexp_split_to_array(trim(regexp_replace(lower(tok), '\\s+', ' ', 'g')), ''),
-      c -> ascii(c)::BIGINT),
-    (acc, x) -> (acc * 257 + x) % {MINHASH_P}) AS h
-  FROM toks
-), votes AS (
-  SELECT doc_id,
-         {_vote_cols}
-  FROM h GROUP BY doc_id
-), fp AS (
-  SELECT doc_id, {_fp_expr} AS fp FROM votes
-), blocked AS (
-  SELECT doc_id, fp, b, (fp >> (12 * b)) & 4095 AS key
-  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
-  FROM blocked a JOIN blocked b
-    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
-"""
-    d["x80_dedup_policy_budget"] = f"""
-WITH ranked AS (
-  SELECT CAST({T.token_count_sql('text')} AS BIGINT) AS n_tok,
-         row_number() OVER (
-           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-           ORDER BY doc_id ASC) AS rn
-  FROM documents
-)
-SELECT CAST(sum(n_tok) AS BIGINT) AS tokens_keep_all,
-       CAST(sum(CASE WHEN rn <= 2 THEN n_tok ELSE 0 END) AS BIGINT)
-         AS tokens_cap2,
-       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
-         AS tokens_full_dedup,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM ranked
-"""
-    d["w24_stickiness"] = f"""
-WITH daily AS (
-  SELECT day, count(*) AS dau FROM (
-    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
-  ) GROUP BY day
-), davg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_days, avg(dau) AS avg_dau FROM daily
-), mau AS (
-  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM events
-)
-SELECT n_days, {W.round_half_up_sql("avg_dau", 4)} AS avg_dau, mau,
-       {W.round_half_up_sql("avg_dau / mau", 4)} AS stickiness
-FROM davg CROSS JOIN mau
-"""
-    d["q31_brand_margin"] = f"""
-WITH j AS (
-  SELECT p_brand,
-         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS revenue_d,
-         sum((p_retailprice * l_quantity * 0.8)::DECIMAL(18,4)) AS cost_d,
-         CAST(count(*) AS BIGINT) AS n_lines
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  GROUP BY p_brand
-)
-SELECT p_brand, revenue_d::DOUBLE AS revenue, cost_d::DOUBLE AS cost,
-       n_lines,
-       {W.round_half_up_sql(
-           "(revenue_d - cost_d)::DOUBLE / revenue_d::DOUBLE * 100", 4)}
-         AS margin_pct
-FROM j
-"""
-    _jl_planes = [
-        "[" + ",".join(str(_hyperplane(64, b, 16)[d]) for d in range(64)) + "]::DOUBLE[]"
-        for b in range(16)
-    ]
-    _jl_proj = (
-        "["
-        + ", ".join(f"list_dot_product(v, {p}) / 4.0" for p in _jl_planes)
-        + "]"
-    )
-    _d2 = (
-        lambda x, y, n: (
-            f"sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, {n + 1}),"
-            f" i -> ({x}[i] - {y}[i]) * ({x}[i] - {y}[i])), (a, b) -> a + b))"
-        )
-    )
-    d["x78_jl_projection"] = f"""
-WITH probes AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {_jl_proj} AS p
-  FROM embeddings WHERE vec_id < 16
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {W.round_half_up_sql(_d2('a.v', 'b.v', 64), 4)} AS d_orig,
-       {W.round_half_up_sql(_d2('a.p', 'b.p', 16), 4)} AS d_proj,
-       {W.round_half_up_sql(
-           _d2('a.p', 'b.p', 16) + " / " + _d2('a.v', 'b.v', 64), 4)}
-         AS distortion_ratio
-FROM probes a JOIN probes b ON a.vec_id < b.vec_id
-"""
-    d["x77_split_balance"] = f"""
-WITH s AS (
-  SELECT text,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
-              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-)
-SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-       {W.round_half_up_sql(f"avg({T.quality_score_sql('text')})", 4)}
-         AS mean_quality,
-       {W.round_half_up_sql(
-           f"stddev_samp({T.quality_score_sql('text')})", 4)} AS sd_quality,
-       {W.round_half_up_sql(f"avg({T.token_count_sql('text')})", 4)}
-         AS mean_tokens
-FROM s GROUP BY split
-"""
-    d["w23_burstiness"] = f"""
-WITH gaps AS (
-  SELECT user_id,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-           ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
-  FROM events
-  QUALIFY gap_us IS NOT NULL
-), per AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-         avg(gap_us) AS mu, stddev_samp(gap_us) AS sd
-  FROM gaps GROUP BY user_id
-)
-SELECT user_id, n_gaps,
-       {W.round_half_up_sql("sd / mu", 4)} AS burstiness_cv
-FROM per WHERE n_gaps >= 2
-"""
-    d["x76_ngram_diversity"] = f"""
-WITH toks AS (
-  SELECT source,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS t
-  FROM documents
-), tris AS (
-  SELECT source, unnest(list_transform(range(1, len(t) - 1),
-           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
-  FROM toks WHERE len(t) >= 3
-), per AS (
-  SELECT source, tri, count(*) AS n FROM tris GROUP BY 1, 2
-)
-SELECT source, CAST(sum(n) AS BIGINT) AS n_trigrams,
-       CAST(count(*) AS BIGINT) AS n_distinct,
-       {W.round_half_up_sql("count(*)::DOUBLE / sum(n)", 6)}
-         AS diversity_ratio
-FROM per GROUP BY source
-"""
-    d["r8_bitemporal_asof"] = """
-WITH versions AS (
-  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from, 1 AS tx
-  FROM orders
-  UNION ALL
-  SELECT o_orderkey, o_totalprice * 1.02 AS price,
-         o_orderdate + INTERVAL 30 DAY AS valid_from, 2 AS tx
-  FROM orders WHERE o_orderkey % 13 = 0
-), probe AS (
-  SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS v_at FROM orders
-), t1 AS (
-  SELECT o_orderkey, price AS price_asof_tx1 FROM (
-    SELECT v.o_orderkey, price,
-           row_number() OVER (PARTITION BY v.o_orderkey
-             ORDER BY valid_from DESC, tx DESC) AS rn
-    FROM versions v JOIN probe p ON p.o_orderkey = v.o_orderkey
-    WHERE tx <= 1 AND valid_from <= v_at) WHERE rn = 1
-), t2 AS (
-  SELECT o_orderkey, price AS price_asof_tx2 FROM (
-    SELECT v.o_orderkey, price,
-           row_number() OVER (PARTITION BY v.o_orderkey
-             ORDER BY valid_from DESC, tx DESC) AS rn
-    FROM versions v JOIN probe p ON p.o_orderkey = v.o_orderkey
-    WHERE tx <= 2 AND valid_from <= v_at) WHERE rn = 1
-)
-SELECT o_orderkey, price_asof_tx1, price_asof_tx2,
-       (price_asof_tx1 <> price_asof_tx2)::INT AS restated
-FROM t1 JOIN t2 USING (o_orderkey)
-"""
-    d["w22_prorata_allocation"] = """
-WITH base AS (
-  SELECT l_orderkey, l_linenumber,
-         CAST(floor(o_totalprice * 5 + 0.5) AS BIGINT) AS budget_c,
-         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w_c
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), shares AS (
-  SELECT l_orderkey, l_linenumber, budget_c,
-         (budget_c * w_c) // sum(w_c) OVER (PARTITION BY l_orderkey)
-           AS base_c,
-         (budget_c * w_c) % sum(w_c) OVER (PARTITION BY l_orderkey)
-           AS rem
-  FROM base
-), lo AS (
-  SELECT *, budget_c - sum(base_c) OVER (PARTITION BY l_orderkey)
-           AS leftover
-  FROM shares
-)
-SELECT l_orderkey, l_linenumber,
-       CAST(base_c + (row_number() OVER (PARTITION BY l_orderkey
-              ORDER BY rem DESC, l_linenumber ASC) <= leftover)::INT
-            AS BIGINT) AS alloc_cents
-FROM lo
-"""
-    d["sql6_parameterized"] = """
-SELECT p_brand,
-       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE
-         AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand = 'Brand#1' AND l_extendedprice > 1000.0
-GROUP BY p_brand
-"""
-    d["x75_heaps_law"] = """
-WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
-toks AS (
-  SELECT least(CAST(floor(doc_id::DOUBLE / decile_size) AS BIGINT), 9)
-           AS decile,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS l
-  FROM documents CROSS JOIN t
-), bg AS (
-  SELECT decile,
-         unnest(list_transform(range(1, len(l)),
-                               i -> l[i] || ' ' || l[i + 1])) AS term
-  FROM toks WHERE len(l) >= 2
-), first_seen AS (
-  SELECT term, min(decile) AS first_decile FROM bg GROUP BY term
-), census AS (
-  SELECT first_decile, CAST(count(*) AS BIGINT) AS n_new_terms
-  FROM first_seen GROUP BY first_decile
-)
-SELECT first_decile AS decile, n_new_terms,
-       CAST(sum(n_new_terms) OVER (ORDER BY first_decile
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_vocab
-FROM census
-"""
-    d["q30_order_cadence"] = f"""
-WITH gaps AS (
-  SELECT o_custkey,
-         CAST(date_diff('day',
-           lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate ASC, o_orderkey ASC),
-           o_orderdate) AS BIGINT) AS gap_days
-  FROM orders
-  QUALIFY gap_days IS NOT NULL
-)
-SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
-       {W.round_half_up_sql("quantile_cont(gap_days, 0.5)", 4)}
-         AS median_gap_days,
-       {W.round_half_up_sql("quantile_cont(gap_days, 0.9)", 4)}
-         AS p90_gap_days
-FROM gaps JOIN customer ON c_custkey = o_custkey
-GROUP BY c_mktsegment
-"""
-    d["w21_standardize"] = f"""
-WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-  FROM events GROUP BY event_type
-)
-SELECT event_id, event_type,
-       {W.round_half_up_sql("(value - mu) / sd", 4)} AS z_value
-FROM events JOIN stats USING (event_type)
-"""
-    d["x74_label_centroid_similarity"] = f"""
-WITH dims AS (
-  SELECT label, u.dim AS dim, u.v AS v FROM (
-    SELECT label, unnest(list_transform(embedding,
-      (x, i) -> struct_pack(dim := i, v := x::DOUBLE))) AS u
-    FROM embeddings
-  )
-), coord AS (
-  SELECT label, dim, avg(v) AS m FROM dims GROUP BY 1, 2
-), cent AS (
-  SELECT label, list(m ORDER BY dim) AS cvec FROM coord GROUP BY label
-)
-SELECT a.label AS label_a, b.label AS label_b,
-       {W.round_half_up_sql(
-           "list_dot_product(a.cvec, b.cvec)"
-           " / (sqrt(list_dot_product(a.cvec, a.cvec))"
-           " * sqrt(list_dot_product(b.cvec, b.cvec)))", 4)}
-         AS centroid_cosine
-FROM cent a JOIN cent b ON a.label < b.label
-"""
-    d["q29_rfm_segmentation"] = """
-WITH per_cust AS (
-  SELECT o_custkey, max(o_orderdate) AS last_order,
-         CAST(count(*) AS BIGINT) AS frequency,
-         sum(o_totalprice::DECIMAL(18,4)) AS monetary
-  FROM orders GROUP BY o_custkey
-), anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
-base AS (
-  SELECT o_custkey,
-         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
-         frequency, monetary::DOUBLE AS monetary
-  FROM per_cust CROSS JOIN anchor
-), th AS (
-  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
-         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
-         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt
-  FROM base
-)
-SELECT o_custkey, recency_days, frequency, monetary,
-       CAST(6 - (1 + (recency_days > rt[1])::INT + (recency_days > rt[2])::INT
-                 + (recency_days > rt[3])::INT + (recency_days > rt[4])::INT)
-            AS INT) AS r_score,
-       CAST(1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
-              + (frequency > ft[3])::INT + (frequency > ft[4])::INT
-            AS INT) AS f_score,
-       CAST(1 + (monetary > mt[1])::INT + (monetary > mt[2])::INT
-              + (monetary > mt[3])::INT + (monetary > mt[4])::INT
-            AS INT) AS m_score
-FROM base CROSS JOIN th
-"""
-    d["x73_declared_lang_audit"] = f"""
-SELECT lang, {T.lang_id_sql('text')} AS pred_lang,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY 1, 2
-"""
-    d["st18_corpus_telemetry"] = f"""
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       {W.round_half_up_sql(
-           f"CAST(sum(CAST(floor(({T.quality_score_sql('text')})"
-           " * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
-           " / (1000000.0 * count(*))", 4)}
-         AS mean_quality
-FROM documents GROUP BY lang
-"""
-    d["w20_funnel_latency"] = """
-WITH fc AS (
-  SELECT user_id, min(epoch_us(ts)) AS first_click_us
-  FROM events WHERE event_type = 'click' GROUP BY user_id
-)
-SELECT e.user_id, any_value(first_click_us) AS first_click_us,
-       min(epoch_us(ts)) AS first_purchase_us,
-       min(epoch_us(ts)) - any_value(first_click_us) AS latency_us
-FROM events e JOIN fc ON fc.user_id = e.user_id
-WHERE e.event_type = 'purchase' AND epoch_us(ts) > first_click_us
-GROUP BY e.user_id
-"""
-    d["x72_dup_quality_interaction"] = f"""
-WITH fp AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-         {T.quality_score_sql('text')} AS q
-  FROM documents
-), copies AS (
-  SELECT fp, count(*) AS n_copies FROM fp GROUP BY fp
-)
-SELECT CASE WHEN n_copies >= 3 THEN '3+'
-            ELSE CAST(n_copies AS VARCHAR) END AS copy_bucket,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       {W.round_half_up_sql("avg(q)", 4)} AS mean_quality
-FROM fp JOIN copies USING (fp)
-GROUP BY 1
-"""
-    d["x70_source_overlap"] = """
-WITH toks AS (
-  SELECT source,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM documents
-), fps AS (
-  SELECT DISTINCT source, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
-    END)) AS fp
-  FROM toks
-)
-SELECT a.source AS source_a, b.source AS source_b,
-       CAST(count(*) AS BIGINT) AS n_shared_docs
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
-GROUP BY 1, 2
-"""
-    d["x71_embedding_qa"] = f"""
-WITH v AS (
-  SELECT label, len(embedding) AS dim,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-           AS nrm
-  FROM embeddings
-)
-SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(min(dim) AS BIGINT) AS min_dim,
-       CAST(max(dim) AS BIGINT) AS max_dim,
-       CAST(sum((nrm = 0.0)::INT) AS BIGINT) AS n_zero_vecs,
-       {W.round_half_up_sql("min(nrm)", 4)} AS min_norm,
-       {W.round_half_up_sql("avg(nrm)", 4)} AS mean_norm,
-       {W.round_half_up_sql("max(nrm)", 4)} AS max_norm
-FROM v GROUP BY label
-"""
-    d["x69_dataset_card"] = f"""
-WITH base AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens,
-         CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-         {W.round_half_up_sql(
-             f"avg({T.quality_score_sql('text')})", 4)} AS mean_quality
-  FROM documents
-), dups AS (
-  SELECT CAST(count(*) - count(DISTINCT
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
-         AS BIGINT) AS n_dup_docs
-  FROM documents
-), top_lang AS (
-  SELECT lang AS top_lang FROM documents
-  GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
-)
-SELECT * FROM base CROSS JOIN dups CROSS JOIN top_lang
-"""
-    d["x68_token_budget_select"] = f"""
-WITH scored AS (
-  SELECT doc_id, {T.quality_score_sql('text')} AS q,
-         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens
-  FROM documents
-), ranked AS (
-  SELECT doc_id, q, n_tokens,
-         sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM scored
-)
-SELECT doc_id, q, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
-FROM ranked WHERE cum <= 10000
-"""
-    d["w19_ewma"] = f"""
-WITH per_user AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         list(value ORDER BY event_id) AS vals
-  FROM events GROUP BY user_id
-)
-SELECT user_id, n_events,
-       {W.round_half_up_sql(
-           "list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)", 6)}
-         AS ewma_value
-FROM per_user
-"""
-    d["a21_histogram"] = f"""
-WITH b AS (
-  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
-)
-SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
-         AS bin,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       {W.round_half_up_sql(
-           "any_value(lo) + least(CAST(floor((o_totalprice - lo)"
-           " / ((hi - lo) / 10)) AS BIGINT), 9)"
-           " * (any_value(hi) - any_value(lo)) / 10", 4)} AS bin_lo
-FROM orders CROSS JOIN b
-GROUP BY 1
-"""
-    d["q28_supplier_concentration"] = f"""
-WITH sup AS (
-  SELECT * FROM supplier WHERE s_acctbal > 0
-), per_nation AS (
-  SELECT n_name, sum(s_acctbal::DECIMAL(18,4)) AS bal,
-         CAST(count(*) AS BIGINT) AS n_suppliers
-  FROM sup JOIN nation ON s_nationkey = n_nationkey
-  GROUP BY n_name
-), total AS (
-  SELECT sum(s_acctbal::DECIMAL(18,4)) AS total_bal FROM sup
-)
-SELECT n_name, bal::DOUBLE AS balance, n_suppliers,
-       {W.round_half_up_sql("bal::DOUBLE / total_bal::DOUBLE * 100", 6)}
-         AS share_pct
-FROM per_nation CROSS JOIN total
-WHERE {W.round_half_up_sql("bal::DOUBLE / total_bal::DOUBLE * 100", 6)} > 4.0
-"""
-    d["x67_k_anonymity"] = """
-SELECT c_nationkey, c_mktsegment,
-       CAST(count(*) AS BIGINT) AS group_size,
-       (count(*) < 5)::INT AS at_risk
-FROM customer GROUP BY c_nationkey, c_mktsegment
-"""
-    d["x66_code_switch_detect"] = f"""
-WITH sents AS (
-  SELECT doc_id, u.s AS s FROM (
-    SELECT doc_id,
-           unnest(list_transform(regexp_split_to_array(text, '\\.\\s+'),
-                  (x, i) -> struct_pack(pos := i, s := x))) AS u
-    FROM documents
-  ) WHERE u.s <> ''
-), langs AS (
-  SELECT doc_id, {T.lang_id_sql('s')} AS pred FROM sents
-), per_lang AS (
-  SELECT doc_id, pred, count(*) AS n FROM langs GROUP BY 1, 2
-), dominant AS (
-  SELECT doc_id, pred AS dominant_lang FROM (
-    SELECT doc_id, pred,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY n DESC, pred ASC) AS rnk
-    FROM per_lang) WHERE rnk = 1
-), stats AS (
-  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_sents,
-         CAST(count(*) AS BIGINT) AS n_langs
-  FROM per_lang GROUP BY doc_id
-)
-SELECT doc_id, n_sents, n_langs, dominant_lang,
-       (n_langs >= 2)::INT AS is_mixed
-FROM stats JOIN dominant USING (doc_id)
-"""
-    d["x65_split_repair"] = """
-WITH s AS (
-  SELECT doc_id, text,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900 THEN 'train'
-              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-), toks AS (
-  SELECT doc_id, split,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM s
-), sh AS (
-  SELECT doc_id, split, unnest(list_distinct(
-    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 3),
-                             i -> array_to_string(l[i:i+4], ' '))
-    END)) AS sh
-  FROM toks
-), tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
-hits AS (
-  SELECT DISTINCT sh.doc_id FROM sh JOIN tr USING (sh)
-  WHERE sh.split <> 'train'
-)
-SELECT s.doc_id, split AS old_split,
-       CASE WHEN hits.doc_id IS NOT NULL THEN 'train' ELSE split END
-         AS new_split,
-       CASE WHEN hits.doc_id IS NOT NULL THEN 'eval_contaminated'
-            ELSE 'clean' END AS reason
-FROM s LEFT JOIN hits ON hits.doc_id = s.doc_id
-"""
-    d["x64_dup_growth_curve"] = """
-WITH t AS (SELECT count(*) / 10 AS decile_size FROM documents),
-fp AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
-), first AS (
-  SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY fp
-)
-SELECT least(CAST(floor(doc_id::DOUBLE / decile_size) AS BIGINT), 9) AS decile,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum((doc_id > first_id)::INT) AS BIGINT) AS n_dups
-FROM fp JOIN first USING (fp) CROSS JOIN t
-GROUP BY 1
-"""
-    d["a20_winsorized_mean"] = f"""
-WITH bounds AS (
-  SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.05) AS lo,
-         quantile_cont(l_extendedprice, 0.95) AS hi
-  FROM lineitem GROUP BY 1
-)
-SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-       {W.round_half_up_sql(
-           "avg(greatest(least(l_extendedprice, hi), lo))", 4)}
-         AS winsorized_mean
-FROM lineitem JOIN bounds USING (l_returnflag)
-GROUP BY l_returnflag
-"""
-    d["x63_rag_self_retrieval"] = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
-), stats AS (
-  SELECT sum(dl) AS _toks, count(*) AS _n FROM dl
-), qterms AS (
-  SELECT DISTINCT query_id, term FROM (
-    SELECT doc_id AS query_id, unnest(
-      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                  t -> t <> '')[1:8]) AS term
-    FROM documents WHERE doc_id % 50 = 0
-  )
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
-), df AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY 1
-), scored AS (
-  SELECT query_id, tf.doc_id,
-         {W.round_half_up_sql(
-             "sum(ln((_n - df + 0.5) / (df + 0.5) + 1.0)"
-             " * (tf * (1.2 + 1))"
-             " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (_toks / _n))))", 6)}
-           AS bm25
-  FROM qterms
-  JOIN tf USING (term)
-  JOIN df USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY query_id, tf.doc_id
-), ranked AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY bm25 DESC, doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, CAST(rnk AS BIGINT) AS parent_rank,
-       {W.round_half_up_sql("1.0 / rnk", 6)} AS reciprocal_rank
-FROM ranked WHERE doc_id = query_id
-"""
-    d["w18_pareto_concentration"] = f"""
-WITH rev AS (
-  SELECT l_partkey,
-         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
-  FROM lineitem GROUP BY 1
-), total AS (
-  SELECT sum(rev) AS total_rev FROM rev
-), top AS (
-  SELECT l_partkey, rev FROM rev
-  ORDER BY rev DESC, l_partkey ASC LIMIT 100
-)
-SELECT CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS BIGINT)
-         AS rnk,
-       l_partkey, rev::DOUBLE AS revenue,
-       {W.round_half_up_sql(
-           "(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC"
-           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE"
-           " / total_rev::DOUBLE * 100", 6)} AS cum_share_pct
-FROM top CROSS JOIN total
-"""
-    d["x59_line_dedup"] = """
-WITH sents AS (
-  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
-    SELECT doc_id,
-           unnest(list_transform(regexp_split_to_array(text, '\\.\\s+'),
-                  (x, i) -> struct_pack(pos := i, s := x))) AS u
-    FROM documents
-  ) WHERE u.s <> ''
-), survivors AS (
-  SELECT doc_id, pos, s FROM (
-    SELECT doc_id, pos, s,
-           row_number() OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g')))
-             ORDER BY doc_id ASC, pos ASC) AS rn
-    FROM sents
-  ) WHERE rn = 1
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-       string_agg(s, '. ' ORDER BY pos) AS clean_text
-FROM survivors GROUP BY doc_id
-"""
-    d["w17_yoy_compare"] = f"""
-WITH monthly AS (
-  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-         CAST(month(o_orderdate) AS BIGINT) AS m,
-         sum(o_totalprice::DECIMAL(18,4)) AS rev
-  FROM orders GROUP BY 1, 2
-), lagged AS (
-  SELECT y, m, rev, lag(rev, 12) OVER (ORDER BY y, m) AS prev
-  FROM monthly
-)
-SELECT y, m, rev::DOUBLE AS revenue, prev::DOUBLE AS revenue_prev_year,
-       {W.round_half_up_sql(
-           "(rev - prev)::DOUBLE / prev::DOUBLE * 100", 4)} AS yoy_pct
-FROM lagged
-"""
-    d["a19_group_mode"] = """
-SELECT l_returnflag, l_quantity AS modal_quantity,
-       CAST(n AS BIGINT) AS n_occurrences
-FROM (
-  SELECT l_returnflag, l_quantity, count(*) AS n,
-         row_number() OVER (PARTITION BY l_returnflag
-                            ORDER BY count(*) DESC, l_quantity ASC) AS rnk
-  FROM lineitem GROUP BY l_returnflag, l_quantity
-) WHERE rnk = 1
-"""
-    d["x58_zipf_slope"] = f"""
-WITH tf AS (
-  SELECT term, count(*) AS freq FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS term
-    FROM documents
-  ) GROUP BY term
-), top AS (
-  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
-  FROM tf ORDER BY freq DESC, term ASC LIMIT 200
-), xy AS (
-  SELECT ln(rank::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM top
-), s AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
-  FROM xy
-)
-SELECT CAST(n AS BIGINT) AS n_terms,
-       {W.round_half_up_sql(
-           "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS zipf_slope,
-       {W.round_half_up_sql(
-           "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)}
-         AS zipf_intercept
-FROM s
-"""
-    d["x56_tokenizer_fertility"] = f"""
-SELECT lang, count(*) AS n_docs,
-       CAST(sum({T.bpe_ish_token_count_sql('text')}) AS BIGINT) AS sum_bpe_tokens,
-       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS sum_ws_tokens,
-       {W.round_half_up_sql(
-           f"sum({T.bpe_ish_token_count_sql('text')})::DOUBLE"
-           f" / greatest(sum({T.token_count_sql('text')}), 1)", 6)} AS fertility,
-       {W.round_half_up_sql(
-           f"sum(length(text))::DOUBLE"
-           f" / greatest(sum({T.bpe_ish_token_count_sql('text')}), 1)", 6)}
-         AS chars_per_token
-FROM documents GROUP BY lang
-"""
-    d["x57_hard_negatives"] = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-), scored AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(cv, qv)
-           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
-  FROM c CROSS JOIN q
-  WHERE c.vec_id <> q.query_id
-), banded AS (
-  SELECT query_id, vec_id, sim FROM scored WHERE sim >= 0.3 AND sim < 0.8
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM banded) WHERE rank <= 5
-"""
-    d["st16_cdc_apply_stream"] = """
-WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
-SELECT o_orderkey,
-       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.10
-            WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.05
-            ELSE o_totalprice END AS o_totalprice
-FROM base
-WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
-UNION ALL
-SELECT o_orderkey + 100000000 AS o_orderkey,
-       o_totalprice + 1.0 AS o_totalprice
-FROM base WHERE o_orderkey % 11 = 0
-"""
-    d["x55_fuzzy_decontamination"] = f"""
-WITH s AS (
-  SELECT doc_id, text,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
-              THEN 'train' ELSE 'eval' END AS split
-  FROM documents
-), toks AS (
-  SELECT doc_id, split,
-         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
-           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS l
-  FROM s
-), sh0 AS (
-  SELECT doc_id, split, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
-    END)) AS sh
-  FROM toks
-), hot AS (
-  SELECT sh FROM sh0 WHERE split = 'train' GROUP BY sh HAVING count(*) > 50
-), tr AS (
-  SELECT doc_id AS train_id, sh FROM sh0
-  WHERE split = 'train' AND sh NOT IN (SELECT sh FROM hot)
-), te AS (
-  SELECT doc_id AS eval_id, sh FROM sh0
-  WHERE split = 'eval' AND sh NOT IN (SELECT sh FROM hot)
-), sa AS (SELECT train_id, count(*) AS n_a FROM tr GROUP BY 1),
-sb AS (SELECT eval_id, count(*) AS n_b FROM te GROUP BY 1),
-inter AS (
-  SELECT train_id, eval_id, count(*) AS inter
-  FROM tr JOIN te USING (sh) GROUP BY 1, 2
-), pairs AS (
-  SELECT train_id, eval_id,
-         round(inter::DOUBLE / (sa.n_a + sb.n_b - inter), 6) AS jaccard
-  FROM inter JOIN sa USING (train_id) JOIN sb USING (eval_id)
-  WHERE round(inter::DOUBLE / (sa.n_a + sb.n_b - inter), 6) >= 0.2
-)
-SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
-       max(jaccard) AS max_jaccard
-FROM pairs GROUP BY train_id
-"""
-    d["x49_triangle_cooccurrence"] = """
-WITH pairs AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), e AS (
-  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
-)
-SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
-FROM e e1
-JOIN e e2 ON e2.pa = e1.pb
-JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
-"""
-    d["w16_seasonal_anomaly"] = f"""
-WITH base AS (
-  SELECT event_id, event_type, hour(ts) AS hod, value FROM events
-), med AS (
-  SELECT event_type, hod, quantile_cont(value, 0.5) AS med
-  FROM base GROUP BY event_type, hod
-), prof AS (
-  SELECT b.event_type, b.hod, first(m.med) AS med,
-         quantile_cont(abs(b.value - m.med), 0.5) AS mad
-  FROM base b JOIN med m USING (event_type, hod)
-  GROUP BY b.event_type, b.hod
-)
-SELECT b.event_id, b.event_type, b.hod,
-       {W.round_half_up_sql("b.value", 4)} AS value,
-       {W.round_half_up_sql("p.med", 4)} AS cohort_median,
-       {W.round_half_up_sql("p.mad", 4)} AS cohort_mad
-FROM base b JOIN prof p USING (event_type, hod)
-WHERE abs(b.value - p.med) > 3 * p.mad
-"""
-    d["a17_heavy_hitters"] = """
-WITH tok AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t <> '')) AS tok
-  FROM documents
-), n AS (SELECT CAST(count(*) AS BIGINT) AS total_items FROM tok)
-SELECT tok, CAST(count(*) AS BIGINT) AS cnt, total_items
-FROM tok, n
-GROUP BY tok, total_items
-HAVING count(*) * 200 > total_items
-"""
-    # st15's exact final pass answers the same question as a17 — one
-    # oracle, two engines (batch two-pass vs streaming MG fold).
-    d["x85_dedup_modality_audit"] = f"""
-WITH tp AS (
-  SELECT id_a, id_b FROM ({d["x2c_minhash_portable"].strip()}) t
-), sp AS (
-  SELECT id_a, id_b, 1 AS has_sem
-  FROM ({d["x40b_semantic_dedup_adaptive"].strip()}) s
-), j AS (
-  SELECT CASE
-           WHEN tp.id_a IS NOT NULL AND sp.has_sem IS NOT NULL THEN 'both'
-           WHEN tp.id_a IS NOT NULL THEN 'text_only'
-           ELSE 'semantic_only'
-         END AS agreement
-  FROM tp FULL OUTER JOIN sp USING (id_a, id_b)
-)
-SELECT agreement, CAST(count(*) AS BIGINT) AS n_pairs
-FROM j GROUP BY agreement
-"""
-    d["st15_streaming_heavy_hitters"] = d["a17_heavy_hitters"]
-    # st17's incrementally-ingested IVF index must answer probes
-    # identically to the batch x5d search — one oracle covers both
-    d["st17_vector_index_ingest"] = d["x5d_cosine_topk_ivf"]
-    # st22 serves the same query set from the same index shape in
-    # streaming batches — drained union == the batch search
-    d["st22_vector_serve_stream"] = d["x5d_cosine_topk_ivf"]
-    # st19 deploys w16's trained profile to the stream — scoring is
-    # stateless per row, so the streamed flag set == the batch filter
-    d["st19_model_score_stream"] = d["w16_seasonal_anomaly"]
-    d["q23_bilateral_trade"] = """
-WITH supp AS (
-  SELECT s_suppkey, n_name AS supp_nation
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name IN ('NATION_1', 'NATION_2')
-), cust AS (
-  SELECT c_custkey, n_name AS cust_nation
-  FROM customer JOIN nation ON c_nationkey = n_nationkey
-  WHERE n_name IN ('NATION_1', 'NATION_2')
-)
-SELECT supp_nation, cust_nation,
-       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem
-JOIN supp ON l_suppkey = s_suppkey
-JOIN orders ON l_orderkey = o_orderkey
-JOIN cust ON o_custkey = c_custkey
-WHERE supp_nation <> cust_nation
-GROUP BY supp_nation, cust_nation, year(l_shipdate)
-"""
-    d["q24_market_share"] = f"""
-WITH cust_asia AS (
-  SELECT c_custkey
-  FROM customer
-  JOIN nation ON c_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'ASIA'
-), supp AS (
-  SELECT s_suppkey, n_name AS supp_nation
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-), agg AS (
-  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         sum(CASE WHEN supp_nation = 'NATION_3'
-                  THEN CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,4))
-                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS _num,
-         sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,4))) AS _den
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN cust_asia ON o_custkey = c_custkey
-  JOIN supp ON l_suppkey = s_suppkey
-  WHERE p_type = 'PROMO'
-  GROUP BY year(o_orderdate)
-)
-SELECT o_year,
-       {W.round_half_up_sql(
-           "CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)", 6)} AS mkt_share,
-       CAST(_den AS DOUBLE) AS total_revenue
-FROM agg
-"""
-    d["q25_promo_revenue"] = f"""
-WITH agg AS (
-  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         sum(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,4))
-                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS _promo,
-         sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,4))) AS _total,
-         CAST(count(*) AS BIGINT) AS n_items
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  GROUP BY year(l_shipdate)
-)
-SELECT l_year,
-       {W.round_half_up_sql(
-           "100.0 * CAST(_promo AS DOUBLE) / CAST(_total AS DOUBLE)", 6)}
-         AS promo_share,
-       CAST(_total AS DOUBLE) AS total_revenue,
-       n_items
-FROM agg
-"""
-    d["st10_weather_stream"] = _st10_oracle()
-    # st11's merged table equals the batch pipeline output exactly
-    d["st11_weather_stream_etl"] = _e2e_pipeline_oracle()
-    d["st12_dedup_ingest"] = """
-WITH d AS (
-  SELECT doc_id, source, md5(text) AS fp FROM documents
-), surv AS (
-  SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp
-), s AS (
-  SELECT d.source, d.doc_id FROM surv JOIN d USING (doc_id)
-)
-SELECT source, count(*) AS n_unique,
-       min(doc_id) AS min_doc, max(doc_id) AS max_doc
-FROM s GROUP BY source
-"""
-    d["sql4_windowed_sql"] = """
-SELECT n_name, c_custkey, spend, spend_rank
-FROM (
-  SELECT n.n_name, c.c_custkey,
-         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
-         rank() OVER (
-           PARTITION BY n.n_name
-           ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC,
-                    c.c_custkey ASC) AS spend_rank
-  FROM customer c
-  JOIN orders o ON o.o_custkey = c.c_custkey
-  JOIN nation n ON n.n_nationkey = c.c_nationkey
-  GROUP BY n.n_name, c.c_custkey
-)
-WHERE spend_rank <= 3
-"""
-    d["sql3_top_supplier_sql"] = """
-WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,4))) AS total_revenue
-  FROM lineitem
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name,
-       CAST(r.total_revenue AS DOUBLE) AS total_revenue
-FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-"""
-    # x86's graph CTE is shared verbatim by x86b so the symmetrization
-    # oracle can never drift from the graph oracle. n_centroids =
-    # ceil(sqrt(count(*))) replays the Spark-side sizing at any SF.
-    _x86_graph = f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), nc AS (
-  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < (SELECT n FROM nc)
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), probes AS (
-  SELECT query_id, qvec, centroid_id AS cell FROM (
-    SELECT c.vec_id AS query_id, c.cvec AS qvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('c.cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn <= 2
-), scored AS (
-  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM assigned JOIN probes USING (cell)
-  WHERE vec_id <> query_id
-), graph AS (
-  SELECT query_id AS src_id, vec_id AS nbr_id,
-         round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, vec_id ASC) AS rank
-    FROM scored) WHERE rank <= 5
-)"""
-    d["x86_knn_graph"] = _x86_graph + "\nSELECT * FROM graph"
-    # the incremental upsert and the streaming ingest must equal the
-    # batch rebuild exactly — one oracle, three physical strategies
-    # (build vs maintain vs continuous ingest)
-    d["x92_incremental_knn_upsert"] = d["x86_knn_graph"]
-    d["st21_knn_graph_ingest"] = d["x86_knn_graph"]
-    d["x86b_mutual_knn_edges"] = (
-        _x86_graph
-        + """
-SELECT f.src_id AS id_a, f.nbr_id AS id_b, f.cos_sim
-FROM graph f JOIN graph r
-  ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
-WHERE f.src_id < f.nbr_id
-"""
-    )
-    d["x98_graph_triangle_audit"] = (
-        _x86_graph
-        + f"""
-, me AS (
-  SELECT f.src_id AS id_a, f.nbr_id AS id_b
-  FROM graph f JOIN graph r
-    ON f.src_id = r.nbr_id AND f.nbr_id = r.src_id
-  WHERE f.src_id < f.nbr_id
-), tri AS (
-  SELECT 1 AS one
-  FROM me e1
-  JOIN me e2 ON e1.id_b = e2.id_a
-  JOIN me e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
-), deg AS (
-  SELECT v, count(*) AS d FROM (
-    SELECT id_a AS v FROM me UNION ALL SELECT id_b AS v FROM me)
-  GROUP BY v
-), tots AS (
-  SELECT
-    (SELECT CAST(count(*) AS BIGINT) FROM me) AS n_edges,
-    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
-    (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
-)
-SELECT n_edges, n_triangles, n_wedges,
-       {W.round_half_up_sql(
-           '3.0 * n_triangles / greatest(n_wedges, 1)', 6)} AS global_clustering
-FROM tots
-"""
-    )
-    # Beam search unrolled as CTEs over ANY edge-list CTE (x93 walks
-    # the seed graph, x95 walks the NN-descent-refined one). Entry =
-    # the query's own assigned cell (assignment rank-1 == probe
-    # rank-1: identical ordering over the same codebook), then each
-    # hop is two CTEs — candidates (beam ∪ graph neighbors, distinct)
-    # and the re-scored top-10 beam. beam == k == 10, so the final
-    # beam IS the answer.
-    def _beam_search_sql(graph_cte: str) -> str:
-        cos = V.cosine_sql("cc.cvec", "qa.qvec")
-        s = f"""
-, qa AS (
-  SELECT vec_id AS query_id, cvec AS qvec, cell
-  FROM assigned WHERE vec_id < 8
-), b0 AS (
-  SELECT query_id, node, sim FROM (
-    SELECT qa.query_id, cc.vec_id AS node, {cos} AS sim,
-           row_number() OVER (PARTITION BY qa.query_id
-               ORDER BY {cos} DESC, cc.vec_id ASC) AS rn
-    FROM qa JOIN assigned cc ON cc.cell = qa.cell) WHERE rn <= 10
-)"""
-        for h in range(1, 4):
-            s += f"""
-, c{h} AS (
-  SELECT DISTINCT query_id, node FROM (
-    SELECT query_id, node FROM b{h - 1}
-    UNION ALL
-    SELECT b.query_id, g.nbr_id AS node
-    FROM b{h - 1} b JOIN {graph_cte} g ON b.node = g.src_id)
-), b{h} AS (
-  SELECT query_id, node, sim FROM (
-    SELECT cd.query_id, cd.node, {cos} AS sim,
-           row_number() OVER (PARTITION BY cd.query_id
-               ORDER BY {cos} DESC, cd.node ASC) AS rn
-    FROM c{h} cd JOIN c cc ON cc.vec_id = cd.node
-                  JOIN qa ON qa.query_id = cd.query_id) WHERE rn <= 10
-)"""
-        return s + """
-SELECT query_id, node AS vec_id, round(sim, 6) AS cos_sim,
-       CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY sim DESC, node ASC) AS INT) AS rank
-FROM b3
-"""
-
-    d["x93_graph_beam_search"] = _x86_graph + _beam_search_sql("graph")
-    # x95: x88's one refinement round re-expressed as a CTE, then the
-    # same beam walk over the refined edge list — one oracle covering
-    # the full production chain build -> refine -> search
-    _refined_cte = f"""
-, bu AS (
-  SELECT src_id, nbr_id FROM graph
-  UNION
-  SELECT nbr_id AS src_id, src_id AS nbr_id FROM graph
-), rcand AS (
-  SELECT g1.src_id AS src_id, g2.nbr_id AS cand_id
-  FROM bu g1 JOIN bu g2 ON g1.nbr_id = g2.src_id
-  WHERE g1.src_id <> g2.nbr_id
-  UNION
-  SELECT src_id, nbr_id AS cand_id FROM graph
-), rsc AS (
-  SELECT rcand.src_id, rcand.cand_id,
-         {V.cosine_sql('e1.cvec', 'e2.cvec')} AS sim
-  FROM rcand JOIN c e1 ON rcand.src_id = e1.vec_id
-             JOIN c e2 ON rcand.cand_id = e2.vec_id
-), refined AS (
-  SELECT src_id, cand_id AS nbr_id
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY src_id
-                                 ORDER BY sim DESC, cand_id ASC) AS rk
-    FROM rsc) WHERE rk <= 5
-)"""
-    d["x95_refined_graph_search"] = (
-        _x86_graph + _refined_cte + _beam_search_sql("refined")
-    )
-    # st24 serves the same query set by the same walk from deployed
-    # state in streaming batches — drained union == the batch search
-    d["st24_graph_serve_stream"] = d["x93_graph_beam_search"]
-    # x96: pure 5-row planner math; rounding half-up 6dp absorbs any
-    # cross-libm pow ulp
-    _x96_ps = "".join(
-        f""",
-       {W.round_half_up_sql(
-           f'1.0 - pow(1.0 - pow({s}, rows_per_band), n_bands)', 6)}
-         AS p_at_{str(s).replace('.', '')}"""
-        for s in (0.3, 0.5, 0.7, 0.9)
-    )
-    d["x96_lsh_parameter_plan"] = f"""
-WITH plans AS (
-  SELECT n_bands, CAST(16 / n_bands AS INT) AS rows_per_band
-  FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_bands)
-), scored AS (
-  SELECT n_bands, rows_per_band,
-       {W.round_half_up_sql(
-           'pow(1.0 / n_bands, n_bands / 16.0)', 6)} AS est_threshold{_x96_ps}
-  FROM plans
-)
-SELECT n_bands, rows_per_band, est_threshold,
-       p_at_03, p_at_05, p_at_07, p_at_09,
-       (row_number() OVER (
-          ORDER BY abs(est_threshold - 0.5) ASC, n_bands ASC) = 1)
-         AS chosen
-FROM scored
-"""
-    # x97: the BPE merge loop unrolled — round i's CTE trio (pair
-    # counts p{i} over v{i-1}, arg-max rule b{i}, rewritten vocab
-    # v{i}) chains off round i-1; the list_reduce fold is the same
-    # string-encoded greedy rewrite operators/tokenizer.py runs, so
-    # the full training trajectory replays, not just final counts
-    _x97_round = """
-, p{i} AS (
-  SELECT pr.l AS l, pr.r AS r, CAST(sum(wf) AS BIGINT) AS pair_count
-  FROM (SELECT string_split(s, chr(31)) AS a, wf FROM v{j}) t,
-       LATERAL unnest(list_transform(range(1, len(a)),
-                                     k -> {{'l': a[k], 'r': a[k+1]}})) AS u(pr)
-  GROUP BY 1, 2
-), b{i} AS (
-  SELECT {i} AS merge_round, l, r, l || r AS m, pair_count FROM p{i}
-  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
-), v{i} AS (
-  SELECT w, list_reduce(string_split(s, chr(31)),
-           (acc, x) -> CASE
-              WHEN (acc = b{i}.l OR ends_with(acc, chr(31) || b{i}.l))
-                   AND x = b{i}.r
-                THEN left(acc, length(acc) - length(b{i}.l)) || b{i}.m
-              ELSE acc || chr(31) || x END) AS s, wf
-  FROM v{j}, b{i}
-)"""
-    d["x97_bpe_merge_train"] = (
-        """
-WITH words AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS w
-    FROM documents)
-  GROUP BY w
-), v0 AS (
-  SELECT w, left(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
-              length(regexp_replace(w, '(.)', '\\1' || chr(31), 'g')) - 1)
-           AS s, wf
-  FROM words
-)"""
-        + "".join(_x97_round.format(i=i, j=i - 1) for i in range(1, 6))
-        + """
-SELECT merge_round, l AS left_sym, r AS right_sym, m AS merged, pair_count
-FROM ("""
-        + " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, 6))
-        + """)
-ORDER BY merge_round
-"""
-    )
-    # x99 replays x97's training chain (identical rule CTEs) and joins
-    # the FINAL vocabulary segmentation v5 back to per-source word
-    # counts — trained-tokenizer fertility, the x56 statistic under
-    # the corpus' own tokenizer instead of the fixed regex proxy
-    d["x99_bpe_fertility_trained"] = (
-        d["x97_bpe_merge_train"].split("SELECT merge_round,")[0]
-        + f"""
-, words_src AS (
-  SELECT source, w, CAST(count(*) AS BIGINT) AS wfs FROM (
-    SELECT source,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS w
-    FROM documents)
-  GROUP BY source, w
-)
-SELECT ws.source,
-       CAST(sum(ws.wfs) AS BIGINT) AS n_words,
-       CAST(sum(ws.wfs * len(string_split(v5.s, chr(31)))) AS BIGINT)
-         AS n_tokens,
-       {W.round_half_up_sql(
-           '1.0 * sum(ws.wfs * len(string_split(v5.s, chr(31))))'
-           ' / sum(ws.wfs)', 6)} AS fertility
-FROM words_src ws JOIN v5 ON ws.w = v5.w
-GROUP BY ws.source
-"""
-    )
-    # io7: content-hash sharding (x11's md5 bucket) + order-independent
-    # modular fingerprint (x9b's rolling hash summed mod p)
-    d["io7_export_manifest"] = """
-WITH d AS (
-  SELECT (('0x' || substr(md5(text), 1, 4))::INT % 1000) % 8 AS shard,
-         n_chars,
-         list_reduce(
-           [0::BIGINT] || list_transform(
-             regexp_split_to_array(
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
-             c -> ascii(c)::BIGINT),
-           (acc, x) -> (acc * 257 + x) % 1000000007) AS fp
-  FROM documents
-)
-SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       CAST(sum(fp) % 1000000007 AS BIGINT) AS fingerprint
-FROM d GROUP BY shard
-"""
-    # st23 folds io7's monoid partials per batch — drained head == io7
-    d["st23_export_manifest_stream"] = d["io7_export_manifest"]
-    d["io8_sync_plan"] = """
-WITH d AS (
-  SELECT (('0x' || substr(md5(text), 1, 4))::INT % 1000) % 8 AS shard,
-         n_chars,
-         list_reduce(
-           [0::BIGINT] || list_transform(
-             regexp_split_to_array(
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
-             c -> ascii(c)::BIGINT),
-           (acc, x) -> (acc * 257 + x) % 1000000007) AS fp,
-         CASE WHEN source <> 'src0' THEN 1 ELSE 0 END AS is_old
-  FROM documents
-), m AS (
-  SELECT shard,
-         CAST(sum(is_old) AS BIGINT) AS docs_old,
-         CAST(count(*) AS BIGINT) AS docs_new,
-         CAST(sum(n_chars) AS BIGINT) AS chars_new,
-         CAST(sum(fp * is_old) % 1000000007 AS BIGINT) AS fingerprint_old,
-         CAST(sum(fp) % 1000000007 AS BIGINT) AS fingerprint_new
-  FROM d GROUP BY shard
-)
-SELECT shard,
-       CASE WHEN docs_old = 0 THEN 'added'
-            WHEN fingerprint_old = fingerprint_new AND docs_old = docs_new
-              THEN 'unchanged'
-            ELSE 'changed' END AS status,
-       docs_old, docs_new, chars_new, fingerprint_old, fingerprint_new
-FROM m ORDER BY shard
-"""
-    # a19: the hot-key test is pure integer arithmetic; only the two
-    # 6dp ratios touch floats (same half-up formula both engines)
-    d["a19_join_skew_audit"] = f"""
-WITH counts AS (
-  SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id
-), t AS (
-  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
-         CAST(count(*) AS BIGINT) AS n_keys,
-         CAST(max(cnt) AS BIGINT) AS max_cnt
-  FROM counts
-), h AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_hot_keys
-  FROM counts, t WHERE cnt * n_keys > 2 * n_rows
-), tk AS (
-  SELECT k AS top_key FROM counts ORDER BY cnt DESC, k ASC LIMIT 1
-)
-SELECT n_rows, n_keys, max_cnt,
-       {W.round_half_up_sql('n_rows::DOUBLE / n_keys', 6)} AS mean_cnt,
-       {W.round_half_up_sql(
-           'max_cnt::DOUBLE * n_keys / n_rows', 6)} AS hotspot_factor,
-       n_hot_keys, top_key
-FROM t, h, tk
-"""
-    # x94: two-level assignment replayed with nested rank-1 CTEs;
-    # n_super = ceil(sqrt(sqrt(N))) — two IEEE sqrts, never pow(x,.25)
-    d["x94_hierarchical_ivf"] = f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), nc AS (
-  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
-), ns AS (
-  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS n FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, cvec AS cent_vec
-  FROM c WHERE vec_id < (SELECT n FROM nc)
-), sup AS (
-  SELECT centroid_id AS super_id, cent_vec AS super_vec
-  FROM cent WHERE centroid_id < (SELECT n FROM ns)
-), cent_super AS (
-  SELECT centroid_id, cent_vec, super_id FROM (
-    SELECT cent.centroid_id, cent.cent_vec, sup.super_id,
-           row_number() OVER (PARTITION BY cent.centroid_id
-               ORDER BY {V.cosine_sql('cent.cent_vec', 'sup.super_vec')} DESC,
-                        sup.super_id ASC) AS rn
-    FROM cent CROSS JOIN sup) WHERE rn = 1
-), vec_super AS (
-  SELECT vec_id, cvec, super_id FROM (
-    SELECT c.vec_id, c.cvec, sup.super_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('c.cvec', 'sup.super_vec')} DESC,
-                        sup.super_id ASC) AS rn
-    FROM c CROSS JOIN sup) WHERE rn = 1
-), hier AS (
-  SELECT vec_id, super_id, cell FROM (
-    SELECT v.vec_id, v.super_id, cs.centroid_id AS cell,
-           row_number() OVER (PARTITION BY v.vec_id
-               ORDER BY {V.cosine_sql('v.cvec', 'cs.cent_vec')} DESC,
-                        cs.centroid_id ASC) AS rn
-    FROM vec_super v JOIN cent_super cs USING (super_id)) WHERE rn = 1
-), flat AS (
-  SELECT vec_id, flat_cell FROM (
-    SELECT c.vec_id, cent.centroid_id AS flat_cell,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('c.cvec', 'cent.cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-)
-SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-       CAST(sum(CASE WHEN h.cell = f.flat_cell THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_agree,
-       {W.round_half_up_sql(
-           'sum(CASE WHEN h.cell = f.flat_cell THEN 1 ELSE 0 END)'
-           '::DOUBLE / count(*)', 6)} AS agreement_rate,
-       CAST(count(DISTINCT h.super_id) AS BIGINT) AS n_super_used
-FROM hier h JOIN flat f USING (vec_id)
-"""
-    d["x88_nn_descent_round"] = (
-        _x86_graph
-        + f"""
-, b AS (
-  SELECT src_id, nbr_id FROM graph
-  UNION
-  SELECT nbr_id AS src_id, src_id AS nbr_id FROM graph
-), cand AS (
-  SELECT g1.src_id AS src_id, g2.nbr_id AS cand_id
-  FROM b g1 JOIN b g2 ON g1.nbr_id = g2.src_id
-  WHERE g1.src_id <> g2.nbr_id
-  UNION
-  SELECT src_id, nbr_id AS cand_id FROM graph
-), sc AS (
-  SELECT cand.src_id, cand.cand_id,
-         {V.cosine_sql('e1.cvec', 'e2.cvec')} AS sim
-  FROM cand JOIN c e1 ON cand.src_id = e1.vec_id
-            JOIN c e2 ON cand.cand_id = e2.vec_id
-)
-SELECT src_id, cand_id AS nbr_id,
-       round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY src_id
-                               ORDER BY sim DESC, cand_id ASC) AS rank
-  FROM sc) WHERE rank <= 5
-"""
-    )
-    # x90: the x86 graph CTE + mutual edges + 3 unrolled PageRank
-    # rounds; contributions quantized to the int64 1e-12 grid before
-    # each sum, so the trajectory is order-independent (Lloyd pattern)
-    _pr_iters = "".join(
-        f"""
-, c{i} AS (
-  SELECT dst AS id,
-         sum(CAST(floor(r / deg * 1000000000000 + 0.5) AS BIGINT)) AS qsum
-  FROM ej JOIN r{i - 1} ON ej.src = r{i - 1}.id
-  GROUP BY dst
-), r{i} AS (
-  SELECT nodes.id,
-         0.15 / (SELECT n FROM nn)
-           + 0.85 * (CAST(COALESCE(qsum, 0) AS DOUBLE) / 1000000000000.0)
-           AS r
-  FROM nodes LEFT JOIN c{i} USING (id)
-)"""
-        for i in (1, 2, 3)
-    )
-    d["x90_pagerank_knn"] = (
-        _x86_graph
-        + f"""
-, me AS (
-  SELECT f.src_id AS src, f.nbr_id AS dst
-  FROM graph f JOIN graph g2
-    ON f.src_id = g2.nbr_id AND f.nbr_id = g2.src_id
-), nodes AS (
-  SELECT vec_id AS id FROM embeddings
-), nn AS (
-  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
-), deg AS (
-  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM me GROUP BY src
-), ej AS (
-  SELECT me.src, me.dst, deg.deg FROM me JOIN deg USING (src)
-), r0 AS (
-  SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes
-){_pr_iters}
-SELECT id AS vec_id, {W.round_half_up_sql('r', 12)} AS rank FROM r3
-"""
-    )
-    d["io6_compaction_plan"] = f"""
-WITH inv AS (
-  SELECT CAST(l_shipdate AS DATE) AS f_date,
-         CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY 1
-), planned AS (
-  SELECT f_date, n_rows,
-         COALESCE(sum(n_rows) OVER (ORDER BY f_date
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_before
-  FROM inv
-)
-SELECT CAST(cum_before // {IO6_TARGET_ROWS} AS BIGINT) AS file_group,
-       CAST(count(*) AS BIGINT) AS n_input_files,
-       CAST(sum(n_rows) AS BIGINT) AS total_rows,
-       strftime(min(f_date), '%Y-%m-%d') AS first_date,
-       strftime(max(f_date), '%Y-%m-%d') AS last_date
-FROM planned GROUP BY 1
-"""
-    d["io10_compaction_execute"] = f"""
-WITH inv AS (
-  SELECT CAST(l_shipdate AS DATE) AS f_date,
-         CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY 1
-), planned AS (
-  SELECT f_date,
-         CAST(COALESCE(sum(n_rows) OVER (ORDER BY f_date
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {IO6_TARGET_ROWS} AS BIGINT) AS file_group
-  FROM inv
-), rows_g AS (
-  SELECT p.file_group, l.l_orderkey, l.l_linenumber, p.f_date
-  FROM lineitem l JOIN planned p ON CAST(l.l_shipdate AS DATE) = p.f_date
-)
-SELECT file_group,
-       CAST(count(*) AS BIGINT) AS total_rows,
-       CAST(count(DISTINCT f_date) AS BIGINT) AS n_input_files,
-       CAST(sum((7919 * l_orderkey + l_linenumber) % 1000000007)
-            % 1000000007 AS BIGINT) AS fingerprint
-FROM rows_g GROUP BY file_group ORDER BY file_group
-"""
-    d["x91_cell_occupancy"] = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), nn AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc
-  FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < (SELECT nc FROM nn)
-), assigned AS (
-  SELECT vec_id, centroid_id AS cell FROM (
-    SELECT e.vec_id, cent.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM e CROSS JOIN cent) WHERE rn = 1
-), cells AS (
-  SELECT cell, CAST(count(*) AS BIGINT) AS occ FROM assigned GROUP BY cell
-), agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_occupied,
-         min(occ) AS occ_min, max(occ) AS occ_max,
-         sum(CAST(floor(CAST(occ AS DOUBLE) * ln(CAST(occ AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT)) AS _qsum
-  FROM cells
-)
-SELECT (SELECT nc FROM nn) AS n_centroids,
-       n_occupied, occ_min, occ_max,
-       {W.round_half_up_sql(
-           "CAST(occ_max AS DOUBLE) / (CAST((SELECT n FROM nn) AS DOUBLE)"
-           " / CAST((SELECT nc FROM nn) AS DOUBLE))", 6)} AS hotspot_factor,
-       {W.round_half_up_sql(
-           "ln(CAST((SELECT n FROM nn) AS DOUBLE))"
-           " - (CAST(_qsum AS DOUBLE) / 1000000.0)"
-           " / CAST((SELECT n FROM nn) AS DOUBLE)", 6)} AS entropy_nats
-FROM agg
-"""
-    d["x89_zorder_locality"] = f"""
-WITH base AS (
-  SELECT CAST(user_id AS BIGINT) AS u,
-         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
-  FROM events
-), stats AS (
-  SELECT min(u) AS umin, max(u) AS umax,
-         min(h) AS hmin, max(h) AS hmax
-  FROM base
-), nrm AS (
-  SELECT u, h,
-         ((u - umin) * 65536) // (umax - umin + 1) AS un,
-         ((h - hmin) * 65536) // (hmax - hmin + 1) AS hn
-  FROM base CROSS JOIN stats
-), z AS (
-  SELECT u, h, {LA.zorder_key_sql('un', 'hn', 16)} AS zval FROM nrm
-)
-SELECT CAST(zval >> 26 AS BIGINT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n_events,
-       min(u) AS u_min, max(u) AS u_max,
-       min(h) AS h_min, max(h) AS h_max
-FROM z GROUP BY 1
-"""
-    d["x87_bpe_pair_counts"] = """
-WITH words AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS w
-    FROM documents)
-  GROUP BY w
-), pairs AS (
-  SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
-  FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
-  WHERE len(w) >= 2
-)
-SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
-FROM pairs GROUP BY pair
-ORDER BY pair_count DESC, pair ASC
-LIMIT 50
-"""
-    # st25 folds x87's pair-count monoid per batch — drained top-50
-    # == the batch statistic exactly
-    d["st25_bpe_stats_stream"] = d["x87_bpe_pair_counts"]
-    d["a20_data_contract"] = """
-WITH wide AS (
-  SELECT count(*) AS _n,
-         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS _null_key,
-         count(DISTINCT o_orderkey) AS _nd_key,
-         sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
-                  THEN 1 ELSE 0 END) AS _range_price,
-         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                  THEN 1 ELSE 0 END) AS _bad_status,
-         sum(CASE WHEN o_orderdate < DATE '1992-01-01'
-                    OR o_orderdate > DATE '1998-12-31'
-                  THEN 1 ELSE 0 END) AS _bad_date
-  FROM orders
-), orph AS (
-  SELECT count(*) AS _orphans FROM orders o
-  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-), rows_ AS (
-  SELECT 'not_null' AS expectation, 'o_orderkey' AS target,
-         CAST(_null_key AS BIGINT) AS violations FROM wide
-  UNION ALL
-  SELECT 'unique', 'o_orderkey', CAST(_n - _nd_key AS BIGINT) FROM wide
-  UNION ALL
-  SELECT 'range_0_1m', 'o_totalprice', CAST(_range_price AS BIGINT) FROM wide
-  UNION ALL
-  SELECT 'allowed_values', 'o_orderstatus', CAST(_bad_status AS BIGINT) FROM wide
-  UNION ALL
-  SELECT 'date_bounds', 'o_orderdate', CAST(_bad_date AS BIGINT) FROM wide
-  UNION ALL
-  SELECT 'ref_integrity', 'o_custkey', CAST(_orphans AS BIGINT) FROM orph
-)
-SELECT expectation, target, violations, (violations = 0) AS passed FROM rows_
-"""
-    # st26 folds the same contract per arriving micro-batch — drained
-    # scoreboard == the batch contract exactly (one oracle for both)
-    d["st26_contract_stream"] = d["a20_data_contract"]
-    d["x101_temperature_mixture"] = f"""
-WITH per_src AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS tokens_in
-  FROM documents GROUP BY source
-), tot AS (
-  SELECT CAST(sum(tokens_in) AS DOUBLE) AS _tot,
-         sum(sqrt(CAST(tokens_in AS DOUBLE))) AS _z
-  FROM per_src
-)
-SELECT source, n_docs, tokens_in,
-       {W.round_half_up_sql('CAST(tokens_in AS DOUBLE) / _tot', 6)}
-         AS share_in,
-       {W.round_half_up_sql('sqrt(CAST(tokens_in AS DOUBLE)) / _z', 6)}
-         AS weight,
-       {W.round_half_up_sql(
-           'sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot'
-           ' / CAST(tokens_in AS DOUBLE)', 4)} AS epoch_factor,
-       CAST(floor(sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot + 0.5)
-            AS BIGINT) AS target_tokens
-FROM per_src CROSS JOIN tot
-ORDER BY source
-"""
-    d["a21_drift_psi"] = f"""
-WITH binned AS (
-  SELECT (source = 'src0') AS is_cur,
-         LEAST(CAST(floor(n_chars / 64.0) AS INT), 15) AS chars_bin,
-         LEAST(CAST(floor(({T.token_count_sql('text')}) / 16.0) AS INT),
-               15) AS tok_bin
-  FROM documents
-), longf AS (
-  SELECT is_cur, 'n_chars' AS metric, chars_bin AS bin FROM binned
-  UNION ALL
-  SELECT is_cur, 'n_tokens' AS metric, tok_bin AS bin FROM binned
-), counts AS (
-  SELECT metric, bin,
-         CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT)
-           AS c_ref,
-         CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
-           AS c_cur
-  FROM longf GROUP BY metric, bin
-), grid AS (
-  SELECT m.metric, CAST(g.range AS INT) AS bin
-  FROM (SELECT 'n_chars' AS metric UNION ALL SELECT 'n_tokens') m
-  CROSS JOIN range(0, 16) g
-), dense AS (
-  SELECT grid.metric, grid.bin,
-         COALESCE(counts.c_ref, 0) AS c_ref,
-         COALESCE(counts.c_cur, 0) AS c_cur
-  FROM grid LEFT JOIN counts
-    ON grid.metric = counts.metric AND grid.bin = counts.bin
-), tot AS (
-  SELECT metric, CAST(sum(c_ref) AS BIGINT) AS n_ref,
-         CAST(sum(c_cur) AS BIGINT) AS n_cur
-  FROM dense GROUP BY metric
-), terms AS (
-  SELECT dense.metric, tot.n_ref, tot.n_cur,
-         CAST(floor(
-           ((c_cur + 0.5) / (n_cur + 8.0) - (c_ref + 0.5) / (n_ref + 8.0))
-           * ln(((c_cur + 0.5) / (n_cur + 8.0))
-                / ((c_ref + 0.5) / (n_ref + 8.0)))
-           * 100000000.0 + 0.5) AS BIGINT) AS term_q
-  FROM dense JOIN tot ON dense.metric = tot.metric
-), psi AS (
-  SELECT metric, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
-         {W.round_half_up_sql(
-             'CAST(sum(term_q) AS DOUBLE) / 100000000.0', 6)} AS psi
-  FROM terms GROUP BY metric
-)
-SELECT metric, n_ref, n_cur, psi, (psi > 0.2) AS drifted
-FROM psi ORDER BY metric
-"""
-    # mm9: the oracle replays decode → resize → 4×4 sample → threshold
-    # in pure integer SQL from the synthetic pixel formula, computing
-    # BOTH editions' sample coordinates independently (it would expose
-    # a broken resize mapping rather than assume the invariance proof)
-    d["mm9_perceptual_dedup"] = """
-WITH assets AS (
-  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
-  FROM range(64) WHERE range % 3 = 0
-), cells AS (
-  SELECT a, ed.ed, gi.range AS gi, gj.range AS gj,
-         CASE WHEN ed.ed = 'orig' THEN (gj.range * w0) // 4
-              ELSE (((gj.range * 16) // 4) * w0) // 16 END AS sx,
-         CASE WHEN ed.ed = 'orig' THEN (gi.range * h0) // 4
-              ELSE (((gi.range * 12) // 4) * h0) // 12 END AS sy
-  FROM assets,
-       (SELECT 'orig' AS ed UNION ALL SELECT 'up16') ed,
-       range(4) gi, range(4) gj
-), grays AS (
-  SELECT a, ed, gi, gj,
-         (((a*7 + sx*13 + sy*31) % 256)
-          + ((a*11 + sx*17 + sy*5) % 256)
-          + ((a*3 + sx*29 + sy*23) % 256)) // 3 AS g
-  FROM cells
-), tot AS (
-  SELECT a, ed, sum(g) AS total FROM grays GROUP BY a, ed
-), hashes AS (
-  SELECT grays.a, grays.ed,
-         CAST(sum(CASE WHEN 16 * g >= total
-                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
-           AS phash
-  FROM grays JOIN tot ON grays.a = tot.a AND grays.ed = tot.ed
-  GROUP BY grays.a, grays.ed
-)
-SELECT phash, CAST(count(*) AS BIGINT) AS n_editions,
-       CAST(count(DISTINCT a) AS BIGINT) AS n_assets,
-       CAST(min(a) AS BIGINT) AS canonical_asset
-FROM hashes GROUP BY phash ORDER BY phash
-"""
-    # st27 folds a21's (metric, bin) count monoid per arriving batch —
-    # the drained scoreboard equals the batch monitor exactly
-    d["st27_drift_stream"] = d["a21_drift_psi"]
-    # Shared NB train+score CTE chain (x100 scores, x104 calibrates)
-    nb_cte = """
-WITH base AS (
-  SELECT doc_id,
-         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS toks
-  FROM documents
-), toks AS (
-  SELECT doc_id, is_pos, unnest(toks) AS term FROM base
-), tc AS (
-  SELECT term,
-         CAST(sum(is_pos) AS BIGINT) AS c_pos,
-         CAST(sum(1 - is_pos) AS BIGINT) AS c_neg
-  FROM toks GROUP BY term
-), tot AS (
-  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-         CAST(sum(c_neg) AS BIGINT) AS n_neg,
-         CAST(count(*) AS BIGINT) AS v
-  FROM tc
-), wts AS (
-  SELECT term,
-         CAST(floor((ln((c_pos + 1.0) / (n_pos + v))
-                     - ln((c_neg + 1.0) / (n_neg + v)))
-                    * 1000000.0 + 0.5) AS BIGINT) AS w_units
-  FROM tc, tot
-), prior AS (
-  SELECT CAST(floor(ln((sum(is_pos) + 1.0)
-                       / (count(*) - sum(is_pos) + 1.0))
-                    * 1000000.0 + 0.5) AS BIGINT) AS prior_units
-  FROM base
-), scored AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum(w_units) AS BIGINT) AS units
-  FROM toks JOIN wts USING (term)
-  GROUP BY doc_id
-), scored_u AS (
-  SELECT doc_id, n_tokens,
-         CAST(units + prior_units AS BIGINT) AS units_total
-  FROM scored, prior
-)"""
-    d["x100_nb_quality_classifier"] = nb_cte + """
-SELECT doc_id, n_tokens,
-       (CAST(units_total AS DOUBLE) / 1000000.0 + 0.0) AS nb_score,
-       CAST(CASE WHEN units_total > 0 THEN 1 ELSE 0 END AS INT)
-         AS predicted_pos
-FROM scored_u
-"""
-    d["x104_classifier_calibration"] = nb_cte + f"""
-, labs AS (
-  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
-  FROM documents
-), ranked AS (
-  SELECT s.doc_id, l.is_pos,
-         row_number() OVER (ORDER BY s.units_total DESC, s.doc_id ASC)
-           AS rn,
-         count(*) OVER () AS n_all
-  FROM scored_u s JOIN labs l USING (doc_id)
-), per AS (
-  SELECT ((rn - 1) * 10) // n_all AS decile,
-         CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(is_pos) AS BIGINT) AS n_pos
-  FROM ranked GROUP BY 1
-), ptot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM per)
-SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
-       {W.round_half_up_sql("CAST(n_pos AS DOUBLE) / n_docs", 6)}
-         AS precision_at,
-       {W.round_half_up_sql(
-           "CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
-           "PRECEDING AND CURRENT ROW) AS DOUBLE) / total_pos", 6
-       )} AS cum_recall
-FROM per, ptot
-"""
-    # st29 scores the replayed corpus under the frozen x100 model —
-    # stateless per doc, so the drained union == batch x100 exactly
-    d["st29_nb_deploy_stream"] = d["x100_nb_quality_classifier"]
-    d["x102_crossdoc_span_dedup"] = f"""
-WITH toked AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), grams AS (
-  SELECT doc_id, i AS start, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
-  FROM toked, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
-  WHERE len(t) >= 8
-), dup AS (
-  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-), hits AS (
-  SELECT doc_id, start FROM grams JOIN dup USING (gram)
-), cov AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens FROM (
-    SELECT DISTINCT doc_id, p
-    FROM hits, LATERAL unnest(generate_series(start, start + 7)) AS s(p)
-  ) GROUP BY doc_id
-), dupg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
-  FROM hits GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
-       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
-       {W.round_half_up_sql(
-           "CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(t)", 6
-       )} AS dup_fraction
-FROM toked
-LEFT JOIN cov USING (doc_id)
-LEFT JOIN dupg USING (doc_id)
-"""
-    # st30 finalizes the streamed span index through the same census
-    # tail — drained scoreboard == batch x102 exactly
-    d["st30_span_index_stream"] = d["x102_crossdoc_span_dedup"]
-    d["x108_span_trimming"] = """
-WITH toked AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), grams AS (
-  SELECT doc_id, i AS start,
-         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
-  FROM toked, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
-  WHERE len(t) >= 8
-), dup AS (
-  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-), covered AS (
-  SELECT DISTINCT doc_id, p
-  FROM grams JOIN dup USING (gram),
-       LATERAL unnest(generate_series(start, start + 7)) AS s(p)
-), positions AS (
-  SELECT doc_id, len(t) AS n_tokens, i AS pos, t[i] AS tok
-  FROM toked, LATERAL unnest(generate_series(1, len(t))) AS g(i)
-), kept AS (
-  SELECT po.doc_id, po.pos, po.tok
-  FROM positions po
-  LEFT JOIN covered cv ON cv.doc_id = po.doc_id AND cv.p = po.pos
-  WHERE cv.doc_id IS NULL
-), rebuilt AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS kept_tokens,
-         string_agg(tok, ' ' ORDER BY pos) AS trimmed
-  FROM kept GROUP BY doc_id
-)
-SELECT td.doc_id,
-       CAST(len(td.t) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-       md5(COALESCE(r.trimmed, '')) AS trimmed_md5
-FROM toked td LEFT JOIN rebuilt r USING (doc_id)
-"""
-
-    d["x106_dedup_threshold_curve"] = f"""
-WITH toks AS (
-  SELECT doc_id, {jacc_toks} AS l FROM documents
-), sh0 AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1),
-                             i -> array_to_string(l[i:i+2], ' '))
-    END)) AS sh
-  FROM toks
-), hot AS (
-  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
-), sh AS (
-  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b,
-         round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
-), th AS (
-  SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6]) AS t
-), j AS (
-  SELECT t, id_a, id_b FROM pairs, th WHERE jaccard >= t
-), per AS (
-  SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY t
-), ids AS (
-  SELECT t, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_with_dup
-  FROM (SELECT t, unnest([id_a, id_b]) AS id FROM j) GROUP BY t
-)
-SELECT t,
-       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
-       CAST(COALESCE(n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup
-FROM th LEFT JOIN per USING (t) LEFT JOIN ids USING (t) ORDER BY t
-"""
-    d["x107_retrieval_ndcg"] = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
-  FROM embeddings WHERE vec_id < 8
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings
-), scored AS (
-  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
-         list_dot_product(cv, qv)
-           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
-           AS sim
-  FROM c CROSS JOIN q
-), ranked AS (
-  SELECT query_id, qlabel, vec_id, label,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored
-), hits AS (
-  SELECT query_id, qlabel, label,
-         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS p
-  FROM ranked WHERE vec_id <> query_id AND rank <= 11
-), gains AS (
-  SELECT query_id, qlabel,
-         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
-         CAST(floor(1000000000.0 * ln(2.0) / ln(p + 1.0) + 0.5) AS BIGINT)
-           AS w_units
-  FROM hits WHERE p <= 10
-), dcg AS (
-  SELECT query_id, qlabel,
-         CAST(sum(rel) AS BIGINT) AS n_rel_retrieved,
-         CAST(sum(rel * w_units) AS BIGINT) AS dcg_units
-  FROM gains GROUP BY query_id, qlabel
-), lc AS (
-  SELECT label, count(*) AS c FROM c GROUP BY label
-), wtab AS (
-  SELECT p,
-         CAST(floor(1000000000.0 * ln(2.0) / ln(p + 1.0) + 0.5) AS BIGINT)
-           AS w_units
-  FROM (SELECT unnest(range(1, 11)) AS p)
-), ideal AS (
-  SELECT d.query_id, CAST(sum(w.w_units) AS BIGINT) AS idcg_units
-  FROM dcg d JOIN lc ON lc.label = d.qlabel
-  JOIN wtab w ON w.p <= least(10, lc.c - 1)
-  GROUP BY d.query_id
-)
-SELECT d.query_id,
-       CAST(d.qlabel AS INT) AS query_label,
-       d.n_rel_retrieved,
-       CASE WHEN COALESCE(i.idcg_units, 0) = 0 THEN 0.0
-            ELSE {W.round_half_up_sql(
-                "CAST(d.dcg_units AS DOUBLE) / i.idcg_units", 6)}
-       END AS ndcg
-FROM dcg d LEFT JOIN ideal i USING (query_id) ORDER BY d.query_id
-"""
-    # st28 admits the same prefix the batch window selects: positive
-    # token counts make the cumulative strictly monotone, so streamed
-    # admission == the global prefix-sum cutoff (integer-exact).
-    d["st28_token_budget_stream"] = f"""
-WITH scored AS (
-  SELECT doc_id,
-         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens
-  FROM documents
-), cum AS (
-  SELECT doc_id, n_tokens,
-         CAST(sum(n_tokens) OVER (
-           ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS BIGINT) AS cum_tokens
-  FROM scored
-)
-SELECT doc_id, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 10000
-"""
-    # x103: the oracle audits the materialized mixture CLOSED-FORM
-    # (sum n_copies == exploded row count), proving planned == built.
-    d["x103_mixture_materializer"] = f"""
-WITH d AS (
-  SELECT doc_id, source,
-         CAST({T.token_count_sql('text')} AS BIGINT) AS n_tok,
-         {SMP.split_bucket_sql('text')} AS bucket
-  FROM documents
-), per_src AS (
-  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_in
-  FROM d GROUP BY source
-), tot AS (
-  SELECT CAST(sum(tokens_in) AS DOUBLE) AS _tot,
-         sum(sqrt(CAST(tokens_in AS DOUBLE))) AS _z
-  FROM per_src
-), policy AS (
-  SELECT source, tokens_in,
-         sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot / tokens_in AS ef,
-         CAST(floor(sqrt(CAST(tokens_in AS DOUBLE)) / _z * _tot + 0.5)
-              AS BIGINT) AS target_tokens
-  FROM per_src, tot
-), cop AS (
-  SELECT d.doc_id, d.source, d.n_tok, p.tokens_in, p.target_tokens,
-         CAST(floor(ef) AS INT)
-         + (CASE WHEN d.bucket < floor((ef - floor(ef)) * 1000.0 + 0.5)
-                 THEN 1 ELSE 0 END) AS n_copies
-  FROM d JOIN policy p USING (source)
-)
-SELECT source,
-       CAST(max(tokens_in) AS BIGINT) AS tokens_in,
-       CAST(max(target_tokens) AS BIGINT) AS target_tokens,
-       CAST(count(DISTINCT CASE WHEN n_copies > 0 THEN doc_id END)
-            AS BIGINT) AS n_docs_kept,
-       CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
-       CAST(sum(n_copies * n_tok) AS BIGINT) AS tokens_out,
-       {W.round_half_up_sql(
-           "CAST(sum(n_copies * n_tok) AS BIGINT) / max(target_tokens)", 4
-       )} AS achieved_ratio
-FROM cop GROUP BY source HAVING sum(n_copies) > 0
-"""
-    # io9: the generation split + null-fill replayed closed-form from
-    # the source table (gen1 predates the o_orderstatus column).
-    d["io9_schema_evolution"] = """
-WITH g AS (
-  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-              THEN 1 ELSE 2 END AS gen,
-         o_totalprice,
-         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-              THEN o_orderstatus END AS st
-  FROM orders
-)
-SELECT CAST(gen AS INT) AS gen,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_missing_status,
-       CAST(count(DISTINCT st) AS BIGINT) AS n_statuses,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         AS total_price
-FROM g GROUP BY gen
-"""
-    d["a22_exact_quantiles_distributed"] = """
-WITH v AS (
-  SELECT l_extendedprice AS value, l_orderkey, l_linenumber FROM lineitem
-), n AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v
-), ks AS (
-  SELECT p, n_rows,
-         CAST(greatest(1, ceil(p * n_rows)) AS BIGINT) AS k
-  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS p), n
-), r AS (
-  SELECT value,
-         row_number() OVER (ORDER BY value, l_orderkey, l_linenumber)
-           AS rk
-  FROM v
-)
-SELECT p, k AS rank_k, n_rows, value AS quantile_value
-FROM ks JOIN r ON r.rk = ks.k ORDER BY p
-"""
-    # st31 drains to exactly the batch quantile result
-    d["st31_quantile_stream"] = d["a22_exact_quantiles_distributed"]
-    d["x109_equidepth_histogram"] = """
-WITH v AS (
-  SELECT l_extendedprice AS value, l_orderkey, l_linenumber FROM lineitem
-), n AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v
-), ks AS (
-  SELECT CAST(greatest(1, ceil(p * n_rows)) AS BIGINT) AS k
-  FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p), n
-), r AS (
-  SELECT value,
-         row_number() OVER (ORDER BY value, l_orderkey, l_linenumber) AS rk
-  FROM v
-), bounds AS (
-  SELECT value AS boundary FROM ks JOIN r ON r.rk = ks.k
-), binned AS (
-  SELECT v.value, v.l_orderkey, v.l_linenumber,
-         CAST(sum(CASE WHEN v.value > b.boundary THEN 1 ELSE 0 END)
-              AS BIGINT) AS bin
-  FROM v CROSS JOIN bounds b
-  GROUP BY v.value, v.l_orderkey, v.l_linenumber
-)
-SELECT bin,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       min(value) AS min_value,
-       max(value) AS max_value,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM binned GROUP BY bin ORDER BY bin
-"""
-    # mm10: replay the synthetic sample formula, the 16-window energy
-    # split (sample counts are multiples of 16, so i // (n//16) is the
-    # exact window), the gain-2 edition (energies ×2), and the
-    # sign-of-delta bit packing — all integer arithmetic.
-    d["mm10_audio_perceptual_dedup"] = """
-WITH aud AS (
-  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
-  FROM range(0, 64) t(id) WHERE id % 3 = 1
-), sam AS (
-  SELECT asset_id, n, unnest(range(0, n)) AS i FROM aud
-), winsum AS (
-  SELECT asset_id, least(i // (n // 16), 15) AS k,
-         CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
-              AS BIGINT) AS e
-  FROM sam GROUP BY asset_id, least(i // (n // 16), 15)
-), eds AS (
-  SELECT asset_id, 'orig' AS ed, k, e FROM winsum
-  UNION ALL
-  SELECT asset_id, 'gain2' AS ed, k, 2 * e FROM winsum
-), tagged AS (
-  SELECT asset_id, ed, k, e,
-         lead(e) OVER (PARTITION BY asset_id, ed ORDER BY k) AS e_next
-  FROM eds
-), fp AS (
-  SELECT asset_id, ed,
-         CAST(coalesce(sum(CASE WHEN e_next > e THEN 1 << k ELSE 0 END), 0)
-              AS BIGINT) AS afp
-  FROM tagged WHERE k < 15 GROUP BY asset_id, ed
-)
-SELECT afp,
-       CAST(count(*) AS BIGINT) AS n_editions,
-       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
-       CAST(min(asset_id) AS BIGINT) AS canonical_asset
-FROM fp GROUP BY afp ORDER BY afp
-"""
-    # mm11: replay the Y4M plane formula at the 4x4 grid reads
-    # (3i, 4j), threshold, pack row-major, md5 the frame-ordered hash
-    # sequence. The up2x edition's grid reads floor-compose to the SAME
-    # source pixels (integer identity), so its fingerprint is this
-    # arithmetic verbatim — the oracle replays both editions.
-    d["mm11_video_perceptual_dedup"] = """
-WITH vid AS (
-  SELECT id AS asset_id, 2 + (id % 4) AS n_frames
-  FROM range(0, 64) t(id) WHERE id % 3 = 2
-), fr AS (
-  SELECT asset_id, unnest(range(0, n_frames)) AS f FROM vid
-), cell AS (
-  SELECT asset_id, f, gi, gj,
-         (asset_id * 3 + f * 7
-          + ((gi * 12 // 4) * 16 + (gj * 16 // 4)) * 5) % 256 AS s
-  FROM fr, LATERAL unnest(range(0, 4)) a(gi),
-           LATERAL unnest(range(0, 4)) b(gj)
-), tot AS (
-  SELECT asset_id, f, CAST(sum(s) AS BIGINT) AS total
-  FROM cell GROUP BY asset_id, f
-), bits AS (
-  SELECT c.asset_id, c.f,
-         CAST(sum(CASE WHEN 16 * s >= total
-                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
-           AS phash
-  FROM cell c JOIN tot USING (asset_id, f)
-  GROUP BY c.asset_id, c.f
-), fp AS (
-  SELECT asset_id,
-         md5(string_agg(phash::VARCHAR, '-' ORDER BY f)) AS vfp
-  FROM bits GROUP BY asset_id
-), eds AS (
-  SELECT asset_id, vfp FROM fp
-  UNION ALL
-  SELECT asset_id, vfp FROM fp
-)
-SELECT vfp,
-       CAST(count(*) AS BIGINT) AS n_editions,
-       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
-       CAST(min(asset_id) AS BIGINT) AS canonical_asset
-FROM eds GROUP BY vfp ORDER BY vfp
-"""
-    # x110: same vec_id DIV 4 bagging, same per-query-vector max cosine
-    # quantized to the int64 micro-grid before the cross-vector sum —
-    # exact integer accumulation on both engines, one division at the end.
-    d["x110_maxsim_retrieval"] = """
-WITH v AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, vec_id,
-         embedding::DOUBLE[] AS v
-  FROM embeddings
-), q AS (
-  SELECT doc_id AS query_doc, vec_id AS qvid, v AS qv
-  FROM v WHERE doc_id < 2
-), m AS (
-  SELECT q.query_doc, q.qvid, c.doc_id AS cand_doc,
-         max(list_dot_product(c.v, q.qv)
-             / (sqrt(list_dot_product(c.v, c.v))
-                * sqrt(list_dot_product(q.qv, q.qv)))) AS mx
-  FROM v c CROSS JOIN q
-  WHERE c.doc_id <> q.query_doc
-  GROUP BY q.query_doc, q.qvid, c.doc_id
-), s AS (
-  SELECT query_doc, cand_doc,
-         SUM(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS smq
-  FROM m GROUP BY query_doc, cand_doc
-)
-SELECT query_doc, cand_doc,
-       CAST(smq AS DOUBLE) / 1000000.0 AS maxsim,
-       CAST(rank AS INT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
-                                   ORDER BY smq DESC, cand_doc ASC) AS rank
-      FROM s)
-WHERE rank <= 5
-"""
-    # agro1: same pseudo-weather CTE as e2e_weather_sim, same integer
-    # milli-degree GDD arithmetic — the running sum accumulates int64.
-    d["agro1_growing_degree_days"] = """
-WITH pseudo AS (
-  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
-         round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature,
-         CAST(ts AS DATE) AS date
-  FROM events
-), validated AS (
-  SELECT * FROM pseudo WHERE temperature >= -5 AND temperature <= 50
-), daily AS (
-  SELECT region, date,
-         CAST(floor(max(temperature) * 100.0 + 0.5) AS BIGINT) AS tmax_c,
-         CAST(floor(min(temperature) * 100.0 + 0.5) AS BIGINT) AS tmin_c
-  FROM validated GROUP BY region, date
-), g AS (
-  SELECT region, date,
-         greatest(CAST(0 AS BIGINT),
-                  least((tmax_c + tmin_c) * 5, CAST(30000 AS BIGINT))
-                  - 10000) AS gdd_m
-  FROM daily
-)
-SELECT region, strftime(date, '%Y-%m-%d') AS date,
-       CAST(gdd_m AS DOUBLE) / 1000.0 AS gdd,
-       CAST(sum(gdd_m) OVER (PARTITION BY region ORDER BY date)
-            AS DOUBLE) / 1000.0 AS cum_gdd
-FROM g
-"""
-    # agro2: same pseudo-rainfall, deci-mm integer day totals, islands
-    # via epoch_day - row_number (int64 throughout).
-    d["agro2_dry_spells"] = """
-WITH pseudo AS (
-  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
-         round(((value * 13.7) - floor((value * 13.7)/60.0)*60.0), 1)
-           AS rainfall_1h,
-         CAST(ts AS DATE) AS date
-  FROM events
-), daily AS (
-  SELECT region, date,
-         SUM(CAST(floor(rainfall_1h * 10.0 + 0.5) AS BIGINT)) AS rain_deci
-  FROM pseudo GROUP BY region, date
-), thresh AS (
-  SELECT region, quantile_cont(rain_deci, 0.25) AS p25
-  FROM daily GROUP BY region
-), dry AS (
-  SELECT d.region, d.date,
-         date_diff('day', DATE '1970-01-01', d.date) AS epoch_day
-  FROM daily d JOIN thresh t USING (region)
-  WHERE d.rain_deci < t.p25
-), islands AS (
-  SELECT region, epoch_day,
-         epoch_day - row_number() OVER (PARTITION BY region
-                                        ORDER BY epoch_day) AS grp
-  FROM dry
-), spells AS (
-  SELECT region, grp, CAST(count(*) AS BIGINT) AS spell_len
-  FROM islands GROUP BY region, grp
-)
-SELECT region,
-       CAST(sum(spell_len) AS BIGINT) AS n_dry_days,
-       CAST(count(*) AS BIGINT) AS n_spells,
-       CAST(max(spell_len) AS BIGINT) AS longest_spell,
-       CAST(sum(spell_len) AS DOUBLE) / count(*) AS mean_spell
-FROM spells GROUP BY region
-"""
-    # st32 drains to exactly the batch MaxSim result (one bag per
-    # micro-batch; a bag's scores never read other queries)
-    d["st32_maxsim_serve_stream"] = d["x110_maxsim_retrieval"]
-    # io11: HEAD after rollback-to-v2 == the src0+src1 closed form;
-    # version metadata are the known constants of the 4-commit script.
-    d["io11_snapshot_rollback"] = """
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       min(doc_id) AS min_doc,
-       max(doc_id) AS max_doc,
-       CAST(4 AS INT) AS head_version,
-       CAST(2 AS INT) AS restored_version
-FROM documents
-WHERE source IN ('src0', 'src1')
-GROUP BY source
-"""
-    # x111: x7's exact score expression + per-source integer-rank
-    # quartile cut (rn*4 <= n), learned cutoff = min selected score.
-    d["x111_source_quality_cutoff"] = """
-WITH scored AS (
-  SELECT doc_id, source,
-         round(0.4 * least(length(text)::DOUBLE/1000.0, 1.0)
-               + 0.3 * (1.0 - length(regexp_replace(text,
-                     '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-                   / greatest(length(text)::DOUBLE, 1.0))
-               + 0.3 * least((len(list_filter(list_filter(
-                     regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> ''), t -> t IN ('the', 'and', 'of', 'to',
-                     'in', 'is', 'with', 'for')))::DOUBLE
-                   / greatest(len(list_filter(regexp_split_to_array(
-                     lower(text), '\\s+'), t -> t <> '')), 1)) * 10.0,
-                 1.0),
-               6) AS q_score
-  FROM documents
-), ranked AS (
-  SELECT doc_id, source, q_score,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY q_score DESC, doc_id ASC) AS rn,
-         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
-  FROM scored
-), sel AS (
-  SELECT source, q_score, n_docs, (rn * 4 <= n_docs) AS selected
-  FROM ranked
-)
-SELECT source,
-       max(n_docs) AS n_docs,
-       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_selected,
-       min(CASE WHEN selected THEN q_score END) AS cutoff_score,
-       max(q_score) AS best_score,
-       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS DOUBLE)
-         / max(n_docs) AS selection_rate
-FROM sel GROUP BY source
-"""
-    # x112: unit-normalize, int64 micro-grid centroid (the lloyd
-    # discipline), cosine-to-centroid quantized per vector before the
-    # averaging sum — exact integer accumulation on both engines.
-    d["x112_embedding_anisotropy"] = """
-WITH v AS (
-  SELECT label, vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_dot_product(embedding::DOUBLE[],
-                               embedding::DOUBLE[])) AS nrm
-  FROM embeddings
-), unit AS (
-  SELECT label, vec_id, list_transform(v, x -> x / nrm) AS u FROM v
-), sums AS (
-  SELECT label, pos,
-         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
-         count(*) AS n
-  FROM (SELECT label, unnest(u) AS x,
-               unnest(range(1, len(u) + 1)) AS pos
-        FROM unit) e
-  GROUP BY label, pos
-), mu AS (
-  SELECT label, list(mu_i ORDER BY pos) AS mu
-  FROM (SELECT label, pos, CAST(sq AS DOUBLE) / n / 1000000.0 AS mu_i
-        FROM sums) m
-  GROUP BY label
-), mun AS (
-  SELECT label, mu, sqrt(list_dot_product(mu, mu)) AS mu_nrm FROM mu
-), scored AS (
-  SELECT u.label, m.mu_nrm,
-         CAST(floor(list_dot_product(u.u, m.mu) / m.mu_nrm
-                    * 1000000.0 + 0.5) AS BIGINT) AS cq
-  FROM unit u JOIN mun m USING (label)
-)
-SELECT label,
-       CAST(count(*) AS BIGINT) AS n_vectors,
-       (floor(max(mu_nrm) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
-         AS centroid_norm,
-       CAST(sum(cq) AS DOUBLE) / count(*) / 1000000.0
-         AS mean_cos_to_centroid
-FROM scored GROUP BY label
-"""
-    # st33: the watermark replay closed-form, with the engine's REAL
-    # one-extra-batch lag (verified empirically, the same lag st13's
-    # two-sentinel flush exists for): the watermark FILTERING batch b
-    # derives from data through batch b-2 — batch b-1's max event time
-    # is folded in at its commit, which batch b's planning has already
-    # passed. So batches 0 AND 1 always count; batch-2 rows count iff
-    # window_end > max(ts over batch 0) - delay.
-    d["st33_late_data_audit"] = """
-WITH e AS (
-  SELECT event_id, ts, event_id % 3 AS b FROM events
-), wm0 AS (
-  SELECT max(ts) - INTERVAL '121 hours' - INTERVAL '41 minutes' AS w
-  FROM e WHERE b = 0
-), acc AS (
-  SELECT date_trunc('day', ts) AS ws FROM e WHERE b <= 1
-  UNION ALL
-  SELECT date_trunc('day', e.ts) FROM e, wm0
-  WHERE e.b = 2
-    AND date_trunc('day', e.ts) + INTERVAL '1 day' > wm0.w
-)
-SELECT strftime(ws, '%Y-%m-%d') AS window_day,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM acc GROUP BY ws
-"""
-    # w25: the same prefix-sum/running-min CUSUM identity on the same
-    # int64 cross-multiplied grid; windows replay the recurrence.
-    d["w25_cusum_drift"] = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS xd
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
-), totals AS (
-  SELECT event_type, SUM(xd) AS tot, CAST(count(*) AS BIGINT) AS nd
-  FROM daily GROUP BY event_type
-), d AS (
-  SELECT daily.event_type, daily.day, totals.nd,
-         SUM(xd) OVER (PARTITION BY daily.event_type ORDER BY day
-                       ROWS UNBOUNDED PRECEDING) AS p,
-         CAST(row_number() OVER (PARTITION BY daily.event_type
-                                 ORDER BY day) AS BIGINT) AS t,
-         totals.tot
-  FROM daily JOIN totals USING (event_type)
-), c AS (
-  SELECT event_type, day, nd, t,
-         (nd * p - t * tot)
-           - min(nd * p - t * tot)
-               OVER (PARTITION BY event_type ORDER BY day
-                     ROWS UNBOUNDED PRECEDING) AS cusum_n
-  FROM d
-), pick AS (
-  SELECT event_type, day, nd, cusum_n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY cusum_n DESC, day ASC) AS rk,
-         max(CASE WHEN t = nd THEN cusum_n END)
-           OVER (PARTITION BY event_type) AS last_n
-  FROM c
-)
-SELECT event_type,
-       nd AS n_days,
-       CAST(cusum_n AS DOUBLE) / nd / 1000.0 AS max_cusum,
-       strftime(day, '%Y-%m-%d') AS onset_day,
-       CAST(last_n AS DOUBLE) / nd / 1000.0 AS final_cusum
-FROM pick WHERE rk = 1
-"""
-    # x113: same whitespace tokenizer as the x8/x13 family, integer
-    # frequency-of-frequency rollup, one division per source.
-    d["x113_unseen_mass"] = """
-WITH toks AS (
-  SELECT source, t AS term
-  FROM (SELECT source,
-               unnest(string_split_regex(lower(text), '\\s+')) AS t
-        FROM documents)
-  WHERE t <> ''
-), tc AS (
-  SELECT source, term, CAST(count(*) AS BIGINT) AS c
-  FROM toks GROUP BY source, term
-)
-SELECT source,
-       CAST(sum(c) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS vocab,
-       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n1_singletons,
-       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n2_doubletons,
-       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c)
-         AS unseen_mass
-FROM tc GROUP BY source
-"""
-    # x114: compose x2c's pair query (scoped as a subquery — its CTEs
-    # stay inside the parens) with x11's split expression.
-    d["x114_split_leakage_audit"] = (
-        """
-WITH s AS (
-  SELECT doc_id,
-         CASE WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 900
-                THEN 'train'
-              WHEN (('0x' || substr(md5(text), 1, 4))::INT % 1000) < 950
-                THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-)
-SELECT least(sa.split, sb.split) AS split_lo,
-       greatest(sa.split, sb.split) AS split_hi,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       min(p.jaccard) AS min_jaccard,
-       max(p.jaccard) AS max_jaccard
-FROM ("""
-        + d["x2c_minhash_portable"]
-        + """) p
-JOIN s sa ON sa.doc_id = p.id_a
-JOIN s sb ON sb.doc_id = p.id_b
-GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
-"""
-    )
-    # st34 drains to exactly the batch coverage report (term counts are
-    # additive across batch-disjoint documents; fof derived at drain)
-    d["st34_unseen_mass_stream"] = d["x113_unseen_mass"]
-    # e2e_agro_report: compose the agro1/agro2 oracles as scoped
-    # subqueries + the e2e_weather_sim favorable-temp clause; verdict
-    # CASE evaluates the UNrounded rate (as the Spark side does).
-    d["e2e_agro_report"] = (
-        """
-WITH g AS (
-  SELECT region,
-         CAST(sum(CAST(floor(gdd * 1000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           / 1000.0 AS total_gdd
-  FROM ("""
-        + d["agro1_growing_degree_days"]
-        + """) a1 GROUP BY region
-), sp AS (
-  SELECT region, n_dry_days, longest_spell FROM ("""
-        + d["agro2_dry_spells"]
-        + """) a2
-), fav AS (
-  SELECT region,
-         CAST(sum(CASE WHEN temperature >= 18 AND temperature <= 28
-                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-           AS favorable_rate
-  FROM (
-    SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
-           round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature
-    FROM events
-  ) p
-  WHERE temperature >= -5 AND temperature <= 50
-  GROUP BY region
-)
-SELECT g.region, g.total_gdd, sp.n_dry_days, sp.longest_spell,
-       (floor(fav.favorable_rate * 1000000.0 + 0.5) / 1000000.0 + 0.0)
-         AS favorable_rate,
-       CASE WHEN fav.favorable_rate >= 0.2 AND sp.longest_spell <= 3
-              THEN 'plant'
-            WHEN sp.longest_spell >= 5 THEN 'drought_risk'
-            ELSE 'monitor' END AS verdict
-FROM g JOIN sp USING (region) JOIN fav USING (region)
-"""
-    )
-    # x115: int64-grid mean pooling (the x112 centroid discipline) +
-    # x5's cosine/rank tail on the pooled table.
-    d["x115_pooled_retrieval"] = """
-WITH v AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
-         embedding::DOUBLE[] AS v
-  FROM embeddings
-), sums AS (
-  SELECT doc_id, pos,
-         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
-         count(*) AS n
-  FROM (SELECT doc_id, unnest(v) AS x,
-               unnest(range(1, len(v) + 1)) AS pos
-        FROM v) e
-  GROUP BY doc_id, pos
-), pooled AS (
-  SELECT doc_id, list(p ORDER BY pos) AS pv
-  FROM (SELECT doc_id, pos,
-               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
-        FROM sums) m
-  GROUP BY doc_id
-), q AS (
-  SELECT doc_id AS query_doc, pv AS qv FROM pooled WHERE doc_id < 2
-), scored AS (
-  SELECT q.query_doc, c.doc_id AS cand_doc,
-         round(list_dot_product(c.pv, q.qv)
-               / (sqrt(list_dot_product(c.pv, c.pv))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
-  FROM pooled c CROSS JOIN q
-  WHERE c.doc_id <> q.query_doc
-)
-SELECT query_doc, cand_doc, cos_sim, CAST(rank AS INT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
-                                   ORDER BY cos_sim DESC, cand_doc ASC)
-               AS rank
-      FROM scored)
-WHERE rank <= 5
-"""
-    # x116: union the two retrieval oracles (scoped subqueries), grade
-    # by bag-label consistency, integer hit counts.
-    d["x116_retrieval_quality_compare"] = (
-        """
-WITH labs AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, label
-  FROM embeddings WHERE vec_id % 4 = 0
-), runs AS (
-  SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
-  FROM ("""
-        + d["x110_maxsim_retrieval"]
-        + """) li
-  UNION ALL
-  SELECT query_doc, cand_doc, rank, 'pooled' AS system
-  FROM ("""
-        + d["x115_pooled_retrieval"]
-        + """) po
-), hits AS (
-  SELECT r.system, r.query_doc, r.rank,
-         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS hit
-  FROM runs r
-  JOIN labs ql ON ql.doc_id = r.query_doc
-  JOIN labs cl ON cl.doc_id = r.cand_doc
-)
-SELECT system,
-       CAST(count(DISTINCT query_doc) AS BIGINT) AS n_queries,
-       CAST(sum(hit) AS BIGINT) AS n_hits,
-       CAST(sum(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS BIGINT)
-         AS hits_at_1,
-       CAST(sum(hit) AS DOUBLE) / count(*) AS precision_at_5
-FROM hits GROUP BY system
-"""
-    )
-    # agro3: same centi-int daily extremes, identical Hargreaves
-    # product chain, 1e-6 quantize before the monthly sum.
-    d["agro3_reference_et0"] = """
-WITH pseudo AS (
-  SELECT 'R' || lpad((user_id % 15)::VARCHAR, 2, '0') AS region,
-         CAST(user_id % 15 AS BIGINT) AS ridx,
-         round(-10 + (value - floor(value/70.0)*70.0), 2) AS temperature,
-         CAST(ts AS DATE) AS date
-  FROM events
-), validated AS (
-  SELECT * FROM pseudo WHERE temperature >= -5 AND temperature <= 50
-), daily AS (
-  SELECT region, ridx, date,
-         CAST(floor(max(temperature) * 100.0 + 0.5) AS BIGINT) AS tmax_c,
-         CAST(floor(min(temperature) * 100.0 + 0.5) AS BIGINT) AS tmin_c
-  FROM validated GROUP BY region, ridx, date
-), et AS (
-  SELECT region, date,
-         CAST(floor(
-           0.0023 * (20.0 + CAST(ridx % 10 AS DOUBLE))
-                  * (CAST(tmax_c + tmin_c AS DOUBLE) / 200.0 + 17.8)
-                  * sqrt(CAST(tmax_c - tmin_c AS DOUBLE) / 100.0)
-           * 1000000.0 + 0.5) AS BIGINT) AS et0_q
-  FROM daily
-)
-SELECT region, strftime(date, '%Y-%m') AS month,
-       CAST(count(*) AS BIGINT) AS n_days,
-       CAST(sum(et0_q) AS DOUBLE) / count(*) / 1000000.0 AS mean_et0,
-       CAST(sum(et0_q) AS DOUBLE) / 1000000.0 AS total_et0
-FROM et GROUP BY region, strftime(date, '%Y-%m')
-"""
-    # x110b: x5d's deterministic IVF replay (first-16 codebook, top-2
-    # probes per query vector) gates WHICH docs score; the MaxSim tail
-    # is x110's verbatim, restricted to candidate pairs.
-    d["x110b_maxsim_pruned"] = """
-WITH v AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, vec_id,
-         embedding::DOUBLE[] AS v
-  FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < 16
-), assigned AS (
-  SELECT vec_id, doc_id, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.doc_id, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY (list_dot_product(c.v, cent_vec)
-                         / (sqrt(list_dot_product(c.v, c.v))
-                            * sqrt(list_dot_product(cent_vec, cent_vec))))
-                        DESC, cent.centroid_id ASC) AS rn
-    FROM v c CROSS JOIN cent) WHERE rn = 1
-), qv AS (
-  SELECT doc_id AS query_doc, vec_id AS qvid, v AS qv
-  FROM v WHERE doc_id < 2
-), probes AS (
-  SELECT query_doc, qvid, centroid_id AS cell FROM (
-    SELECT q.query_doc, q.qvid, cent.centroid_id,
-           row_number() OVER (PARTITION BY q.qvid
-               ORDER BY (list_dot_product(q.qv, cent_vec)
-                         / (sqrt(list_dot_product(q.qv, q.qv))
-                            * sqrt(list_dot_product(cent_vec, cent_vec))))
-                        DESC, cent.centroid_id ASC) AS rn
-    FROM qv q CROSS JOIN cent) WHERE rn <= 2
-), cand AS (
-  SELECT DISTINCT p.query_doc, a.doc_id AS cand_doc
-  FROM probes p JOIN assigned a USING (cell)
-  WHERE a.doc_id <> p.query_doc
-), m AS (
-  SELECT cd.query_doc, q.qvid, cd.cand_doc,
-         max(list_dot_product(c.v, q.qv)
-             / (sqrt(list_dot_product(c.v, c.v))
-                * sqrt(list_dot_product(q.qv, q.qv)))) AS mx
-  FROM cand cd
-  JOIN v c ON c.doc_id = cd.cand_doc
-  JOIN qv q ON q.query_doc = cd.query_doc
-  GROUP BY cd.query_doc, q.qvid, cd.cand_doc
-), s AS (
-  SELECT query_doc, cand_doc,
-         SUM(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS smq
-  FROM m GROUP BY query_doc, cand_doc
-)
-SELECT query_doc, cand_doc,
-       CAST(smq AS DOUBLE) / 1000000.0 AS maxsim,
-       CAST(rank AS INT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
-                                   ORDER BY smq DESC, cand_doc ASC) AS rank
-      FROM s)
-WHERE rank <= 5
-"""
-    d["x117_containment_dedup"] = f"""
-WITH toks AS (
-  SELECT doc_id, {jacc_toks} AS l FROM documents
-), sh0 AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-         ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
-    END)) AS sh
-  FROM toks
-), hot AS (
-  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
-), sh AS (
-  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), contain AS (
-  SELECT id_a AS id_sub, id_b AS id_super,
-         round(inter::DOUBLE / sa.n_sh, 6) AS containment
-  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-  UNION ALL
-  SELECT id_b AS id_sub, id_a AS id_super,
-         round(inter::DOUBLE / sb.n_sh, 6) AS containment
-  FROM inter JOIN sizes sb ON sb.doc_id = id_b
-)
-SELECT id_sub, id_super, containment FROM contain WHERE containment >= 0.5
-"""
-    d["x118_l_diversity"] = """
-SELECT c_nationkey, c_mktsegment,
-       CAST(count(*) AS BIGINT) AS group_size,
-       CAST(count(DISTINCT CAST(least(4, greatest(0,
-             floor((c_acctbal + 1000.0) / 2200.0))) AS INT)) AS BIGINT)
-         AS l_distinct,
-       (count(DISTINCT CAST(least(4, greatest(0,
-             floor((c_acctbal + 1000.0) / 2200.0))) AS INT)) < 3)::INT
-         AS at_risk
-FROM customer GROUP BY c_nationkey, c_mktsegment
-"""
-    d["x119_t_closeness"] = """
-WITH banded AS (
-  SELECT c_nationkey, c_mktsegment,
-         CAST(least(4, greatest(0,
-              floor((c_acctbal + 1000.0) / 2200.0))) AS INT) AS bal_band
-  FROM customer
-), grp AS (
-  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_g
-  FROM banded GROUP BY 1, 2
-), gbc AS (
-  SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT AS n_gb
-  FROM banded GROUP BY 1, 2, 3
-), gdist AS (
-  SELECT bal_band, count(*)::BIGINT AS n_b FROM banded GROUP BY 1
-), ttot AS (SELECT count(*)::BIGINT AS n_tot FROM banded
-), grid AS (
-  SELECT g.c_nationkey, g.c_mktsegment,
-         CAST(b.range AS INT) AS bal_band, g.n_g, t.n_tot,
-         coalesce(x.n_gb, 0)::BIGINT AS n_gb,
-         coalesce(gl.n_b, 0)::BIGINT AS n_b
-  FROM grp g CROSS JOIN range(0, 5) b CROSS JOIN ttot t
-  LEFT JOIN gbc x ON x.c_nationkey = g.c_nationkey
-                 AND x.c_mktsegment = g.c_mktsegment
-                 AND x.bal_band = b.range
-  LEFT JOIN gdist gl ON gl.bal_band = b.range
-), terms AS (
-  SELECT c_nationkey, c_mktsegment, n_g, n_tot, bal_band,
-         abs(sum(n_gb) OVER w * n_tot - sum(n_b) OVER w * n_g) AS num
-  FROM grid
-  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT c_nationkey, c_mktsegment,
-       CAST(any_value(n_g) AS BIGINT) AS group_size,
-       round(sum(num)::DOUBLE
-             / (4.0 * any_value(n_g) * any_value(n_tot)), 6) AS t_emd,
-       (round(sum(num)::DOUBLE
-              / (4.0 * any_value(n_g) * any_value(n_tot)), 6) > 0.2)::INT
-         AS at_risk
-FROM terms WHERE bal_band < 4
-GROUP BY c_nationkey, c_mktsegment
-"""
+    d = _oracle_blocks.build(sys.modules[__name__])
     return d
