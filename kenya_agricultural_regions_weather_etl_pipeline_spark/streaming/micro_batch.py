@@ -1305,7 +1305,11 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
             (
-                out.withColumn("serve_batch", F.lit(batch_id))
+                # one file per serve batch (answers are Q·k ≈ 20 rows;
+                # 8 shuffle-partition files per batch just multiply
+                # commit + drain costs)
+                out.coalesce(1)
+                .withColumn("serve_batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("serve_batch")
                 .parquet(results)
