@@ -10440,6 +10440,27 @@ def x119_t_closeness(spark, sf_dir):
     )
 
 
+def st35_containment_ingest(spark, sf_dir):
+    """CONTAINMENT dedup ON INGEST
+    (streaming/micro_batch.run_containment_ingest) — x117's directional
+    quote/subset detector as a firehose, completing the streaming-dedup
+    QUARTET (st12 exact / st14 text-LSH / st20 semantic / st35
+    containment): an arrival that is an excerpt or boilerplate-wrapped
+    rehost of an EARLIER doc is dropped at the door — the case whose
+    Jaccard is tiny by construction, so st14 passes it through. Drop
+    rule: C(n → o) ≥ 0.5 for any o with a smaller doc_id, over the
+    OFFLINE-frozen df-capped shingle space (stop-shingle stats are
+    corpus properties a deployment precomputes — st17/st20's
+    frozen-artifact discipline, and what keeps the result
+    arrival-order-free). Standing state = append-only shingle inverted
+    index + thin size store, batch_id-keyed exactly-once; per batch
+    the candidate join is |batch| × collisions, never corpus². Drained
+    survivor rollup == the batch x117 formula (one oracle, batch
+    detector and streaming deployment)."""
+    apply_runtime_confs(spark)
+    return ST.run_containment_ingest(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10789,6 +10810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x117_containment_dedup": x117_containment_dedup,
         "x118_l_diversity": x118_l_diversity,
         "x119_t_closeness": x119_t_closeness,
+        "st35_containment_ingest": st35_containment_ingest,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

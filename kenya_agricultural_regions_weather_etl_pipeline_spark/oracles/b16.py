@@ -156,3 +156,22 @@ SELECT c_nationkey, c_mktsegment,
 FROM terms WHERE bal_band < 4
 GROUP BY c_nationkey, c_mktsegment
 """
+    # st35 composes x117's pair query as a scoped subquery (the x114
+    # pattern): drop doc iff some SMALLER-id doc contains it at >= 0.5,
+    # then roll up survivors per source — one oracle for the batch
+    # detector and its streaming deployment.
+    d["st35_containment_ingest"] = f"""
+WITH pairs AS (
+  SELECT id_sub, id_super, containment
+  FROM ({d["x117_containment_dedup"].strip()}) AS p
+), dropped AS (
+  SELECT DISTINCT id_sub AS doc_id FROM pairs WHERE id_super < id_sub
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_survivors,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY source
+"""

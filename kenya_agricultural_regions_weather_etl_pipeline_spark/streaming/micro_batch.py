@@ -2398,6 +2398,201 @@ def run_streaming_near_dedup(
     return out
 
 
+def run_containment_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """st35: CONTAINMENT dedup ON INGEST — x117's directional
+    quote/subset detector run as a firehose, completing the
+    streaming-dedup QUARTET (st12 exact fingerprints / st14 text LSH /
+    st20 embeddings / st35 containment): the arrival that is merely an
+    excerpt or boilerplate-wrapped rehost of an EARLIER document is
+    dropped at the door, even though its Jaccard vs the original is
+    tiny (the case st14 structurally passes through).
+
+    Semantics (deterministic, the st14 decomposition): an arriving doc
+    n is dropped iff some partner o with o.doc_id < n.doc_id contains
+    it — C(n → o) = |S(n) ∩ S(o)| / |S(n)| ≥ threshold over df-capped
+    word k-shingles. Batches arrive in doc_id ranges, so every
+    smaller-id partner is either in the standing index or in the same
+    batch; the streamed survivor set provably equals the batch x117
+    formula, which IS the oracle (composed as a scoped subquery).
+
+    The HOT-SHINGLE list (df > max_shingle_df — the anti-quadratic
+    join guard) is derived OFFLINE from the historical corpus and
+    FROZEN before the stream starts, exactly st17/st20's
+    quantizer-trained-offline discipline: stop-shingle statistics are
+    corpus properties a deployment precomputes, and freezing them is
+    what keeps the streamed result arrival-order-free and
+    oracle-replayable. State = an append-only shingle inverted index +
+    a thin (doc_id, n_sh) size store, both batch_id-keyed
+    overwrite-on-replay (exactly-once); per batch the candidate join
+    touches |batch| × shingle-collision rows, never the corpus."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from pyspark.errors import AnalysisException
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import shingles
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = tempfile.mkdtemp(prefix="kw_st35_src_")
+    state = tempfile.mkdtemp(prefix="kw_st35_state_")
+    index_path = os.path.join(state, "sh_index")
+    sizes_path = os.path.join(state, "sizes")
+    survivors_path = os.path.join(state, "survivors")
+    hot_path = os.path.join(state, "hot")
+
+    # offline deploy: the frozen stop-shingle list (bounded: shingles
+    # shared by > max_shingle_df docs — tiny by Zipf, broadcastable)
+    all_sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), k_shingle))
+        ).alias("sh"),
+    )
+    (
+        all_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("sh")
+        .coalesce(1)
+        .write.parquet(hot_path)
+    )
+    hot = spark.read.parquet(hot_path).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def featurize(batch: DataFrame):
+        idx = (
+            batch.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(shingles(F.col("text"), k_shingle))
+                ).alias("sh"),
+            )
+            .join(F.broadcast(hot), "sh", "left_anti")
+        )
+        sizes = idx.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh")
+        )
+        return idx, sizes
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        new_idx, new_sizes = featurize(batch)
+        new_idx = new_idx.localCheckpoint(eager=True)
+        new_sizes = new_sizes.localCheckpoint(eager=True)
+        partners = new_idx.select(
+            F.col("doc_id").alias("id_o"), "sh"
+        )
+        try:
+            partners = partners.unionByName(
+                sess.read.parquet(index_path).select(
+                    F.col("doc_id").alias("id_o"), "sh"
+                )
+            )
+        except AnalysisException:
+            pass  # first batch: no standing index yet
+        # shingle-keyed candidate join; the o < n guard doubles as the
+        # st14 replay-safety rule (a crash-replayed batch that already
+        # wrote its own index rows must not self-pair)
+        inter = (
+            new_idx.alias("n")
+            .join(
+                partners.alias("o"),
+                (F.col("n.sh") == F.col("o.sh"))
+                & (F.col("o.id_o") < F.col("n.doc_id")),
+            )
+            .groupBy(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("o.id_o").alias("id_o"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+        dropped = (
+            inter.join(new_sizes, "doc_id")
+            .withColumn(
+                "containment",
+                F.round(F.col("inter") / F.col("n_sh"), 6),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = batch.select("doc_id", "source").join(
+            dropped, "doc_id", "left_anti"
+        )
+        # batch_id-keyed OVERWRITE: replays rewrite their own partition
+        survivors.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        # state grows by the WHOLE batch — the drop rule references all
+        # lower ids, retained or not (an excerpt of a dropped rehost is
+        # still an excerpt of its content)
+        new_idx.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+        new_sizes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sizes_path, f"batch_id={batch_id}")
+        )
+
+    try:
+        mx = docs.agg(F.max("doc_id")).first()[0] + 1
+        now = _time.time()
+        for k in range(n_batches):
+            lo, hi = k * mx // n_batches, (k + 1) * mx // n_batches
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").json(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "*.json")), key=os.path.getmtime
+            )
+            os.utime(newest, (now - 600 + 60 * k, now - 600 + 60 * k))
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.json")
+            .json(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                q = (
+                    stream.writeStream.foreachBatch(one_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = (
+            spark.read.parquet(survivors_path)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        hot.unpersist()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def run_streaming_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
