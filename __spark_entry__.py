@@ -4835,6 +4835,79 @@ def a22_exact_quantiles_distributed(spark, sf_dir):
     )
 
 
+def a23_weighted_quantiles(spark, sf_dir):
+    """EXACT WEIGHTED quantiles, distributed — a22's bucket-prefix-sum
+    machinery generalized to weights: the p-quantile of
+    l_extendedprice where each row counts l_quantity times (the
+    "price level below which p of the QUANTITY ships" statistic —
+    volume-weighted percentiles are what inventory/pricing teams
+    actually ask for, and neither Spark's percentile (unweighted,
+    memory-buffering) nor approx_percentile expresses them). Weights
+    are integral (quantity ∈ 1..50) and cast to BIGINT, so every
+    cumulative sum is exact integer arithmetic.
+
+    Shape (two passes, no global sort, no per-group buffering): rows
+    histogram into ~1k price buckets (monotone in the order key);
+    per-bucket WEIGHT totals prefix-sum on the bucket-sized frame;
+    each row's cumulative weight = bucket prefix + a running
+    within-bucket window sum (full-column tiebreak so both engines
+    walk the identical order); the crossing row for target
+    W_p = ceil(p·W_total) satisfies cum_w ≥ W_p AND cum_w − w < W_p —
+    an inequality join against the broadcast 3-row target frame. The
+    oracle replays with a single-node running sum — identical
+    crossings by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.agg(F.sum("w").alias("w_total"))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    ks = ps.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "w_total",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("p") * F.col("w_total")).cast("long"),
+        ).alias("wk"),
+    )
+    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
+    btot = b.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "bucket", F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre")
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy(
+            F.col("value").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
+        "cum_w", F.col("pre") + F.sum("w").over(wd)
+    )
+    return (
+        ranked.join(
+            F.broadcast(ks),
+            (F.col("cum_w") >= F.col("wk"))
+            & (F.col("cum_w") - F.col("w") < F.col("wk")),
+        )
+        .select(
+            "p",
+            F.col("wk").alias("target_weight"),
+            F.col("w_total").alias("total_weight"),
+            F.col("value").alias("quantile_value"),
+        )
+        .orderBy("p")
+    )
+
+
 def x109_equidepth_histogram(spark, sf_dir):
     """EQUI-DEPTH histogram — the quantile-boundary profile that
     equi-width binning (a21_histogram) can't give a skewed column:
@@ -10811,6 +10884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x118_l_diversity": x118_l_diversity,
         "x119_t_closeness": x119_t_closeness,
         "st35_containment_ingest": st35_containment_ingest,
+        "a23_weighted_quantiles": a23_weighted_quantiles,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

@@ -295,6 +295,10 @@ def shingle_containment_pairs(
             F.first(F.col("a.n_sh")).alias("n_a"),
             F.first(F.col("b.n_sh")).alias("n_b"),
         )
+        # BOTH directional branches below read this frame — cut the
+        # lineage once (pair-count-bounded rows) or the inverted-index
+        # self-join executes twice, measured 2× end-to-end at sf0.1
+        .localCheckpoint(eager=True)
     )
     fwd = inter.select(
         F.col("id_a").alias("id_sub"),

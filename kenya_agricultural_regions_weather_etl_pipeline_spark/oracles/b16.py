@@ -175,3 +175,31 @@ FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY source
 """
+    d["a23_weighted_quantiles"] = """
+WITH base AS (
+  SELECT l_extendedprice AS value,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), ttot AS (
+  SELECT sum(w)::BIGINT AS w_total FROM base
+), ks AS (
+  SELECT p, w_total,
+         greatest(1, CAST(ceil(p * w_total) AS BIGINT)) AS wk
+  FROM (VALUES (0.5), (0.9), (0.99)) AS ps(p) CROSS JOIN ttot
+), ranked AS (
+  SELECT value, w,
+         sum(w) OVER (ORDER BY value ASC, l_orderkey ASC,
+                      l_linenumber ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_w
+  FROM base
+)
+SELECT k.p,
+       k.wk AS target_weight,
+       k.w_total AS total_weight,
+       r.value AS quantile_value
+FROM ranked r JOIN ks k
+  ON r.cum_w >= k.wk AND r.cum_w - r.w < k.wk
+ORDER BY p
+"""
