@@ -743,6 +743,18 @@ def test_a22_rank_window_is_bucket_partitioned(spark, sf01):
     assert "percentile" not in plan.lower()
 
 
+def test_a23_weighted_quantiles_plan_shape(spark, sf01):
+    """a23's weighted-quantile claim: the cumulative-weight window must
+    be PARTITIONED BY BUCKET (no global sort of the data), the plan
+    must not contain Spark's buffering percentile aggregate, and the
+    3-row target frame must arrive by broadcast."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf01, "a23_weighted_quantiles")
+    assert "windowspecdefinition(bucket" in plan, plan[:2000]
+    assert "percentile" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_x110_query_bags_broadcast_no_cartesian(spark, sf01):
     """x110's scoring join must be a BROADCAST nested-loop of the tiny
     query-bag side (the NEQ predicate rules out an equi-join), never a
