@@ -61,9 +61,12 @@ def _suspect_band(
     if not polls:
         return []
     lo = min(starts.values(), default=0.0) - POLL_SPARK_SECONDS
+    # +5.0 so the prefilter window matches the per-query overlap test
+    # (p - 5.0 <= t1): a poll recorded up to 5 s after the LAST query
+    # ends still flags that query
     hi = max(
         (starts[n] + timings.get(n, 0.0) for n in starts), default=0.0
-    )
+    ) + 5.0
     polls = [p for p in polls if lo <= p <= hi]
     suspect = []
     for name, t0 in starts.items():

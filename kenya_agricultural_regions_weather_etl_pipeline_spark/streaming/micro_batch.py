@@ -1275,11 +1275,26 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # direct-path read of ONLY the entry-cell directories under
         # basePath (st31's drain discipline): pruning by construction,
-        # never a listing of the whole cell store
-        assigned = (
-            sp.read.option("basePath", assign_dir)
-            .parquet(*[os.path.join(assign_dir, f"cell={c}") for c in cells])
-            .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+        # never a listing of the whole cell store. A centroid that is
+        # no vector's rank-1 nearest (possible with duplicate/parallel
+        # embeddings) has NO directory — reading it would raise
+        # PATH_NOT_FOUND, so keep only cells that materialized.
+        cell_dirs = [
+            os.path.join(assign_dir, f"cell={c}")
+            for c in cells
+            if os.path.isdir(os.path.join(assign_dir, f"cell={c}"))
+        ]
+        if cell_dirs:
+            assigned = (
+                sp.read.option("basePath", assign_dir)
+                .parquet(*cell_dirs)
+            )
+        else:  # every probed cell empty: degrade to a pruned full read
+            assigned = sp.read.parquet(assign_dir).filter(
+                F.col("cell").isin(cells)
+            )
+        assigned = assigned.select(
+            "vec_id", "cvec", F.col("cell").cast("long").alias("cell")
         )
         out = graph_beam_search(
             emb,
@@ -2495,16 +2510,22 @@ def run_containment_ingest(
             F.col("doc_id").alias("id_o"), "sh"
         )
         try:
+            # REPLAY SAFETY: a crash-replayed batch may find its OWN
+            # rows already in the standing index (its batch_id
+            # partition was written before the commit was lost).
+            # Unioning those with new_idx would double-count every
+            # shared shingle and inflate containment up to 2x, so the
+            # standing read excludes the current batch's partition —
+            # partition pruning makes the exclusion free.
             partners = partners.unionByName(
-                sess.read.parquet(index_path).select(
-                    F.col("doc_id").alias("id_o"), "sh"
-                )
+                sess.read.parquet(index_path)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select(F.col("doc_id").alias("id_o"), "sh")
             )
         except AnalysisException:
             pass  # first batch: no standing index yet
-        # shingle-keyed candidate join; the o < n guard doubles as the
-        # st14 replay-safety rule (a crash-replayed batch that already
-        # wrote its own index rows must not self-pair)
+        # shingle-keyed candidate join; the o < n guard prevents
+        # self-pairing within the batch
         inter = (
             new_idx.alias("n")
             .join(

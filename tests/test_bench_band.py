@@ -55,6 +55,16 @@ def test_missing_progress_file_is_silent(monkeypatch, tmp_path):
     assert bench._suspect_band({"a": 1000.0}, {"a": 1.0}) == []
 
 
+def test_poll_just_after_last_query_still_flags_it(fake_progress):
+    # a poll recorded up to 5 s after the LAST query ends must still
+    # flag that query (the prefilter's hi bound includes the +5 s the
+    # per-query overlap test allows)
+    fake_progress([1008.0])
+    starts = {"a": 1000.0}
+    timings = {"a": 5.0}  # ends 1005; poll at 1008 is within p-5 <= t1
+    assert bench._suspect_band(starts, timings) == ["a"]
+
+
 def test_malformed_lines_skipped(fake_progress, tmp_path):
     p = tmp_path / "PROGRESS.jsonl"
     p.write_text('not json\n{"ts": "string"}\n{"ts": 1100.0}\n')
