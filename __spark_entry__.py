@@ -10595,22 +10595,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_date_filter": f3_date_filter,
         "p1_agronomic_derivations": p1_agronomic_derivations,
         "p5_quantity_binning": p5_quantity_binning,
-        "p6_date_parts": p6_date_parts,
-        "p7_epoch_conversion": p7_epoch_conversion,
-        "p8_rounding": p8_rounding,
+        # r7 window rotation: the r6 flagships (containment dedup +
+        # its streaming twin completing the dedup quartet, exact
+        # weighted quantiles, t-closeness privacy audit) enter the
+        # driver's sampled window; the four displaced queries
+        # (p6/p7/p8/a4) all have in-window siblings — the e2e weather
+        # pipeline exercises date parts, epoch conversion, and 2-dp
+        # rounding end-to-end, and qv1/sql1/st1 cover grouped counts —
+        # and keep local-pass oracle parity below slot 50.
+        "x117_containment_dedup": x117_containment_dedup,
+        "st35_containment_ingest": st35_containment_ingest,
         "r1_dedup_keep_first": r1_dedup_keep_first,
         "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro3_reference_et0": agro3_reference_et0,
-        "a4_group_counts": a4_group_counts,
+        "a23_weighted_quantiles": a23_weighted_quantiles,
+        "x119_t_closeness": x119_t_closeness,
         "e2e_agro_report": e2e_agro_report,
         "sql1_quality_sql": sql1_quality_sql,
         # slots 51+: displaced from the window — r4 admitted st21-st24,
-        # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report (the
-        # streaming surface stays fully driver-verified; everything here
-        # has in-window siblings — w12+/sql2-4/qv1, and qv1+sql1 fuse
-        # a1-a3, e2e covers s2 — and keeps local-pass oracle parity)
+        # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report, r7
+        # admitted x117/st35/a23/x119 (the streaming surface stays
+        # fully driver-verified; everything here has in-window siblings
+        # — w12+/sql2-4/qv1, qv1+sql1 fuse a1-a3, e2e covers s2 and
+        # p6/p7/p8, qv1/st1 cover a4 — and keeps local-pass oracle
+        # parity in the pytest sweep)
+        "p6_date_parts": p6_date_parts,
+        "p7_epoch_conversion": p7_epoch_conversion,
+        "p8_rounding": p8_rounding,
+        "a4_group_counts": a4_group_counts,
         "a18_column_profiler": a18_column_profiler,
         "r7_incremental_join_view": r7_incremental_join_view,
         "a1_count_distinct": a1_count_distinct,
@@ -10880,11 +10894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st34_unseen_mass_stream": st34_unseen_mass_stream,
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
-        "x117_containment_dedup": x117_containment_dedup,
         "x118_l_diversity": x118_l_diversity,
-        "x119_t_closeness": x119_t_closeness,
-        "st35_containment_ingest": st35_containment_ingest,
-        "a23_weighted_quantiles": a23_weighted_quantiles,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

@@ -49,6 +49,13 @@ MUST_BE_IN_WINDOW = {
     "agro1_growing_degree_days",
     "agro3_reference_et0",
     "e2e_agro_report",
+    # r7 rotation: the r6 flagships enter the window (displacing
+    # p6/p7/p8/a4 — e2e covers date parts/epoch/rounding end-to-end,
+    # qv1/sql1/st1 cover grouped counts)
+    "x117_containment_dedup",
+    "st35_containment_ingest",
+    "a23_weighted_quantiles",
+    "x119_t_closeness",
 } | {f"st{i}" for i in range(1, 25)}
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
@@ -74,11 +81,11 @@ DRIVER_WINDOW_SNAPSHOT = [
     "sql4_windowed_sql",
     "q1_pricing_summary", "f1_range_filter",
     "f3_date_filter", "p1_agronomic_derivations", "p5_quantity_binning",
-    "p6_date_parts", "p7_epoch_conversion", "p8_rounding",
+    "x117_containment_dedup", "st35_containment_ingest",
     "r1_dedup_keep_first", "r2_upsert_last_write_wins",
     "x110_maxsim_retrieval", "agro1_growing_degree_days",
-    "agro3_reference_et0",
-    "a4_group_counts", "e2e_agro_report", "sql1_quality_sql",
+    "agro3_reference_et0", "a23_weighted_quantiles", "x119_t_closeness",
+    "e2e_agro_report", "sql1_quality_sql",
 ]
 
 
