@@ -37,12 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 POLL_SPARK_SECONDS = 120.0
 
 
-def _suspect_band(
-    starts: dict[str, float], timings: dict[str, float]
-) -> list[str]:
-    """Query names whose timed window overlaps a driver-poll window
-    ([poll_ts - 5, poll_ts + POLL_SPARK_SECONDS]) recorded in
-    PROGRESS.jsonl. Best-effort: no polls file, no flags."""
+def _load_polls() -> list[float]:
+    """Driver-poll timestamps recorded in PROGRESS.jsonl (best-effort:
+    no polls file → empty list)."""
     progress = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PROGRESS.jsonl"
     )
@@ -58,6 +55,22 @@ def _suspect_band(
                     polls.append(float(ts))
     except OSError:
         return []
+    return polls
+
+
+def _poll_overlaps(t0: float, t1: float, polls: list[float]) -> bool:
+    """True iff the wall-clock window [t0, t1] overlaps any poll's
+    Spark-work window [p - 5, p + POLL_SPARK_SECONDS]."""
+    return any(p - 5.0 <= t1 and t0 <= p + POLL_SPARK_SECONDS for p in polls)
+
+
+def _suspect_band(
+    starts: dict[str, float], timings: dict[str, float]
+) -> list[str]:
+    """Query names whose timed window overlaps a driver-poll window
+    ([poll_ts - 5, poll_ts + POLL_SPARK_SECONDS]) recorded in
+    PROGRESS.jsonl. Best-effort: no polls file, no flags."""
+    polls = _load_polls()
     if not polls:
         return []
     lo = min(starts.values(), default=0.0) - POLL_SPARK_SECONDS
@@ -71,9 +84,53 @@ def _suspect_band(
     suspect = []
     for name, t0 in starts.items():
         t1 = t0 + timings.get(name, 0.0)
-        if any(p - 5.0 <= t1 and t0 <= p + POLL_SPARK_SECONDS for p in polls):
+        if _poll_overlaps(t0, t1, polls):
             suspect.append(name)
     return suspect
+
+
+# ---- noise-robust retry (VERDICT r6 #2) -----------------------------
+# Ambient co-tenant noise inflates individual queries 2-3× in ways the
+# poll-band detector structurally can't see (five same-code r6 runs
+# spread 533-733 s). The committed BENCH_REFERENCE.json holds each
+# query's clean-run seconds; a query measuring far above its reference
+# — and NOT explained by a driver-poll overlap, which suspect_band
+# already flags — is re-run once and the min kept, with BOTH values
+# emitted so nothing is hidden.
+RETRY_FACTOR = 2.0
+RETRY_MIN_DELTA = 1.0  # ignore sub-second jitter on tiny queries
+
+
+def _load_reference() -> dict[str, float]:
+    """Per-query clean-run seconds from the committed reference file
+    (best-effort: missing/corrupt file → no retries)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+    )
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    q = data.get("queries", data) if isinstance(data, dict) else {}
+    return {
+        k: float(v) for k, v in q.items() if isinstance(v, (int, float))
+    }
+
+
+def _should_retry(
+    measured: float, ref: float | None, poll_overlapped: bool
+) -> bool:
+    """Retry iff the measurement is >RETRY_FACTOR× its clean reference
+    by more than RETRY_MIN_DELTA and no driver poll explains it (poll
+    contamination is already machine-flagged via suspect_band, and a
+    retry during the poll's window would be just as contaminated)."""
+    if ref is None or poll_overlapped:
+        return False
+    return (
+        measured > RETRY_FACTOR * ref
+        and measured - ref > RETRY_MIN_DELTA
+    )
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -147,20 +204,46 @@ def main() -> int:
     timings: dict[str, float] = {}
     starts: dict[str, float] = {}
     failures: dict[str, str] = {}
+    retries: dict[str, dict[str, float]] = {}
+    reference = _load_reference()
+    polls = _load_polls()
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
     for name, fn in entrymod.queries().items():
         starts[name] = round(time.time(), 2)
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            measured = run_once(fn)
         except Exception:
             failures[name] = traceback.format_exc(limit=2).splitlines()[-1]
             print(f"[bench] FAILED {name}: {failures[name]}", file=sys.stderr)
+            release_leaked_blocks(spark)
+            continue
         # measure each query from a clean slate: no cross-query cache
         # advantage, no leaked localCheckpoint blocks inflating later
         # ones (see session.release_leaked_blocks)
         release_leaked_blocks(spark)
+        overlapped = _poll_overlaps(
+            starts[name], starts[name] + measured, polls
+        )
+        if _should_retry(measured, reference.get(name), overlapped):
+            print(
+                f"[bench] RETRY {name}: {measured}s > "
+                f"{RETRY_FACTOR}x ref {reference[name]}s",
+                file=sys.stderr,
+            )
+            try:
+                retried = run_once(fn)
+            except Exception:
+                retried = measured  # keep the honest first measurement
+            release_leaked_blocks(spark)
+            retries[name] = {"measured": measured, "retried": retried}
+            measured = min(measured, retried)
+        timings[name] = measured
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -170,6 +253,9 @@ def main() -> int:
         "queries": timings,
         "started": starts,
         "suspect_band": _suspect_band(starts, timings),
+        # (measured, retried) pairs for noise-retried queries; timings
+        # carry the min of the two — both raw values stay visible here
+        "retries": retries,
         "sf": _sf_of(sf_dir),
     }
     if failures:
@@ -200,6 +286,9 @@ def main() -> int:
         # their per-query numbers are contamination-suspect (full list
         # + per-query start epochs in BENCH_full.json)
         "n_suspect": len(full["suspect_band"]),
+        # queries re-run once because the first measurement exceeded
+        # 2x the committed clean reference (raw pairs in BENCH_full)
+        "n_retried": len(retries),
     }
     print(json.dumps(compact))
     return 0 if not failures else 1

@@ -1,0 +1,56 @@
+"""Regenerate BENCH_REFERENCE.json from the newest clean BENCH_full.json.
+
+The reference feeds bench.py's noise-retry (a query measuring >2x its
+reference is re-run once and the min kept). Only promote a run whose
+``suspect_band`` is empty and ``failures`` absent — a noisy reference
+raises the retry threshold and lets contaminated measurements stand.
+
+Usage: python scripts/update_bench_reference.py [path/to/BENCH_full.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_full.json")
+    with open(src) as fh:
+        full = json.load(fh)
+    if full.get("failures"):
+        print(f"refusing: {src} has failures", file=sys.stderr)
+        return 1
+    if full.get("suspect_band"):
+        print(
+            f"warning: {src} has a non-empty suspect_band "
+            f"({len(full['suspect_band'])} queries) — promoting anyway "
+            "only makes retries LESS likely; prefer a clean run",
+            file=sys.stderr,
+        )
+    # where the run itself retried, the kept min IS the clean number
+    ref = {
+        "_comment": (
+            "Per-query clean-run reference seconds for bench.py's "
+            "noise-retry (VERDICT r6 #2). Regenerate: "
+            "python scripts/update_bench_reference.py"
+        ),
+        "source_run": {
+            "value": full["value"],
+            "sf": full.get("sf"),
+            "n_queries": len(full["queries"]),
+        },
+        "queries": full["queries"],
+    }
+    dst = os.path.join(ROOT, "BENCH_REFERENCE.json")
+    with open(dst, "w") as fh:
+        json.dump(ref, fh, indent=1)
+    print(f"wrote {dst}: {len(full['queries'])} refs, total {full['value']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
