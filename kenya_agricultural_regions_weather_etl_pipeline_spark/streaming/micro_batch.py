@@ -2457,36 +2457,33 @@ def run_containment_ingest(
     from ..functions.text import shingles
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src = tempfile.mkdtemp(prefix="kw_st35_src_")
     state = tempfile.mkdtemp(prefix="kw_st35_state_")
     index_path = os.path.join(state, "sh_index")
-    sizes_path = os.path.join(state, "sizes")
     survivors_path = os.path.join(state, "survivors")
     hot_path = os.path.join(state, "hot")
 
-    # offline deploy: the frozen stop-shingle list (bounded: shingles
-    # shared by > max_shingle_df docs — tiny by Zipf, broadcastable)
-    all_sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles(F.col("text"), k_shingle))
-        ).alias("sh"),
-    )
-    (
-        all_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > max_shingle_df)
-        .select("sh")
-        .coalesce(1)
-        .write.parquet(hot_path)
-    )
-    hot = spark.read.parquet(hot_path).persist(StorageLevel.MEMORY_AND_DISK)
+    # the whole query moves corpus-fraction row counts; size the
+    # shuffle for that from the first job (the offline deploy's
+    # stop-shingle agg otherwise pays 32 near-empty reduce tasks).
+    # AQE goes OFF for the run: every micro-batch stage here is
+    # bounded-small (|batch| × collisions), so per-stage re-planning
+    # is pure scheduling latency (measured 10.2 → 8.5 s at sf0.1,
+    # identical job count). A production deployment keeps AQE on for
+    # the one genuinely corpus-sized job — the offline stop-shingle
+    # agg — by running the deploy as its own job; both confs are
+    # restored in the shared finally below.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    hot = None
 
-    def featurize(batch: DataFrame):
-        idx = (
+    def featurize(batch: DataFrame) -> DataFrame:
+        return (
             batch.select(
                 "doc_id",
                 F.explode(
@@ -2495,17 +2492,21 @@ def run_containment_ingest(
             )
             .join(F.broadcast(hot), "sh", "left_anti")
         )
-        sizes = idx.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sh")
-        )
-        return idx, sizes
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        batch = batch.localCheckpoint(eager=True)
-        new_idx, new_sizes = featurize(batch)
-        new_idx = new_idx.localCheckpoint(eager=True)
-        new_sizes = new_sizes.localCheckpoint(eager=True)
+        # ONE checkpoint per batch: new_idx is consumed three ways
+        # (partner union, n-side of the candidate join, index write),
+        # so cutting ITS lineage stops the shingle explode from
+        # re-running; everything upstream (the batch's one small JSON
+        # file) and downstream (a |batch|-row groupBy for sizes) is
+        # cheap to recompute — checkpointing those too just added two
+        # more commit-cycle jobs per batch (measured on the r6 bench's
+        # slowest line).
+        new_idx = featurize(batch).localCheckpoint(eager=True)
+        new_sizes = new_idx.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh")
+        )
         partners = new_idx.select(
             F.col("doc_id").alias("id_o"), "sh"
         )
@@ -2558,45 +2559,79 @@ def run_containment_ingest(
         )
         # state grows by the WHOLE batch — the drop rule references all
         # lower ids, retained or not (an excerpt of a dropped rehost is
-        # still an excerpt of its content)
+        # still an excerpt of its content). The inverted index is the
+        # ONLY standing state: the directional rule C(n → o) divides by
+        # the ARRIVING doc's size, computed in-batch, so a standing
+        # (doc_id, n_sh) size store would be write-only dead state —
+        # one fewer commit cycle per batch.
         new_idx.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_path, f"batch_id={batch_id}")
         )
-        new_sizes.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(sizes_path, f"batch_id={batch_id}")
-        )
 
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # offline deploy: the frozen stop-shingle list (bounded:
+        # shingles shared by > max_shingle_df docs — tiny by Zipf,
+        # broadcastable)
+        all_sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), k_shingle))
+            ).alias("sh"),
+        )
+        (
+            all_sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("sh")
+            .coalesce(1)
+            .write.parquet(hot_path)
+        )
+        hot = spark.read.parquet(hot_path).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         mx = docs.agg(F.max("doc_id")).first()[0] + 1
         now = _time.time()
-        for k in range(n_batches):
-            lo, hi = k * mx // n_batches, (k + 1) * mx // n_batches
-            docs.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.mode("append").json(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "*.json")), key=os.path.getmtime
+        # ONE partitioned write stages all n_batches backlog files
+        # (4 separate filter+coalesce writes = 4 commit cycles over the
+        # same scan); the boundary CASE reproduces the exact integer
+        # doc_id ranges, and the move loop assigns ascending mtimes so
+        # maxFilesPerTrigger=1 replays arrival order.
+        bounds = [k * mx // n_batches for k in range(n_batches + 1)]
+        b_col = F.lit(n_batches - 1)
+        for k in range(n_batches - 1, 0, -1):
+            b_col = F.when(F.col("doc_id") < bounds[k], k - 1).otherwise(
+                b_col
             )
-            os.utime(newest, (now - 600 + 60 * k, now - 600 + 60 * k))
+        staging = os.path.join(state, "staging")
+        (
+            docs.withColumn("b", b_col)
+            .repartition(n_batches, "b")
+            .write.partitionBy("b")
+            .json(staging)
+        )
+        for k in range(n_batches):
+            parts = _glob.glob(os.path.join(staging, f"b={k}", "*.json"))
+            if not parts:  # empty doc_id range: no batch file
+                continue
+            dst = os.path.join(src, f"batch_{k}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
         stream = (
             spark.readStream.schema("doc_id long, source string, text string")
             .option("maxFilesPerTrigger", "1")
             .option("pathGlobFilter", "*.json")
             .json(src)
         )
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         with tempfile.TemporaryDirectory() as ckpt:
-            try:
-                spark.conf.set("spark.sql.shuffle.partitions", "8")
-                q = (
-                    stream.writeStream.foreachBatch(one_batch)
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            q = (
+                stream.writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.read.parquet(survivors_path)
             .groupBy("source")
@@ -2608,7 +2643,11 @@ def run_containment_ingest(
             .localCheckpoint(eager=True)
         )
     finally:
-        hot.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if hot is not None:
+            hot.unpersist()
+        docs.unpersist()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
