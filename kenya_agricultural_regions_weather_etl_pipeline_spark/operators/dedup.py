@@ -214,7 +214,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # NO broadcast hint on the hot list: it is tiny by Zipf at any
+        # fixed df cap, but its CARDINALITY grows with corpus
+        # vocabulary — a hint would pin an unbounded frame to the
+        # driver at 100 TB. AQE's runtime stats pick broadcast when it
+        # is actually small (the plan-contract test pins hint-free).
+        sh = sh.join(hot, "sh", "left_anti")
     # carry |shingles(doc)| on each index row (one extra int through the
     # join) instead of re-joining a separate sizes relation twice
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
@@ -283,7 +288,7 @@ def shingle_containment_pairs(
             .filter(F.col("df_") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = sh.join(hot, "sh", "left_anti")
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -957,8 +962,8 @@ def cross_corpus_jaccard(
             .filter(F.col("df_") > max_shingle_df)
             .select("sh")
         )
-        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
-        te = te.join(F.broadcast(hot), "sh", "left_anti")
+        tr = tr.join(hot, "sh", "left_anti")
+        te = te.join(hot, "sh", "left_anti")
     tr = tr.withColumn(
         "n_a", F.count(F.lit(1)).over(Window.partitionBy("train_id"))
     )

@@ -2490,7 +2490,11 @@ def run_containment_ingest(
                     F.array_distinct(shingles(F.col("text"), k_shingle))
                 ).alias("sh"),
             )
-            .join(F.broadcast(hot), "sh", "left_anti")
+            # hint-free anti-join: the df-capped hot list's cardinality
+            # grows with corpus vocabulary (see operators/dedup.py) —
+            # the planner picks broadcast from the stored artifact's
+            # size stats when it really is small
+            .join(hot, "sh", "left_anti")
         )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:

@@ -778,3 +778,34 @@ def test_x110b_gate_is_candidate_keyed_equi_join(spark, sf01):
     plan = _plan(spark, sf01, "x110b_maxsim_pruned")
     assert "CartesianProduct" not in plan
     assert "cand_doc" in plan
+
+
+def test_hot_shingle_anti_join_is_hint_free(spark, sf01):
+    """VERDICT r6 #5: the df-capped hot-shingle exclusion must NOT
+    force-broadcast the hot list. It is tiny by Zipf at any fixed df
+    cap, but its CARDINALITY grows with corpus vocabulary — a hint
+    would pin an unbounded frame to the driver at 100 TB. With
+    size-based auto-broadcast disabled (simulating a 100 TB-sized hot
+    list) the anti-join must fall back to a shuffle join; in
+    production AQE re-picks broadcast from runtime stats when the
+    list really is small. Same idiom at every hot site
+    (ngram_jaccard_pairs, shingle_containment_pairs,
+    cross_corpus_contamination, st35's featurize)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        dedup as D,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf01, "documents").select("doc_id", "text")
+    with _autobroadcast_off(spark):
+        df = D.ngram_jaccard_pairs(docs, max_shingle_df=50)
+        jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jvm_mode)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, (
+        "hot-shingle list must not be hint-forced to broadcast"
+    )
