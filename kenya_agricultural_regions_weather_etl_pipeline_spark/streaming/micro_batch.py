@@ -905,7 +905,9 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_knn_graph_ingest(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
     """Streaming kNN-GRAPH maintenance (st21) — the third leg of the
     graph triangle: batch build (x86), incremental batch upsert (x92),
     and now continuous ingest, all verified by ONE oracle (x86's SQL).
@@ -960,9 +962,15 @@ def run_knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir)
     os.makedirs(graph_dir)
     t0 = int(_time.time()) - 3600
-    for i in range(4):
+    # ``n_batches`` exists for the production-shape scale probe
+    # (bounded |batch|, batch COUNT growing with the corpus — the
+    # per-arrival axis SURVEY §9 argues); the graded query keeps the
+    # default 4, and the upsert is arrival-order-free either way.
+    for i in range(n_batches):
         tmp = os.path.join(workdir, f"tmp{i}")
-        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        emb.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.parquet(
+            tmp
+        )
         part = next(
             p for p in os.listdir(tmp)
             if p.startswith("part-") and p.endswith(".parquet")

@@ -41,10 +41,28 @@ def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
         shutil.rmtree(probe_dir)
     os.makedirs(probe_dir)
     for t in (
-        "region", "nation", "customer", "supplier", "part",
+        "region", "nation", "supplier", "part",
         "orders",
     ):
         os.symlink(f"{BASE}/{t}.parquet", f"{probe_dir}/{t}.parquet")
+
+    # customer ×M: custkeys disjoint per copy, all value columns
+    # untouched — the x119 axis (per-(nation, segment) quasi-groups
+    # gain M× members with the same band distribution; the probe must
+    # show the groups×bands grid flat while input volume grows M×).
+    # No probed query joins customer to orders, so the dangling new
+    # custkeys are inert.
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    ccopies = [
+        cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(c * 1_000_000_000)
+        )
+        for c in range(mult)
+    ]
+    cout = ccopies[0]
+    for c in ccopies[1:]:
+        cout = cout.unionByName(c)
+    cout.write.mode("overwrite").parquet(f"{probe_dir}/customer.parquet")
 
     # lineitem ×M: orderkeys disjoint per copy, values untouched — the
     # st31 axis (same value range, M× rows per histogram bucket: the
@@ -217,6 +235,9 @@ PROBED_QUERIES = (
     "x115_pooled_retrieval",
     "x116_retrieval_quality_compare",
     "agro3_reference_et0",
+    "x117_containment_dedup",
+    "st35_containment_ingest",
+    "x119_t_closeness",
 )
 
 
@@ -249,6 +270,32 @@ def main() -> int:
     )
     results: dict[str, dict] = {}
     for name in probed:
+        if name == "st21_knn_graph_ingest":
+            # PRODUCTION-SHAPE probe (VERDICT r6 #4): hold |batch|
+            # FIXED and grow batch COUNT with the corpus, so the probe
+            # measures the per-arrival law (|batch|·√N amortized) a
+            # deployment actually pays — the old fixed-count probe
+            # grew batch SIZE M×, conflating batch volume with
+            # standing-state growth (it reported 38.5× at 30×).
+            # Compare per-arrival: (t_Mx / M) / t_base; expected ≈ √M
+            # damped by the constant per-batch commit overhead.
+            from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (  # noqa: E501
+                run_knn_graph_ingest,
+            )
+
+            timed(
+                f"{name}@sf0.1",
+                lambda: run_knn_graph_ingest(spark, BASE, n_batches=4),
+                results,
+            )
+            timed(
+                f"{name}@{mult}x-bounded-batch",
+                lambda: run_knn_graph_ingest(
+                    spark, probe_dir, n_batches=4 * mult
+                ),
+                results,
+            )
+            continue
         timed(f"{name}@sf0.1", lambda: q[name](spark, BASE), results)
         timed(f"{name}@{mult}x", lambda: q[name](spark, probe_dir), results)
     if args.only is None or "st11" in args.only:
