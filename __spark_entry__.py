@@ -10525,13 +10525,124 @@ def st35_containment_ingest(spark, sf_dir):
     OFFLINE-frozen df-capped shingle space (stop-shingle stats are
     corpus properties a deployment precomputes — st17/st20's
     frozen-artifact discipline, and what keeps the result
-    arrival-order-free). Standing state = append-only shingle inverted
-    index + thin size store, batch_id-keyed exactly-once; per batch
-    the candidate join is |batch| × collisions, never corpus². Drained
-    survivor rollup == the batch x117 formula (one oracle, batch
-    detector and streaming deployment)."""
+    arrival-order-free). Standing state = an append-only shingle
+    inverted index, batch_id-keyed exactly-once (the directional rule
+    divides by the ARRIVING doc's size, computed in-batch, so no
+    standing size store exists to maintain); per batch the candidate
+    join is |batch| × collisions, never corpus². Drained survivor
+    rollup == the batch x117 formula (one oracle, batch detector and
+    streaming deployment)."""
     apply_runtime_confs(spark)
     return ST.run_containment_ingest(spark, sf_dir)
+
+
+def x120_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval — the sparse ranker next to the
+    dense stack (x5 cosine / x110 MaxSim / x115 pooled): query docs
+    (doc_id < 5, bag of distinct lowercase tokens) score against the
+    rest of the corpus and keep the top-5 each. The per-term score
+    idf·tf-saturation is quantized to integer 1e-9 units before the
+    per-(query, doc) fold (the x107 discipline — identical doubles on
+    both engines, exact int64 sum), so ranking and the 6-dp score are
+    order-free. Shape: term-keyed posting-list join (candidates =
+    docs sharing ≥1 query term, never corpus×queries), one broadcast
+    1-row stats frame, per-query window-group-limit — no global sort,
+    nothing super-linear in N. See operators/retrieval.py."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    return bm25_topk(corpus, queries_df, k=5)
+
+
+def a24_grouped_weighted_median(spark, sf_dir):
+    """EXACT per-GROUP weighted median — a23's bucket-prefix-sum
+    machinery with a grouping dimension (per return-flag, the price
+    level below which half the shipped QUANTITY sits). Everything
+    stays integer-exact: per-group weight totals, per-(group, bucket)
+    prefix sums on the bucket-sized frame, a within-(group, bucket)
+    running window over the full-column tiebreak order, and the
+    crossing rule cum_w ≥ W_g ∧ cum_w − w < W_g against the broadcast
+    per-group target frame. No global sort, no per-group buffering
+    percentile — the window partitions by (group, bucket), so state
+    per task is one bucket of one group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("w_total")
+    )
+    ks = tot.select(
+        "l_returnflag",
+        "w_total",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(0.5) * F.col("w_total")).cast("long"),
+        ).alias("wk"),
+    )
+    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
+    btot = b.groupBy("l_returnflag", "bucket").agg(
+        F.sum("w").cast("long").alias("bw")
+    )
+    wb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = btot.select(
+        "l_returnflag",
+        "bucket",
+        F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre"),
+    )
+    wd = (
+        Window.partitionBy("l_returnflag", "bucket")
+        .orderBy(
+            F.col("value").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = b.join(
+        F.broadcast(prefix), ["l_returnflag", "bucket"]
+    ).withColumn("cum_w", F.col("pre") + F.sum("w").over(wd))
+    return (
+        ranked.join(F.broadcast(ks), "l_returnflag")
+        .filter(
+            (F.col("cum_w") >= F.col("wk"))
+            & (F.col("cum_w") - F.col("w") < F.col("wk"))
+        )
+        .select(
+            "l_returnflag",
+            F.col("wk").alias("target_weight"),
+            F.col("w_total").alias("total_weight"),
+            F.col("value").alias("median_value"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def st36_weighted_quantile_stream(spark, sf_dir):
+    """st36: a23's EXACT weighted quantiles maintained ON INGEST —
+    st31's bucket-histogram stream fold generalized to integral
+    weights (per-bucket WEIGHT totals are the commutative monoid; raw
+    rows land bucket-partitioned batch-keyed exactly-once; drain
+    locates the W_p = ceil(p·W_total) crossings on the tiny prefix and
+    direct-path reads ONLY those bucket directories for the
+    running-weight crossing row). Drained answer == batch a23
+    row-for-row — one oracle covers the batch operator and its
+    streaming deployment."""
+    apply_runtime_confs(spark)
+    return ST.run_weighted_quantile_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -10895,6 +11006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
         "x118_l_diversity": x118_l_diversity,
+        "x120_bm25_topk": x120_bm25_topk,
+        "a24_grouped_weighted_median": a24_grouped_weighted_median,
+        "st36_weighted_quantile_stream": st36_weighted_quantile_stream,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

@@ -1,0 +1,135 @@
+"""Lexical retrieval operators (BM25) — the sparse complement of the
+dense stack in :mod:`operators.similarity`.
+
+A training-data pipeline greps its corpus constantly (decontamination
+probes, eval-set leakage audits, targeted subset pulls); BM25 is the
+standard lexical ranker for that, and its inverted-index shape is the
+same term-keyed join the dedup family already uses. Capability parity:
+the reference repo stores flat weather rows only
+(`daily_weather_etl_kenya.py` has no text path); this is §2.8
+training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Okapi BM25 constants — written as the exact decimal literals the
+# DuckDB oracle uses, so both engines bind identical doubles.
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Okapi BM25 top-``k``: score every query (bag of distinct
+    lowercase whitespace tokens) against the corpus and keep the ``k``
+    best docs per query.
+
+    Per (query, term, doc) with the term in both:
+
+        idf    = ln(1 + (N - df + 0.5) / (df + 0.5))
+        tfpart = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        s      = idf · tfpart
+
+    Exactness discipline (the x107 idiom): every per-term score is
+    QUANTIZED to integer 1e-9 units — idf/tfpart are identical doubles
+    on both engines (same integer inputs, same literal constants, same
+    operation order) — and the per-(query, doc) fold SUMS int64
+    exactly, so ranking and the 6-dp score are order-free and
+    oracle-replayable.
+
+    Scale shape: the scoring join is term-keyed against the tf
+    inverted index (posting-list join — candidates are docs sharing
+    ≥1 query term, never the full corpus per query); df/dl are
+    term-/doc-keyed aggregates of the same index; the only broadcast
+    is the 1-row corpus-stats frame; top-k is a per-query
+    window-group-limit, no global sort.
+    """
+    toks_c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks_c.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("term"),
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfc, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_tok").cast("double") / F.col("n_docs"),
+        )
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tfpart",
+            (F.col("tf") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                )
+            ),
+        )
+        .withColumn(
+            "s_units",
+            F.floor(
+                F.lit(1_000_000_000.0) * F.col("idf") * F.col("tfpart")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s_units").cast("long").alias("units")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("units").desc(), F.col("doc_id").asc()
+    )
+    from ..functions.weather import round_half_up
+
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            round_half_up(
+                F.col("units") / F.lit(1_000_000_000.0), 6
+            ).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

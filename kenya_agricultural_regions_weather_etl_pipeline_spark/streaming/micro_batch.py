@@ -3793,6 +3793,171 @@ def run_quantile_stream(
     return out
 
 
+def run_weighted_quantile_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 3,
+    bucket_width: float = 2000.0,
+) -> DataFrame:
+    """st36: EXACT WEIGHTED quantiles maintained ON INGEST — st31's
+    bucket-histogram stream fold generalized to integral weights, the
+    streaming twin of a23 (one oracle for both): the volume-weighted
+    p50/p90/p99 of everything ingested, updated per micro-batch with
+    no sketch, no re-sort, no history re-scan.
+
+    Per batch: (a) per-bucket WEIGHT totals (exact int64 — weights are
+    integral) fold into the standing histogram, the commutative-monoid
+    law st31/st23/st25 use, O(range/width) rows of state forever; and
+    (b) raw rows land bucket-PARTITIONED, batch-keyed
+    overwrite-on-replay (exactly-once). At drain the weight targets
+    W_p = ceil(p·W_total) locate their buckets on the tiny prefix, and
+    ONLY those bucket directories are read back (direct-path read
+    under basePath) for the within-bucket running-weight crossing —
+    cum_w ≥ W_p AND cum_w − w < W_p over the full-column tiebreak
+    order, the exact a23 rule, so the drained answer equals batch a23
+    row-for-row."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st36_")
+    src_dir = os.path.join(workdir, "arrivals")
+    state = os.path.join(workdir, "state")
+    store = os.path.join(workdir, "store")
+    os.makedirs(src_dir)
+
+    for i in range(n_files):
+        li.filter(F.col("l_orderkey") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    schema = StructType(
+        [
+            StructField("value", DoubleType()),
+            StructField("w", LongType()),
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", LongType()),
+        ]
+    )
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        b = batch.withColumn(
+            "bucket", F.floor(F.col("value") / F.lit(bucket_width))
+        ).withColumn("batch_id", F.lit(batch_id))
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # one file per occupied bucket per batch (st31's landing rule)
+        b.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket", "batch_id"
+        ).parquet(store)
+        cur = b.groupBy("bucket").agg(F.sum("w").cast("long").alias("bw"))
+        if batch_id > 0:
+            prev = sp.read.parquet(os.path.join(state, f"v{batch_id - 1}"))
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("bucket")
+                .agg(F.sum("bw").cast("long").alias("bw"))
+            )
+        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = hist.select(
+        "bucket",
+        "bw",
+        F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre"),
+    ).localCheckpoint(eager=True)
+    w_total = int(prefix.agg(F.sum("bw")).first()[0])
+    # W_p = ceil(p·W_total) on the same IEEE double product a23's
+    # engine expression computes, so the picked targets are identical
+    import math as _math
+
+    targets = [
+        (p, max(1, _math.ceil(p * w_total))) for p in (0.5, 0.9, 0.99)
+    ]
+    located = {}
+    for p, wk in targets:
+        row = (
+            prefix.filter(
+                (F.col("pre") < wk) & (wk <= F.col("pre") + F.col("bw"))
+            )
+            .select("bucket", "pre")
+            .first()
+        )
+        located[(p, wk)] = (row["bucket"], row["pre"])
+    buckets = sorted({b for b, _ in located.values()})
+    rows = spark.read.option("basePath", store).parquet(
+        *[os.path.join(store, f"bucket={b}") for b in buckets]
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy(
+            F.col("value").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rows.withColumn(
+        "cum_in_bucket", F.sum("w").over(wd)
+    ).localCheckpoint(eager=True)
+    out_rows = []
+    for (p, wk), (b, pre) in located.items():
+        v = (
+            ranked.filter(
+                (F.col("bucket") == b)
+                & (F.lit(pre) + F.col("cum_in_bucket") >= wk)
+                & (
+                    F.lit(pre) + F.col("cum_in_bucket") - F.col("w")
+                    < wk
+                )
+            )
+            .select("value")
+            .first()["value"]
+        )
+        out_rows.append((p, wk, w_total, v))
+    out = spark.createDataFrame(
+        out_rows,
+        "p double, target_weight long, total_weight long, "
+        "quantile_value double",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_maxsim_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MULTI-VECTOR serving (st32) — x110's MaxSim late
     interaction deployed the way st22 deploys single-vector IVF: the
