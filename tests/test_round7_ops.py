@@ -1,0 +1,150 @@
+"""Round-7 operator invariants: BM25's posting-list shape and
+hand-computed scores, a24's per-group crossing rule vs a brute-force
+weighted median, and st36's bucket-width invariance (the st31 law
+generalized to weights)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pyspark.sql.functions as F
+
+from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+    bm25_topk,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+    run_weighted_quantile_stream,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bm25_hand_computed_tiny_corpus(spark):
+    """3-doc corpus, 1 query — scores recomputed in pure Python with
+    the same formula must match to the 6-dp output exactly."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "maize rain rain soil"),
+            (11, "maize drought"),
+            (12, "tea leaves wet soil soil soil"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "rain soil")], "query_id long, text string"
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_topk(corpus, q, k=5).collect()
+    }
+    # corpus stats: N=3, dl = {10:4, 11:2, 12:6}, avgdl = 4.0
+    # df: rain=1, soil=2
+    def score(tf, df_, dl):
+        idf = math.log(1.0 + (3 - df_ + 0.5) / (df_ + 0.5))
+        tfp = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 4.0)))
+        return math.floor(1e9 * idf * tfp + 0.5)
+
+    exp10 = score(2, 1, 4) + score(1, 2, 4)  # rain + soil in doc 10
+    exp12 = score(3, 2, 6)  # soil only in doc 12
+    assert out[(1, 10)][0] == math.floor((exp10 / 1e9) * 1e6 + 0.5) / 1e6
+    assert out[(1, 12)][0] == math.floor((exp12 / 1e9) * 1e6 + 0.5) / 1e6
+    assert (1, 11) not in out  # no shared term -> never a candidate
+    assert out[(1, 10)][1] == 1 and out[(1, 12)][1] == 2
+
+
+def test_bm25_candidates_are_posting_list_only(spark, sf001):
+    """The scoring join is term-keyed: no CartesianProduct / no
+    nested-loop of corpus x queries in the plan, and top-k comes from
+    a rank filter (window per query), not a global sort."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf001, "documents")
+    q = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    c = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    df = bm25_topk(c, q, k=5)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    # the ONLY non-equi join is the broadcast of the 1-row stats frame
+    # (one tree line "... Cross BuildRight" + its numbered detail block)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "windowspecdefinition(query_id" in plan, plan[:2000]
+
+
+def test_a24_matches_bruteforce_weighted_median(spark, sf001):
+    """Per-group crossing rule == expand-by-weight brute force (the
+    w-th repetition of each value, pick element ceil(W/2)) on sf0.001."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["l_returnflag"]: (
+            r["target_weight"],
+            r["total_weight"],
+            r["median_value"],
+        )
+        for r in entrymod.queries()["a24_grouped_weighted_median"](
+            spark, sf001
+        ).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf001}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.col("l_quantity").cast("long").alias("w"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .collect()
+    )
+    groups = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["w"], r["l_orderkey"], r["l_linenumber"])
+        )
+    for g, rows in groups.items():
+        rows.sort()
+        w_total = sum(w for _, w, _, _ in rows)
+        wk = max(1, math.ceil(0.5 * w_total))
+        cum = 0
+        for v, w, _, _ in rows:
+            cum += w
+            if cum >= wk:
+                assert got[g] == (wk, w_total, v), g
+                break
+
+
+def test_st36_bucket_width_invariance(spark, sf001):
+    """Exact weighted quantiles cannot depend on the histogram bucket
+    width — coarser state changes fan-out, never the answer."""
+    a = _rows(run_weighted_quantile_stream(spark, sf001, bucket_width=2000.0))
+    b = _rows(run_weighted_quantile_stream(spark, sf001, bucket_width=500.0))
+    assert a == b
+
+
+def test_a24_plan_shape(spark, sf01):
+    """a24's scale claim: the cumulative window partitions by
+    (l_returnflag, bucket) — never a per-group global sort — no
+    buffering percentile aggregate, broadcast target frame."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    df = entrymod.queries()["a24_grouped_weighted_median"](spark, sf01)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "windowspecdefinition(l_returnflag" in plan, plan[:2000]
+    assert re.search(r"windowspecdefinition\(l_returnflag#\d+, bucket#\d+", plan)
+    assert "percentile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
