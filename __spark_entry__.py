@@ -10560,6 +10560,96 @@ def x120_bm25_topk(spark, sf_dir):
     return bm25_topk(corpus, queries_df, k=5)
 
 
+def x121_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval — reciprocal-rank fusion of the sparse and
+    dense legs (the standard two-tower merge every production search /
+    decontamination stack runs): BM25 top-20 (x120's scorer) fused
+    with pooled-bi-encoder cosine top-20 (x115's pooling on the int64
+    micro-grid) by rrf = 1/(60+rank_s) + 1/(60+rank_d), missing leg
+    contributing 0, top-10 per query by (rrf desc, doc_id asc). The
+    reciprocal terms are computed in a FIXED order on identical
+    doubles, the legs' ranks are exact integers, so the fused list
+    replays exactly in SQL. Shape: both legs stay bounded (posting-list
+    join / broadcast-query cosine), the fusion joins two Q·20-row
+    frames — nothing corpus-sized crosses the merge. See
+    operators/retrieval.py:rrf_fuse."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        cosine_given_norms as _cgn,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        norm as _vnorm,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.weather import (
+        round_half_up,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = bm25_topk(
+        docs.filter(F.col("doc_id") >= 5).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=20,
+    )
+    # dense leg: x115's mean-pool on the int64 micro-grid (partition-
+    # order-free), query bags doc_id < 5, candidate bags >= 5, top-20
+    # by the 6-dp half-up-rounded cosine (rank on the ROUNDED value so
+    # the ordering is engine-independent)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    pooled = (
+        vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
+        .withColumn(
+            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ).alias("pv")
+        )
+    )
+    cands = pooled.filter(F.col("doc_id") >= 5).withColumn(
+        "cnrm", _vnorm(F.col("pv"))
+    )
+    qv = (
+        pooled.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.col("pv").alias("qv"))
+        .withColumn("qnrm", _vnorm(F.col("qv")))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        cands.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            round_half_up(
+                _cgn(F.col("pv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse(sparse, dense, k=10)
+
+
 def a24_grouped_weighted_median(spark, sf_dir):
     """EXACT per-GROUP weighted median — a23's bucket-prefix-sum
     machinery with a grouping dimension (per return-flag, the price
@@ -10629,6 +10719,21 @@ def a24_grouped_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+def st37_bm25_index_ingest(spark, sf_dir):
+    """st37: the BM25 inverted index maintained ON INGEST — the
+    serving deployment of x120, the retrieval platform's analogue of
+    st24: per micro-batch the postings (doc_id, term, tf) and doc
+    lengths land batch-keyed append-only (docs batch-disjoint ⇒ a
+    doc's rows are complete in its batch), the term dictionary
+    (term → df) folds additively version-chained (the st23/st30
+    combiner law — batch-disjoint docs make df a monoid), history
+    never rescanned. Drain scores the frozen query set with the SAME
+    bm25_score_index the batch operator uses against the standing
+    index — drained top-5 == batch x120 row-for-row (one oracle)."""
+    apply_runtime_confs(spark)
+    return ST.run_bm25_index_ingest(spark, sf_dir)
 
 
 def st36_weighted_quantile_stream(spark, sf_dir):
@@ -11007,8 +11112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
         "x118_l_diversity": x118_l_diversity,
         "x120_bm25_topk": x120_bm25_topk,
+        "x121_hybrid_rrf": x121_hybrid_rrf,
         "a24_grouped_weighted_median": a24_grouped_weighted_median,
         "st36_weighted_quantile_stream": st36_weighted_quantile_stream,
+        "st37_bm25_index_ingest": st37_bm25_index_ingest,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

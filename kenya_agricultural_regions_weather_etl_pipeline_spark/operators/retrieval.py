@@ -1,11 +1,13 @@
-"""Lexical retrieval operators (BM25) — the sparse complement of the
-dense stack in :mod:`operators.similarity`.
+"""Lexical + hybrid retrieval operators (BM25, reciprocal-rank
+fusion) — the sparse complement of the dense stack in
+:mod:`operators.similarity`.
 
 A training-data pipeline greps its corpus constantly (decontamination
 probes, eval-set leakage audits, targeted subset pulls); BM25 is the
 standard lexical ranker for that, and its inverted-index shape is the
-same term-keyed join the dedup family already uses. Capability parity:
-the reference repo stores flat weather rows only
+same term-keyed join the dedup family already uses. RRF is the
+standard way those lexical lists are merged with a dense retriever's.
+Capability parity: the reference repo stores flat weather rows only
 (`daily_weather_etl_kenya.py` has no text path); this is §2.8
 training-data extension surface.
 """
@@ -55,13 +57,7 @@ def bm25_topk(
     is the 1-row corpus-stats frame; top-k is a per-query
     window-group-limit, no global sort.
     """
-    toks_c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = toks_c.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    tf = doc_postings(corpus, id_col, text_col)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dfc = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -70,12 +66,54 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tok"),
     )
-    qterms = queries.select(
+    qterms = query_terms(queries, query_id_col, text_col)
+    return bm25_score_index(qterms, tf, dfc, dl, stats, k)
+
+
+def doc_postings(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) — the posting rows of the inverted index.
+    Batch-disjoint docs make this an append-only monoid: a doc's rows
+    are complete within the batch that carries it (st37's state law)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def query_terms(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term): the distinct lowercase bag per query."""
+    return queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(tokens(F.lower(F.col(text_col))))
         ).alias("term"),
     )
+
+
+def bm25_score_index(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dfc: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Score queries against a MATERIALIZED index — the serving half
+    of :func:`bm25_topk`, shared verbatim by the batch operator and
+    st37's drained streaming index so the double expression order is
+    identical by construction. Inputs: (query_id, term) bags, postings
+    (doc_id, term, tf), term dictionary (term, df), doc lengths
+    (doc_id, dl), 1-row (n_docs, total_tok)."""
     scored = (
         qterms.join(tf, "term")
         .join(dfc, "term")
@@ -131,5 +169,61 @@ def bm25_topk(
                 F.col("units") / F.lit(1_000_000_000.0), 6
             ).alias("bm25"),
             F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    k_const: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (the
+    Cormack/Clarke/Buettcher combiner every hybrid-search stack ships):
+    per (query_id, doc_id), ``rrf = Σ_legs 1/(k_const + rank)`` with a
+    missing leg contributing 0, then top-``k`` per query by
+    (rrf desc, doc_id asc).
+
+    Determinism: both legs' ranks are exact integers, the two
+    reciprocal terms are computed in a FIXED order (sparse + dense) on
+    identical doubles, and ties (e.g. sparse-only rank r vs dense-only
+    rank r) break on doc_id — so the fused ranking replays exactly in
+    any engine.
+
+    Scale shape: one equi-join of two (Q·leg_k)-row frames — both
+    sides bounded by the legs' top-k, never corpus-sized — and a
+    per-query window-group-limit.
+    """
+    from ..functions.weather import round_half_up
+
+    s = sparse.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_s")
+    )
+    d = dense.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_d")
+    )
+    fused = s.join(d, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k_const) + F.col("rank_s")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k_const) + F.col("rank_d")), F.lit(0.0)
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            round_half_up(F.col("rrf"), 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("rank_s").cast("int").alias("sparse_rank"),
+            F.col("rank_d").cast("int").alias("dense_rank"),
         )
     )

@@ -6,18 +6,12 @@ the __spark_entry__ module for any name-scope bindings.
 """
 
 
-def add(d, ns):
-    # Shared whitespace tokenizer twin (functions/text.py tokens():
-    # split on \s+, drop empty strings) applied to lowercased text.
-    toks = (
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-        "t -> t <> '')"
-    )
-
-    # x120: Okapi BM25 top-5 — per-term score quantized to integer
-    # 1e-9 units before the per-(query, doc) fold (the x107 exactness
-    # discipline), identical double expression order on both engines.
-    d["x120_bm25_topk"] = f"""
+def _bm25_sql(toks: str, rank_limit: int) -> str:
+    """Okapi BM25 ranked list to ``rank_limit`` — per-term score
+    quantized to integer 1e-9 units before the per-(query, doc) fold
+    (the x107 exactness discipline), identical double expression order
+    on both engines. Shared by x120 (5) and x121's sparse leg (20)."""
+    return f"""
 WITH toksc AS (
   SELECT doc_id, unnest({toks}) AS term
   FROM documents WHERE doc_id >= 5
@@ -64,7 +58,87 @@ SELECT query_id, doc_id,
        (floor((units / 1000000000.0) * 1000000.0 + 0.5)
         / 1000000.0 + 0.0) AS bm25,
        CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {rank_limit}
+"""
+
+
+def add(d, ns):
+    # Shared whitespace tokenizer twin (functions/text.py tokens():
+    # split on \s+, drop empty strings) applied to lowercased text.
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '')"
+    )
+
+    d["x120_bm25_topk"] = _bm25_sql(toks, 5)
+
+    # st37 drains to the batch x120 answer row-for-row (the st24==x93 /
+    # st35==x117 pattern): one oracle covers the batch scorer and the
+    # streamed index it serves from.
+    d["st37_bm25_index_ingest"] = d["x120_bm25_topk"]
+
+    # x121: reciprocal-rank fusion of BM25 top-20 (the sparse leg,
+    # scoped subquery of the same builder) with the pooled bi-encoder
+    # cosine top-20 (x115's int64 micro-grid pooling; rank on the 6-dp
+    # half-up-rounded cosine so ordering is engine-independent). The
+    # two reciprocal terms are added in a FIXED order (sparse + dense)
+    # on identical doubles.
+    d["x121_hybrid_rrf"] = f"""
+WITH sparse AS (
+  SELECT query_id, doc_id, rank AS rank_s
+  FROM ({_bm25_sql(toks, 20).strip()}) s
+), v AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), sums AS (
+  SELECT doc_id, pos,
+         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM v) e
+  GROUP BY doc_id, pos
+), pooled AS (
+  SELECT doc_id, list(p ORDER BY pos) AS pv
+  FROM (SELECT doc_id, pos,
+               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
+        FROM sums) m
+  GROUP BY doc_id
+), qd AS (
+  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE doc_id < 5
+), dscored AS (
+  SELECT qd.query_id, c.doc_id,
+         (floor((list_dot_product(c.pv, qd.qv)
+                 / (sqrt(list_dot_product(c.pv, c.pv))
+                    * sqrt(list_dot_product(qd.qv, qd.qv))))
+                * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
+  FROM pooled c CROSS JOIN qd
+  WHERE c.doc_id >= 5 AND c.doc_id <> qd.query_id
+), dense AS (
+  SELECT query_id, doc_id, rank_d FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, doc_id ASC)
+               AS rank_d
+    FROM dscored)
+  WHERE rank_d <= 20
+), fused AS (
+  SELECT query_id, doc_id, rank_s, rank_d,
+         (coalesce(1.0 / (60.0 + rank_s), 0.0)
+          + coalesce(1.0 / (60.0 + rank_d), 0.0)) AS rrf
+  FROM sparse FULL OUTER JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, doc_id,
+       (floor(rrf * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS rrf_score,
+       CAST(rank AS INTEGER) AS rank,
+       CAST(rank_s AS INTEGER) AS sparse_rank,
+       CAST(rank_d AS INTEGER) AS dense_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC)
+             AS rank
+      FROM fused)
+WHERE rank <= 10
 """
 
     # a24: per-group exact weighted median — a23's crossing rule with

@@ -4306,3 +4306,155 @@ def run_unseen_mass_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_bm25_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """st37: the BM25 inverted index maintained ON INGEST — the
+    serving-side deployment of x120, completing the retrieval platform
+    the way st24 completes the vector one: corpus docs (doc_id ≥ 5)
+    arrive in doc_id-range micro-batches; per batch the POSTING rows
+    (doc_id, term, tf) and DOC LENGTHS (doc_id, dl) land batch_id-keyed
+    (docs are batch-disjoint, so both are append-only — a doc's rows
+    are complete within its batch, no cross-batch merge exists), and
+    the TERM DICTIONARY (term → df) folds additively into
+    version-chained state (batch-disjoint docs ⇒ df adds without
+    dedup — the st23/st30 combiner law, replay-safe by versioned
+    overwrite). History is never rescanned per batch.
+
+    At drain the frozen query set (doc_id < 5) is scored by the SAME
+    :func:`operators.retrieval.bm25_score_index` the batch operator
+    uses — the term-keyed posting-list join against the standing index,
+    df from the final dictionary version, (n_docs, total_tok) from one
+    aggregate of the dl store the scorer reads anyway — so the drained
+    top-5 equals batch x120 row-for-row (one oracle, batch scorer and
+    streaming index).
+
+    Scale shape: per-batch work = |batch| tokenize + a vocab-sized
+    dictionary fold (vocab grows sublinearly, Heaps' law); serving
+    reads ONLY the query terms' posting lists + point dl lookups —
+    never the corpus."""
+    import shutil
+
+    from ..operators.retrieval import (
+        bm25_score_index,
+        doc_postings,
+        query_terms,
+    )
+    from ..sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    src = tempfile.mkdtemp(prefix="kw_st37_src_")
+    state = tempfile.mkdtemp(prefix="kw_st37_state_")
+    postings_path = os.path.join(state, "postings")
+    dl_path = os.path.join(state, "dl")
+    dict_dir = os.path.join(state, "term_dict")
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # ONE checkpoint per batch (f6c665a): postings feed three
+        # consumers (the write, the dl rollup, the df fold)
+        tf_b = doc_postings(batch).localCheckpoint(eager=True)
+        tf_b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(postings_path, f"batch_id={batch_id}")
+        )
+        (
+            tf_b.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dl_path, f"batch_id={batch_id}"))
+        )
+        cur = tf_b.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        if batch_id > 0:
+            prev = sess.read.parquet(
+                os.path.join(dict_dir, f"v{batch_id - 1}")
+            )
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+        cur.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dict_dir, f"v{batch_id}"))
+
+    try:
+        mx = corpus.agg(F.max("doc_id")).first()[0] + 1
+        import glob as _glob
+        import time as _time
+
+        now = _time.time()
+        for b in range(n_batches):
+            lo = 5 + b * (mx - 5) // n_batches
+            hi = 5 + (b + 1) * (mx - 5) // n_batches
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").json(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "*.json")),
+                key=os.path.getmtime,
+            )
+            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.json")
+            .json(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                # bounded per-batch stages: AQE re-planning is pure
+                # latency here (f6c665a)
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                q = (
+                    stream.writeStream.foreachBatch(one_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        versions = sorted(
+            int(v[1:])
+            for v in os.listdir(dict_dir)
+            if v.startswith("v") and v[1:].isdigit()
+        )
+        dfc = spark.read.parquet(
+            os.path.join(dict_dir, f"v{versions[-1]}")
+        )
+        tf = spark.read.parquet(postings_path).select(
+            "doc_id", "term", "tf"
+        )
+        dl = spark.read.parquet(dl_path).select("doc_id", "dl")
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tok"),
+        )
+        qterms = query_terms(
+            docs.filter(F.col("doc_id") < 5).select(
+                F.col("doc_id").alias("query_id"), "text"
+            )
+        )
+        out = bm25_score_index(
+            qterms, tf, dfc, dl, stats, k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -148,3 +148,58 @@ def test_a24_plan_shape(spark, sf01):
     assert re.search(r"windowspecdefinition\(l_returnflag#\d+, bucket#\d+", plan)
     assert "percentile" not in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fusion on tiny hand-built lists: doc in both legs, docs in one
+    leg only, and the equal-score tie (sparse-only rank 2 vs dense-only
+    rank 2) breaking on doc_id."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    sparse = spark.createDataFrame(
+        [(1, 100, 1), (1, 102, 2)], "query_id long, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = {
+        r["doc_id"]: r for r in rrf_fuse(sparse, dense, k=10).collect()
+    }
+    both = 1.0 / 61.0 + 1.0 / 61.0
+    one = 1.0 / 62.0
+    assert rows[100]["rank"] == 1
+    assert rows[100]["rrf_score"] == math.floor(both * 1e6 + 0.5) / 1e6
+    # 101 and 102 tie at 1/62 -> doc_id asc breaks it
+    assert rows[101]["rank"] == 2 and rows[102]["rank"] == 3
+    assert rows[101]["rrf_score"] == math.floor(one * 1e6 + 0.5) / 1e6
+    assert rows[102]["sparse_rank"] == 2 and rows[102]["dense_rank"] is None
+    assert rows[101]["sparse_rank"] is None and rows[101]["dense_rank"] == 2
+
+
+def test_st37_batch_count_invariance(spark, sf001):
+    """The drained BM25 scores cannot depend on how the corpus was
+    micro-batched — 2 vs 4 arrival files, same index, same answer."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_bm25_index_ingest,
+    )
+
+    a = _rows(run_bm25_index_ingest(spark, sf001, n_batches=4))
+    b = _rows(run_bm25_index_ingest(spark, sf001, n_batches=2))
+    assert a == b and len(a) > 0
+
+
+def test_x121_no_cartesian(spark, sf01):
+    """The fusion and both legs stay bounded: no CartesianProduct
+    anywhere in the physical plan (the dense leg's NEQ join and the
+    stats frame must both be broadcast nested loops)."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    df = entrymod.queries()["x121_hybrid_rrf"](spark, sf01)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
