@@ -10808,9 +10808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql4_windowed_sql": sql4_windowed_sql,
         "q1_pricing_summary": q1_pricing_summary,
         "f1_range_filter": f1_range_filter,
-        "f3_date_filter": f3_date_filter,
         "p1_agronomic_derivations": p1_agronomic_derivations,
-        "p5_quantity_binning": p5_quantity_binning,
         # r7 window rotation: the r6 flagships (containment dedup +
         # its streaming twin completing the dedup quartet, exact
         # weighted quantiles, t-closeness privacy audit) enter the
@@ -10821,15 +10819,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and keep local-pass oracle parity below slot 50.
         "x117_containment_dedup": x117_containment_dedup,
         "st35_containment_ingest": st35_containment_ingest,
-        "r1_dedup_keep_first": r1_dedup_keep_first,
-        "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro3_reference_et0": agro3_reference_et0,
         "a23_weighted_quantiles": a23_weighted_quantiles,
         "x119_t_closeness": x119_t_closeness,
         "e2e_agro_report": e2e_agro_report,
-        "sql1_quality_sql": sql1_quality_sql,
+        # r7 (cont.): the round-7 flagships — BM25 lexical retrieval,
+        # hybrid RRF fusion, grouped weighted median, and the two new
+        # streaming deployments (weighted-quantile ingest, BM25 index
+        # ingest) — enter the window; the five displaced queries
+        # (f3/p5/r1/r2/sql1) all have in-window siblings: the e2e
+        # weather pipeline exercises date filtering and pruning (f3),
+        # p1 keeps the CASE/derivation family (p5), st12/x117/st35
+        # keep dedup (r1), r5_merge_cdc + st6 keep upsert (r2), and
+        # qv1 + sql2-4 keep the fused quality SQL surface (sql1).
+        "x120_bm25_topk": x120_bm25_topk,
+        "x121_hybrid_rrf": x121_hybrid_rrf,
+        "a24_grouped_weighted_median": a24_grouped_weighted_median,
+        "st36_weighted_quantile_stream": st36_weighted_quantile_stream,
+        "st37_bm25_index_ingest": st37_bm25_index_ingest,
         # slots 51+: displaced from the window — r4 admitted st21-st24,
         # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report, r7
         # admitted x117/st35/a23/x119 (the streaming surface stays
@@ -10837,6 +10846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — w12+/sql2-4/qv1, qv1+sql1 fuse a1-a3, e2e covers s2 and
         # p6/p7/p8, qv1/st1 cover a4 — and keeps local-pass oracle
         # parity in the pytest sweep)
+        "f3_date_filter": f3_date_filter,
+        "p5_quantity_binning": p5_quantity_binning,
+        "r1_dedup_keep_first": r1_dedup_keep_first,
+        "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
+        "sql1_quality_sql": sql1_quality_sql,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,
@@ -11111,11 +11125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x115_pooled_retrieval": x115_pooled_retrieval,
         "x116_retrieval_quality_compare": x116_retrieval_quality_compare,
         "x118_l_diversity": x118_l_diversity,
-        "x120_bm25_topk": x120_bm25_topk,
-        "x121_hybrid_rrf": x121_hybrid_rrf,
-        "a24_grouped_weighted_median": a24_grouped_weighted_median,
-        "st36_weighted_quantile_stream": st36_weighted_quantile_stream,
-        "st37_bm25_index_ingest": st37_bm25_index_ingest,
         "a9_approx_distinct": a9_approx_distinct,
         "a13_approx_quantiles": a13_approx_quantiles,
         "a16_hll_partial_union": a16_hll_partial_union,

@@ -56,6 +56,15 @@ MUST_BE_IN_WINDOW = {
     "st35_containment_ingest",
     "a23_weighted_quantiles",
     "x119_t_closeness",
+    # r7 (cont.): the round-7 flagships enter (displacing
+    # f3/p5/r1/r2/sql1 — e2e covers date filtering, p1 the CASE
+    # family, st12/x117/st35 dedup, r5+st6 upsert, qv1+sql2-4 the
+    # fused quality SQL surface)
+    "x120_bm25_topk",
+    "x121_hybrid_rrf",
+    "a24_grouped_weighted_median",
+    "st36_weighted_quantile_stream",
+    "st37_bm25_index_ingest",
 } | {f"st{i}" for i in range(1, 25)}
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
@@ -80,12 +89,13 @@ DRIVER_WINDOW_SNAPSHOT = [
     "j5_scd2_pointintime", "sql2_star_join_sql", "sql3_top_supplier_sql",
     "sql4_windowed_sql",
     "q1_pricing_summary", "f1_range_filter",
-    "f3_date_filter", "p1_agronomic_derivations", "p5_quantity_binning",
+    "p1_agronomic_derivations",
     "x117_containment_dedup", "st35_containment_ingest",
-    "r1_dedup_keep_first", "r2_upsert_last_write_wins",
     "x110_maxsim_retrieval", "agro1_growing_degree_days",
     "agro3_reference_et0", "a23_weighted_quantiles", "x119_t_closeness",
-    "e2e_agro_report", "sql1_quality_sql",
+    "e2e_agro_report",
+    "x120_bm25_topk", "x121_hybrid_rrf", "a24_grouped_weighted_median",
+    "st36_weighted_quantile_stream", "st37_bm25_index_ingest",
 ]
 
 
