@@ -238,6 +238,11 @@ PROBED_QUERIES = (
     "x117_containment_dedup",
     "st35_containment_ingest",
     "x119_t_closeness",
+    "x120_bm25_topk",
+    "x121_hybrid_rrf",
+    "a24_grouped_weighted_median",
+    "st36_weighted_quantile_stream",
+    "st37_bm25_index_ingest",
 )
 
 
