@@ -10650,6 +10650,62 @@ def x121_hybrid_rrf(spark, sf_dir):
     return rrf_fuse(sparse, dense, k=10)
 
 
+def x122_phrase_search(spark, sf_dir):
+    """Exact PHRASE search (r7) — the query class bag-of-words BM25
+    structurally cannot answer: each query doc's tokens 2-4 form a
+    3-term phrase, matched as CONSECUTIVE positions in the corpus via
+    the positional-postings intersection (t1's postings equi-join t2's
+    at pos+1, then t3's at pos+2 — every join hash-keyed on
+    (term, doc_id, adjacent pos), candidates bounded by the rarest
+    term's posting list). The x102/st30 positional layout at gram size
+    1. Returns per (query, doc): occurrence count + earliest position.
+    See operators/retrieval.py:phrase_match."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.text import (
+        tokens as _tokens,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        _tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    phrases = toked.filter(F.size("t") >= 4).select(
+        "query_id",
+        F.element_at("t", 2).alias("t1"),
+        F.element_at("t", 3).alias("t2"),
+        F.element_at("t", 4).alias("t3"),
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    return phrase_match(corpus, phrases)
+
+
+def x123_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (r7) — the RM1/RM3
+    family's deterministic core: each query's BM25 top-5 feedback docs
+    vote expansion terms by summed term frequency (exact int64, no
+    smoothing — the ranking replays in SQL), original query terms
+    anti-joined away, top-10 per query by (weight desc, term asc).
+    The expansion join touches only the feedback DOCS' postings
+    (doc-keyed), never the corpus vocabulary. See
+    operators/retrieval.py:prf_expansion."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        prf_expansion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prf_expansion(
+        docs.filter(F.col("doc_id") >= 5).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        fb_k=5,
+        n_terms=10,
+    )
+
+
 def a24_grouped_weighted_median(spark, sf_dir):
     """EXACT per-GROUP weighted median — a23's bucket-prefix-sum
     machinery with a grouping dimension (per return-flag, the price
@@ -10851,6 +10907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_dedup_keep_first": r1_dedup_keep_first,
         "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
         "sql1_quality_sql": sql1_quality_sql,
+        "x122_phrase_search": x122_phrase_search,
+        "x123_prf_expansion": x123_prf_expansion,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

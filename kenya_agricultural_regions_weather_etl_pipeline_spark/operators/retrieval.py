@@ -227,3 +227,121 @@ def rrf_fuse(
             F.col("rank_d").cast("int").alias("dense_rank"),
         )
     )
+
+
+def phrase_match(
+    corpus: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact PHRASE search over a positional term index — the query
+    class BM25's bag-of-words structurally cannot answer ("foo bar
+    baz" as consecutive tokens, not three floating terms).
+
+    ``phrases``: (query_id, t1, t2, t3) — a 3-term phrase per query.
+    The corpus is indexed once as positional postings (doc_id, pos,
+    term) — one narrow explode, the x102/st30 layout at gram size 1 —
+    and a phrase hit is the classic positional-intersection: t1's
+    postings equi-join t2's at pos+1, then t3's at pos+2. Every join
+    is hash-keyed on (term, doc_id, adjacent position); candidate rows
+    after the first join are bounded by the RAREST term's posting
+    list, never the corpus.
+
+    Returns (query_id, doc_id, n_matches, first_pos): documents
+    containing the phrase, with occurrence count and the earliest
+    1-based token position.
+    """
+    idx = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+                "idx", "term"
+            ),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "term")
+    )
+    m1 = idx.join(
+        phrases.select("query_id", "t1", "t2", "t3"),
+        F.col("term") == F.col("t1"),
+    ).select("query_id", "doc_id", "pos", "t2", "t3")
+    i2 = idx.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("term2"),
+    )
+    m2 = m1.join(
+        i2,
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("p2") == F.col("pos") + 1)
+        & (F.col("term2") == F.col("t2")),
+    ).select("query_id", "doc_id", "pos", "t3")
+    i3 = idx.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("p3"),
+        F.col("term").alias("term3"),
+    )
+    m3 = m2.join(
+        i3,
+        (F.col("doc_id") == F.col("d3"))
+        & (F.col("p3") == F.col("pos") + 2)
+        & (F.col("term3") == F.col("t3")),
+    ).select("query_id", "doc_id", "pos")
+    return m3.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+def prf_expansion(
+    corpus: DataFrame,
+    queries: DataFrame,
+    fb_k: int = 5,
+    n_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query EXPANSION (the RM1/RM3 family's
+    deterministic core): take each query's BM25 top-``fb_k`` feedback
+    docs, score every term they contain by its summed term frequency
+    across the feedback set (exact int64 — no probability smoothing,
+    so the ranking replays in SQL), drop the original query terms, and
+    keep the ``n_terms`` best per query by (weight desc, term asc).
+
+    Scale shape: feedback sets are Q·fb_k rows; the expansion join
+    touches only the feedback DOCS' postings (doc-keyed join against
+    the tf index), never the corpus vocabulary.
+    """
+    tf = doc_postings(corpus, id_col, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    )
+    qterms = query_terms(queries, query_id_col, text_col)
+    fb = bm25_score_index(qterms, tf, dfc, dl, stats, fb_k).select(
+        "query_id", "doc_id"
+    )
+    cand = (
+        fb.join(tf, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("weight"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_terms)
+        .select(
+            "query_id",
+            "term",
+            "weight",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

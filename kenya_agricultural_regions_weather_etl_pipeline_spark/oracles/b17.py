@@ -141,6 +141,75 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+    # x122: positional-intersection phrase search — the index CTE is
+    # the x102 layout at gram size 1; phrase = query tokens 2..4.
+    d["x122_phrase_search"] = f"""
+WITH idx AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id,
+           unnest({toks}) AS term,
+           unnest(range(1, len({toks}) + 1)) AS pos
+    FROM documents WHERE doc_id >= 5
+  )
+), ph AS (
+  SELECT query_id, t[2] AS t1, t[3] AS t2, t[4] AS t3 FROM (
+    SELECT doc_id AS query_id, {toks} AS t
+    FROM documents WHERE doc_id < 5
+  ) WHERE len(t) >= 4
+), m1 AS (
+  SELECT ph.query_id, idx.doc_id, idx.pos, ph.t2, ph.t3
+  FROM idx JOIN ph ON idx.term = ph.t1
+), m2 AS (
+  SELECT m1.query_id, m1.doc_id, m1.pos, m1.t3
+  FROM m1 JOIN idx i2
+    ON i2.doc_id = m1.doc_id AND i2.pos = m1.pos + 1
+   AND i2.term = m1.t2
+), m3 AS (
+  SELECT m2.query_id, m2.doc_id, m2.pos
+  FROM m2 JOIN idx i3
+    ON i3.doc_id = m2.doc_id AND i3.pos = m2.pos + 2
+   AND i3.term = m2.t3
+)
+SELECT query_id, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m3 GROUP BY query_id, doc_id
+"""
+
+    # x123: PRF expansion — BM25 top-5 feedback (the same builder,
+    # scoped), expansion terms voted by summed tf over feedback docs,
+    # original query terms anti-joined away.
+    d["x123_prf_expansion"] = f"""
+WITH fb AS (
+  SELECT query_id, doc_id FROM ({_bm25_sql(toks, 5).strip()}) b
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term
+        FROM documents WHERE doc_id >= 5)
+  GROUP BY doc_id, term
+), qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT doc_id AS query_id, unnest({toks}) AS term
+    FROM documents WHERE doc_id < 5
+  )
+), cand AS (
+  SELECT f.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS weight
+  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+  GROUP BY f.query_id, tf.term
+), filt AS (
+  SELECT c.query_id, c.term, c.weight
+  FROM cand c LEFT JOIN qt
+    ON qt.query_id = c.query_id AND qt.term = c.term
+  WHERE qt.term IS NULL
+)
+SELECT query_id, term, weight, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY weight DESC, term ASC)
+             AS rank
+      FROM filt)
+WHERE rank <= 10
+"""
+
     # a24: per-group exact weighted median — a23's crossing rule with
     # a grouping dimension; everything integer until the output value.
     d["a24_grouped_weighted_median"] = """

@@ -203,3 +203,72 @@ def test_x121_no_cartesian(spark, sf01):
     )
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_match_hand_computed(spark):
+    """Phrase 'rain in may' occurs twice in doc 20 (pos 1 and 5),
+    once in doc 21, zero in doc 22 (words present, order broken)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (20, "rain in may then rain in may again"),
+            (21, "expect rain in may soon"),
+            (22, "may in rain order is broken"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(1, "rain", "in", "may")],
+        "query_id long, t1 string, t2 string, t3 string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(corpus, phrases).collect()
+    }
+    assert got == {20: (2, 1), 21: (1, 2)}
+
+
+def test_prf_expansion_excludes_query_terms(spark, sf001):
+    """No expansion term may be an original query term (the anti-join
+    contract), ranks are 1..n dense per query, weights positive."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        query_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    qt = {
+        (r["query_id"], r["term"])
+        for r in query_terms(
+            docs.filter(F.col("doc_id") < 5).select(
+                F.col("doc_id").alias("query_id"), "text"
+            )
+        ).collect()
+    }
+    rows = entrymod.queries()["x123_prf_expansion"](spark, sf001).collect()
+    assert rows, "expansion produced nothing at sf0.001"
+    by_q = {}
+    for r in rows:
+        assert (r["query_id"], r["term"]) not in qt
+        assert r["weight"] > 0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_x122_plan_all_equi_joins(spark, sf01):
+    """The positional intersection must be hash-keyed end to end: no
+    CartesianProduct, no nested loop anywhere."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    df = entrymod.queries()["x122_phrase_search"](spark, sf01)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
