@@ -5246,30 +5246,11 @@ def x115_pooled_retrieval(spark, sf_dir):
     precisely the pairs where pooling loses token-level signal.
     Pooling is one dim-bounded posexplode rollup; search is the x5
     broadcast-query shape on a 4×-smaller table."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        mean_pooled_bags,
     )
-    pooled = (
-        vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
-        .withColumn(
-            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "p",
-            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))),
-                lambda s: s["p"],
-            ).alias("pv")
-        )
-    )
+
+    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
     from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
         cosine_given_norms as _cgn,
     )
@@ -10595,34 +10576,16 @@ def x121_hybrid_rrf(spark, sf_dir):
         ),
         k=20,
     )
-    # dense leg: x115's mean-pool on the int64 micro-grid (partition-
-    # order-free), query bags doc_id < 5, candidate bags >= 5, top-20
-    # by the 6-dp half-up-rounded cosine (rank on the ROUNDED value so
-    # the ordering is engine-independent)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    # dense leg: x115's mean-pool on the int64 micro-grid (the shared
+    # operators/retrieval.mean_pooled_bags — partition-order-free),
+    # query bags doc_id < 5, candidate bags >= 5, top-20 by the 6-dp
+    # half-up-rounded cosine (rank on the ROUNDED value so the
+    # ordering is engine-independent)
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        mean_pooled_bags,
     )
-    pooled = (
-        vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
-        .withColumn(
-            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "p",
-            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))),
-                lambda s: s["p"],
-            ).alias("pv")
-        )
-    )
+
+    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
     cands = pooled.filter(F.col("doc_id") >= 5).withColumn(
         "cnrm", _vnorm(F.col("pv"))
     )

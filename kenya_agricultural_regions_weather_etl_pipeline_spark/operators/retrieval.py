@@ -345,3 +345,36 @@ def prf_expansion(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mean_pooled_bags(emb: DataFrame) -> DataFrame:
+    """(doc_id, pv): each 4-vector embedding bag mean-pooled into ONE
+    doc vector with coordinates averaged on the int64 micro-grid (the
+    x112 centroid discipline — quantize each coordinate to 1e-6 units,
+    sum exactly, divide once), so the pooled vector is
+    partition-order-free and bit-identical in any engine. Shared by
+    x115 (pooled retrieval) and x121's dense leg. One dim-bounded
+    posexplode rollup; nothing wider than (doc, pos) ever shuffles."""
+    vecs = emb.select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return (
+        vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
+        .withColumn(
+            "q", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ).alias("pv")
+        )
+    )
