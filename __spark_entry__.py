@@ -10755,6 +10755,21 @@ def st37_bm25_index_ingest(spark, sf_dir):
     return ST.run_bm25_index_ingest(spark, sf_dir)
 
 
+def st38_hybrid_serve_stream(spark, sf_dir):
+    """st38: HYBRID retrieval served ON INGEST — x121 deployed the
+    st24/st32 way, closing the retrieval platform: BOTH index legs
+    frozen offline (BM25 postings/dl/term-dict/stats + the pooled
+    dense store with norms), query batches answered by the SAME
+    bm25_score_index → pooled-cosine → rrf_fuse path as the batch
+    query, landing replay-safe in serve_batch partitions. Per-batch
+    work = the batch's posting lists + one broadcast of its pooled
+    query vectors + a Q·20 fuse — nothing corpus-sized; queries never
+    read other queries ⇒ drained union == batch x121 row-for-row
+    (one oracle for the operator and its serving deployment)."""
+    apply_runtime_confs(spark)
+    return ST.run_hybrid_serve_stream(spark, sf_dir)
+
+
 def st36_weighted_quantile_stream(spark, sf_dir):
     """st36: a23's EXACT weighted quantiles maintained ON INGEST —
     st31's bucket-histogram stream fold generalized to integral
@@ -10872,6 +10887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql1_quality_sql": sql1_quality_sql,
         "x122_phrase_search": x122_phrase_search,
         "x123_prf_expansion": x123_prf_expansion,
+        "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

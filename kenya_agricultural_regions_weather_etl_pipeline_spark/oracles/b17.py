@@ -210,6 +210,11 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+    # st38 drains to the batch x121 answer row-for-row (the st37==x120
+    # pattern, hybrid edition): one oracle covers the fused ranker and
+    # its serving deployment.
+    d["st38_hybrid_serve_stream"] = d["x121_hybrid_rrf"]
+
     # a24: per-group exact weighted median — a23's crossing rule with
     # a grouping dimension; everything integer until the output value.
     d["a24_grouped_weighted_median"] = """

@@ -4458,3 +4458,211 @@ def run_bm25_index_ingest(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+def run_hybrid_serve_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st38: HYBRID retrieval served ON INGEST — the deployment of
+    x121, closing the retrieval platform the way st24 closes the
+    vector one: both index legs are deployed FROZEN before queries
+    arrive (the st29/st32 offline-artifact discipline) — the BM25
+    inverted index (postings, doc lengths, term dictionary, 1-row
+    corpus stats) and the mean-pooled dense store with norms — then
+    query batches stream in and each is answered by the SAME
+    bm25_score_index → pooled-cosine → rrf_fuse path as the batch
+    query, landing replay-safe in serve_batch dynamic-overwrite
+    partitions.
+
+    Per-batch cost: the batch's query terms' posting lists (term-keyed
+    join), one broadcast of the batch's pooled query vectors against
+    the candidate store, and a two-leg fuse of Q·20-row frames —
+    nothing corpus-sized moves per batch. Queries never read other
+    queries ⇒ drained union == batch x121 row-for-row (one oracle for
+    the operator and its serving deployment)."""
+    import shutil
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.vectors import cosine_given_norms, norm
+    from ..functions.weather import round_half_up
+    from ..operators.retrieval import (
+        bm25_score_index,
+        doc_postings,
+        mean_pooled_bags,
+        query_terms,
+        rrf_fuse,
+    )
+    from ..sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    workdir = tempfile.mkdtemp(prefix="kw_st38_")
+    src = os.path.join(workdir, "query_arrivals")
+    state = os.path.join(workdir, "index")
+    results = os.path.join(workdir, "results")
+    os.makedirs(src)
+
+    # ---- offline deploy: both legs frozen before the stream --------
+    tf = doc_postings(corpus)
+    tf.coalesce(2).write.parquet(os.path.join(state, "postings"))
+    tf_s = spark.read.parquet(os.path.join(state, "postings"))
+    dl = tf_s.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    dl.coalesce(1).write.parquet(os.path.join(state, "dl"))
+    tf_s.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).coalesce(1).write.parquet(os.path.join(state, "term_dict"))
+    spark.read.parquet(os.path.join(state, "dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    ).coalesce(1).write.parquet(os.path.join(state, "stats"))
+    # pooled dense store over ALL bags (query bags are point-read by
+    # doc_id at serve time; candidates are the >= 5 slice)
+    mean_pooled_bags(load_table(spark, sf_dir, "embeddings")).write.parquet(
+        os.path.join(state, "pooled")
+    )
+    tf_idx = spark.read.parquet(os.path.join(state, "postings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dl_idx = spark.read.parquet(os.path.join(state, "dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfc_idx = spark.read.parquet(
+        os.path.join(state, "term_dict")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats_idx = spark.read.parquet(
+        os.path.join(state, "stats")
+    ).localCheckpoint(eager=True)
+    pooled_idx = spark.read.parquet(
+        os.path.join(state, "pooled")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = pooled_idx.filter(F.col("doc_id") >= 5).withColumn(
+        "cnrm", norm(F.col("pv"))
+    )
+
+    # ---- query arrivals: 5 query docs in n_batches files ------------
+    import glob as _glob
+    import time as _time
+
+    queries = docs.filter(F.col("doc_id") < 5).localCheckpoint(eager=True)
+    now = _time.time()
+    for b in range(n_batches):
+        queries.filter(F.col("doc_id") % n_batches == b).coalesce(
+            1
+        ).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        qb = batch.select(
+            F.col("doc_id").alias("query_id"), "text"
+        ).localCheckpoint(eager=True)
+        sparse = bm25_score_index(
+            query_terms(qb), tf_idx, dfc_idx, dl_idx, stats_idx, k=20
+        )
+        qv = (
+            pooled_idx.join(
+                F.broadcast(qb.select(F.col("query_id").alias("doc_id"))),
+                "doc_id",
+            )
+            .select(F.col("doc_id").alias("query_id"), F.col("pv").alias("qv"))
+            .withColumn("qnrm", norm(F.col("qv")))
+        )
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("doc_id").asc()
+        )
+        dense = (
+            cands.join(
+                F.broadcast(qv), F.col("doc_id") != F.col("query_id")
+            )
+            .withColumn(
+                "cos_sim",
+                round_half_up(
+                    cosine_given_norms(
+                        F.col("pv"),
+                        F.col("qv"),
+                        F.col("cnrm"),
+                        F.col("qnrm"),
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("rank", F.row_number().over(wd))
+            .filter(F.col("rank") <= 20)
+            .select("query_id", "doc_id", "rank")
+        )
+        out = rrf_fuse(sparse, dense, k=10)
+        wsess = out.sparkSession
+        prev_mode = wsess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        try:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                out.coalesce(1)
+                .withColumn("serve_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("serve_batch")
+                .parquet(results)
+            )
+        finally:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    from pyspark.sql import Window
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (Q·20-row frames): AQE re-planning
+        # is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    out = (
+        spark.read.parquet(results)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            "rank",
+            "sparse_rank",
+            "dense_rank",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for df in (tf_idx, dl_idx, dfc_idx, pooled_idx):
+        df.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

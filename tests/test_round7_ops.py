@@ -272,3 +272,16 @@ def test_x122_plan_all_equi_joins(spark, sf01):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_st38_batch_count_invariance(spark, sf001):
+    """Hybrid serving cannot depend on how queries were batched — 3 vs
+    2 arrival files against the same frozen two-leg index, same fused
+    answers."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_hybrid_serve_stream,
+    )
+
+    a = _rows(run_hybrid_serve_stream(spark, sf001, n_batches=3))
+    b = _rows(run_hybrid_serve_stream(spark, sf001, n_batches=2))
+    assert a == b and len(a) > 0
