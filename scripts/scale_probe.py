@@ -243,6 +243,9 @@ PROBED_QUERIES = (
     "a24_grouped_weighted_median",
     "st36_weighted_quantile_stream",
     "st37_bm25_index_ingest",
+    "x122_phrase_search",
+    "x123_prf_expansion",
+    "st38_hybrid_serve_stream",
 )
 
 
