@@ -10669,6 +10669,59 @@ def x123_prf_expansion(spark, sf_dir):
     )
 
 
+def e2e_retrieval_eval(spark, sf_dir):
+    """The retrieval platform's END-TO-END verdict (r7) — one lazy
+    lineage chaining the whole sparse+dense stack the way a search
+    team's offline eval does: per query, the HYBRID top-1 answer
+    (x121's fused ranker), the strongest PRF expansion term (x123 —
+    what the query is 'about' beyond its own words), and the exact
+    phrase-hit census (x122 — how often the query's tokens 2-4 occur
+    verbatim in the corpus). Every stage is an oracle-checked
+    primitive; left joins keep queries whose phrase never occurs.
+    Shapes inherited: posting-list joins, broadcast pooled queries,
+    Q·20 fuse — nothing corpus-sized beyond the index scans."""
+    hybrid = x121_hybrid_rrf(spark, sf_dir)
+    top1 = hybrid.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("doc_id").alias("top1_doc"),
+        F.col("rrf_score").alias("top1_rrf"),
+    )
+    exp1 = (
+        x123_prf_expansion(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("term").alias("top_expansion_term"),
+            F.col("weight").alias("expansion_weight"),
+        )
+    )
+    ph = (
+        x122_phrase_search(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_phrase_docs"),
+            F.sum("n_matches").cast("long").alias("n_phrase_hits"),
+        )
+    )
+    return (
+        top1.join(exp1, "query_id", "left")
+        .join(ph, "query_id", "left")
+        .select(
+            "query_id",
+            "top1_doc",
+            "top1_rrf",
+            "top_expansion_term",
+            "expansion_weight",
+            F.coalesce(F.col("n_phrase_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_phrase_docs"),
+            F.coalesce(F.col("n_phrase_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_phrase_hits"),
+        )
+    )
+
+
 def a24_grouped_weighted_median(spark, sf_dir):
     """EXACT per-GROUP weighted median — a23's bucket-prefix-sum
     machinery with a grouping dimension (per return-flag, the price
@@ -10888,6 +10941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x122_phrase_search": x122_phrase_search,
         "x123_prf_expansion": x123_prf_expansion,
         "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
+        "e2e_retrieval_eval": e2e_retrieval_eval,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -215,6 +215,33 @@ WHERE rank <= 10
     # its serving deployment.
     d["st38_hybrid_serve_stream"] = d["x121_hybrid_rrf"]
 
+    # e2e_retrieval_eval: the three retrieval oracles composed as
+    # scoped subqueries (the e2e_training_prep idiom) — left joins
+    # keep queries whose phrase never occurs in the corpus.
+    d["e2e_retrieval_eval"] = f"""
+WITH top1 AS (
+  SELECT query_id, doc_id AS top1_doc, rrf_score AS top1_rrf
+  FROM ({d["x121_hybrid_rrf"].strip()}) h WHERE rank = 1
+), exp1 AS (
+  SELECT query_id, term AS top_expansion_term,
+         weight AS expansion_weight
+  FROM ({d["x123_prf_expansion"].strip()}) e WHERE rank = 1
+), ph AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_phrase_docs,
+         CAST(sum(n_matches) AS BIGINT) AS n_phrase_hits
+  FROM ({d["x122_phrase_search"].strip()}) p
+  GROUP BY query_id
+)
+SELECT t.query_id, t.top1_doc, t.top1_rrf,
+       e.top_expansion_term, e.expansion_weight,
+       CAST(coalesce(ph.n_phrase_docs, 0) AS BIGINT) AS n_phrase_docs,
+       CAST(coalesce(ph.n_phrase_hits, 0) AS BIGINT) AS n_phrase_hits
+FROM top1 t
+LEFT JOIN exp1 e ON e.query_id = t.query_id
+LEFT JOIN ph ON ph.query_id = t.query_id
+"""
+
     # a24: per-group exact weighted median — a23's crossing rule with
     # a grouping dimension; everything integer until the output value.
     d["a24_grouped_weighted_median"] = """
