@@ -10846,8 +10846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering is deliberate: the driver's correctness gate samples the FIRST
     50 entries, so slots 1-50 are oracle-paired, behavior-critical queries
-    (the end-to-end weather pipeline, the full streaming surface st1-st12,
-    quality verdict, CDC/rollup/SCD2, SQL-surface, then the §2 core).
+    (the end-to-end weather pipeline, the full streaming surface st1-st24,
+    quality verdict, CDC/rollup/SCD2, SQL-surface, the §2 core, and each
+    round's flagships — rotated in deliberately with the pinned snapshot
+    in tests/test_registry.py updated in the same commit).
     The 6 rows-only sketch queries (engine-specific hashes, no SQL oracle)
     sit at the very end so every sampled slot is hash-verifiable.
     """
