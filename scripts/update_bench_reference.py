@@ -43,12 +43,34 @@ def main() -> int:
             "sf": full.get("sf"),
             "n_queries": len(full["queries"]),
         },
-        "queries": full["queries"],
+        "queries": dict(full["queries"]),
     }
     dst = os.path.join(ROOT, "BENCH_REFERENCE.json")
+    # MIN-MERGE with the committed reference (default): a clean
+    # reference means "fastest honest run observed" — a new run whose
+    # query landed in a poll band (retry suppressed there by design)
+    # must not RAISE that query's reference, or the retry threshold
+    # inflates and contaminated measurements stand (observed: x60's
+    # 10.2 s poll-band reading vs its 2.6 s clean reference). Pass
+    # --fresh after a deliberate cost change (e.g. x86 absorbing the
+    # index build) to rebaseline from this run alone; the cost of NOT
+    # rebaselining is bounded at one extra retry per bench run.
+    if "--fresh" not in sys.argv and os.path.exists(dst):
+        with open(dst) as fh:
+            prev = json.load(fh).get("queries", {})
+        lowered = 0
+        for k, v in prev.items():
+            if k in ref["queries"] and v < ref["queries"][k]:
+                ref["queries"][k] = v
+                lowered += 1
+        if lowered:
+            print(
+                f"min-merged {lowered} refs from the previous file "
+                "(--fresh to rebaseline)", file=sys.stderr,
+            )
     with open(dst, "w") as fh:
         json.dump(ref, fh, indent=1)
-    print(f"wrote {dst}: {len(full['queries'])} refs, total {full['value']}")
+    print(f"wrote {dst}: {len(ref['queries'])} refs, total {full['value']}")
     return 0
 
 
