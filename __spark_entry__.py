@@ -10823,6 +10823,23 @@ def st38_hybrid_serve_stream(spark, sf_dir):
     return ST.run_hybrid_serve_stream(spark, sf_dir)
 
 
+def st39_media_dedup_ingest(spark, sf_dir):
+    """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
+    re-encoded-edition detector as a firehose, extending
+    dedup-on-ingest to the MEDIA modality (st12 exact / st14 near /
+    st20 semantic / st30 spans / st35 containment / st39 perceptual):
+    image editions arrive in asset-id-range batches, each decoded +
+    aHashed in one Arrow mapInPandas pass (real BMP codec, payloads
+    never shuffle); an arrival survives iff no earlier arrival holds
+    its hash — hash-keyed point probes of the standing holder index,
+    which a replayed batch reads EXCLUDING its own partition (the
+    ADVICE-r6 st35 replay fix). Drained rollup == the batch window
+    rule (kept = hash-group minimum, n_suppressed = size − 1),
+    replayed in pure integer SQL from the synthetic pixel formula."""
+    apply_runtime_confs(spark)
+    return ST.run_media_dedup_ingest(spark, sf_dir)
+
+
 def st36_weighted_quantile_stream(spark, sf_dir):
     """st36: a23's EXACT weighted quantiles maintained ON INGEST —
     st31's bucket-histogram stream fold generalized to integral
@@ -10943,6 +10960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x122_phrase_search": x122_phrase_search,
         "x123_prf_expansion": x123_prf_expansion,
         "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
+        "st39_media_dedup_ingest": st39_media_dedup_ingest,
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,

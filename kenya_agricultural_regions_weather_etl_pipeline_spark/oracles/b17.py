@@ -215,6 +215,51 @@ WHERE rank <= 10
     # its serving deployment.
     d["st38_hybrid_serve_stream"] = d["x121_hybrid_rrf"]
 
+    # st39: mm9's decode-replay CTE chain (b13) with the survivor
+    # window on top — kept = the (asset, edition)-minimum of each
+    # perceptual-hash group, n_suppressed = group size − 1.
+    d["st39_media_dedup_ingest"] = """
+WITH assets AS (
+  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
+  FROM range(64) WHERE range % 3 = 0
+), cells AS (
+  SELECT a, ed.ed, gi.range AS gi, gj.range AS gj,
+         CASE WHEN ed.ed = 'orig' THEN (gj.range * w0) // 4
+              ELSE (((gj.range * 16) // 4) * w0) // 16 END AS sx,
+         CASE WHEN ed.ed = 'orig' THEN (gi.range * h0) // 4
+              ELSE (((gi.range * 12) // 4) * h0) // 12 END AS sy
+  FROM assets,
+       (SELECT 'orig' AS ed UNION ALL SELECT 'up16') ed,
+       range(4) gi, range(4) gj
+), grays AS (
+  SELECT a, ed, gi, gj,
+         (((a*7 + sx*13 + sy*31) % 256)
+          + ((a*11 + sx*17 + sy*5) % 256)
+          + ((a*3 + sx*29 + sy*23) % 256)) // 3 AS g
+  FROM cells
+), tot AS (
+  SELECT a, ed, sum(g) AS total FROM grays GROUP BY a, ed
+), hashes AS (
+  SELECT grays.a, grays.ed,
+         CAST(sum(CASE WHEN 16 * g >= total
+                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM grays JOIN tot ON grays.a = tot.a AND grays.ed = tot.ed
+  GROUP BY grays.a, grays.ed
+), ranked AS (
+  SELECT phash, a, ed,
+         row_number() OVER (PARTITION BY phash
+                            ORDER BY a ASC, ed ASC) AS rn,
+         count(*) OVER (PARTITION BY phash) AS cnt
+  FROM hashes
+)
+SELECT phash,
+       CAST(a AS BIGINT) AS kept_asset,
+       ed AS kept_edition,
+       CAST(cnt - 1 AS BIGINT) AS n_suppressed
+FROM ranked WHERE rn = 1
+"""
+
     # e2e_retrieval_eval: the three retrieval oracles composed as
     # scoped subqueries (the e2e_training_prep idiom) — left joins
     # keep queries whose phrase never occurs in the corpus.

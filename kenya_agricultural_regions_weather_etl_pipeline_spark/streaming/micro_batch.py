@@ -4666,3 +4666,149 @@ def run_hybrid_serve_stream(
         df.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def run_media_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    n_assets: int = 64,
+) -> DataFrame:
+    """st39: PERCEPTUAL media dedup ON INGEST — mm9's re-encoded-
+    edition detector as a firehose, extending dedup-on-ingest to the
+    MEDIA modality (st12 exact text / st14 near text / st20 semantic /
+    st30 spans / st35 containment / st39 perceptual media): image
+    editions arrive in asset-id-range micro-batches, each batch is
+    decoded + aHashed in ONE Arrow mapInPandas pass (payload bytes
+    never cross a shuffle — the mm9 path, real BMP codec), and an
+    arrival survives iff NO earlier arrival holds its perceptual hash
+    — state probes are hash-keyed point lookups against the standing
+    holder index, |batch| rows per batch, never the corpus.
+
+    Replay safety (the ADVICE-r6 st35 discipline): the holder index is
+    batch_id-partitioned and a batch EXCLUDES ITS OWN partition when
+    probing, so a crash-replayed batch reproduces its original
+    survivors instead of self-suppressing; survivors/counts land
+    batch-keyed overwrite-on-replay. Batches arrive in ascending id
+    ranges, so a later batch can never beat a standing holder — the
+    drained rollup provably equals the batch window rule (kept = the
+    (asset, edition)-minimum of each hash group; n_suppressed = group
+    size − 1), which IS the oracle, replayed in pure integer SQL from
+    the synthetic pixel formula."""
+    import shutil
+
+    from ..operators import multimodal as MM
+
+    media = MM.synthetic_image_media(spark, n_assets).localCheckpoint(
+        eager=True
+    )
+    src = tempfile.mkdtemp(prefix="kw_st39_src_")
+    state = tempfile.mkdtemp(prefix="kw_st39_state_")
+    holders_path = os.path.join(state, "holders")
+    survivors_path = os.path.join(state, "survivors")
+    counts_path = os.path.join(state, "counts")
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        hashed = MM.perceptual_hash_editions(batch).localCheckpoint(
+            eager=True
+        )
+        arr = hashed.select("asset_id", "edition", "phash")
+        try:
+            standing = sess.read.parquet(holders_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            arr = arr.join(
+                standing.select("phash"), "phash", "left_anti"
+            )
+        except Exception:
+            pass  # first batch: no standing holders yet
+        w = Window.partitionBy("phash").orderBy(
+            F.col("asset_id").asc(), F.col("edition").asc()
+        )
+        kept = (
+            arr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("asset_id", "edition", "phash")
+            .localCheckpoint(eager=True)
+        )
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        kept.select("phash").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(holders_path, f"batch_id={batch_id}")
+        )
+        hashed.groupBy("phash").agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"batch_id={batch_id}")
+        )
+
+    from pyspark.sql import Window
+
+    try:
+        import glob as _glob
+        import time as _time
+
+        now = _time.time()
+        for b in range(n_batches):
+            lo = b * n_assets // n_batches
+            hi = (b + 1) * n_assets // n_batches
+            media.filter(
+                (F.col("asset_id") >= lo) & (F.col("asset_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "*.parquet")),
+                key=os.path.getmtime,
+            )
+            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "4")
+                # bounded per-batch stages (|batch| hash rows): AQE
+                # re-planning is pure latency here (f6c665a)
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                q = (
+                    spark.readStream.schema(media.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("pathGlobFilter", "*.parquet")
+                    .parquet(src)
+                    .writeStream.foreachBatch(one_batch)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        counts = (
+            spark.read.parquet(counts_path)
+            .groupBy("phash")
+            .agg(F.sum("n_arrivals").cast("long").alias("n_total"))
+        )
+        out = (
+            spark.read.parquet(survivors_path)
+            .select(
+                "phash",
+                F.col("asset_id").cast("long").alias("kept_asset"),
+                F.col("edition").alias("kept_edition"),
+            )
+            .join(counts, "phash")
+            .select(
+                "phash",
+                "kept_asset",
+                "kept_edition",
+                (F.col("n_total") - F.lit(1))
+                .cast("long")
+                .alias("n_suppressed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -285,3 +285,19 @@ def test_st38_batch_count_invariance(spark, sf001):
     a = _rows(run_hybrid_serve_stream(spark, sf001, n_batches=3))
     b = _rows(run_hybrid_serve_stream(spark, sf001, n_batches=2))
     assert a == b and len(a) > 0
+
+
+def test_st39_batch_count_invariance(spark, sf001):
+    """Media dedup on ingest cannot depend on arrival batching — 4 vs
+    2 asset-range files, same holder evolution, same drained rollup
+    (22 hash groups at n_assets=64: each asset's 2 editions collapse,
+    plus any cross-asset collisions)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_media_dedup_ingest,
+    )
+
+    a = _rows(run_media_dedup_ingest(spark, sf001, n_batches=4))
+    b = _rows(run_media_dedup_ingest(spark, sf001, n_batches=2))
+    assert a == b and len(a) > 0
+    # every group holds at least its own second edition
+    assert all(r[3] >= 1 for r in a)
