@@ -5345,6 +5345,80 @@ def x116_retrieval_quality_compare(spark, sf_dir):
     )
 
 
+def x124_retrieval_quality_hybrid(spark, sf_dir):
+    """FOUR-WAY retrieval quality (r7) — x116's head-to-head extended
+    across the whole platform: late interaction (x110), pooled
+    bi-encoder (x115), BM25 (x120) and hybrid RRF (x121), all graded
+    at depth 5 by bag-label consistency ON THE SAME QUERY SET (bags
+    doc_id < 2, the subset every system answers) — the frame a search
+    team reads to decide whether the sparse leg or the fusion earned
+    its serving cost. Same x85/x116 caveat: on this synthetic corpus
+    labels are geometry- and text-independent, so all four sit near
+    chance — the value is the machinery, which replays exactly. The
+    label join is inner: text-side candidates without an embedding
+    bag (doc_id beyond the bag range) drop from the grading — the
+    graded universe is the label-covered corpus, identically for
+    every system and in the oracle."""
+    labels = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 == 0
+    ).select(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"), "label"
+    )
+    runs = (
+        x110_maxsim_retrieval(spark, sf_dir)
+        .select("query_doc", "cand_doc", "rank")
+        .withColumn("system", F.lit("late_interaction"))
+        .unionByName(
+            x115_pooled_retrieval(spark, sf_dir)
+            .select("query_doc", "cand_doc", "rank")
+            .withColumn("system", F.lit("pooled"))
+        )
+        .unionByName(
+            x120_bm25_topk(spark, sf_dir)
+            .filter(F.col("query_id") < 2)
+            .select(
+                F.col("query_id").alias("query_doc"),
+                F.col("doc_id").alias("cand_doc"),
+                "rank",
+            )
+            .withColumn("system", F.lit("bm25"))
+        )
+        .unionByName(
+            x121_hybrid_rrf(spark, sf_dir)
+            .filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
+            .select(
+                F.col("query_id").alias("query_doc"),
+                F.col("doc_id").alias("cand_doc"),
+                "rank",
+            )
+            .withColumn("system", F.lit("hybrid_rrf"))
+        )
+    )
+    ql = labels.select(
+        F.col("doc_id").alias("query_doc"), F.col("label").alias("qlab")
+    )
+    cl = labels.select(
+        F.col("doc_id").alias("cand_doc"), F.col("label").alias("clab")
+    )
+    hits = (
+        runs.join(F.broadcast(ql), "query_doc")
+        .join(F.broadcast(cl), "cand_doc")
+        .withColumn("hit", (F.col("qlab") == F.col("clab")).cast("long"))
+    )
+    return hits.groupBy("system").agg(
+        F.countDistinct("query_doc").cast("long").alias("n_queries"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(F.col("rank") == 1, F.col("hit")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hits_at_1"),
+        (
+            F.sum("hit").cast("double") / F.count(F.lit(1))
+        ).alias("precision_at_5"),
+    )
+
+
 def io9_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION read + compatibility audit — the lakehouse
     surface every long-lived table eventually needs: generation 1 of
@@ -10962,6 +11036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
         "st39_media_dedup_ingest": st39_media_dedup_ingest,
         "e2e_retrieval_eval": e2e_retrieval_eval,
+        "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -260,6 +260,44 @@ SELECT phash,
 FROM ranked WHERE rn = 1
 """
 
+    # x124: x116's grading tail over FOUR systems — the two dense
+    # oracles (b15) plus the two r7 sparse/hybrid oracles, all cut to
+    # depth 5 on the shared query set (bags doc_id < 2).
+    d["x124_retrieval_quality_hybrid"] = f"""
+WITH labs AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, label
+  FROM embeddings WHERE vec_id % 4 = 0
+), runs AS (
+  SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
+  FROM ({d["x110_maxsim_retrieval"].strip()}) li
+  UNION ALL
+  SELECT query_doc, cand_doc, rank, 'pooled' AS system
+  FROM ({d["x115_pooled_retrieval"].strip()}) po
+  UNION ALL
+  SELECT query_id AS query_doc, doc_id AS cand_doc, rank,
+         'bm25' AS system
+  FROM ({d["x120_bm25_topk"].strip()}) bm WHERE query_id < 2
+  UNION ALL
+  SELECT query_id AS query_doc, doc_id AS cand_doc, rank,
+         'hybrid_rrf' AS system
+  FROM ({d["x121_hybrid_rrf"].strip()}) hy
+  WHERE query_id < 2 AND rank <= 5
+), hits AS (
+  SELECT r.system, r.query_doc, r.rank,
+         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS hit
+  FROM runs r
+  JOIN labs ql ON ql.doc_id = r.query_doc
+  JOIN labs cl ON cl.doc_id = r.cand_doc
+)
+SELECT system,
+       CAST(count(DISTINCT query_doc) AS BIGINT) AS n_queries,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS BIGINT)
+         AS hits_at_1,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS precision_at_5
+FROM hits GROUP BY system
+"""
+
     # e2e_retrieval_eval: the three retrieval oracles composed as
     # scoped subqueries (the e2e_training_prep idiom) — left joins
     # keep queries whose phrase never occurs in the corpus.
