@@ -301,3 +301,105 @@ def test_st39_batch_count_invariance(spark, sf001):
     assert a == b and len(a) > 0
     # every group holds at least its own second edition
     assert all(r[3] >= 1 for r in a)
+
+
+# ---- property tests: pure-Python models vs the Spark operators ------
+# (oracle-independent leg — hypothesis drives random tiny corpora)
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_word = hst.sampled_from(["rain", "maize", "soil", "dry", "tea", "wet"])
+_doc = hst.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+def _bm25_py(corpus, queries, k):
+    """Reference BM25 in pure Python — same formula, same quantize."""
+    tf, dl = {}, {}
+    for d, text in corpus:
+        toks = text.lower().split()
+        dl[d] = len(toks)
+        for t in toks:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfc = {}
+    for (d, t) in tf:
+        dfc[t] = dfc.get(t, 0) + 1
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+    out = {}
+    for q, text in queries:
+        units = {}
+        for t in sorted(set(text.lower().split())):
+            if t not in dfc:
+                continue
+            idf = math.log(
+                1.0 + (n_docs - dfc[t] + 0.5) / (dfc[t] + 0.5)
+            )
+            for d in dl:
+                if (d, t) in tf:
+                    f = tf[(d, t)]
+                    tfp = (f * 2.2) / (
+                        f + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))
+                    )
+                    units[d] = units.get(d, 0) + math.floor(
+                        1e9 * idf * tfp + 0.5
+                    )
+        ranked = sorted(units.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (d, u) in enumerate(ranked[:k], 1):
+            out[(q, d)] = (
+                math.floor((u / 1e9) * 1e6 + 0.5) / 1e6,
+                r,
+            )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(hst.lists(_doc, min_size=2, max_size=6), _doc)
+def test_bm25_matches_python_model(spark, corpus_texts, qtext):
+    corpus = [(10 + i, t) for i, t in enumerate(corpus_texts)]
+    queries = [(1, qtext)]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_topk(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(
+                queries, "query_id long, text string"
+            ),
+            k=4,
+        ).collect()
+    }
+    assert got == _bm25_py(corpus, queries, 4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hst.lists(hst.lists(_word, min_size=3, max_size=10), min_size=1, max_size=5),
+    hst.tuples(_word, _word, _word),
+)
+def test_phrase_match_matches_python_model(spark, docs_toks, phrase):
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    corpus = [(20 + i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    expect = {}
+    for d, text in corpus:
+        toks = text.split()
+        hits = [
+            i + 1
+            for i in range(len(toks) - 2)
+            if tuple(toks[i : i + 3]) == phrase
+        ]
+        if hits:
+            expect[(1, d)] = (len(hits), hits[0])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_match(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(
+                [(1, *phrase)],
+                "query_id long, t1 string, t2 string, t3 string",
+            ),
+        ).collect()
+    }
+    assert got == expect
