@@ -10889,10 +10889,12 @@ def st38_hybrid_serve_stream(spark, sf_dir):
     dense store with norms), query batches answered by the SAME
     bm25_score_index → pooled-cosine → rrf_fuse path as the batch
     query, landing replay-safe in serve_batch partitions. Per-batch
-    work = the batch's posting lists + one broadcast of its pooled
-    query vectors + a Q·20 fuse — nothing corpus-sized; queries never
-    read other queries ⇒ drained union == batch x121 row-for-row
-    (one oracle for the operator and its serving deployment)."""
+    work: the sparse leg reads only the batch's posting lists; the
+    dense leg streams the pooled store once per batch (the x115
+    exact-scan shape, broadcast only the batch's query vectors) — at
+    10⁹ bags compose the st22 cell layout for pruned dense serving.
+    Queries never read other queries ⇒ drained union == batch x121
+    row-for-row (one oracle for the operator and its deployment)."""
     apply_runtime_confs(spark)
     return ST.run_hybrid_serve_stream(spark, sf_dir)
 
