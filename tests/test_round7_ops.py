@@ -403,3 +403,23 @@ def test_phrase_match_matches_python_model(spark, docs_toks, phrase):
         ).collect()
     }
     assert got == expect
+
+
+def test_x120_scan_prunes_to_id_and_text(spark, sf01):
+    """BM25 needs 2 of documents' 5 columns; the parquet scan must not
+    read lang/source/n_chars (column pruning reaching the reader)."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    df = entrymod.queries()["x120_bm25_topk"](spark, sf01)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs, plan[:1500]
+    for ln in rs:
+        if "doc_id" in ln:
+            assert "n_chars" not in ln and "lang" not in ln, ln
+    # and the doc_id range predicates reach the reader
+    assert "PushedFilters: [" in plan
