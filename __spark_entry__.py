@@ -4872,32 +4872,16 @@ def a23_weighted_quantiles(spark, sf_dir):
             F.ceil(F.col("p") * F.col("w_total")).cast("long"),
         ).alias("wk"),
     )
-    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
-    btot = b.groupBy("bucket").agg(F.sum("w").alias("bw"))
-    wb = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quantiles import (
+        crossing_rows,
+        weighted_cumulative_ranks,
     )
-    prefix = btot.select(
-        "bucket", F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre")
-    )
-    wd = (
-        Window.partitionBy("bucket")
-        .orderBy(
-            F.col("value").asc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
-        "cum_w", F.col("pre") + F.sum("w").over(wd)
+
+    ranked = weighted_cumulative_ranks(
+        li, [], ["l_orderkey", "l_linenumber"]
     )
     return (
-        ranked.join(
-            F.broadcast(ks),
-            (F.col("cum_w") >= F.col("wk"))
-            & (F.col("cum_w") - F.col("w") < F.col("wk")),
-        )
+        crossing_rows(ranked, ks, [])
         .select(
             "p",
             F.col("wk").alias("target_weight"),
@@ -10825,38 +10809,16 @@ def a24_grouped_weighted_median(spark, sf_dir):
             F.ceil(F.lit(0.5) * F.col("w_total")).cast("long"),
         ).alias("wk"),
     )
-    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
-    btot = b.groupBy("l_returnflag", "bucket").agg(
-        F.sum("w").cast("long").alias("bw")
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quantiles import (
+        crossing_rows,
+        weighted_cumulative_ranks,
     )
-    wb = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+    ranked = weighted_cumulative_ranks(
+        li, ["l_returnflag"], ["l_orderkey", "l_linenumber"]
     )
-    prefix = btot.select(
-        "l_returnflag",
-        "bucket",
-        F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre"),
-    )
-    wd = (
-        Window.partitionBy("l_returnflag", "bucket")
-        .orderBy(
-            F.col("value").asc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = b.join(
-        F.broadcast(prefix), ["l_returnflag", "bucket"]
-    ).withColumn("cum_w", F.col("pre") + F.sum("w").over(wd))
     return (
-        ranked.join(F.broadcast(ks), "l_returnflag")
-        .filter(
-            (F.col("cum_w") >= F.col("wk"))
-            & (F.col("cum_w") - F.col("w") < F.col("wk"))
-        )
+        crossing_rows(ranked, ks, ["l_returnflag"])
         .select(
             "l_returnflag",
             F.col("wk").alias("target_weight"),
