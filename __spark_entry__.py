@@ -4808,26 +4808,24 @@ def a22_exact_quantiles_distributed(spark, sf_dir):
             F.ceil(F.col("p") * F.col("n_rows")).cast("long"),
         ).alias("k"),
     )
-    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
-    btot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    wb = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    # w = 1 makes the weighted machinery the exact unweighted rank:
+    # cum_w = bucket prefix + within-bucket row position, and the
+    # crossing rule cum_w >= k AND cum_w - 1 < k is precisely rk == k.
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quantiles import (
+        crossing_rows,
+        weighted_cumulative_ranks,
     )
-    prefix = btot.select(
-        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre")
-    )
-    wd = Window.partitionBy("bucket").orderBy(
-        F.col("value").asc(), F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
-    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
-        "rk", F.col("pre") + F.row_number().over(wd)
+
+    ranked = weighted_cumulative_ranks(
+        li.withColumn("w", F.lit(1).cast("long")),
+        [],
+        ["l_orderkey", "l_linenumber"],
     )
     return (
-        ranked.join(F.broadcast(ks), F.col("rk") == F.col("k"))
+        crossing_rows(ranked, ks.withColumnRenamed("k", "wk"), [])
         .select(
             "p",
-            F.col("k").alias("rank_k"),
+            F.col("wk").alias("rank_k"),
             "n_rows",
             F.col("value").alias("quantile_value"),
         )
