@@ -4917,24 +4917,19 @@ def x109_equidepth_histogram(spark, sf_dir):
             F.ceil(F.col("p") * F.col("n_rows")).cast("long"),
         ).alias("k")
     )
-    b = li.withColumn("bucket", F.floor(F.col("value") / F.lit(100.0)))
-    btot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    wb = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.quantiles import (
+        crossing_rows,
+        weighted_cumulative_ranks,
     )
-    prefix = btot.select(
-        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre")
+
+    ranked = weighted_cumulative_ranks(
+        li.withColumn("w", F.lit(1).cast("long")),
+        [],
+        ["l_orderkey", "l_linenumber"],
     )
-    wd = Window.partitionBy("bucket").orderBy(
-        F.col("value").asc(), F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
-    ranked = b.join(F.broadcast(prefix), "bucket").withColumn(
-        "rk", F.col("pre") + F.row_number().over(wd)
-    )
-    bounds = ranked.join(F.broadcast(ks), F.col("rk") == F.col("k")).select(
-        F.col("value").alias("boundary")
-    )
+    bounds = crossing_rows(
+        ranked, ks.withColumnRenamed("k", "wk"), []
+    ).select(F.col("value").alias("boundary"))
     binned = (
         li.crossJoin(F.broadcast(bounds))
         .groupBy("value", "l_orderkey", "l_linenumber")
