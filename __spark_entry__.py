@@ -10871,6 +10871,22 @@ def st39_media_dedup_ingest(spark, sf_dir):
     return ST.run_media_dedup_ingest(spark, sf_dir)
 
 
+def st40_mixed_media_dedup_ingest(spark, sf_dir):
+    """st40: MIXED-MODALITY perceptual dedup ON INGEST (r7) — the
+    deployment shape st39 abstracts away: ONE stream carries images
+    AND audio interleaved (an ingest endpoint doesn't choose what
+    arrives); each micro-batch dispatches by media_type to the right
+    fingerprinter (mm9's aHash / mm10's gain-invariant energy contour,
+    both real-codec Arrow decode passes) and probes ONE standing
+    holder index keyed (media_type, fingerprint) — modalities never
+    collide, one state store serves both. Same batch_id-partition
+    replay exclusion as st39. Drained rollup == the per-(modality,
+    fingerprint) batch window rule, replayed in pure integer SQL from
+    both synthetic payload formulas."""
+    apply_runtime_confs(spark)
+    return ST.run_mixed_media_dedup_ingest(spark, sf_dir)
+
+
 def st36_weighted_quantile_stream(spark, sf_dir):
     """st36: a23's EXACT weighted quantiles maintained ON INGEST —
     st31's bucket-histogram stream fold generalized to integral
@@ -10992,6 +11008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x123_prf_expansion": x123_prf_expansion,
         "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
         "st39_media_dedup_ingest": st39_media_dedup_ingest,
+        "st40_mixed_media_dedup_ingest": st40_mixed_media_dedup_ingest,
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
         "p6_date_parts": p6_date_parts,

@@ -298,6 +298,78 @@ SELECT system,
 FROM hits GROUP BY system
 """
 
+    # st40: the st39 image window UNION the mm10 audio-fingerprint
+    # window, each tagged with its modality — one decode-replay SQL
+    # per payload formula, the same kept/suppressed rule.
+    d["st40_mixed_media_dedup_ingest"] = """
+WITH assets AS (
+  SELECT range AS a, (8 + range % 5) AS w0, (6 + range % 4) AS h0
+  FROM range(64) WHERE range % 3 = 0
+), cells AS (
+  SELECT a, ed.ed, gi.range AS gi, gj.range AS gj,
+         CASE WHEN ed.ed = 'orig' THEN (gj.range * w0) // 4
+              ELSE (((gj.range * 16) // 4) * w0) // 16 END AS sx,
+         CASE WHEN ed.ed = 'orig' THEN (gi.range * h0) // 4
+              ELSE (((gi.range * 12) // 4) * h0) // 12 END AS sy
+  FROM assets,
+       (SELECT 'orig' AS ed UNION ALL SELECT 'up16') ed,
+       range(4) gi, range(4) gj
+), grays AS (
+  SELECT a, ed, gi, gj,
+         (((a*7 + sx*13 + sy*31) % 256)
+          + ((a*11 + sx*17 + sy*5) % 256)
+          + ((a*3 + sx*29 + sy*23) % 256)) // 3 AS g
+  FROM cells
+), tot AS (
+  SELECT a, ed, sum(g) AS total FROM grays GROUP BY a, ed
+), ihashes AS (
+  SELECT grays.a, grays.ed,
+         CAST(sum(CASE WHEN 16 * g >= total
+                       THEN 1 << (gi * 4 + gj) ELSE 0 END) AS BIGINT)
+           AS fp
+  FROM grays JOIN tot ON grays.a = tot.a AND grays.ed = tot.ed
+  GROUP BY grays.a, grays.ed
+), aud AS (
+  SELECT id AS asset_id, 512 + (id % 7) * 128 AS n
+  FROM range(0, 64) t(id) WHERE id % 3 = 1
+), sam AS (
+  SELECT asset_id, n, unnest(range(0, n)) AS i FROM aud
+), winsum AS (
+  SELECT asset_id, least(i // (n // 16), 15) AS k,
+         CAST(sum(abs(((asset_id * 7919 + i * 4409) % 9973) - 4986))
+              AS BIGINT) AS e
+  FROM sam GROUP BY asset_id, least(i // (n // 16), 15)
+), eds AS (
+  SELECT asset_id, 'orig' AS ed, k, e FROM winsum
+  UNION ALL
+  SELECT asset_id, 'gain2' AS ed, k, 2 * e FROM winsum
+), tagged AS (
+  SELECT asset_id, ed, k, e,
+         lead(e) OVER (PARTITION BY asset_id, ed ORDER BY k) AS e_next
+  FROM eds
+), ahashes AS (
+  SELECT asset_id AS a, ed,
+         CAST(coalesce(sum(CASE WHEN e_next > e THEN 1 << k ELSE 0 END), 0)
+              AS BIGINT) AS fp
+  FROM tagged WHERE k < 15 GROUP BY asset_id, ed
+), allfp AS (
+  SELECT 'image' AS media_type, a, ed, fp FROM ihashes
+  UNION ALL
+  SELECT 'audio' AS media_type, a, ed, fp FROM ahashes
+), ranked AS (
+  SELECT media_type, fp, a, ed,
+         row_number() OVER (PARTITION BY media_type, fp
+                            ORDER BY a ASC, ed ASC) AS rn,
+         count(*) OVER (PARTITION BY media_type, fp) AS cnt
+  FROM allfp
+)
+SELECT media_type, fp,
+       CAST(a AS BIGINT) AS kept_asset,
+       ed AS kept_edition,
+       CAST(cnt - 1 AS BIGINT) AS n_suppressed
+FROM ranked WHERE rn = 1
+"""
+
     # e2e_retrieval_eval: the three retrieval oracles composed as
     # scoped subqueries (the e2e_training_prep idiom) — left joins
     # keep queries whose phrase never occurs in the corpus.

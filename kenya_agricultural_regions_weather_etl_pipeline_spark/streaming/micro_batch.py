@@ -4812,3 +4812,167 @@ def run_media_dedup_ingest(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+def run_mixed_media_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    n_assets: int = 64,
+) -> DataFrame:
+    """st40: MIXED-MODALITY perceptual dedup ON INGEST — the shape a
+    real media firehose actually has: ONE stream carries images AND
+    audio interleaved, each micro-batch dispatches by media_type to
+    the right fingerprinter (aHash for BMP frames, the gain-invariant
+    energy contour for WAV — mm9/mm10's detectors, both one Arrow
+    mapInPandas decode pass over real codec bytes), and the survivor
+    rule runs against ONE standing holder index keyed
+    (media_type, fingerprint) — modalities never collide, one state
+    store serves both.
+
+    st39 is the single-modality operator; THIS is its deployment shape
+    (an ingest endpoint doesn't get to choose what arrives). Same
+    replay discipline: the holder index is batch_id-partitioned and a
+    batch excludes its own partition when probing; survivors/counts
+    land batch-keyed overwrite-on-replay. Drained rollup == the batch
+    window rule per (media_type, fingerprint) — kept = the
+    (asset, edition)-minimum, n_suppressed = group size − 1 — replayed
+    in pure integer SQL from both synthetic payload formulas."""
+    import shutil
+
+    from ..operators import multimodal as MM
+
+    media = (
+        MM.synthetic_image_media(spark, n_assets)
+        .unionByName(MM.synthetic_audio_media(spark, n_assets))
+        .select("asset_id", "media_type", "mime", "payload")
+        .localCheckpoint(eager=True)
+    )
+    src = tempfile.mkdtemp(prefix="kw_st40_src_")
+    state = tempfile.mkdtemp(prefix="kw_st40_state_")
+    holders_path = os.path.join(state, "holders")
+    survivors_path = os.path.join(state, "survivors")
+    counts_path = os.path.join(state, "counts")
+
+    from pyspark.sql import Window
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        fps_img = MM.perceptual_hash_editions(
+            batch.filter(F.col("media_type") == "image")
+        ).select(
+            F.lit("image").alias("media_type"),
+            "asset_id",
+            "edition",
+            F.col("phash").alias("fp"),
+        )
+        fps_aud = MM.audio_fingerprint_editions(
+            batch.filter(F.col("media_type") == "audio")
+        ).select(
+            F.lit("audio").alias("media_type"),
+            "asset_id",
+            "edition",
+            F.col("afp").alias("fp"),
+        )
+        hashed = fps_img.unionByName(fps_aud).localCheckpoint(eager=True)
+        arr = hashed
+        try:
+            standing = sess.read.parquet(holders_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            arr = arr.join(
+                standing.select("media_type", "fp"),
+                ["media_type", "fp"],
+                "left_anti",
+            )
+        except Exception:
+            pass  # first batch: no standing holders yet
+        w = Window.partitionBy("media_type", "fp").orderBy(
+            F.col("asset_id").asc(), F.col("edition").asc()
+        )
+        kept = (
+            arr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("media_type", "asset_id", "edition", "fp")
+            .localCheckpoint(eager=True)
+        )
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        kept.select("media_type", "fp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(holders_path, f"batch_id={batch_id}"))
+        hashed.groupBy("media_type", "fp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"batch_id={batch_id}")
+        )
+
+    try:
+        import glob as _glob
+        import time as _time
+
+        now = _time.time()
+        for b in range(n_batches):
+            lo = b * n_assets // n_batches
+            hi = (b + 1) * n_assets // n_batches
+            media.filter(
+                (F.col("asset_id") >= lo) & (F.col("asset_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+            newest = max(
+                _glob.glob(os.path.join(src, "*.parquet")),
+                key=os.path.getmtime,
+            )
+            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        with tempfile.TemporaryDirectory() as ckpt:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "4")
+                # bounded per-batch stages (|batch| fingerprint rows):
+                # AQE re-planning is pure latency here (f6c665a)
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                q = (
+                    spark.readStream.schema(media.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("pathGlobFilter", "*.parquet")
+                    .parquet(src)
+                    .writeStream.foreachBatch(one_batch)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        counts = (
+            spark.read.parquet(counts_path)
+            .groupBy("media_type", "fp")
+            .agg(F.sum("n_arrivals").cast("long").alias("n_total"))
+        )
+        out = (
+            spark.read.parquet(survivors_path)
+            .select(
+                "media_type",
+                "fp",
+                F.col("asset_id").cast("long").alias("kept_asset"),
+                F.col("edition").alias("kept_edition"),
+            )
+            .join(counts, ["media_type", "fp"])
+            .select(
+                "media_type",
+                "fp",
+                "kept_asset",
+                "kept_edition",
+                (F.col("n_total") - F.lit(1))
+                .cast("long")
+                .alias("n_suppressed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -423,3 +423,19 @@ def test_x120_scan_prunes_to_id_and_text(spark, sf01):
             assert "n_chars" not in ln and "lang" not in ln, ln
     # and the doc_id range predicates reach the reader
     assert "PushedFilters: [" in plan
+
+
+def test_st40_batch_count_invariance(spark, sf001):
+    """Mixed-modality dedup cannot depend on arrival batching; both
+    modalities present in the drained rollup, suppressed >= 1
+    everywhere (each asset ships 2 editions)."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_mixed_media_dedup_ingest,
+    )
+
+    a = _rows(run_mixed_media_dedup_ingest(spark, sf001, n_batches=4))
+    b = _rows(run_mixed_media_dedup_ingest(spark, sf001, n_batches=2))
+    assert a == b and len(a) > 0
+    mts = {r[0] for r in a}
+    assert mts == {"image", "audio"}
+    assert all(r[4] >= 1 for r in a)
