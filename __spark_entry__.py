@@ -1065,6 +1065,49 @@ def x1_dedup_exact(spark, sf_dir):
     )
 
 
+def x125_erasure_propagation(spark, sf_dir):
+    """RIGHT-TO-ERASURE propagation through the dedup layer (r7) —
+    the lakehouse op a deletion request actually triggers: deleting a
+    document must also fix every DERIVED artifact that references it,
+    and the subtle case is the dedup survivor set — if the deleted doc
+    was a group's CANONICAL, the next-lowest surviving member takes
+    over (its content is still in the corpus via the duplicates); a
+    group whose members are all deleted vanishes entirely. Deletion
+    set = doc_id % 17 == 3 (a deterministic stand-in for the request
+    list). Per affected group (any deleted member): the old canonical,
+    the post-erasure canonical (NULL when the whole group is erased),
+    and the member counts — exactly the delta a compliance audit logs.
+    Shape: one fingerprint groupBy with conditional aggregates — no
+    second pass, no join back to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        (F.col("doc_id") % 17 == 3).cast("int").alias("deleted"),
+    )
+    agg = g.groupBy("fp").agg(
+        F.min("doc_id").alias("old_canonical"),
+        F.min(
+            F.when(F.col("deleted") == 0, F.col("doc_id"))
+        ).alias("new_canonical"),
+        F.sum("deleted").cast("long").alias("n_deleted"),
+        F.sum(F.lit(1) - F.col("deleted")).cast("long").alias(
+            "n_remaining"
+        ),
+    )
+    return agg.filter(F.col("n_deleted") > 0).select(
+        "fp",
+        "old_canonical",
+        "new_canonical",
+        (
+            F.col("new_canonical").isNotNull()
+            & (F.col("new_canonical") != F.col("old_canonical"))
+        ).alias("canonical_changed"),
+        "n_deleted",
+        "n_remaining",
+    )
+
+
 def x2_minhash_lsh_pairs(spark, sf_dir):
     """MinHash + banded LSH near-dup candidates (no SQL oracle:
     xxhash64 signatures are engine-specific → rows-only check)."""
@@ -11011,6 +11054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st40_mixed_media_dedup_ingest": st40_mixed_media_dedup_ingest,
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
+        "x125_erasure_propagation": x125_erasure_propagation,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -370,6 +370,30 @@ SELECT media_type, fp,
 FROM ranked WHERE rn = 1
 """
 
+    # x125: erasure propagation through the exact-dedup groups —
+    # conditional min/count aggregates over the md5 fingerprint
+    # groups, affected groups only.
+    d["x125_erasure_propagation"] = """
+WITH g AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS deleted
+  FROM documents
+), agg AS (
+  SELECT fp,
+         min(doc_id) AS old_canonical,
+         min(CASE WHEN deleted = 0 THEN doc_id END) AS new_canonical,
+         CAST(sum(deleted) AS BIGINT) AS n_deleted,
+         CAST(sum(1 - deleted) AS BIGINT) AS n_remaining
+  FROM g GROUP BY fp
+)
+SELECT fp, old_canonical, new_canonical,
+       (new_canonical IS NOT NULL
+        AND new_canonical <> old_canonical) AS canonical_changed,
+       n_deleted, n_remaining
+FROM agg WHERE n_deleted > 0
+"""
+
     # e2e_retrieval_eval: the three retrieval oracles composed as
     # scoped subqueries (the e2e_training_prep idiom) — left joins
     # keep queries whose phrase never occurs in the corpus.

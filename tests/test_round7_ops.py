@@ -439,3 +439,28 @@ def test_st40_batch_count_invariance(spark, sf001):
     mts = {r[0] for r in a}
     assert mts == {"image", "audio"}
     assert all(r[4] >= 1 for r in a)
+
+
+def test_x125_erasure_semantics(spark, sf001):
+    """Canonical handoff: wherever the old canonical was deleted and
+    survivors remain, new_canonical is a surviving member > old; fully
+    erased groups carry NULL; untouched groups never appear."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x125_erasure_propagation"](
+        spark, sf001
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_deleted"] >= 1
+        if r["n_remaining"] == 0:
+            assert r["new_canonical"] is None
+            assert not r["canonical_changed"]
+        else:
+            assert r["new_canonical"] is not None
+            if r["old_canonical"] % 17 == 3:  # canonical was deleted
+                assert r["new_canonical"] > r["old_canonical"]
+                assert r["canonical_changed"]
+            else:
+                assert r["new_canonical"] == r["old_canonical"]
+                assert not r["canonical_changed"]
