@@ -1108,6 +1108,59 @@ def x125_erasure_propagation(spark, sf_dir):
     )
 
 
+def x126_erasure_index_repair(spark, sf_dir):
+    """RIGHT-TO-ERASURE propagation through the INVERTED INDEX (r7) —
+    x125's principle applied to the other derived-artifact class: a
+    deletion request must also repair the search index (st37/x120's
+    postings + term dictionary), and the scale discipline is
+    DELTA-ONLY — the deleted docs' postings name exactly the affected
+    terms, so df decrements by the per-term count of deleted holders
+    and no unaffected term is ever touched (a full dictionary rebuild
+    at 10⁹ terms for a 100-doc erasure is the anti-pattern). Deletion
+    set = x125's (doc_id % 17 == 3), corpus = the indexed docs
+    (doc_id ≥ 5). Per affected term: old/new df, dropped posting and
+    token counts, and whether the term vanishes from the dictionary
+    entirely. Shape: one postings pass split by the deletion flag —
+    the repair aggregate reads ONLY deleted docs' postings joined back
+    to the dictionary on term."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        doc_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= 5
+    )
+    tf = doc_postings(docs.select("doc_id", "text")).withColumn(
+        "deleted", (F.col("doc_id") % 17 == 3).cast("int")
+    )
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("old_df")
+    )
+    delta = (
+        tf.filter(F.col("deleted") == 1)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dropped_postings"),
+            F.sum("tf").cast("long").alias("dropped_tokens"),
+        )
+    )
+    return (
+        delta.join(dfc, "term")
+        .select(
+            "term",
+            "old_df",
+            (F.col("old_df") - F.col("dropped_postings"))
+            .cast("long")
+            .alias("new_df"),
+            "dropped_postings",
+            "dropped_tokens",
+            (F.col("old_df") == F.col("dropped_postings")).alias(
+                "term_vanishes"
+            ),
+        )
+    )
+
+
 def x2_minhash_lsh_pairs(spark, sf_dir):
     """MinHash + banded LSH near-dup candidates (no SQL oracle:
     xxhash64 signatures are engine-specific → rows-only check)."""
@@ -11055,6 +11108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
         "x125_erasure_propagation": x125_erasure_propagation,
+        "x126_erasure_index_repair": x126_erasure_index_repair,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -394,6 +394,30 @@ SELECT fp, old_canonical, new_canonical,
 FROM agg WHERE n_deleted > 0
 """
 
+    # x126: index repair for the same deletion set — delta-only df
+    # decrement derived from the deleted docs' postings alone.
+    d["x126_erasure_index_repair"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS deleted
+  FROM (SELECT doc_id, unnest({toks}) AS term
+        FROM documents WHERE doc_id >= 5)
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS old_df FROM tf GROUP BY term
+), delta AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS dropped_postings,
+         CAST(sum(tf) AS BIGINT) AS dropped_tokens
+  FROM tf WHERE deleted = 1 GROUP BY term
+)
+SELECT d.term, dfc.old_df,
+       CAST(dfc.old_df - d.dropped_postings AS BIGINT) AS new_df,
+       d.dropped_postings, d.dropped_tokens,
+       (dfc.old_df = d.dropped_postings) AS term_vanishes
+FROM delta d JOIN dfc ON dfc.term = d.term
+"""
+
     # e2e_retrieval_eval: the three retrieval oracles composed as
     # scoped subqueries (the e2e_training_prep idiom) — left joins
     # keep queries whose phrase never occurs in the corpus.
