@@ -246,6 +246,8 @@ PROBED_QUERIES = (
     "x122_phrase_search",
     "x123_prf_expansion",
     "st38_hybrid_serve_stream",
+    "x125_erasure_propagation",
+    "x126_erasure_index_repair",
 )
 
 
