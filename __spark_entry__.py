@@ -5321,46 +5321,23 @@ def x115_pooled_retrieval(spark, sf_dir):
     broadcast-query shape on a 4×-smaller table."""
     from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
         mean_pooled_bags,
+        pooled_cosine_topk,
     )
 
     pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
-        cosine_given_norms as _cgn,
-    )
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
-        norm as _vnorm,
-    )
-
-    c = pooled.select(
-        F.col("doc_id").alias("cand_doc"), F.col("pv").alias("cv")
-    ).withColumn("cnrm", _vnorm(F.col("cv")))
-    q = (
-        pooled.filter(F.col("doc_id") < 2)
-        .select(F.col("doc_id").alias("query_doc"), F.col("pv").alias("qv"))
-        .withColumn("qnrm", _vnorm(F.col("qv")))
-    )
-    w = Window.partitionBy("query_doc").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_doc").asc()
-    )
-    return (
-        c.join(F.broadcast(q), F.col("cand_doc") != F.col("query_doc"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _cgn(
-                    F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")
-                ),
-                6,
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_doc",
-            "cand_doc",
-            "cos_sim",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return pooled_cosine_topk(
+        pooled,
+        pooled.filter(F.col("doc_id") < 2).select(
+            F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
+        ),
+        k=5,
+        # legacy x115 rounding twin (oracle uses DuckDB round()):
+        score_round=lambda c: F.round(c, 6),
+    ).select(
+        F.col("query_id").alias("query_doc"),
+        F.col("doc_id").alias("cand_doc"),
+        "cos_sim",
+        "rank",
     )
 
 
@@ -10701,17 +10678,10 @@ def x121_hybrid_rrf(spark, sf_dir):
     join / broadcast-query cosine), the fusion joins two Q·20-row
     frames — nothing corpus-sized crosses the merge. See
     operators/retrieval.py:rrf_fuse."""
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
-        cosine_given_norms as _cgn,
-    )
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
-        norm as _vnorm,
-    )
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.weather import (
-        round_half_up,
-    )
     from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
         bm25_topk,
+        mean_pooled_bags,
+        pooled_cosine_topk,
         rrf_fuse,
     )
 
@@ -10723,40 +10693,18 @@ def x121_hybrid_rrf(spark, sf_dir):
         ),
         k=20,
     )
-    # dense leg: x115's mean-pool on the int64 micro-grid (the shared
-    # operators/retrieval.mean_pooled_bags — partition-order-free),
-    # query bags doc_id < 5, candidate bags >= 5, top-20 by the 6-dp
-    # half-up-rounded cosine (rank on the ROUNDED value so the
-    # ordering is engine-independent)
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
-        mean_pooled_bags,
-    )
-
+    # dense leg: x115's mean-pool on the int64 micro-grid, query bags
+    # doc_id < 5, candidate bags >= 5, top-20 by the 6-dp half-up
+    # cosine — the shared operators/retrieval.pooled_cosine_topk used
+    # verbatim by x115 and st38's serving loop
     pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
-    cands = pooled.filter(F.col("doc_id") >= 5).withColumn(
-        "cnrm", _vnorm(F.col("pv"))
-    )
-    qv = (
-        pooled.filter(F.col("doc_id") < 5)
-        .select(F.col("doc_id").alias("query_id"), F.col("pv").alias("qv"))
-        .withColumn("qnrm", _vnorm(F.col("qv")))
-    )
-    wd = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("doc_id").asc()
-    )
-    dense = (
-        cands.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            round_half_up(
-                _cgn(F.col("pv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
-                6,
-            ),
-        )
-        .withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "rank")
-    )
+    dense = pooled_cosine_topk(
+        pooled.filter(F.col("doc_id") >= 5),
+        pooled.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
+        ),
+        k=20,
+    ).select("query_id", "doc_id", "rank")
     return rrf_fuse(sparse, dense, k=10)
 
 

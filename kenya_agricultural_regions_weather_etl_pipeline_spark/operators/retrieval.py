@@ -347,18 +347,38 @@ def prf_expansion(
     )
 
 
-def mean_pooled_bags(emb: DataFrame) -> DataFrame:
-    """(doc_id, pv): each 4-vector embedding bag mean-pooled into ONE
-    doc vector with coordinates averaged on the int64 micro-grid (the
-    x112 centroid discipline — quantize each coordinate to 1e-6 units,
-    sum exactly, divide once), so the pooled vector is
+def mean_pooled_bags(
+    emb: DataFrame,
+    bag_size: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, pv): each ``bag_size``-vector embedding bag mean-pooled
+    into ONE doc vector with coordinates averaged on the int64
+    micro-grid (the x112 centroid discipline — quantize each coordinate
+    to 1e-6 units, sum exactly, divide once), so the pooled vector is
     partition-order-free and bit-identical in any engine. Shared by
-    x115 (pooled retrieval) and x121's dense leg. One dim-bounded
-    posexplode rollup; nothing wider than (doc, pos) ever shuffles."""
+    x115 (pooled retrieval), x121's dense leg, and st38's serving store.
+    One dim-bounded posexplode rollup; nothing wider than (doc, pos)
+    ever shuffles.
+
+    The bag convention (``vec_id DIV bag_size``) is a parameter, not a
+    baked-in fixture fact (ADVICE r7): a caller with a different bag
+    layout passes its own size/columns instead of silently mis-pooling.
+    """
     vecs = emb.select(
-        F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(
+            f"CAST({vec_id_col} DIV {int(bag_size)} AS BIGINT)"
+        ).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    return _micro_grid_pool(vecs)
+
+
+def _micro_grid_pool(vecs: DataFrame) -> DataFrame:
+    """The (doc_id, v) → (doc_id, pv) rollup behind
+    :func:`mean_pooled_bags`: posexplode, 1e-6 quantize, exact int64
+    sum per coordinate, one division, re-assemble ordered by pos."""
     return (
         vecs.select("doc_id", F.posexplode("v").alias("pos", "x"))
         .withColumn(
@@ -376,5 +396,69 @@ def mean_pooled_bags(emb: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "p"))),
                 lambda s: s["p"],
             ).alias("pv")
+        )
+    )
+
+
+def pooled_cosine_topk(
+    cands: DataFrame,
+    queries: DataFrame,
+    k: int,
+    score_round: "Column | None" = None,
+) -> DataFrame:
+    """Exact cosine top-``k`` of pooled QUERY vectors against a pooled
+    candidate store — the dense leg shared by x115 (pooled retrieval),
+    x121 (hybrid RRF), and st38's serving loop, extracted here so the
+    ranking expression exists exactly once (VERDICT r7 #4).
+
+    ``cands``: (doc_id, pv[, cnrm]); ``queries``: (query_id,
+    qv[, qnrm]) — norms are computed with :func:`functions.vectors.norm`
+    when absent, so callers that precompute them (st38's frozen store)
+    keep their plan. ``score_round`` maps the raw cosine Column to the
+    ranked score (default: 6-dp half-up — rank on the ROUNDED value so
+    ordering is engine-independent; x115 passes its legacy
+    ``F.round`` twin).
+
+    Scale shape: the query frame is broadcast (Q rows), the candidate
+    store streams once per ranking, self-pairs are excluded, and top-k
+    is a per-query window-group-limit — no global sort, nothing
+    super-linear in the corpus.
+    """
+    from ..functions.vectors import cosine_given_norms, norm
+    from ..functions.weather import round_half_up
+
+    if score_round is None:
+        def score_round(c: Column) -> Column:
+            return round_half_up(c, 6)
+
+    if "cnrm" not in cands.columns:
+        cands = cands.withColumn("cnrm", norm(F.col("pv")))
+    if "qnrm" not in queries.columns:
+        queries = queries.withColumn("qnrm", norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cands.join(
+            F.broadcast(queries), F.col("doc_id") != F.col("query_id")
+        )
+        .withColumn(
+            "cos_sim",
+            score_round(
+                cosine_given_norms(
+                    F.col("pv"),
+                    F.col("qv"),
+                    F.col("cnrm"),
+                    F.col("qnrm"),
+                )
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
         )
     )

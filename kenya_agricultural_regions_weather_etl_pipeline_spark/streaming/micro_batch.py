@@ -4486,12 +4486,12 @@ def run_hybrid_serve_stream(
 
     from pyspark.storagelevel import StorageLevel
 
-    from ..functions.vectors import cosine_given_norms, norm
-    from ..functions.weather import round_half_up
+    from ..functions.vectors import norm
     from ..operators.retrieval import (
         bm25_score_index,
         doc_postings,
         mean_pooled_bags,
+        pooled_cosine_topk,
         query_terms,
         rrf_fuse,
     )
@@ -4580,28 +4580,8 @@ def run_hybrid_serve_stream(
             .select(F.col("doc_id").alias("query_id"), F.col("pv").alias("qv"))
             .withColumn("qnrm", norm(F.col("qv")))
         )
-        wd = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("doc_id").asc()
-        )
-        dense = (
-            cands.join(
-                F.broadcast(qv), F.col("doc_id") != F.col("query_id")
-            )
-            .withColumn(
-                "cos_sim",
-                round_half_up(
-                    cosine_given_norms(
-                        F.col("pv"),
-                        F.col("qv"),
-                        F.col("cnrm"),
-                        F.col("qnrm"),
-                    ),
-                    6,
-                ),
-            )
-            .withColumn("rank", F.row_number().over(wd))
-            .filter(F.col("rank") <= 20)
-            .select("query_id", "doc_id", "rank")
+        dense = pooled_cosine_topk(cands, qv, k=20).select(
+            "query_id", "doc_id", "rank"
         )
         out = rrf_fuse(sparse, dense, k=10)
         wsess = out.sparkSession
@@ -4623,8 +4603,6 @@ def run_hybrid_serve_stream(
             wsess.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
-
-    from pyspark.sql import Window
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -4697,6 +4675,8 @@ def run_media_dedup_ingest(
     the synthetic pixel formula."""
     import shutil
 
+    from pyspark.errors import AnalysisException
+
     from ..operators import multimodal as MM
 
     media = MM.synthetic_image_media(spark, n_assets).localCheckpoint(
@@ -4721,7 +4701,7 @@ def run_media_dedup_ingest(
             arr = arr.join(
                 standing.select("phash"), "phash", "left_anti"
             )
-        except Exception:
+        except AnalysisException:
             pass  # first batch: no standing holders yet
         w = Window.partitionBy("phash").orderBy(
             F.col("asset_id").asc(), F.col("edition").asc()
@@ -4840,6 +4820,8 @@ def run_mixed_media_dedup_ingest(
     in pure integer SQL from both synthetic payload formulas."""
     import shutil
 
+    from pyspark.errors import AnalysisException
+
     from ..operators import multimodal as MM
 
     media = (
@@ -4885,7 +4867,7 @@ def run_mixed_media_dedup_ingest(
                 ["media_type", "fp"],
                 "left_anti",
             )
-        except Exception:
+        except AnalysisException:
             pass  # first batch: no standing holders yet
         w = Window.partitionBy("media_type", "fp").orderBy(
             F.col("asset_id").asc(), F.col("edition").asc()
