@@ -45,6 +45,19 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity 
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans import (  # noqa: E402
     weather_pipeline as WP,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.agro import (  # noqa: E402
+    agro1_growing_degree_days,
+    agro2_dry_spells,
+    agro3_reference_et0,
+    e2e_agro_report,
+)
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance import (  # noqa: E402
+    x67_k_anonymity,
+    x118_l_diversity,
+    x119_t_closeness,
+    x125_erasure_propagation,
+    x126_erasure_index_repair,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
 )
@@ -1062,102 +1075,6 @@ def x1_dedup_exact(spark, sf_dir):
         docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
-    )
-
-
-def x125_erasure_propagation(spark, sf_dir):
-    """RIGHT-TO-ERASURE propagation through the dedup layer (r7) —
-    the lakehouse op a deletion request actually triggers: deleting a
-    document must also fix every DERIVED artifact that references it,
-    and the subtle case is the dedup survivor set — if the deleted doc
-    was a group's CANONICAL, the next-lowest surviving member takes
-    over (its content is still in the corpus via the duplicates); a
-    group whose members are all deleted vanishes entirely. Deletion
-    set = doc_id % 17 == 3 (a deterministic stand-in for the request
-    list). Per affected group (any deleted member): the old canonical,
-    the post-erasure canonical (NULL when the whole group is erased),
-    and the member counts — exactly the delta a compliance audit logs.
-    Shape: one fingerprint groupBy with conditional aggregates — no
-    second pass, no join back to the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        T.fingerprint_md5(F.col("text")).alias("fp"),
-        (F.col("doc_id") % 17 == 3).cast("int").alias("deleted"),
-    )
-    agg = g.groupBy("fp").agg(
-        F.min("doc_id").alias("old_canonical"),
-        F.min(
-            F.when(F.col("deleted") == 0, F.col("doc_id"))
-        ).alias("new_canonical"),
-        F.sum("deleted").cast("long").alias("n_deleted"),
-        F.sum(F.lit(1) - F.col("deleted")).cast("long").alias(
-            "n_remaining"
-        ),
-    )
-    return agg.filter(F.col("n_deleted") > 0).select(
-        "fp",
-        "old_canonical",
-        "new_canonical",
-        (
-            F.col("new_canonical").isNotNull()
-            & (F.col("new_canonical") != F.col("old_canonical"))
-        ).alias("canonical_changed"),
-        "n_deleted",
-        "n_remaining",
-    )
-
-
-def x126_erasure_index_repair(spark, sf_dir):
-    """RIGHT-TO-ERASURE propagation through the INVERTED INDEX (r7) —
-    x125's principle applied to the other derived-artifact class: a
-    deletion request must also repair the search index (st37/x120's
-    postings + term dictionary), and the scale discipline is
-    DELTA-ONLY — the deleted docs' postings name exactly the affected
-    terms, so df decrements by the per-term count of deleted holders
-    and no unaffected term is ever touched (a full dictionary rebuild
-    at 10⁹ terms for a 100-doc erasure is the anti-pattern). Deletion
-    set = x125's (doc_id % 17 == 3), corpus = the indexed docs
-    (doc_id ≥ 5). Per affected term: old/new df, dropped posting and
-    token counts, and whether the term vanishes from the dictionary
-    entirely. Shape: one postings pass split by the deletion flag —
-    the repair aggregate reads ONLY deleted docs' postings joined back
-    to the dictionary on term."""
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
-        doc_postings,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") >= 5
-    )
-    tf = doc_postings(docs.select("doc_id", "text")).withColumn(
-        "deleted", (F.col("doc_id") % 17 == 3).cast("int")
-    )
-    dfc = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("old_df")
-    )
-    delta = (
-        tf.filter(F.col("deleted") == 1)
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("dropped_postings"),
-            F.sum("tf").cast("long").alias("dropped_tokens"),
-        )
-    )
-    return (
-        delta.join(dfc, "term")
-        .select(
-            "term",
-            "old_df",
-            (F.col("old_df") - F.col("dropped_postings"))
-            .cast("long")
-            .alias("new_df"),
-            "dropped_postings",
-            "dropped_tokens",
-            (F.col("old_df") == F.col("dropped_postings")).alias(
-                "term_vanishes"
-            ),
-        )
     )
 
 
@@ -6991,252 +6908,6 @@ def e2e_weather_sim(spark, sf_dir):
     )
 
 
-def agro1_growing_degree_days(spark, sf_dir):
-    """GROWING DEGREE DAYS — the agronomic accumulation the reference's
-    consumers compute FROM its weather table (the pipeline's whole
-    point is crop planning for Kenya's regions;
-    daily_weather_etl_kenya.py:342-390 stops at per-reading
-    derivations). Per region-day: tmax/tmin of validated temperatures,
-    capped-average GDD = max(0, min((tmax+tmin)/2, 30°C) − 10°C base),
-    then the cumulative per-region GDD curve (the planting-calendar
-    signal). Arithmetic is integer MILLI-degrees end-to-end — 2dp
-    temperatures quantize exactly to centi-ints, (a+b)·5 is the exact
-    half-sum in milli, greatest/least/running-sum all int64 — one
-    double division at the end, so the running accumulation is
-    order-free on any engine/partitioning (the a22/x104 discipline).
-    Scale shape: one (region, date)-keyed agg with map-side partials +
-    one per-region ordered window — region cardinality bounds state,
-    never row count."""
-    ev = load_table(spark, sf_dir, "events")
-    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
-    pseudo = ev.select(
-        F.concat(
-            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
-        ).alias("region"),
-        t.alias("temperature"),
-        F.to_date("ts").alias("date"),
-    )
-    validated = pseudo.filter(
-        (F.col("temperature") >= -5) & (F.col("temperature") <= 50)
-    )
-    daily = validated.groupBy("region", "date").agg(
-        F.floor(F.max("temperature") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .alias("tmax_c"),
-        F.floor(F.min("temperature") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .alias("tmin_c"),
-    )
-    gdd_m = F.greatest(
-        F.lit(0).cast("long"),
-        F.least(
-            (F.col("tmax_c") + F.col("tmin_c")) * 5, F.lit(30000).cast("long")
-        )
-        - F.lit(10000),
-    )
-    w = Window.partitionBy("region").orderBy("date")
-    return (
-        daily.select("region", "date", gdd_m.alias("gdd_m"))
-        .select(
-            "region",
-            F.date_format("date", "yyyy-MM-dd").alias("date"),
-            (F.col("gdd_m").cast("double") / F.lit(1000.0)).alias("gdd"),
-            (
-                F.sum("gdd_m").over(w).cast("double") / F.lit(1000.0)
-            ).alias("cum_gdd"),
-        )
-    )
-
-
-def agro2_dry_spells(spark, sf_dir):
-    """DRY-SPELL detection — the drought signal an agricultural
-    consumer reads off the reference's weather table (rainfall is the
-    pipeline's most scrutinized column; daily_weather_etl_kenya.py's
-    rainfall binning stops at per-reading categories). Per region-day
-    the rainfall total accumulates in integer DECI-millimetres (1dp
-    readings quantize exactly);
-    maximal runs of consecutive dry days are found with the
-    gaps-and-islands window (epoch_day − row_number is constant within
-    a run — pure int64 arithmetic, no session UDF, no iteration) and
-    rolled up per region: dry-day count, spell count, longest and mean
-    spell. "Dry" is RELATIVE — a day below the region's own 25th
-    percentile of daily totals (the w16 learned-threshold discipline:
-    an absolute mm cutoff can't survive reading-density changes, a
-    quantile of the region's own history can). Scale shape: one
-    (region, date) agg + a 15-row learned-threshold broadcast + one
-    per-region window + one (region, island) agg — everything keyed,
-    state bounded by region × day cardinality, order-free integers on
-    every accumulation path."""
-    ev = load_table(spark, sf_dir, "events")
-    rain = F.round(_fm(F.col("value") * 13.7, 60.0), 1)
-    pseudo = ev.select(
-        F.concat(
-            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
-        ).alias("region"),
-        rain.alias("rainfall_1h"),
-        F.to_date("ts").alias("date"),
-    )
-    daily = pseudo.groupBy("region", "date").agg(
-        F.sum(
-            F.floor(F.col("rainfall_1h") * 10.0 + F.lit(0.5)).cast("long")
-        ).alias("rain_deci")
-    )
-    thresh = daily.groupBy("region").agg(
-        F.expr("percentile(rain_deci, 0.25)").alias("p25")
-    )
-    dry = daily.join(F.broadcast(thresh), "region").filter(
-        F.col("rain_deci") < F.col("p25")
-    ).select(
-        "region",
-        "date",
-        F.datediff(F.col("date"), F.lit("1970-01-01").cast("date")).alias(
-            "epoch_day"
-        ),
-    )
-    w = Window.partitionBy("region").orderBy("epoch_day")
-    islands = dry.withColumn(
-        "grp", F.col("epoch_day") - F.row_number().over(w)
-    )
-    spells = islands.groupBy("region", "grp").agg(
-        F.count(F.lit(1)).cast("long").alias("spell_len")
-    )
-    return spells.groupBy("region").agg(
-        F.sum("spell_len").cast("long").alias("n_dry_days"),
-        F.count(F.lit(1)).cast("long").alias("n_spells"),
-        F.max("spell_len").cast("long").alias("longest_spell"),
-        (
-            F.sum("spell_len").cast("double") / F.count(F.lit(1))
-        ).alias("mean_spell"),
-    )
-
-
-def e2e_agro_report(spark, sf_dir):
-    """The AGRICULTURAL DECISION REPORT — what the reference pipeline
-    exists to feed (its README's crop-planning goal; the reference
-    itself stops at loading rows): one 15-row per-region verdict
-    joining the season's total growing degree days (agro1's
-    accumulation), the drought profile (agro2's spell census), and the
-    favorable-temperature rate (the reference's own P3 flag,
-    daily_weather_etl_kenya.py:315, aggregated longitudinally). The
-    verdict is a deterministic CASE over the three signals — the
-    decision-support row a county agronomist reads. Composes three
-    exact-oracled derivations on integer grids; the join keys are the
-    15 region codes, so the report replays exactly. Scale shape: three
-    keyed aggs over one events scan each + two 15-row broadcast
-    joins."""
-    gdd = (
-        agro1_growing_degree_days(spark, sf_dir)
-        # re-quantize to the milli grid before summing: per-day gdd is
-        # an exact multiple of 0.001, so the int recovery is lossless
-        # and the cross-day accumulation stays order-free int64
-        .groupBy("region")
-        .agg(
-            (
-                F.sum(
-                    F.expr("CAST(floor(gdd * 1000.0 + 0.5) AS BIGINT)")
-                ).cast("double")
-                / F.lit(1000.0)
-            ).alias("total_gdd"),
-        )
-    )
-    spells = agro2_dry_spells(spark, sf_dir).select(
-        "region", "n_dry_days", "longest_spell"
-    )
-    ev = load_table(spark, sf_dir, "events")
-    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
-    pseudo = ev.select(
-        F.concat(
-            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
-        ).alias("region"),
-        t.alias("temperature"),
-    ).filter((F.col("temperature") >= -5) & (F.col("temperature") <= 50))
-    fav = pseudo.groupBy("region").agg(
-        (
-            F.sum(W.is_favorable_temp(F.col("temperature")).cast("long"))
-            .cast("double")
-            / F.count(F.lit(1))
-        ).alias("favorable_rate")
-    )
-    rep = gdd.join(F.broadcast(spells), "region").join(
-        F.broadcast(fav), "region"
-    )
-    verdict = (
-        F.when(
-            (F.col("favorable_rate") >= 0.2)
-            & (F.col("longest_spell") <= 3),
-            "plant",
-        )
-        .when(F.col("longest_spell") >= 5, "drought_risk")
-        .otherwise("monitor")
-    )
-    return rep.select(
-        "region",
-        "total_gdd",
-        "n_dry_days",
-        "longest_spell",
-        W.round_half_up(F.col("favorable_rate"), 6).alias("favorable_rate"),
-        verdict.alias("verdict"),
-    )
-
-
-def agro3_reference_et0(spark, sf_dir):
-    """REFERENCE EVAPOTRANSPIRATION (Hargreaves–Samani 1985) — the
-    third agronomic consumer: ET₀ = 0.0023·Ra·(Tmean+17.8)·√(Tmax−Tmin)
-    per region-day, the temperature-only ET estimate used exactly where
-    this pipeline operates (no radiation sensors, daily min/max only).
-    Tmean is the standard (Tmax+Tmin)/2; Ra (extraterrestrial
-    radiation) needs latitude the corpus doesn't carry, so it is a
-    per-region FIXTURE constant (20 + idx mod 10 MJ/m²/day, documented
-    stand-in — the formula's structure, not Ra's provenance, is what
-    the engine exercises). Daily tmax/tmin come exact off the centi-int
-    grid (agro1's quantization), the per-day ET₀ is one identical
-    double product chain on both engines, quantized to 1e-6 before the
-    monthly sum — order-free accumulation. Output: per region-month
-    day count, mean and total ET₀ (the irrigation-planning numbers)."""
-    ev = load_table(spark, sf_dir, "events")
-    t = F.round(F.lit(-10) + _fm(F.col("value"), 70.0), 2)
-    pseudo = ev.select(
-        F.concat(
-            F.lit("R"), F.lpad((F.col("user_id") % 15).cast("string"), 2, "0")
-        ).alias("region"),
-        (F.col("user_id") % 15).cast("long").alias("ridx"),
-        t.alias("temperature"),
-        F.to_date("ts").alias("date"),
-    ).filter((F.col("temperature") >= -5) & (F.col("temperature") <= 50))
-    daily = pseudo.groupBy("region", "ridx", "date").agg(
-        F.floor(F.max("temperature") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .alias("tmax_c"),
-        F.floor(F.min("temperature") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .alias("tmin_c"),
-    )
-    ra = (F.lit(20.0) + (F.col("ridx") % 10).cast("double"))
-    tmean = (F.col("tmax_c") + F.col("tmin_c")).cast("double") / F.lit(200.0)
-    trange = (F.col("tmax_c") - F.col("tmin_c")).cast("double") / F.lit(
-        100.0
-    )
-    et0 = (
-        F.lit(0.0023) * ra * (tmean + F.lit(17.8)) * F.sqrt(trange)
-    )
-    q = F.floor(et0 * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    return (
-        daily.withColumn("et0_q", q)
-        .groupBy("region", F.date_format("date", "yyyy-MM").alias("month"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            (
-                F.sum("et0_q").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1000000.0)
-            ).alias("mean_et0"),
-            (
-                F.sum("et0_q").cast("double") / F.lit(1000000.0)
-            ).alias("total_et0"),
-        )
-    )
-
-
 def _e2e_oracle() -> str:
     t = f"round(-10 + {_fm_sql('value', 70.0)}, 2)"
     h = "(event_id % 101)"
@@ -9009,29 +8680,6 @@ def x66_code_switch_detect(spark, sf_dir):
     )
 
 
-def x67_k_anonymity(spark, sf_dir):
-    """k-anonymity audit over quasi-identifiers — the privacy check a
-    data-release pipeline runs before publishing: customers grouped by
-    the (nation, market-segment) quasi-identifier tuple; any group
-    smaller than k=5 re-identifies its members and must be suppressed
-    or generalized. Output: every quasi-group with its size and the
-    at-risk flag, plus deterministic ordering columns. ONE hash
-    aggregation on the quasi-identifier (map-side combined); the flag
-    is a scalar expression — the audit costs a single pass whatever
-    the table size."""
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        cust.groupBy("c_nationkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "group_size",
-            (F.col("group_size") < 5).cast("int").alias("at_risk"),
-        )
-    )
-
-
 def q28_supplier_concentration(spark, sf_dir):
     """TPC-H Q11 spirit (no partsupp table in this corpus, so supplier
     account balance stands in for inventory value): nations whose
@@ -10485,139 +10133,6 @@ def x117_containment_dedup(spark, sf_dir):
     )
 
 
-def x118_l_diversity(spark, sf_dir):
-    """l-DIVERSITY audit — the release gate one step past x67's
-    k-anonymity: a quasi-identifier group can be large (k-anonymous)
-    yet expose everyone in it if the SENSITIVE attribute is constant
-    within the group (the homogeneity attack k-anonymity ignores).
-    Customers grouped by the (nation, market-segment) quasi-identifier;
-    the sensitive attribute is the account-balance band (5 equal-width
-    bands over [-1000, 10000] — banding IS the generalization step of
-    the privacy model); l = distinct bands in the group; at_risk when
-    l < 3. ONE hash aggregation with a count + count-distinct —
-    map-side partials, a single shuffle on the quasi-identifier, the
-    same single-pass cost profile as x67 whatever the table size."""
-    cust = load_table(spark, sf_dir, "customer")
-    band = F.least(
-        F.lit(4),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(2200.0)),
-        ),
-    ).cast("int")
-    return (
-        cust.withColumn("bal_band", band)
-        .groupBy("c_nationkey", "c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("group_size"),
-            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
-        )
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "group_size",
-            "l_distinct",
-            (F.col("l_distinct") < 3).cast("int").alias("at_risk"),
-        )
-    )
-
-
-def x119_t_closeness(spark, sf_dir):
-    """t-CLOSENESS audit — the third rung of the release-privacy ladder
-    (x67 k-anonymity → x118 l-diversity → t-closeness): a group can be
-    large AND l-diverse yet still leak if its sensitive-value
-    DISTRIBUTION differs sharply from the table's (the skewness attack
-    l-diversity ignores — a group that is 90% top-band in a 20%
-    top-band table reveals plenty). Per (nation, market-segment)
-    quasi-group: the 1-D earth-mover's distance between the group's
-    account-balance-band distribution and the global one, EMD =
-    (1/(B−1))·Σᵢ |cumQ(i) − cumP(i)| over the B=5 ordered bands;
-    flagged when t > 0.2.
-
-    Exactness discipline: every cumulative term is the integer
-    |cum_gb·N − cum_b·n_g| (common denominator n_g·N per group), the
-    integer numerators SUM exactly, and ONE double division + 6dp
-    round happens at the end — order-free on both engines, the same
-    quantize-then-divide rule the e2e folds use. Shape: one group×band
-    count (map-side combined), a 5-row global frame broadcast, a
-    groups×5 dense grid (groups-bounded, not data-bounded) — the audit
-    costs one pass + bounded-frame arithmetic at any table size."""
-    cust = load_table(spark, sf_dir, "customer")
-    band = F.least(
-        F.lit(4),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(2200.0)),
-        ),
-    ).cast("int")
-    banded = cust.select(
-        "c_nationkey", "c_mktsegment", band.alias("bal_band")
-    )
-    gb = banded.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_gb")
-    )
-    groups = banded.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g")
-    )
-    glob = banded.groupBy("bal_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b")
-    )
-    n_tot = banded.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
-    bands = spark.range(5).select(F.col("id").cast("int").alias("bal_band"))
-    # dense (group × band) grid: absent bands must contribute their
-    # zero to the cumulative sums — groups×5 rows, bounded by the
-    # quasi-identifier domain, never by table size
-    grid = (
-        groups.crossJoin(F.broadcast(bands))
-        .join(gb, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
-        .join(F.broadcast(glob), "bal_band", "left")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "bal_band",
-            "n_g",
-            "n_tot",
-            F.coalesce(F.col("n_gb"), F.lit(0).cast("long")).alias("n_gb"),
-            F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
-        )
-    )
-    wcum = (
-        Window.partitionBy("c_nationkey", "c_mktsegment")
-        .orderBy("bal_band")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    terms = grid.select(
-        "c_nationkey",
-        "c_mktsegment",
-        "n_g",
-        "n_tot",
-        "bal_band",
-        F.abs(
-            F.sum("n_gb").over(wcum) * F.col("n_tot")
-            - F.sum("n_b").over(wcum) * F.col("n_g")
-        ).alias("num"),
-    ).filter(F.col("bal_band") < 4)  # cum at the last band is 0 by def
-    return (
-        terms.groupBy("c_nationkey", "c_mktsegment")
-        .agg(
-            F.first("n_g").alias("group_size"),
-            F.round(
-                F.sum("num").cast("double")
-                / (F.lit(4.0) * F.first("n_g") * F.first("n_tot")),
-                6,
-            ).alias("t_emd"),
-        )
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            F.col("group_size").cast("long").alias("group_size"),
-            "t_emd",
-            (F.col("t_emd") > 0.2).cast("int").alias("at_risk"),
-        )
-    )
-
-
 def st35_containment_ingest(spark, sf_dir):
     """CONTAINMENT dedup ON INGEST
     (streaming/micro_batch.run_containment_ingest) — x117's directional
@@ -10995,7 +10510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced queries (a18/r7/a1/a2/a3/s2) all have in-window
         # siblings (qv1+sql1 fuse A1-A3; e2e covers S2) and keep
         # local-pass parity in the pytest oracle sweep below slot 50.
-        "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
         "r5_merge_cdc": r5_merge_cdc,
         "r6_incremental_rollup": r6_incremental_rollup,
         "st31_quantile_stream": st31_quantile_stream,
@@ -11004,7 +10518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
         "sql4_windowed_sql": sql4_windowed_sql,
         "q1_pricing_summary": q1_pricing_summary,
-        "f1_range_filter": f1_range_filter,
         "p1_agronomic_derivations": p1_agronomic_derivations,
         # r7 window rotation: the r6 flagships (containment dedup +
         # its streaming twin completing the dedup quartet, exact
@@ -11019,7 +10532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x110_maxsim_retrieval": x110_maxsim_retrieval,
         "agro1_growing_degree_days": agro1_growing_degree_days,
         "agro3_reference_et0": agro3_reference_et0,
-        "a23_weighted_quantiles": a23_weighted_quantiles,
         "x119_t_closeness": x119_t_closeness,
         "e2e_agro_report": e2e_agro_report,
         # r7 (cont.): the round-7 flagships — BM25 lexical retrieval,
@@ -11031,31 +10543,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # p1 keeps the CASE/derivation family (p5), st12/x117/st35
         # keep dedup (r1), r5_merge_cdc + st6 keep upsert (r2), and
         # qv1 + sql2-4 keep the fused quality SQL surface (sql1).
-        "x120_bm25_topk": x120_bm25_topk,
-        "x121_hybrid_rrf": x121_hybrid_rrf,
         "a24_grouped_weighted_median": a24_grouped_weighted_median,
         "st36_weighted_quantile_stream": st36_weighted_quantile_stream,
         "st37_bm25_index_ingest": st37_bm25_index_ingest,
+        # r8 window rotation: the late-r7 flagships — phrase search,
+        # PRF expansion, hybrid serving, mixed-media dedup ingest (the
+        # strict superset of st39), and right-to-erasure propagation —
+        # enter the driver's sampled window. The five displaced queries
+        # lose ZERO driver-side oracle coverage: a22/a23/x120/x121's
+        # oracle SQL is BIT-IDENTICAL to their in-window streaming
+        # twins st31/st36/st37/st38 (one oracle per batch+stream pair),
+        # and f1's range predicate is exercised by the in-window e2e
+        # pipeline with its pushdown pinned by tests/test_plan_contracts.
+        "x122_phrase_search": x122_phrase_search,
+        "x123_prf_expansion": x123_prf_expansion,
+        "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
+        "st40_mixed_media_dedup_ingest": st40_mixed_media_dedup_ingest,
+        "x125_erasure_propagation": x125_erasure_propagation,
         # slots 51+: displaced from the window — r4 admitted st21-st24,
         # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report, r7
-        # admitted x117/st35/a23/x119 (the streaming surface stays
+        # admitted x117/st35/a23/x119 then x120/x121/a24/st36/st37, r8
+        # admitted x122/x123/st38/st40/x125 (the streaming surface stays
         # fully driver-verified; everything here has in-window siblings
         # — w12+/sql2-4/qv1, qv1+sql1 fuse a1-a3, e2e covers s2 and
-        # p6/p7/p8, qv1/st1 cover a4 — and keeps local-pass oracle
-        # parity in the pytest sweep)
+        # p6/p7/p8, qv1/st1 cover a4, st31/st36/st37/st38 carry
+        # a22/a23/x120/x121's exact oracles — and keeps local-pass
+        # oracle parity in the pytest sweep)
+        "a22_exact_quantiles_distributed": a22_exact_quantiles_distributed,
+        "a23_weighted_quantiles": a23_weighted_quantiles,
+        "x120_bm25_topk": x120_bm25_topk,
+        "x121_hybrid_rrf": x121_hybrid_rrf,
+        "f1_range_filter": f1_range_filter,
         "f3_date_filter": f3_date_filter,
         "p5_quantity_binning": p5_quantity_binning,
         "r1_dedup_keep_first": r1_dedup_keep_first,
         "r2_upsert_last_write_wins": r2_upsert_last_write_wins,
         "sql1_quality_sql": sql1_quality_sql,
-        "x122_phrase_search": x122_phrase_search,
-        "x123_prf_expansion": x123_prf_expansion,
-        "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
         "st39_media_dedup_ingest": st39_media_dedup_ingest,
-        "st40_mixed_media_dedup_ingest": st40_mixed_media_dedup_ingest,
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
-        "x125_erasure_propagation": x125_erasure_propagation,
         "x126_erasure_index_repair": x126_erasure_index_repair,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
