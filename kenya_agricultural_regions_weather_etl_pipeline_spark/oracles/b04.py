@@ -408,11 +408,13 @@ FROM scored GROUP BY source
         "x40c_semantic_dedup_balanced": _semdedup_oracle_sql(
             _semdedup_seed_c0("ceil(sqrt(n_vecs))")
         ),
-        # st20 = x40b's pair machinery + the streaming drop rule
-        # (dropped iff the LARGER id of a verified same-cell pair),
-        # rolled up per label over the untouched embeddings table
+        # st20 = x40c's √N pair machinery (r8: the trainer moved off
+        # the k∝N policy whose offline Lloyd cost dominated the 10×
+        # probe) + the streaming drop rule (dropped iff the LARGER id
+        # of a verified same-cell pair), rolled up per label over the
+        # untouched embeddings table
         "st20_semantic_dedup_ingest": _semdedup_oracle_sql(
-            _SEMDEDUP_ADAPTIVE_C0,
+            _semdedup_seed_c0("ceil(sqrt(n_vecs))"),
             """
 , dropped AS (
   SELECT DISTINCT id_b FROM pairs

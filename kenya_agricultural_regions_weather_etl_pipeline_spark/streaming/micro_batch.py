@@ -2709,10 +2709,15 @@ def run_streaming_semantic_dedup(
 
     The coarse codebook is trained OFFLINE and frozen before the stream
     starts (the st17 pattern — a real deployment trains its quantizer
-    on a historical sample): k = ceil(N / target_cluster_size) Lloyd
-    centroids via the engine-portable integer-quantized iterations, so
-    cells — and therefore candidates, cosines, and survivors — replay
-    bit-identically in the DuckDB oracle.
+    on a historical sample): k = ceil(√N) Lloyd centroids — x40c's
+    BALANCED-EXPONENT policy (r8, VERDICT r7 #3) — via the
+    engine-portable integer-quantized iterations, so cells — and
+    therefore candidates, cosines, and survivors — replay
+    bit-identically in the DuckDB oracle. The r7 k = ceil(N/target)
+    policy made the one-off trainer cost N·k = N²/target (the 6.5×
+    wall at the 10× probe, §9); √N balances assign (N·√N) against
+    candidate pairs (≈N·√N/2), the flat-k-means asymptotic optimum —
+    the per-batch streaming path is unchanged either way.
 
     State = one append-only parquet per-cell vector store
     (cell, vec_id, v, nrm); each micro-batch broadcast-assigns against
@@ -2729,17 +2734,16 @@ def run_streaming_semantic_dedup(
     from ..functions.vectors import cosine_given_norms, norm
     from ..operators.similarity import (
         SEMDEDUP_COSINE_THRESHOLD,
-        SEMDEDUP_TARGET_CLUSTER_SIZE,
         lloyd_assign,
         lloyd_trained_centroids,
     )
     from ..sources.tables import load_table
 
-    # the cluster-size and cosine knobs are NOT parameters: the DuckDB
-    # oracle is baked from the shared constants, so a per-call override
-    # could only produce results the oracle would call wrong. The one
-    # free axis is n_batches — survivors are provably batching-invariant.
-    target_cluster_size = SEMDEDUP_TARGET_CLUSTER_SIZE
+    # the k-policy and cosine knobs are NOT parameters: the DuckDB
+    # oracle is baked from the shared √N expression, so a per-call
+    # override could only produce results the oracle would call wrong.
+    # The one free axis is n_batches — survivors are provably
+    # batching-invariant.
     threshold = SEMDEDUP_COSINE_THRESHOLD
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2751,7 +2755,7 @@ def run_streaming_semantic_dedup(
     n, mx0 = emb.agg(
         F.count(F.lit(1)), F.max("vec_id")
     ).first()
-    k = max(1, _math.ceil(n / target_cluster_size))
+    k = max(1, _math.ceil(_math.sqrt(n)))
     cents = lloyd_trained_centroids(
         emb.select("vec_id", "v"), k=k, iters=2
     ).localCheckpoint(eager=True)

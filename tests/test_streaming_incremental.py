@@ -333,11 +333,11 @@ def test_streaming_near_dedup_equals_batch_rule(spark, sf001):
 
 
 def test_streaming_semantic_dedup_equals_batch_rule_any_batching(spark, sf001):
-    """st20's survivors must equal the batch SemDeDup drop rule (x40b's
-    adaptive-k pair machinery + drop-the-larger-id) REGARDLESS of how
-    the stream is batched — run with 7 micro-batches (not the default 4
-    the oracle sweep exercises) and replay the rule with the batch
-    operators."""
+    """st20's survivors must equal the batch SemDeDup drop rule (x40c's
+    √N-k pair machinery + drop-the-larger-id; st20 adopted the √N
+    trainer policy in r8) REGARDLESS of how the stream is batched —
+    run with 7 micro-batches (not the default 4 the oracle sweep
+    exercises) and replay the rule with the batch operators."""
     import pyspark.sql.functions as F
 
     import __spark_entry__ as entrymod
@@ -351,7 +351,7 @@ def test_streaming_semantic_dedup_equals_batch_rule_any_batching(spark, sf001):
     streamed = run_streaming_semantic_dedup(spark, sf001, n_batches=7)
     emb = load_table(spark, sf001, "embeddings")
     dropped = (
-        entrymod.queries()["x40b_semantic_dedup_adaptive"](spark, sf001)
+        entrymod.queries()["x40c_semantic_dedup_balanced"](spark, sf001)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
