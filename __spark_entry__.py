@@ -57,6 +57,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
     x119_t_closeness,
     x125_erasure_propagation,
     x126_erasure_index_repair,
+    x127_erasure_cell_repair,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
@@ -10413,6 +10414,23 @@ def st38_hybrid_serve_stream(spark, sf_dir):
     return ST.run_hybrid_serve_stream(spark, sf_dir)
 
 
+def st38b_hybrid_serve_pruned(spark, sf_dir):
+    """st38b (r8): st38's hybrid serving with the PRUNED dense leg §9
+    prescribed — the pooled candidate store is written
+    partitionBy(cell) once at deploy (x5d's deterministic first-16
+    codebook lifted to pooled vectors) and each query batch reads ONLY
+    its probed cells' directories (n_probe=4 of 16; bounded
+    driver-side cell list → PartitionFilters), so per-batch dense work
+    no longer scans the whole store. IVF-approximate by design but
+    fully deterministic: codebook/assign/probe/rerank replay
+    bit-identically in DuckDB (the x5d discipline), giving st38b its
+    own EXACT oracle. Sparse leg, RRF fuse, and replay-safe
+    serve_batch partitions are st38's verbatim. See
+    streaming/micro_batch.py:run_hybrid_serve_pruned."""
+    apply_runtime_confs(spark)
+    return ST.run_hybrid_serve_pruned(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -10517,7 +10535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql2_star_join_sql": sql2_star_join_sql,
         "sql3_top_supplier_sql": sql3_top_supplier_sql,
         "sql4_windowed_sql": sql4_windowed_sql,
-        "q1_pricing_summary": q1_pricing_summary,
         "p1_agronomic_derivations": p1_agronomic_derivations,
         # r7 window rotation: the r6 flagships (containment dedup +
         # its streaming twin completing the dedup quartet, exact
@@ -10560,6 +10577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st38_hybrid_serve_stream": st38_hybrid_serve_stream,
         "st40_mixed_media_dedup_ingest": st40_mixed_media_dedup_ingest,
         "x125_erasure_propagation": x125_erasure_propagation,
+        # r8 (cont.): st38b — the round's own pruned-dense-serving
+        # build — enters immediately (displacing q1, whose grouped-agg
+        # SQL surface stays driver-graded via sql2/sql3/sql4 + qv1 and
+        # keeps exact local-pass below slot 50)
+        "st38b_hybrid_serve_pruned": st38b_hybrid_serve_pruned,
         # slots 51+: displaced from the window — r4 admitted st21-st24,
         # r6 admitted a22/st31/x110/agro1/agro3/e2e_agro_report, r7
         # admitted x117/st35/a23/x119 then x120/x121/a24/st36/st37, r8
@@ -10574,6 +10596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x120_bm25_topk": x120_bm25_topk,
         "x121_hybrid_rrf": x121_hybrid_rrf,
         "f1_range_filter": f1_range_filter,
+        "q1_pricing_summary": q1_pricing_summary,
         "f3_date_filter": f3_date_filter,
         "p5_quantity_binning": p5_quantity_binning,
         "r1_dedup_keep_first": r1_dedup_keep_first,
@@ -10583,6 +10606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_retrieval_eval": e2e_retrieval_eval,
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
         "x126_erasure_index_repair": x126_erasure_index_repair,
+        "x127_erasure_cell_repair": x127_erasure_cell_repair,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

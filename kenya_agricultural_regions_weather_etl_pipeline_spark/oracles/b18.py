@@ -1,0 +1,131 @@
+"""Oracle family block 18: round-8 additions (pruned hybrid serving).
+
+Same contract as b01–b17: ``add(d, ns)`` only ADDS keys; ``ns`` is
+the __spark_entry__ module for any name-scope bindings.
+"""
+
+from .b17 import _bm25_sql
+
+
+def add(d, ns):
+    V = ns.V
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '')"
+    )
+
+    # st38b: x121's fusion with the dense leg IVF-RESTRICTED — the
+    # x5d deterministic-codebook discipline lifted to pooled vectors:
+    # codebook = pooled docs 0..15, every candidate (doc_id >= 5)
+    # assigned to its nearest centroid (raw-double cosine, centroid_id
+    # tiebreak — identical doubles on both engines, the x5d proof),
+    # each query probes its 4 nearest cells, and only probed cells'
+    # members are scored (6-dp half-up cosine, x121's dense ranking
+    # convention). Sparse leg + RRF fuse are x121's verbatim.
+    d["st38b_hybrid_serve_pruned"] = f"""
+WITH sparse AS (
+  SELECT query_id, doc_id, rank AS rank_s
+  FROM ({_bm25_sql(toks, 20).strip()}) s
+), v AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), sums AS (
+  SELECT doc_id, pos,
+         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM v) e
+  GROUP BY doc_id, pos
+), pooled AS (
+  SELECT doc_id, list(p ORDER BY pos) AS pv
+  FROM (SELECT doc_id, pos,
+               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
+        FROM sums) m
+  GROUP BY doc_id
+), cent AS (
+  SELECT doc_id AS centroid_id, pv AS cent_vec
+  FROM pooled WHERE doc_id < 16
+), assigned AS (
+  SELECT doc_id, pv, centroid_id AS cell FROM (
+    SELECT c.doc_id, c.pv, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.doc_id
+               ORDER BY {V.cosine_sql('c.pv', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM pooled c CROSS JOIN cent WHERE c.doc_id >= 5) WHERE rn = 1
+), qd AS (
+  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE doc_id < 5
+), probes AS (
+  SELECT query_id, qv, centroid_id AS cell FROM (
+    SELECT qd.query_id, qd.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY qd.query_id
+               ORDER BY {V.cosine_sql('qd.qv', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM qd CROSS JOIN cent) WHERE rn <= 4
+), dscored AS (
+  SELECT p.query_id, a.doc_id,
+         (floor({V.cosine_sql('a.pv', 'p.qv')}
+                * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.doc_id <> p.query_id
+), dense AS (
+  SELECT query_id, doc_id, rank_d FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, doc_id ASC)
+               AS rank_d
+    FROM dscored)
+  WHERE rank_d <= 20
+), fused AS (
+  SELECT query_id, doc_id, rank_s, rank_d,
+         (coalesce(1.0 / (60.0 + rank_s), 0.0)
+          + coalesce(1.0 / (60.0 + rank_d), 0.0)) AS rrf
+  FROM sparse FULL OUTER JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, doc_id,
+       (floor(rrf * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS rrf_score,
+       CAST(rank AS INTEGER) AS rank,
+       CAST(rank_s AS INTEGER) AS sparse_rank,
+       CAST(rank_d AS INTEGER) AS dense_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC)
+             AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+    # x127: erasure repair of the IVF vector store — x5d's assignment
+    # CTE (first-16 codebook, raw-double cosine, centroid_id tiebreak)
+    # + the x126 join discipline: the deleted slice's per-cell counts
+    # joined to the standing cell-size artifact (recomputed here as
+    # its in-query stand-in). Deletion set = x125's doc rule lifted
+    # through the bag convention (vec_id // 4).
+    d["x127_erasure_cell_repair"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS old_members
+  FROM assigned GROUP BY cell
+), delta AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS dropped_vecs
+  FROM assigned WHERE (vec_id // 4) % 17 = 3 GROUP BY cell
+)
+SELECT CAST(d.cell AS BIGINT) AS cell,
+       s.old_members,
+       CAST(s.old_members - d.dropped_vecs AS BIGINT) AS new_members,
+       d.dropped_vecs,
+       (s.old_members = d.dropped_vecs) AS cell_vanishes
+FROM delta d JOIN sizes s USING (cell)
+"""

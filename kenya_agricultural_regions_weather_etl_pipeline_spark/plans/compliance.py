@@ -220,6 +220,62 @@ def x125_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x127_erasure_cell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE propagation through the VECTOR SERVING STORE
+    (r8, VERDICT r7 #7) — the third derived-artifact leg after x125
+    (dedup survivors) and x126 (inverted index): the IVF cell
+    partitions (st17/st22/st38b's layout) hold the same doc/vec ids a
+    deletion request names, so the store must be repaired too. The
+    deletion set is x125's (doc_id % 17 == 3) lifted through the bag
+    convention (bag doc_id = vec_id DIV 4), the cells are the x5d
+    deterministic codebook's (first-16 vectors, raw-double cosine,
+    centroid_id tiebreak).
+
+    DELTA-ONLY discipline (the x126 law applied to cells): the deleted
+    vectors' cell assignments name exactly the affected cells — at
+    production scale that is |deletions| point assignments against the
+    ≤k-row broadcast codebook, never a store rescan — and the repair
+    joins that delta to the standing cell-size artifact (≤k rows of
+    metadata; recomputed here as its in-query stand-in, exactly like
+    x126 recomputes the term dictionary). Per affected cell: old/new
+    member counts, dropped count, and whether the cell's directory
+    empties entirely. Unaffected cells never appear.
+    """
+    from ..operators.similarity import _ivf_assign, _ivf_codebook
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = _ivf_codebook(vecs, "vec_id", "v", 16)
+    assigned = _ivf_assign(vecs, cent, "vec_id", "v").select(
+        "vec_id",
+        "cell",
+        F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3").alias("deleted"),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("old_members")
+    )
+    delta = (
+        assigned.filter(F.col("deleted"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("dropped_vecs"))
+    )
+    return (
+        delta.join(sizes, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "old_members",
+            (F.col("old_members") - F.col("dropped_vecs"))
+            .cast("long")
+            .alias("new_members"),
+            "dropped_vecs",
+            (F.col("old_members") == F.col("dropped_vecs")).alias(
+                "cell_vanishes"
+            ),
+        )
+    )
+
+
 def x126_erasure_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-ERASURE propagation through the INVERTED INDEX (r7) —
     x125's principle applied to the other derived-artifact class: a

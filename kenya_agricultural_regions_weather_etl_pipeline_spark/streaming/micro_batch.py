@@ -4650,6 +4650,243 @@ def run_hybrid_serve_stream(
     return out
 
 
+def run_hybrid_serve_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """st38b: HYBRID serving with a PARTITION-PRUNED dense leg — the
+    scale-out composition §9 prescribed for st38 (VERDICT r7 #2): the
+    pooled candidate store is written ``partitionBy(cell)`` ONCE at
+    deploy (cell = nearest of the first-``n_centroids`` pooled docs,
+    the x5d deterministic codebook on pooled vectors), and a query
+    batch's dense candidates come from reading ONLY its probed cells'
+    directories — per-batch dense work is bounded by
+    |batch|·n_probe/n_centroids of the store instead of scanning the
+    whole pooled table per batch (st38's one documented linear term).
+
+    The dense leg is IVF-approximate BY DESIGN (a candidate outside
+    the probed cells is unseen — the x5d trade), but fully
+    DETERMINISTIC: codebook, assignment, probe ranking, and the 6-dp
+    half-up cosine rerank all replay bit-identically in the DuckDB
+    oracle (the x5d/x5f discipline lifted to pooled vectors), so
+    st38b has its own EXACT oracle rather than a recall receipt.
+    Sparse leg, RRF fuse, replay-safe serve_batch partitions, and the
+    drain are st38's verbatim. Queries never read other queries ⇒
+    drained union == the batch composition row-for-row."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.vectors import cosine_given_norms, norm
+    from ..functions.weather import round_half_up
+    from ..operators.retrieval import (
+        bm25_score_index,
+        doc_postings,
+        mean_pooled_bags,
+        query_terms,
+        rrf_fuse,
+    )
+    from ..operators.similarity import (
+        _ivf_assign,
+        _ivf_codebook,
+        _ivf_probes,
+    )
+    from ..sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    workdir = tempfile.mkdtemp(prefix="kw_st38b_")
+    src = os.path.join(workdir, "query_arrivals")
+    state = os.path.join(workdir, "index")
+    results = os.path.join(workdir, "results")
+    os.makedirs(src)
+
+    # ---- offline deploy: sparse index (st38's) + CELLED dense store --
+    tf = doc_postings(corpus)
+    tf.coalesce(2).write.parquet(os.path.join(state, "postings"))
+    tf_s = spark.read.parquet(os.path.join(state, "postings"))
+    dl = tf_s.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    dl.coalesce(1).write.parquet(os.path.join(state, "dl"))
+    tf_s.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).coalesce(1).write.parquet(os.path.join(state, "term_dict"))
+    spark.read.parquet(os.path.join(state, "dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    ).coalesce(1).write.parquet(os.path.join(state, "stats"))
+    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
+    # full pooled table for query point-reads (bounded: |batch| rows)
+    pooled.write.parquet(os.path.join(state, "pooled"))
+    pooled_idx = spark.read.parquet(
+        os.path.join(state, "pooled")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = _ivf_codebook(
+        pooled_idx, "doc_id", "pv", n_centroids
+    ).localCheckpoint(eager=True)
+    # assign-once cell layout: candidates (doc_id >= 5) written
+    # partitionBy(cell) with precomputed norms — probes become
+    # directory-pruned reads, the x5f physical story
+    cells_path = os.path.join(state, "cells")
+    (
+        _ivf_assign(
+            pooled_idx.filter(F.col("doc_id") >= 5), cent, "doc_id", "pv"
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+        .write.partitionBy("cell")
+        .parquet(cells_path)
+    )
+    tf_idx = spark.read.parquet(os.path.join(state, "postings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dl_idx = spark.read.parquet(os.path.join(state, "dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfc_idx = spark.read.parquet(
+        os.path.join(state, "term_dict")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats_idx = spark.read.parquet(
+        os.path.join(state, "stats")
+    ).localCheckpoint(eager=True)
+
+    # ---- query arrivals: 5 query docs in n_batches files ------------
+    import glob as _glob
+    import time as _time
+
+    queries = docs.filter(F.col("doc_id") < 5).localCheckpoint(eager=True)
+    now = _time.time()
+    for b in range(n_batches):
+        queries.filter(F.col("doc_id") % n_batches == b).coalesce(
+            1
+        ).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        qb = batch.select(
+            F.col("doc_id").alias("query_id"), "text"
+        ).localCheckpoint(eager=True)
+        sparse = bm25_score_index(
+            query_terms(qb), tf_idx, dfc_idx, dl_idx, stats_idx, k=20
+        )
+        qv = pooled_idx.join(
+            F.broadcast(qb.select(F.col("query_id").alias("doc_id"))),
+            "doc_id",
+        ).select(F.col("doc_id").alias("query_id"), "pv")
+        probes = _ivf_probes(qv, cent, "query_id", "pv", n_probe)
+        # bounded driver-side metadata (≤ |batch|·n_probe values): the
+        # probed cell set, resolved so the scan below is a
+        # PartitionFilters directory-pruned read — never a full-store
+        # scan per batch (st38's one linear term, closed here)
+        cells = [r[0] for r in probes.select("cell").distinct().collect()]
+        layout = (
+            sess.read.parquet(cells_path)
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id", "cvec", "cnrm", "cell")
+        )
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
+        dense = (
+            layout.join(
+                F.broadcast(probes.withColumn("qnrm", norm(F.col("qvec")))),
+                "cell",
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos_sim",
+                round_half_up(
+                    cosine_given_norms(
+                        F.col("cvec"),
+                        F.col("qvec"),
+                        F.col("cnrm"),
+                        F.col("qnrm"),
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("rank", F.row_number().over(wd))
+            .filter(F.col("rank") <= 20)
+            .select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            )
+        )
+        out = rrf_fuse(sparse, dense, k=10)
+        wsess = out.sparkSession
+        prev_mode = wsess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        try:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                out.coalesce(1)
+                .withColumn("serve_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("serve_batch")
+                .parquet(results)
+            )
+        finally:
+            wsess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (Q·20-row frames): AQE re-planning
+        # is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    out = (
+        spark.read.parquet(results)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            "rank",
+            "sparse_rank",
+            "dense_rank",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for df in (tf_idx, dl_idx, dfc_idx, pooled_idx):
+        df.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

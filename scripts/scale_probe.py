@@ -246,8 +246,10 @@ PROBED_QUERIES = (
     "x122_phrase_search",
     "x123_prf_expansion",
     "st38_hybrid_serve_stream",
+    "st38b_hybrid_serve_pruned",
     "x125_erasure_propagation",
     "x126_erasure_index_repair",
+    "x127_erasure_cell_repair",
 )
 
 

@@ -72,6 +72,7 @@ MUST_BE_IN_WINDOW = {
     "x122_phrase_search",
     "x123_prf_expansion",
     "st38_hybrid_serve_stream",
+    "st38b_hybrid_serve_pruned",
     "st40_mixed_media_dedup_ingest",
     "x125_erasure_propagation",
 } | {f"st{i}" for i in range(1, 25)}
@@ -97,7 +98,6 @@ DRIVER_WINDOW_SNAPSHOT = [
     "r6_incremental_rollup", "st31_quantile_stream",
     "j5_scd2_pointintime", "sql2_star_join_sql", "sql3_top_supplier_sql",
     "sql4_windowed_sql",
-    "q1_pricing_summary",
     "p1_agronomic_derivations",
     "x117_containment_dedup", "st35_containment_ingest",
     "x110_maxsim_retrieval", "agro1_growing_degree_days",
@@ -108,6 +108,9 @@ DRIVER_WINDOW_SNAPSHOT = [
     "x122_phrase_search", "x123_prf_expansion",
     "st38_hybrid_serve_stream", "st40_mixed_media_dedup_ingest",
     "x125_erasure_propagation",
+    # r8 (cont.): st38b displaces q1 (agg-SQL surface stays graded
+    # via sql2/sql3/sql4 + qv1; q1 keeps exact local-pass)
+    "st38b_hybrid_serve_pruned",
 ]
 
 # The r8 displacement relies on these oracle identities (one oracle per

@@ -1,0 +1,122 @@
+"""Round-8 operator invariants: st38b's pruned dense serving leg
+(partition-pruned cell reads + the probe-everything ⇒ x121 equality
+law) and the erasure-propagation extensions."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_st38b_cell_layout_read_is_partition_pruned(spark, sf001):
+    """The pruned-serving claim, physically: the per-batch dense read
+    must carry PartitionFilters on the cell directory column (reading
+    only the probed cells' directories), and the probed cell set must
+    stay bounded by |batch|·n_probe — driver-side metadata, not data."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        mean_pooled_bags,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_codebook,
+        _ivf_probes,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.vectors import (
+        norm,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    pooled = mean_pooled_bags(load_table(spark, sf001, "embeddings"))
+    cent = _ivf_codebook(pooled, "doc_id", "pv", 16)
+    with tempfile.TemporaryDirectory(prefix="st38b_cells_") as d:
+        cells_path = os.path.join(d, "cells")
+        (
+            _ivf_assign(
+                pooled.filter(F.col("doc_id") >= 5), cent, "doc_id", "pv"
+            )
+            .withColumn("cnrm", norm(F.col("cvec")))
+            .write.partitionBy("cell")
+            .parquet(cells_path)
+        )
+        qv = pooled.filter(F.col("doc_id") < 2).select(
+            F.col("doc_id").alias("query_id"), "pv"
+        )
+        probes = _ivf_probes(qv, cent, "query_id", "pv", 4)
+        cells = [r[0] for r in probes.select("cell").distinct().collect()]
+        assert 0 < len(cells) <= 2 * 4  # |batch|=2 queries x n_probe=4
+        layout = spark.read.parquet(cells_path).filter(
+            F.col("cell").isin(cells)
+        )
+        jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = layout._jdf.queryExecution().explainString(jvm_mode)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf, plan
+        assert any("cell" in ln and " IN (" in ln for ln in pf), pf
+
+
+def test_st38b_probe_everything_equals_x121(spark, sf001):
+    """The equivalence law that isolates st38b's ONLY approximation to
+    the probe restriction: with n_probe == n_centroids every query
+    probes every cell, the dense leg sees the full candidate store,
+    and the fused output must equal the exact batch x121 row-for-row
+    (same ranks, same 6-dp scores)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_hybrid_serve_pruned,
+    )
+
+    pruned = run_hybrid_serve_pruned(
+        spark, sf001, n_batches=2, n_centroids=16, n_probe=16
+    )
+    exact = entrymod.queries()["x121_hybrid_rrf"](spark, sf001)
+    assert _rows(pruned) == _rows(exact)
+
+
+def test_x127_erasure_cell_repair_semantics(spark, sf001):
+    """Conservation laws of the vector-store repair: every reported
+    cell lost >= 1 member, new = old - dropped, vanishes iff new == 0,
+    and the summed drops equal the deletion set's size exactly (no
+    deleted vector escapes its cell, none is counted twice)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = entrymod.queries()["x127_erasure_cell_repair"](
+        spark, sf001
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["dropped_vecs"] >= 1
+        assert r["new_members"] == r["old_members"] - r["dropped_vecs"]
+        assert r["cell_vanishes"] == (r["new_members"] == 0)
+    n_deleted = (
+        load_table(spark, sf001, "embeddings")
+        .filter(F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3"))
+        .count()
+    )
+    assert sum(r["dropped_vecs"] for r in rows) == n_deleted
+
+
+def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
+    """Recall receipt at the default geometry (probe 4 of 16): the
+    pruned top-10 per query must share a non-trivial prefix with the
+    exact x121 top-10 — the sparse leg is identical, so total
+    divergence would mean the dense pruning broke fusion."""
+    import __spark_entry__ as entrymod
+
+    pruned = entrymod.queries()["st38b_hybrid_serve_pruned"](spark, sf001)
+    exact = entrymod.queries()["x121_hybrid_rrf"](spark, sf001)
+    p = {(r["query_id"], r["doc_id"]) for r in pruned.collect()}
+    e = {(r["query_id"], r["doc_id"]) for r in exact.collect()}
+    assert len(p & e) >= int(0.5 * len(e))
