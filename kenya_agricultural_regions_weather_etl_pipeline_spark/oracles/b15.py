@@ -8,6 +8,43 @@ moved code's original name scope.
 """
 
 
+def _geo_labels_sql(V) -> str:
+    """labs CTE chain (lv/lsums/lpooled/labs): GEOMETRY-correlated
+    gold labels — each bag's pooled vector assigned to the nearest of
+    the first-8 pooled docs (the x5d codebook on pooled vectors; twin
+    of operators/retrieval.geometric_bag_labels). Shared by x116 (here)
+    and x124 (b17)."""
+    return f"""lv AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), lsums AS (
+  SELECT doc_id, pos,
+         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM lv) e
+  GROUP BY doc_id, pos
+), lpooled AS (
+  SELECT doc_id, list(p ORDER BY pos) AS pv
+  FROM (SELECT doc_id, pos,
+               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
+        FROM lsums) m
+  GROUP BY doc_id
+), labs AS (
+  SELECT doc_id, CAST(centroid_id AS BIGINT) AS label FROM (
+    SELECT p.doc_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY {V.cosine_sql('p.pv', 'cent.cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM lpooled p CROSS JOIN
+         (SELECT doc_id AS centroid_id, pv AS cent_vec
+          FROM lpooled WHERE doc_id < 8) cent
+  ) WHERE rn = 1
+)"""
+
+
 def add(d, ns):
     agro1_growing_degree_days = ns.agro1_growing_degree_days
     agro2_dry_spells = ns.agro2_dry_spells
@@ -354,13 +391,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
 WHERE rank <= 5
 """
     # x116: union the two retrieval oracles (scoped subqueries), grade
-    # by bag-label consistency, integer hit counts.
+    # by GEOMETRIC label consistency (r8: derived pooled-cell gold —
+    # the stored label column is geometry-independent and graded at
+    # chance), integer hit counts.
     d["x116_retrieval_quality_compare"] = (
-        """
-WITH labs AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, label
-  FROM embeddings WHERE vec_id % 4 = 0
-), runs AS (
+        "\nWITH "
+        + _geo_labels_sql(ns.V)
+        + """, runs AS (
   SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
   FROM ("""
         + d["x110_maxsim_retrieval"]

@@ -262,12 +262,13 @@ FROM ranked WHERE rn = 1
 
     # x124: x116's grading tail over FOUR systems — the two dense
     # oracles (b15) plus the two r7 sparse/hybrid oracles, all cut to
-    # depth 5 on the shared query set (bags doc_id < 2).
+    # depth 5 on the shared query set (bags doc_id < 2). r8: graded
+    # on the derived GEOMETRIC gold (b15._geo_labels_sql) instead of
+    # the geometry-independent stored labels.
+    from .b15 import _geo_labels_sql
+
     d["x124_retrieval_quality_hybrid"] = f"""
-WITH labs AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, label
-  FROM embeddings WHERE vec_id % 4 = 0
-), runs AS (
+WITH {_geo_labels_sql(ns.V)}, runs AS (
   SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
   FROM ({d["x110_maxsim_retrieval"].strip()}) li
   UNION ALL

@@ -108,6 +108,27 @@ def test_x127_erasure_cell_repair_semantics(spark, sf001):
     assert sum(r["dropped_vecs"] for r in rows) == n_deleted
 
 
+def test_x124_geometric_gold_separates_systems(spark, sf001):
+    """The r8 label fix must make the four-way eval DECIDE something:
+    on the derived geometric gold (pooled-cell labels), every
+    geometry-respecting system grades clearly above the text-only
+    ranker — measured 0.5-0.8 vs 0.0 at both bench SFs; the margins
+    here leave room for testdata regeneration."""
+    import __spark_entry__ as entrymod
+
+    p = {
+        r["system"]: r["precision_at_5"]
+        for r in entrymod.queries()["x124_retrieval_quality_hybrid"](
+            spark, sf001
+        ).collect()
+    }
+    assert set(p) == {"bm25", "pooled", "late_interaction", "hybrid_rrf"}
+    for dense in ("pooled", "late_interaction", "hybrid_rrf"):
+        assert p[dense] > p["bm25"], (dense, p)
+    assert p["pooled"] - p["bm25"] >= 0.2, p
+    assert p["pooled"] >= 0.3, p
+
+
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
     """Recall receipt at the default geometry (probe 4 of 16): the
     pruned top-10 per query must share a non-trivial prefix with the
