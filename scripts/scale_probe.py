@@ -245,6 +245,8 @@ PROBED_QUERIES = (
     "st37_bm25_index_ingest",
     "x122_phrase_search",
     "x123_prf_expansion",
+    "x124_retrieval_quality_hybrid",
+    "e2e_retrieval_eval",
     "st38_hybrid_serve_stream",
     "st38b_hybrid_serve_pruned",
     "x125_erasure_propagation",
