@@ -58,6 +58,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
     x125_erasure_propagation,
     x126_erasure_index_repair,
     x127_erasure_cell_repair,
+    x128_erasure_graph_repair,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
@@ -10610,6 +10611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x124_retrieval_quality_hybrid": x124_retrieval_quality_hybrid,
         "x126_erasure_index_repair": x126_erasure_index_repair,
         "x127_erasure_cell_repair": x127_erasure_cell_repair,
+        "x128_erasure_graph_repair": x128_erasure_graph_repair,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

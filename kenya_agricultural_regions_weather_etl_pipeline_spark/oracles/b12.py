@@ -8,6 +8,48 @@ moved code's original name scope.
 """
 
 
+def _x86_graph_sql(V) -> str:
+    """The x86 kNN-graph CTE chain (c/nc/cent/assigned/probes/scored/
+    graph) — √N deterministic codebook, 2-probe cells, top-5 per node.
+    Module-level (r8) so b18's erasure-graph audit can compose the
+    SAME graph the build/maintain/ingest family shares; the emitted
+    SQL is byte-identical to the pre-r8 inline `_x86_graph`."""
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), nc AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < (SELECT n FROM nc)
+), assigned AS (
+  SELECT vec_id, cvec, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.cvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, centroid_id AS cell FROM (
+    SELECT c.vec_id AS query_id, c.cvec AS qvec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.cosine_sql('c.cvec', 'cent_vec')} DESC,
+                        cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
+  FROM assigned JOIN probes USING (cell)
+  WHERE vec_id <> query_id
+), graph AS (
+  SELECT query_id AS src_id, vec_id AS nbr_id,
+         round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+)"""
+
+
 def add(d, ns):
     V = ns.V
     W = ns.W
@@ -84,40 +126,7 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     # x86's graph CTE is shared verbatim by x86b so the symmetrization
     # oracle can never drift from the graph oracle. n_centroids =
     # ceil(sqrt(count(*))) replays the Spark-side sizing at any SF.
-    _x86_graph = f"""
-WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
-), nc AS (
-  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < (SELECT n FROM nc)
-), assigned AS (
-  SELECT vec_id, cvec, centroid_id AS cell FROM (
-    SELECT c.vec_id, c.cvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn = 1
-), probes AS (
-  SELECT query_id, qvec, centroid_id AS cell FROM (
-    SELECT c.vec_id AS query_id, c.cvec AS qvec, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY {V.cosine_sql('c.cvec', 'cent_vec')} DESC,
-                        cent.centroid_id ASC) AS rn
-    FROM c CROSS JOIN cent) WHERE rn <= 2
-), scored AS (
-  SELECT query_id, vec_id, {V.cosine_sql('cvec', 'qvec')} AS sim
-  FROM assigned JOIN probes USING (cell)
-  WHERE vec_id <> query_id
-), graph AS (
-  SELECT query_id AS src_id, vec_id AS nbr_id,
-         round(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, vec_id ASC) AS rank
-    FROM scored) WHERE rank <= 5
-)"""
+    _x86_graph = _x86_graph_sql(V)
     d["x86_knn_graph"] = _x86_graph + "\nSELECT * FROM graph"
     # the incremental upsert and the streaming ingest must equal the
     # batch rebuild exactly — one oracle, three physical strategies

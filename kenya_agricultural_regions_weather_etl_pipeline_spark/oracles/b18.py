@@ -4,6 +4,7 @@ Same contract as b01–b17: ``add(d, ns)`` only ADDS keys; ``ns`` is
 the __spark_entry__ module for any name-scope bindings.
 """
 
+from .b12 import _x86_graph_sql
 from .b17 import _bm25_sql
 
 
@@ -129,3 +130,31 @@ SELECT CAST(d.cell AS BIGINT) AS cell,
        (s.old_members = d.dropped_vecs) AS cell_vanishes
 FROM delta d JOIN sizes s USING (cell)
 """
+
+    # x128: the x86 graph CTE (b12, the SAME graph the build/maintain/
+    # ingest family shares) + the erasure audit tail — surviving
+    # sources' dropped-neighbor counts from ONE nbr-keyed join against
+    # the deletion set (delta-only), degrees from the edge list.
+    d["x128_erasure_graph_repair"] = (
+        _x86_graph_sql(ns.V)
+        + """
+, del AS (
+  SELECT vec_id FROM embeddings WHERE (vec_id // 4) % 17 = 3
+), dropped AS (
+  SELECT g.src_id, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM graph g
+  JOIN del ON g.nbr_id = del.vec_id
+  LEFT JOIN del sd ON g.src_id = sd.vec_id
+  WHERE sd.vec_id IS NULL
+  GROUP BY g.src_id
+), deg AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS old_degree
+  FROM graph GROUP BY src_id
+)
+SELECT d.src_id, deg.old_degree,
+       CAST(deg.old_degree - d.n_dropped AS BIGINT) AS new_degree,
+       d.n_dropped,
+       (deg.old_degree - d.n_dropped < 5) AS needs_backfill
+FROM dropped d JOIN deg ON deg.src_id = d.src_id
+"""
+    )

@@ -276,6 +276,63 @@ def x127_erasure_cell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x128_erasure_graph_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE propagation through the kNN GRAPH edge list
+    (r8) — the FOURTH derived-artifact leg, completing the set (x125
+    dedup survivors / x126 inverted index / x127 vector-store cells /
+    THIS): the deployed graph's adjacency lists (x86's artifact, the
+    state st21 maintains and st24 serves from) reference deleted
+    vectors two ways — a deleted node's own out-list (a partition
+    delete, trivial) and its APPEARANCES in surviving nodes' lists,
+    the subtle half this audit covers.
+
+    DELTA-ONLY discipline: the affected survivors derive from ONE
+    nbr-keyed join of the edge list against the deletion set (at
+    production scale a point-lookup per deleted id against the
+    nbr-partitioned edge store — never a graph rescan), anti-joined to
+    drop deleted sources. Per affected surviving node: old/new degree,
+    dropped-neighbor count, and needs_backfill (new degree < k — the
+    node the x92 incremental machinery must re-candidate). Deletion
+    set = x127's (vec_id DIV 4) % 17 == 3. Output scales with
+    |affected survivors|, never the graph."""
+    from ..operators import graph_index as GI
+
+    art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art)
+    deleted = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id"
+    ).filter(F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3"))
+    dropped = (
+        graph.join(
+            deleted.withColumnRenamed("vec_id", "nbr_id"), "nbr_id"
+        )
+        .join(
+            deleted.withColumnRenamed("vec_id", "src_id"),
+            "src_id",
+            "left_anti",
+        )
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    deg = graph.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("old_degree")
+    )
+    return (
+        dropped.join(deg, "src_id")
+        .select(
+            "src_id",
+            "old_degree",
+            (F.col("old_degree") - F.col("n_dropped"))
+            .cast("long")
+            .alias("new_degree"),
+            "n_dropped",
+            (F.col("old_degree") - F.col("n_dropped") < 5).alias(
+                "needs_backfill"
+            ),
+        )
+    )
+
+
 def x126_erasure_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-ERASURE propagation through the INVERTED INDEX (r7) —
     x125's principle applied to the other derived-artifact class: a

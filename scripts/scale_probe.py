@@ -252,6 +252,7 @@ PROBED_QUERIES = (
     "x125_erasure_propagation",
     "x126_erasure_index_repair",
     "x127_erasure_cell_repair",
+    "x128_erasure_graph_repair",
 )
 
 

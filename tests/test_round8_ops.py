@@ -129,6 +129,40 @@ def test_x124_geometric_gold_separates_systems(spark, sf001):
     assert p["pooled"] >= 0.3, p
 
 
+def test_x128_erasure_graph_repair_semantics(spark, sf001):
+    """Graph-repair conservation: every affected node survives the
+    deletion itself, lost >= 1 neighbor, new = old - dropped,
+    needs_backfill iff the list fell under k=5 — and the summed drops
+    equal the exact count of survivor→deleted edges in the deployed
+    graph (no edge missed, none double-counted)."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        graph_index as GI,
+    )
+
+    rows = entrymod.queries()["x128_erasure_graph_repair"](
+        spark, sf001
+    ).collect()
+    assert rows
+    deleted = set()
+    art = GI.deployed_graph_index(spark, sf001, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art).collect()
+    for r in graph:
+        if (r["nbr_id"] // 4) % 17 == 3:
+            deleted.add(r["nbr_id"])
+    want = sum(
+        1
+        for r in graph
+        if (r["nbr_id"] // 4) % 17 == 3 and (r["src_id"] // 4) % 17 != 3
+    )
+    for r in rows:
+        assert (r["src_id"] // 4) % 17 != 3  # survivors only
+        assert r["n_dropped"] >= 1
+        assert r["new_degree"] == r["old_degree"] - r["n_dropped"]
+        assert r["needs_backfill"] == (r["new_degree"] < 5)
+    assert sum(r["n_dropped"] for r in rows) == want
+
+
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
     """Recall receipt at the default geometry (probe 4 of 16): the
     pruned top-10 per query must share a non-trivial prefix with the
