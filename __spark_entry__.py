@@ -10435,6 +10435,22 @@ def st38b_hybrid_serve_pruned(spark, sf_dir):
     return ST.run_hybrid_serve_pruned(spark, sf_dir)
 
 
+def st41_erasure_request_stream(spark, sf_dir):
+    """st41 (r8): RIGHT-TO-ERASURE requests as a STREAM — x125
+    deployed: deletion requests arrive in micro-batches and repair the
+    standing dedup-layer state incrementally. Per batch, delta-only:
+    request ids point-probe the doc→fp membership map, ONLY affected
+    groups' member rows are re-read and their state rows recomputed
+    against the tombstone union (batch_id-keyed overwrite-on-replay,
+    own-partition exclusion on read); group state is version-chained
+    v{b} (st37's exactly-once law). Final state is batching-invariant
+    ⇒ drained n_deleted>0 rows == batch x125 row-for-row (one oracle
+    for the audit and its deployment). See
+    streaming/micro_batch.py:run_erasure_request_stream."""
+    apply_runtime_confs(spark)
+    return ST.run_erasure_request_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -10612,6 +10628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x126_erasure_index_repair": x126_erasure_index_repair,
         "x127_erasure_cell_repair": x127_erasure_cell_repair,
         "x128_erasure_graph_repair": x128_erasure_graph_repair,
+        "st41_erasure_request_stream": st41_erasure_request_stream,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -158,3 +158,8 @@ SELECT d.src_id, deg.old_degree,
 FROM dropped d JOIN deg ON deg.src_id = d.src_id
 """
     )
+
+    # st41 drains to the batch x125 audit row-for-row (the st37==x120
+    # pattern, erasure edition): one oracle covers the audit and its
+    # streaming deployment.
+    d["st41_erasure_request_stream"] = d["x125_erasure_propagation"]

@@ -4887,6 +4887,189 @@ def run_hybrid_serve_pruned(
     return out
 
 
+def run_erasure_request_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st41: RIGHT-TO-ERASURE requests as a STREAM (r8) — the
+    production shape of x125: deletion requests are a feed, not a
+    batch job, and each micro-batch of requests must repair the
+    standing dedup-layer state incrementally. Completes the erasure
+    family the way st37/st38 complete retrieval: x125/x126/x127/x128
+    are the batch audits, THIS is the deployment.
+
+    Offline deploy (the artifact the requests hit): the doc→fp
+    membership map (the dedup layer's own index) and group-state v0
+    (per fingerprint group: canonical, member/deleted counts).
+
+    Per batch, DELTA-ONLY (the x126 law): the batch's request ids
+    point-probe the membership map (doc_id-keyed join) to find their
+    fingerprints; ONLY the affected groups' member rows are re-read
+    (fp-keyed — at scale a partition-pruned point read) and their
+    state rows recomputed against the tombstone union; every other
+    group's state row carries forward untouched. Tombstones land
+    batch_id-keyed (overwrite-on-replay), and a replayed batch
+    EXCLUDES its own partition when reading prior tombstones (the
+    ADVICE-r6 discipline); group state is version-chained v{b} from
+    v{b-1} (st37's exactly-once law), so a crash-replayed batch
+    reproduces its state transition instead of compounding it.
+
+    Requests partition the deletion set and the per-group recompute
+    reads the FULL tombstone set for its group, so the final state is
+    batching-invariant — drained rows with n_deleted > 0 equal the
+    batch x125 audit row-for-row (one oracle for the audit and its
+    streaming deployment; equivalence across batchings pinned by
+    pytest)."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from ..functions.text import fingerprint_md5
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="kw_st41_")
+    src = os.path.join(workdir, "requests")
+    state = os.path.join(workdir, "state")
+    membership_path = os.path.join(state, "membership")
+    tombs_path = os.path.join(state, "tombstones")
+    gstate_dir = os.path.join(state, "groups")
+    os.makedirs(src)
+
+    # ---- offline deploy: membership map + group-state v0 -----------
+    docs.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+    ).write.parquet(membership_path)
+    membership = spark.read.parquet(membership_path)
+    v0 = membership.groupBy("fp").agg(
+        F.min("doc_id").alias("old_canonical"),
+        F.min("doc_id").alias("new_canonical"),
+        F.lit(0).cast("long").alias("n_deleted"),
+        F.count(F.lit(1)).cast("long").alias("n_remaining"),
+    )
+    os.makedirs(gstate_dir)
+    v0.coalesce(1).write.parquet(os.path.join(gstate_dir, "v0"))
+
+    # ---- the request feed: deletion ids in n_batches range files ---
+    import glob as _glob
+    import time as _time
+
+    requests = docs.select("doc_id").filter(
+        F.col("doc_id") % 17 == 3
+    ).localCheckpoint(eager=True)
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    now = _time.time()
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        requests.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        pairs = (
+            batch.select("doc_id")
+            .join(membership, "doc_id")
+            .select("fp", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tombs_path, f"batch_id={batch_id}")
+        )
+        affected = pairs.select("fp").distinct()
+        delall = pairs
+        try:
+            prior = (
+                sess.read.parquet(tombs_path)
+                .filter(F.col("batch_id") != batch_id)
+                .join(F.broadcast(affected), "fp")
+                .select("fp", "doc_id")
+            )
+            delall = delall.unionByName(prior)
+        except AnalysisException:
+            pass  # first batch: no standing tombstones yet
+        mem_aff = membership.join(F.broadcast(affected), "fp")
+        flags = mem_aff.join(
+            delall.distinct().withColumn("d", F.lit(1)),
+            ["fp", "doc_id"],
+            "left",
+        )
+        recomputed = flags.groupBy("fp").agg(
+            F.min("doc_id").alias("old_canonical"),
+            F.min(
+                F.when(F.col("d").isNull(), F.col("doc_id"))
+            ).alias("new_canonical"),
+            F.sum(F.col("d").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_deleted"),
+            F.sum(F.col("d").isNull().cast("long"))
+            .cast("long")
+            .alias("n_remaining"),
+        )
+        prev = sess.read.parquet(os.path.join(gstate_dir, f"v{batch_id}"))
+        new_state = prev.join(affected, "fp", "left_anti").unionByName(
+            recomputed
+        )
+        new_state.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gstate_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (request-sized frames): AQE
+        # re-planning is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    versions = sorted(
+        int(v[1:])
+        for v in os.listdir(gstate_dir)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    final = spark.read.parquet(
+        os.path.join(gstate_dir, f"v{versions[-1]}")
+    )
+    out = (
+        final.filter(F.col("n_deleted") > 0)
+        .select(
+            "fp",
+            "old_canonical",
+            "new_canonical",
+            (
+                F.col("new_canonical").isNotNull()
+                & (F.col("new_canonical") != F.col("old_canonical"))
+            ).alias("canonical_changed"),
+            "n_deleted",
+            "n_remaining",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -253,6 +253,7 @@ PROBED_QUERIES = (
     "x126_erasure_index_repair",
     "x127_erasure_cell_repair",
     "x128_erasure_graph_repair",
+    "st41_erasure_request_stream",
 )
 
 

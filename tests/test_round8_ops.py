@@ -163,6 +163,23 @@ def test_x128_erasure_graph_repair_semantics(spark, sf001):
     assert sum(r["n_dropped"] for r in rows) == want
 
 
+def test_st41_erasure_stream_equals_batch_audit_any_batching(spark, sf001):
+    """st41's drained repair state must equal the batch x125 audit
+    REGARDLESS of how the request feed is batched — run with 5
+    micro-batches (not the default 3 the oracle sweep exercises): the
+    per-group recompute reads the full tombstone set for its group, so
+    splitting the deletion set across batches cannot change the final
+    state."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_erasure_request_stream,
+    )
+
+    streamed = run_erasure_request_stream(spark, sf001, n_batches=5)
+    batch = entrymod.queries()["x125_erasure_propagation"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
+
+
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
     """Recall receipt at the default geometry (probe 4 of 16): the
     pruned top-10 per query must share a non-trivial prefix with the
