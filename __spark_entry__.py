@@ -59,6 +59,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
     x126_erasure_index_repair,
     x127_erasure_cell_repair,
     x128_erasure_graph_repair,
+    x129_post_erasure_serving,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
@@ -10629,6 +10630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x127_erasure_cell_repair": x127_erasure_cell_repair,
         "x128_erasure_graph_repair": x128_erasure_graph_repair,
         "st41_erasure_request_stream": st41_erasure_request_stream,
+        "x129_post_erasure_serving": x129_post_erasure_serving,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

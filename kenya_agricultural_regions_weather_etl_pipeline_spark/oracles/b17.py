@@ -6,15 +6,23 @@ the __spark_entry__ module for any name-scope bindings.
 """
 
 
-def _bm25_sql(toks: str, rank_limit: int) -> str:
+def _bm25_sql(
+    toks: str,
+    rank_limit: int,
+    corpus_pred: str = "doc_id >= 5",
+    query_pred: str = "doc_id < 5",
+) -> str:
     """Okapi BM25 ranked list to ``rank_limit`` — per-term score
     quantized to integer 1e-9 units before the per-(query, doc) fold
     (the x107 exactness discipline), identical double expression order
-    on both engines. Shared by x120 (5) and x121's sparse leg (20)."""
+    on both engines. Shared by x120 (5) and x121's sparse leg (20);
+    the corpus/query predicates are parameters (default emission
+    byte-identical) so x129's post-erasure twin can exclude the
+    deletion set."""
     return f"""
 WITH toksc AS (
   SELECT doc_id, unnest({toks}) AS term
-  FROM documents WHERE doc_id >= 5
+  FROM documents WHERE {corpus_pred}
 ), tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM toksc GROUP BY doc_id, term
@@ -29,7 +37,7 @@ WITH toksc AS (
 ), qterms AS (
   SELECT DISTINCT query_id, term FROM (
     SELECT doc_id AS query_id, unnest({toks}) AS term
-    FROM documents WHERE doc_id < 5
+    FROM documents WHERE {query_pred}
   )
 ), scored AS (
   SELECT qt.query_id, tf.doc_id,
@@ -62,31 +70,19 @@ FROM ranked WHERE rank <= {rank_limit}
 """
 
 
-def add(d, ns):
-    # Shared whitespace tokenizer twin (functions/text.py tokens():
-    # split on \s+, drop empty strings) applied to lowercased text.
-    toks = (
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-        "t -> t <> '')"
-    )
-
-    d["x120_bm25_topk"] = _bm25_sql(toks, 5)
-
-    # st37 drains to the batch x120 answer row-for-row (the st24==x93 /
-    # st35==x117 pattern): one oracle covers the batch scorer and the
-    # streamed index it serves from.
-    d["st37_bm25_index_ingest"] = d["x120_bm25_topk"]
-
-    # x121: reciprocal-rank fusion of BM25 top-20 (the sparse leg,
-    # scoped subquery of the same builder) with the pooled bi-encoder
-    # cosine top-20 (x115's int64 micro-grid pooling; rank on the 6-dp
-    # half-up-rounded cosine so ordering is engine-independent). The
-    # two reciprocal terms are added in a FIXED order (sparse + dense)
-    # on identical doubles.
-    d["x121_hybrid_rrf"] = f"""
+def _hybrid_sql(
+    toks: str,
+    corpus_pred: str = "doc_id >= 5",
+    query_pred: str = "doc_id < 5",
+    dense_corpus_pred: str = "c.doc_id >= 5",
+) -> str:
+    """x121's full hybrid-RRF SQL, with the corpus/query predicates as
+    parameters (default emission byte-identical to the r7 literal) —
+    x129's post-erasure twin passes deletion-excluding predicates."""
+    return f"""
 WITH sparse AS (
   SELECT query_id, doc_id, rank AS rank_s
-  FROM ({_bm25_sql(toks, 20).strip()}) s
+  FROM ({_bm25_sql(toks, 20, corpus_pred, query_pred).strip()}) s
 ), v AS (
   SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
          embedding::DOUBLE[] AS v
@@ -106,7 +102,7 @@ WITH sparse AS (
         FROM sums) m
   GROUP BY doc_id
 ), qd AS (
-  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE doc_id < 5
+  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE {query_pred}
 ), dscored AS (
   SELECT qd.query_id, c.doc_id,
          (floor((list_dot_product(c.pv, qd.qv)
@@ -114,7 +110,7 @@ WITH sparse AS (
                     * sqrt(list_dot_product(qd.qv, qd.qv))))
                 * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
   FROM pooled c CROSS JOIN qd
-  WHERE c.doc_id >= 5 AND c.doc_id <> qd.query_id
+  WHERE {dense_corpus_pred} AND c.doc_id <> qd.query_id
 ), dense AS (
   SELECT query_id, doc_id, rank_d FROM (
     SELECT query_id, doc_id,
@@ -140,6 +136,30 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM fused)
 WHERE rank <= 10
 """
+
+
+def add(d, ns):
+    # Shared whitespace tokenizer twin (functions/text.py tokens():
+    # split on \s+, drop empty strings) applied to lowercased text.
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '')"
+    )
+
+    d["x120_bm25_topk"] = _bm25_sql(toks, 5)
+
+    # st37 drains to the batch x120 answer row-for-row (the st24==x93 /
+    # st35==x117 pattern): one oracle covers the batch scorer and the
+    # streamed index it serves from.
+    d["st37_bm25_index_ingest"] = d["x120_bm25_topk"]
+
+    # x121: reciprocal-rank fusion of BM25 top-20 (the sparse leg,
+    # scoped subquery of the same builder) with the pooled bi-encoder
+    # cosine top-20 (x115's int64 micro-grid pooling; rank on the 6-dp
+    # half-up-rounded cosine so ordering is engine-independent). The
+    # two reciprocal terms are added in a FIXED order (sparse + dense)
+    # on identical doubles.
+    d["x121_hybrid_rrf"] = _hybrid_sql(toks)
 
     # x122: positional-intersection phrase search — the index CTE is
     # the x102 layout at gram size 1; phrase = query tokens 2..4.

@@ -5,7 +5,7 @@ the __spark_entry__ module for any name-scope bindings.
 """
 
 from .b12 import _x86_graph_sql
-from .b17 import _bm25_sql
+from .b17 import _bm25_sql, _hybrid_sql
 
 
 def add(d, ns):
@@ -163,3 +163,34 @@ FROM dropped d JOIN deg ON deg.src_id = d.src_id
     # pattern, erasure edition): one oracle covers the audit and its
     # streaming deployment.
     d["st41_erasure_request_stream"] = d["x125_erasure_propagation"]
+
+    # x129: both hybrid runs from b17's parameterized builder — the
+    # pre leg is byte-identical to x121's SQL, the post leg excludes
+    # the deletion set from corpus, dense candidates, and queries —
+    # full-outer-joined into the serving-delta frame.
+    d["x129_post_erasure_serving"] = f"""
+WITH oldrun AS (
+  SELECT query_id, doc_id, rank AS old_rank
+  FROM ({_hybrid_sql(toks).strip()}) o
+), newrun AS (
+  SELECT query_id, doc_id, rank AS new_rank
+  FROM ({_hybrid_sql(
+      toks,
+      corpus_pred="doc_id >= 5 AND doc_id % 17 <> 3",
+      query_pred="doc_id < 5 AND doc_id % 17 <> 3",
+      dense_corpus_pred="c.doc_id >= 5 AND c.doc_id % 17 <> 3",
+  ).strip()}) n
+)
+SELECT query_id, doc_id,
+       CAST(old_rank AS INTEGER) AS old_rank,
+       CAST(new_rank AS INTEGER) AS new_rank,
+       CASE WHEN old_rank IS NOT NULL AND query_id % 17 = 3
+              THEN 'query_erased'
+            WHEN old_rank IS NOT NULL AND doc_id % 17 = 3
+              THEN 'result_erased'
+            WHEN old_rank IS NULL THEN 'entered'
+            WHEN new_rank IS NULL THEN 'displaced'
+            WHEN old_rank = new_rank THEN 'unchanged'
+            ELSE 'moved' END AS status
+FROM oldrun FULL OUTER JOIN newrun USING (query_id, doc_id)
+"""

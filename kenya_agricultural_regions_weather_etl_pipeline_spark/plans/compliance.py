@@ -276,6 +276,90 @@ def x127_erasure_cell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_topk(docs: DataFrame, emb: DataFrame, keep) -> DataFrame:
+    """x121's hybrid path (BM25 top-20 + pooled cosine top-20 → RRF
+    top-10) over a ``keep``-filtered corpus/query universe — the
+    pre/post legs of x129. ``keep`` is a Column predicate on doc_id;
+    F.lit(True) reproduces x121 exactly (same operators, same plans)."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        mean_pooled_bags,
+        pooled_cosine_topk,
+        rrf_fuse,
+    )
+
+    corpus = docs.filter((F.col("doc_id") >= 5) & keep).select(
+        "doc_id", "text"
+    )
+    queries = docs.filter((F.col("doc_id") < 5) & keep).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sparse = bm25_topk(corpus, queries, k=20)
+    pooled = mean_pooled_bags(emb)
+    dense = pooled_cosine_topk(
+        pooled.filter((F.col("doc_id") >= 5) & keep),
+        pooled.filter((F.col("doc_id") < 5) & keep).select(
+            F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
+        ),
+        k=20,
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse(sparse, dense, k=10)
+
+
+def x129_post_erasure_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING AFTER ERASURE (r8) — the end-to-end check that closes
+    the compliance loop the repairs (x125/x126/x127/x128/st41) open:
+    after the deletion set is applied, what does the SERVING surface
+    look like, and how did it change? Both hybrid runs (x121's exact
+    path) are computed — pre-erasure and over the repaired universe
+    (deleted docs excluded from corpus, candidates, AND queries; doc 3
+    is itself a deleted query, the case a naive filter misses) — and
+    full-outer-joined per (query, doc) into the delta frame a
+    compliance review reads: old/new rank and a status
+    (query_erased / result_erased — a deleted doc vacated a slot —
+    / entered / displaced / moved / unchanged).
+
+    Determinism: both legs are the byte-same oracle-replayable x121
+    machinery, only the keep-predicate differs, so the delta replays
+    exactly. Shape: two bounded hybrid runs (posting-list joins +
+    broadcast pooled queries + Q·20 fuses) + one Q·10-bounded
+    full-outer join — nothing corpus-sized beyond the index scans; the
+    BM25 leg's stats (N, df, avgdl) legitimately shift with the
+    corpus, which is exactly why serving deltas need auditing."""
+    deleted = F.col("doc_id") % 17 == 3
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = _hybrid_topk(docs, emb, F.lit(True)).select(
+        "query_id", "doc_id", F.col("rank").alias("old_rank")
+    )
+    new = _hybrid_topk(docs, emb, ~deleted).select(
+        "query_id", "doc_id", F.col("rank").alias("new_rank")
+    )
+    j = old.join(new, ["query_id", "doc_id"], "full_outer")
+    status = (
+        F.when(
+            F.col("old_rank").isNotNull()
+            & (F.col("query_id") % 17 == 3),
+            "query_erased",
+        )
+        .when(
+            F.col("old_rank").isNotNull() & (F.col("doc_id") % 17 == 3),
+            "result_erased",
+        )
+        .when(F.col("old_rank").isNull(), "entered")
+        .when(F.col("new_rank").isNull(), "displaced")
+        .when(F.col("old_rank") == F.col("new_rank"), "unchanged")
+        .otherwise("moved")
+    )
+    return j.select(
+        "query_id",
+        "doc_id",
+        F.col("old_rank").cast("int").alias("old_rank"),
+        F.col("new_rank").cast("int").alias("new_rank"),
+        status.alias("status"),
+    )
+
+
 def x128_erasure_graph_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-ERASURE propagation through the kNN GRAPH edge list
     (r8) — the FOURTH derived-artifact leg, completing the set (x125

@@ -254,6 +254,7 @@ PROBED_QUERIES = (
     "x127_erasure_cell_repair",
     "x128_erasure_graph_repair",
     "st41_erasure_request_stream",
+    "x129_post_erasure_serving",
 )
 
 

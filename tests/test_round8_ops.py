@@ -82,6 +82,35 @@ def test_st38b_probe_everything_equals_x121(spark, sf001):
     assert _rows(pruned) == _rows(exact)
 
 
+def test_mean_pooled_bags_bag_size_parameter(spark):
+    """ADVICE r7: the bag convention is a parameter, not a baked-in
+    fixture fact — pooling 2-vector bags with bag_size=2 must average
+    pairs on the 1e-6 grid, and the default stays the 4-vector
+    fixture layout."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        mean_pooled_bags,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 3.0]),
+            (1, [2.0, 5.0]),
+            (2, [10.0, 0.0]),
+            (3, [0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["doc_id"]: r["pv"]
+        for r in mean_pooled_bags(emb, bag_size=2).collect()
+    }
+    assert got == {0: [1.5, 4.0], 1: [5.0, 0.0]}
+    got4 = {
+        r["doc_id"]: r["pv"] for r in mean_pooled_bags(emb).collect()
+    }
+    assert got4 == {0: [3.25, 2.0]}
+
+
 def test_x127_erasure_cell_repair_semantics(spark, sf001):
     """Conservation laws of the vector-store repair: every reported
     cell lost >= 1 member, new = old - dropped, vanishes iff new == 0,
@@ -178,6 +207,34 @@ def test_st41_erasure_stream_equals_batch_audit_any_batching(spark, sf001):
     streamed = run_erasure_request_stream(spark, sf001, n_batches=5)
     batch = entrymod.queries()["x125_erasure_propagation"](spark, sf001)
     assert _rows(streamed) == _rows(batch)
+
+
+def test_x129_post_erasure_serving_compliance(spark, sf001):
+    """The compliance property the delta frame exists to prove: NO
+    post-erasure result references a deleted doc or a deleted query;
+    every pre-erasure slot held by a deleted doc reads result_erased;
+    the deleted query's rows all read query_erased; and statuses
+    partition the join correctly."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x129_post_erasure_serving"](
+        spark, sf001
+    ).collect()
+    assert rows
+    seen_statuses = set()
+    for r in rows:
+        seen_statuses.add(r["status"])
+        if r["new_rank"] is not None:
+            assert r["doc_id"] % 17 != 3, r
+            assert r["query_id"] % 17 != 3, r
+        if r["query_id"] % 17 == 3:
+            assert r["status"] == "query_erased", r
+            assert r["new_rank"] is None, r
+        elif r["old_rank"] is not None and r["doc_id"] % 17 == 3:
+            assert r["status"] == "result_erased", r
+            assert r["new_rank"] is None, r
+    assert "query_erased" in seen_statuses  # query 3 is in the set
+    assert "result_erased" in seen_statuses or "moved" in seen_statuses
 
 
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
