@@ -14,6 +14,8 @@ training-data extension surface.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -431,7 +433,7 @@ def pooled_cosine_topk(
     cands: DataFrame,
     queries: DataFrame,
     k: int,
-    score_round: "Column | None" = None,
+    score_round: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Exact cosine top-``k`` of pooled QUERY vectors against a pooled
     candidate store — the dense leg shared by x115 (pooled retrieval),
