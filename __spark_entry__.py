@@ -45,6 +45,10 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity 
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans import (  # noqa: E402
     weather_pipeline as WP,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.retrieval import (  # noqa: E402
+    x115_pooled_retrieval,
+    x121b_hybrid_pruned,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.agro import (  # noqa: E402
     agro1_growing_degree_days,
     agro2_dry_spells,
@@ -5226,41 +5230,6 @@ def x114_split_leakage_audit(spark, sf_dir):
     )
 
 
-def x115_pooled_retrieval(spark, sf_dir):
-    """POOLED (bi-encoder) retrieval over the same doc bags as x110 —
-    the comparison every retrieval team runs: mean-pool each 4-vector
-    bag into ONE doc vector (coordinates averaged on the int64
-    micro-grid — the x112 centroid discipline, partition-order-free),
-    then exact cosine top-5 between pooled query docs and pooled corpus
-    docs. Completes the retrieval triptych: bi-encoder (THIS — one
-    vector per doc, cheapest to serve), late interaction (x110 — every
-    query vector keeps its own best match), and the IVF-pruned scale
-    path (x110b); ranking disagreements between x115 and x110 are
-    precisely the pairs where pooling loses token-level signal.
-    Pooling is one dim-bounded posexplode rollup; search is the x5
-    broadcast-query shape on a 4×-smaller table."""
-    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
-        mean_pooled_bags,
-        pooled_cosine_topk,
-    )
-
-    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
-    return pooled_cosine_topk(
-        pooled,
-        pooled.filter(F.col("doc_id") < 2).select(
-            F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
-        ),
-        k=5,
-        # legacy x115 rounding twin (oracle uses DuckDB round()):
-        score_round=lambda c: F.round(c, 6),
-    ).select(
-        F.col("query_id").alias("query_doc"),
-        F.col("doc_id").alias("cand_doc"),
-        "cos_sim",
-        "rank",
-    )
-
-
 def x116_retrieval_quality_compare(spark, sf_dir):
     """HEAD-TO-HEAD retrieval quality — the measured answer to 'did
     late interaction buy anything over pooling?': both systems' top-5
@@ -5276,6 +5245,7 @@ def x116_retrieval_quality_compare(spark, sf_dir):
     bounded label derivation."""
     from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
         geometric_bag_labels,
+        grade_runs,
     )
 
     labels = geometric_bag_labels(load_table(spark, sf_dir, "embeddings"))
@@ -5289,29 +5259,7 @@ def x116_retrieval_quality_compare(spark, sf_dir):
             .withColumn("system", F.lit("pooled"))
         )
     )
-    ql = labels.select(
-        F.col("doc_id").alias("query_doc"), F.col("label").alias("qlab")
-    )
-    cl = labels.select(
-        F.col("doc_id").alias("cand_doc"), F.col("label").alias("clab")
-    )
-    hits = (
-        runs.join(F.broadcast(ql), "query_doc")
-        .join(F.broadcast(cl), "cand_doc")
-        .withColumn("hit", (F.col("qlab") == F.col("clab")).cast("long"))
-    )
-    return hits.groupBy("system").agg(
-        F.countDistinct("query_doc").cast("long").alias("n_queries"),
-        F.sum("hit").cast("long").alias("n_hits"),
-        F.sum(
-            F.when(F.col("rank") == 1, F.col("hit")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("hits_at_1"),
-        (
-            F.sum("hit").cast("double") / F.count(F.lit(1))
-        ).alias("precision_at_5"),
-    )
+    return grade_runs(runs, labels)
 
 
 def x124_retrieval_quality_hybrid(spark, sf_dir):
@@ -5367,29 +5315,54 @@ def x124_retrieval_quality_hybrid(spark, sf_dir):
             .withColumn("system", F.lit("hybrid_rrf"))
         )
     )
-    ql = labels.select(
-        F.col("doc_id").alias("query_doc"), F.col("label").alias("qlab")
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        grade_runs,
     )
-    cl = labels.select(
-        F.col("doc_id").alias("cand_doc"), F.col("label").alias("clab")
+
+    return grade_runs(runs, labels)
+
+
+def x130_retrieval_quality_pruned(spark, sf_dir):
+    """FIVE-WAY retrieval quality (r8) — x124's adjudicating frame
+    extended with the question st38b raises: what did IVF pruning COST
+    in quality? The four x124 systems plus the pruned hybrid (x121b's
+    batch path, == st38b's serving rows), all graded at depth 5 on the
+    geometric gold — the measured gap between hybrid_rrf and
+    hybrid_pruned is the recall price of reading n_probe/n_centroids
+    of the dense store, priced in the same currency as the serving
+    saving it buys."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        geometric_bag_labels,
+        grade_runs,
     )
-    hits = (
-        runs.join(F.broadcast(ql), "query_doc")
-        .join(F.broadcast(cl), "cand_doc")
-        .withColumn("hit", (F.col("qlab") == F.col("clab")).cast("long"))
-    )
-    return hits.groupBy("system").agg(
-        F.countDistinct("query_doc").cast("long").alias("n_queries"),
-        F.sum("hit").cast("long").alias("n_hits"),
-        F.sum(
-            F.when(F.col("rank") == 1, F.col("hit")).otherwise(F.lit(0))
+
+    labels = geometric_bag_labels(load_table(spark, sf_dir, "embeddings"))
+    base = (
+        x110_maxsim_retrieval(spark, sf_dir)
+        .select("query_doc", "cand_doc", "rank")
+        .withColumn("system", F.lit("late_interaction"))
+        .unionByName(
+            x115_pooled_retrieval(spark, sf_dir)
+            .select("query_doc", "cand_doc", "rank")
+            .withColumn("system", F.lit("pooled"))
         )
-        .cast("long")
-        .alias("hits_at_1"),
-        (
-            F.sum("hit").cast("double") / F.count(F.lit(1))
-        ).alias("precision_at_5"),
     )
+    for name, fn in (
+        ("bm25", x120_bm25_topk),
+        ("hybrid_rrf", x121_hybrid_rrf),
+        ("hybrid_pruned", x121b_hybrid_pruned),
+    ):
+        base = base.unionByName(
+            fn(spark, sf_dir)
+            .filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
+            .select(
+                F.col("query_id").alias("query_doc"),
+                F.col("doc_id").alias("cand_doc"),
+                "rank",
+            )
+            .withColumn("system", F.lit(name))
+        )
+    return grade_runs(base, labels)
 
 
 def io9_schema_evolution(spark, sf_dir):
@@ -10631,6 +10604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x128_erasure_graph_repair": x128_erasure_graph_repair,
         "st41_erasure_request_stream": st41_erasure_request_stream,
         "x129_post_erasure_serving": x129_post_erasure_serving,
+        "x121b_hybrid_pruned": x121b_hybrid_pruned,
+        "x130_retrieval_quality_pruned": x130_retrieval_quality_pruned,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -402,6 +402,110 @@ def _micro_grid_pool(vecs: DataFrame) -> DataFrame:
     )
 
 
+def pooled_cosine_topk_ivf(
+    cands: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-pruned pooled cosine top-``k`` — :func:`pooled_cosine_topk`
+    with the x5d candidate restriction: candidates assign once to the
+    nearest of the first-``n_centroids`` pooled docs, each query
+    scores ONLY its ``n_probe`` nearest cells' members. This is the
+    JOIN-pruned batch twin of st38b's directory-pruned serving leg —
+    identical rows, two physical strategies, one oracle (the x5d/x5f
+    pair lifted to pooled vectors).
+
+    ``cands``: (doc_id, pv); ``queries``: (query_id, qv);
+    ``codebook``: the (centroid_id, cent_vec) frame to assign against
+    (default: the first n_centroids of ``cands`` — pass the FULL
+    pooled table's codebook when candidates are a filtered slice, so
+    cells match a store deployed before the filter)."""
+    from .similarity import _ivf_assign, _ivf_codebook, _ivf_probes
+    from ..functions.vectors import cosine_given_norms, norm
+    from ..functions.weather import round_half_up
+
+    cent = (
+        codebook
+        if codebook is not None
+        else _ivf_codebook(cands, "doc_id", "pv", n_centroids)
+    )
+    assigned = _ivf_assign(cands, cent, "doc_id", "pv").withColumn(
+        "cnrm", norm(F.col("cvec"))
+    )
+    probes = _ivf_probes(
+        queries.select("query_id", F.col("qv").alias("pv")),
+        cent,
+        "query_id",
+        "pv",
+        n_probe,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(
+            F.broadcast(probes.withColumn("qnrm", norm(F.col("qvec")))),
+            "cell",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            round_half_up(
+                cosine_given_norms(
+                    F.col("cvec"),
+                    F.col("qvec"),
+                    F.col("cnrm"),
+                    F.col("qnrm"),
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def grade_runs(runs: DataFrame, labels: DataFrame) -> DataFrame:
+    """The retrieval-eval grading tail shared by x116/x124/x130: per
+    ``system``, label-consistency precision@depth over a
+    (system, query_doc, cand_doc, rank) runs frame — integer hit
+    counts, one division, labels broadcast twice (query side and
+    candidate side). The label join is inner: candidates outside the
+    label universe drop identically for every system."""
+    ql = labels.select(
+        F.col("doc_id").alias("query_doc"), F.col("label").alias("qlab")
+    )
+    cl = labels.select(
+        F.col("doc_id").alias("cand_doc"), F.col("label").alias("clab")
+    )
+    hits = (
+        runs.join(F.broadcast(ql), "query_doc")
+        .join(F.broadcast(cl), "cand_doc")
+        .withColumn("hit", (F.col("qlab") == F.col("clab")).cast("long"))
+    )
+    return hits.groupBy("system").agg(
+        F.countDistinct("query_doc").cast("long").alias("n_queries"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(F.col("rank") == 1, F.col("hit")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hits_at_1"),
+        (
+            F.sum("hit").cast("double") / F.count(F.lit(1))
+        ).alias("precision_at_5"),
+    )
+
+
 def geometric_bag_labels(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     """(doc_id, label): a GEOMETRY-CORRELATED gold label per doc bag —
     the bag's pooled vector assigned to the nearest of the first

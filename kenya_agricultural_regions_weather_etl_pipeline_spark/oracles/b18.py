@@ -164,6 +164,54 @@ FROM dropped d JOIN deg ON deg.src_id = d.src_id
     # streaming deployment.
     d["st41_erasure_request_stream"] = d["x125_erasure_propagation"]
 
+    # x121b: the JOIN-pruned batch twin of st38b's directory-pruned
+    # serving — identical rows, two physical strategies, one oracle
+    # (the x5d/x5f pattern lifted to the hybrid ranker).
+    d["x121b_hybrid_pruned"] = d["st38b_hybrid_serve_pruned"]
+
+    # x130: x124's grading frame + the pruned hybrid as a fifth
+    # system — labs CTE from b15, the five legs as scoped subqueries
+    # (the pruned leg IS st38b's SQL).
+    from .b15 import _geo_labels_sql
+
+    d["x130_retrieval_quality_pruned"] = f"""
+WITH {_geo_labels_sql(ns.V)}, runs AS (
+  SELECT query_doc, cand_doc, rank, 'late_interaction' AS system
+  FROM ({d["x110_maxsim_retrieval"].strip()}) li
+  UNION ALL
+  SELECT query_doc, cand_doc, rank, 'pooled' AS system
+  FROM ({d["x115_pooled_retrieval"].strip()}) po
+  UNION ALL
+  SELECT query_id AS query_doc, doc_id AS cand_doc, rank,
+         'bm25' AS system
+  FROM ({d["x120_bm25_topk"].strip()}) bm
+  WHERE query_id < 2 AND rank <= 5
+  UNION ALL
+  SELECT query_id AS query_doc, doc_id AS cand_doc, rank,
+         'hybrid_rrf' AS system
+  FROM ({d["x121_hybrid_rrf"].strip()}) hy
+  WHERE query_id < 2 AND rank <= 5
+  UNION ALL
+  SELECT query_id AS query_doc, doc_id AS cand_doc, rank,
+         'hybrid_pruned' AS system
+  FROM ({d["st38b_hybrid_serve_pruned"].strip()}) hp
+  WHERE query_id < 2 AND rank <= 5
+), hits AS (
+  SELECT r.system, r.query_doc, r.rank,
+         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS hit
+  FROM runs r
+  JOIN labs ql ON ql.doc_id = r.query_doc
+  JOIN labs cl ON cl.doc_id = r.cand_doc
+)
+SELECT system,
+       CAST(count(DISTINCT query_doc) AS BIGINT) AS n_queries,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS BIGINT)
+         AS hits_at_1,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS precision_at_5
+FROM hits GROUP BY system
+"""
+
     # x129: both hybrid runs from b17's parameterized builder — the
     # pre leg is byte-identical to x121's SQL, the post leg excludes
     # the deletion set from corpus, dense candidates, and queries —

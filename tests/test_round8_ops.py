@@ -192,6 +192,17 @@ def test_x128_erasure_graph_repair_semantics(spark, sf001):
     assert sum(r["n_dropped"] for r in rows) == want
 
 
+def test_x121b_join_pruned_equals_st38b_directory_pruned(spark, sf001):
+    """Two physical strategies, one result (the x5d/x5f law lifted to
+    the hybrid ranker): the JOIN-pruned batch x121b and st38b's
+    directory-pruned serving must return identical rows."""
+    import __spark_entry__ as entrymod
+
+    batch = entrymod.queries()["x121b_hybrid_pruned"](spark, sf001)
+    served = entrymod.queries()["st38b_hybrid_serve_pruned"](spark, sf001)
+    assert _rows(batch) == _rows(served)
+
+
 def test_st41_erasure_stream_equals_batch_audit_any_batching(spark, sf001):
     """st41's drained repair state must equal the batch x125 audit
     REGARDLESS of how the request feed is batched — run with 5
