@@ -255,6 +255,8 @@ PROBED_QUERIES = (
     "x128_erasure_graph_repair",
     "st41_erasure_request_stream",
     "x129_post_erasure_serving",
+    "x121b_hybrid_pruned",
+    "x130_retrieval_quality_pruned",
 )
 
 
