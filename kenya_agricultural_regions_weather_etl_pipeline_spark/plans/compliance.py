@@ -276,14 +276,16 @@ def x127_erasure_cell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_topk(docs: DataFrame, emb: DataFrame, keep) -> DataFrame:
+def _hybrid_topk(docs: DataFrame, pooled: DataFrame, keep) -> DataFrame:
     """x121's hybrid path (BM25 top-20 + pooled cosine top-20 → RRF
     top-10) over a ``keep``-filtered corpus/query universe — the
     pre/post legs of x129. ``keep`` is a Column predicate on doc_id;
-    F.lit(True) reproduces x121 exactly (same operators, same plans)."""
+    F.lit(True) reproduces x121 exactly (same operators, same
+    values). ``pooled`` is the (doc_id, pv) store — x129 materializes
+    it ONCE and both legs read it, the way a deployment reads its
+    stored pooled table."""
     from ..operators.retrieval import (
         bm25_topk,
-        mean_pooled_bags,
         pooled_cosine_topk,
         rrf_fuse,
     )
@@ -295,7 +297,6 @@ def _hybrid_topk(docs: DataFrame, emb: DataFrame, keep) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     sparse = bm25_topk(corpus, queries, k=20)
-    pooled = mean_pooled_bags(emb)
     dense = pooled_cosine_topk(
         pooled.filter((F.col("doc_id") >= 5) & keep),
         pooled.filter((F.col("doc_id") < 5) & keep).select(
@@ -326,13 +327,17 @@ def x129_post_erasure_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join — nothing corpus-sized beyond the index scans; the
     BM25 leg's stats (N, df, avgdl) legitimately shift with the
     corpus, which is exactly why serving deltas need auditing."""
+    from ..operators.retrieval import mean_pooled_bags
+
     deleted = F.col("doc_id") % 17 == 3
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    old = _hybrid_topk(docs, emb, F.lit(True)).select(
+    pooled = mean_pooled_bags(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
+    old = _hybrid_topk(docs, pooled, F.lit(True)).select(
         "query_id", "doc_id", F.col("rank").alias("old_rank")
     )
-    new = _hybrid_topk(docs, emb, ~deleted).select(
+    new = _hybrid_topk(docs, pooled, ~deleted).select(
         "query_id", "doc_id", F.col("rank").alias("new_rank")
     )
     j = old.join(new, ["query_id", "doc_id"], "full_outer")

@@ -36,7 +36,12 @@ def x121b_hybrid_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=20,
     )
-    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
+    # materialize the pooled store once — codebook, candidates, and
+    # queries all read it (three recomputes of the pooling rollup
+    # otherwise; in a deployment this IS the stored pooled table)
+    pooled = mean_pooled_bags(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
     dense = pooled_cosine_topk_ivf(
         pooled.filter(F.col("doc_id") >= 5),
         pooled.filter(F.col("doc_id") < 5).select(
