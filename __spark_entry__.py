@@ -10425,6 +10425,21 @@ def st41_erasure_request_stream(spark, sf_dir):
     return ST.run_erasure_request_stream(spark, sf_dir)
 
 
+def st42_index_erasure_stream(spark, sf_dir):
+    """st42 (r8): erasure requests repairing the SEARCH INDEX on
+    stream — x126 deployed, st41's index-artifact sibling: deletion
+    batches point-probe the doc-keyed postings store (the deleted
+    docs' postings name exactly the affected terms — delta-only),
+    land per-term drop counts in a batch_id-keyed repair ledger, and
+    advance the term dictionary version-chained with ONLY affected
+    terms' df decremented (st37's exactly-once fold in reverse). df
+    decrements are additive ⇒ batching-invariant; drained audit reads
+    new_df FROM the maintained final dictionary and equals batch x126
+    row-for-row. See streaming/micro_batch.py:run_index_erasure_stream."""
+    apply_runtime_confs(spark)
+    return ST.run_index_erasure_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -10606,6 +10621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x129_post_erasure_serving": x129_post_erasure_serving,
         "x121b_hybrid_pruned": x121b_hybrid_pruned,
         "x130_retrieval_quality_pruned": x130_retrieval_quality_pruned,
+        "st42_index_erasure_stream": st42_index_erasure_stream,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -164,6 +164,10 @@ FROM dropped d JOIN deg ON deg.src_id = d.src_id
     # streaming deployment.
     d["st41_erasure_request_stream"] = d["x125_erasure_propagation"]
 
+    # st42 drains to the batch x126 audit row-for-row (same law, the
+    # index artifact): one oracle for the audit and its deployment.
+    d["st42_index_erasure_stream"] = d["x126_erasure_index_repair"]
+
     # x121b: the JOIN-pruned batch twin of st38b's directory-pruned
     # serving — identical rows, two physical strategies, one oracle
     # (the x5d/x5f pattern lifted to the hybrid ranker).

@@ -5070,6 +5070,177 @@ def run_erasure_request_stream(
     return out
 
 
+def run_index_erasure_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st42: RIGHT-TO-ERASURE requests repairing the SEARCH INDEX on
+    stream (r8) — x126 deployed, the index-artifact sibling of st41's
+    dedup-state repair: the st37-shape BM25 index (doc-keyed postings
+    + the term dictionary fold) is deployed frozen, then deletion
+    requests arrive in micro-batches and the dictionary is repaired
+    incrementally.
+
+    Per batch, DELTA-ONLY (x126's law, applied on stream): the batch's
+    request ids point-probe the postings store (doc_id-keyed — the
+    deleted docs' postings name exactly the affected terms), the
+    per-term drop counts land in a batch_id-keyed repair ledger
+    (overwrite-on-replay), and the dictionary advances version-chained
+    v{b} → v{b+1} with ONLY the affected terms' df decremented (the
+    st37 exactly-once fold, run in reverse; the posting rows
+    themselves are a doc-keyed partition delete — trivial — it is the
+    DERIVED dictionary fold that needs repair, exactly x126's
+    framing). df decrements are additive, so the final dictionary is
+    batching-invariant.
+
+    Drain: per affected term (ledger aggregate), old_df from the
+    deployed v0, new_df read FROM THE MAINTAINED final dictionary
+    version (the state is load-bearing, not recomputed), dropped
+    posting/token sums from the ledger — equals the batch x126 audit
+    row-for-row (one oracle for the audit and its deployment)."""
+    import shutil
+
+    from ..operators.retrieval import doc_postings
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    workdir = tempfile.mkdtemp(prefix="kw_st42_")
+    src = os.path.join(workdir, "requests")
+    state = os.path.join(workdir, "index")
+    postings_path = os.path.join(state, "postings")
+    ledger_path = os.path.join(state, "ledger")
+    dict_dir = os.path.join(state, "dict")
+    os.makedirs(src)
+
+    # ---- offline deploy: postings + dictionary v0 ------------------
+    doc_postings(corpus).write.parquet(postings_path)
+    postings = spark.read.parquet(postings_path)
+    os.makedirs(dict_dir)
+    postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).coalesce(1).write.parquet(os.path.join(dict_dir, "v0"))
+
+    # ---- the request feed: deleted corpus ids in range files -------
+    import glob as _glob
+    import time as _time
+
+    requests = corpus.select("doc_id").filter(
+        F.col("doc_id") % 17 == 3
+    ).localCheckpoint(eager=True)
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    now = _time.time()
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        requests.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        dropped = (
+            batch.select("doc_id")
+            .join(postings, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("dropped_postings"),
+                F.sum("tf").cast("long").alias("dropped_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dropped.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"batch_id={batch_id}")
+        )
+        prev = sess.read.parquet(os.path.join(dict_dir, f"v{batch_id}"))
+        new_dict = (
+            prev.join(
+                dropped.select("term", "dropped_postings"), "term", "left"
+            )
+            .select(
+                "term",
+                (
+                    F.col("df")
+                    - F.coalesce(
+                        F.col("dropped_postings"), F.lit(0).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("df"),
+            )
+        )
+        new_dict.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dict_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (request-sized frames): AQE
+        # re-planning is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    versions = sorted(
+        int(v[1:])
+        for v in os.listdir(dict_dir)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    ledger = (
+        spark.read.parquet(ledger_path)
+        .groupBy("term")
+        .agg(
+            F.sum("dropped_postings")
+            .cast("long")
+            .alias("dropped_postings"),
+            F.sum("dropped_tokens").cast("long").alias("dropped_tokens"),
+        )
+    )
+    v0 = spark.read.parquet(os.path.join(dict_dir, "v0")).select(
+        "term", F.col("df").alias("old_df")
+    )
+    vlast = spark.read.parquet(
+        os.path.join(dict_dir, f"v{versions[-1]}")
+    ).select("term", F.col("df").alias("new_df"))
+    out = (
+        ledger.join(v0, "term")
+        .join(vlast, "term")
+        .select(
+            "term",
+            "old_df",
+            "new_df",
+            "dropped_postings",
+            "dropped_tokens",
+            (F.col("old_df") == F.col("dropped_postings")).alias(
+                "term_vanishes"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -257,6 +257,7 @@ PROBED_QUERIES = (
     "x129_post_erasure_serving",
     "x121b_hybrid_pruned",
     "x130_retrieval_quality_pruned",
+    "st42_index_erasure_stream",
 )
 
 

@@ -248,6 +248,23 @@ def test_x129_post_erasure_serving_compliance(spark, sf001):
     assert "result_erased" in seen_statuses or "moved" in seen_statuses
 
 
+def test_st42_index_erasure_stream_equals_batch_audit_any_batching(
+    spark, sf001
+):
+    """st42's drained dictionary-repair audit must equal the batch
+    x126 frame REGARDLESS of request batching (df decrements are
+    additive) — run with 5 micro-batches instead of the oracle
+    sweep's 3."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_index_erasure_stream,
+    )
+
+    streamed = run_index_erasure_stream(spark, sf001, n_batches=5)
+    batch = entrymod.queries()["x126_erasure_index_repair"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
+
+
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
     """Recall receipt at the default geometry (probe 4 of 16): the
     pruned top-10 per query must share a non-trivial prefix with the
