@@ -10440,6 +10440,22 @@ def st42_index_erasure_stream(spark, sf_dir):
     return ST.run_index_erasure_stream(spark, sf_dir)
 
 
+def st43_cell_erasure_stream(spark, sf_dir):
+    """st43 (r8): erasure requests repairing the VECTOR STORE on
+    stream — x127 deployed, completing the symmetric streaming
+    erasure triple (st41 dedup state / st42 index dictionary / st43
+    cell partitions): deletion batches expand bag ids to vec ids,
+    point-probe the vec→cell assignment map (delta-only — deleted
+    vectors name exactly the affected cells), land per-cell drop
+    counts in a batch_id-keyed ledger, and advance the cell-size
+    artifact version-chained with ONLY affected cells decremented.
+    Additive decrements ⇒ batching-invariant; drained audit reads
+    new_members FROM the maintained final version and == batch x127
+    row-for-row. See streaming/micro_batch.py:run_cell_erasure_stream."""
+    apply_runtime_confs(spark)
+    return ST.run_cell_erasure_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -10622,6 +10638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x121b_hybrid_pruned": x121b_hybrid_pruned,
         "x130_retrieval_quality_pruned": x130_retrieval_quality_pruned,
         "st42_index_erasure_stream": st42_index_erasure_stream,
+        "st43_cell_erasure_stream": st43_cell_erasure_stream,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

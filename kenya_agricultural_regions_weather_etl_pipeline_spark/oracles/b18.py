@@ -168,6 +168,11 @@ FROM dropped d JOIN deg ON deg.src_id = d.src_id
     # index artifact): one oracle for the audit and its deployment.
     d["st42_index_erasure_stream"] = d["x126_erasure_index_repair"]
 
+    # st43 drains to the batch x127 audit row-for-row (same law, the
+    # vector-store artifact): one oracle for the audit and its
+    # deployment — the erasure triple is fully symmetric.
+    d["st43_cell_erasure_stream"] = d["x127_erasure_cell_repair"]
+
     # x121b: the JOIN-pruned batch twin of st38b's directory-pruned
     # serving — identical rows, two physical strategies, one oracle
     # (the x5d/x5f pattern lifted to the hybrid ranker).

@@ -5241,6 +5241,182 @@ def run_index_erasure_stream(
     return out
 
 
+def run_cell_erasure_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st43: RIGHT-TO-ERASURE requests repairing the VECTOR STORE on
+    stream (r8) — x127 deployed, completing the symmetric streaming
+    erasure triple (st41 ↔ x125 dedup state, st42 ↔ x126 index
+    dictionary, THIS ↔ x127 cell partitions): the IVF store's
+    vec→cell assignment map and per-cell size table are deployed
+    frozen, then deletion requests (bag doc_ids) arrive in
+    micro-batches and the cell-size artifact is repaired
+    incrementally.
+
+    Per batch, DELTA-ONLY (x127's law on stream): the batch's doc ids
+    expand to their bags' vec ids and point-probe the assignment map
+    (vec-keyed — the deleted vectors name exactly the affected
+    cells), per-cell drop counts land in a batch_id-keyed ledger
+    (overwrite-on-replay), and the cell-size table advances
+    version-chained v{b} → v{b+1} with ONLY affected cells
+    decremented (the vectors themselves are a cell-partition point
+    delete — trivial; the SIZE artifact is the derived fold needing
+    repair). Size decrements are additive ⇒ batching-invariant.
+
+    Drain: per affected cell, old_members from v0, new_members FROM
+    the maintained final version, dropped sums from the ledger —
+    equals the batch x127 audit row-for-row (one oracle)."""
+    import shutil
+
+    from ..operators.similarity import _ivf_assign, _ivf_codebook
+    from ..sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st43_")
+    src = os.path.join(workdir, "requests")
+    state = os.path.join(workdir, "store")
+    assign_path = os.path.join(state, "assignment")
+    ledger_path = os.path.join(state, "ledger")
+    sizes_dir = os.path.join(state, "sizes")
+    os.makedirs(src)
+
+    # ---- offline deploy: assignment map + cell sizes v0 ------------
+    cent = _ivf_codebook(vecs, "vec_id", "v", 16)
+    _ivf_assign(vecs, cent, "vec_id", "v").select(
+        "vec_id", "cell"
+    ).write.parquet(assign_path)
+    assignment = spark.read.parquet(assign_path)
+    os.makedirs(sizes_dir)
+    assignment.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("members")
+    ).coalesce(1).write.parquet(os.path.join(sizes_dir, "v0"))
+
+    # ---- the request feed: deleted BAG doc ids in range files ------
+    import glob as _glob
+    import time as _time
+
+    requests = (
+        vecs.select(
+            F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id")
+        )
+        .distinct()
+        .filter(F.col("doc_id") % 17 == 3)
+        .localCheckpoint(eager=True)
+    )
+    mx = (
+        requests.agg(F.max("doc_id")).first()[0] or 0
+    ) + 1
+    now = _time.time()
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        requests.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # bag doc_id → the bag's 4 vec ids, point-probing the map
+        vec_ids = batch.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), "
+                    "i -> doc_id * 4 + CAST(i AS BIGINT))"
+                )
+            ).alias("vec_id")
+        )
+        dropped = (
+            vec_ids.join(assignment, "vec_id")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("dropped_vecs")
+            )
+            .localCheckpoint(eager=True)
+        )
+        dropped.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"batch_id={batch_id}")
+        )
+        prev = sess.read.parquet(os.path.join(sizes_dir, f"v{batch_id}"))
+        new_sizes = prev.join(dropped, "cell", "left").select(
+            "cell",
+            (
+                F.col("members")
+                - F.coalesce(
+                    F.col("dropped_vecs"), F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("members"),
+        )
+        new_sizes.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sizes_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (request-sized frames): AQE
+        # re-planning is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    versions = sorted(
+        int(v[1:])
+        for v in os.listdir(sizes_dir)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    ledger = (
+        spark.read.parquet(ledger_path)
+        .groupBy("cell")
+        .agg(F.sum("dropped_vecs").cast("long").alias("dropped_vecs"))
+    )
+    v0 = spark.read.parquet(os.path.join(sizes_dir, "v0")).select(
+        "cell", F.col("members").alias("old_members")
+    )
+    vlast = spark.read.parquet(
+        os.path.join(sizes_dir, f"v{versions[-1]}")
+    ).select("cell", F.col("members").alias("new_members"))
+    out = (
+        ledger.join(v0, "cell")
+        .join(vlast, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "old_members",
+            "new_members",
+            "dropped_vecs",
+            (F.col("old_members") == F.col("dropped_vecs")).alias(
+                "cell_vanishes"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

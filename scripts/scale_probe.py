@@ -258,6 +258,7 @@ PROBED_QUERIES = (
     "x121b_hybrid_pruned",
     "x130_retrieval_quality_pruned",
     "st42_index_erasure_stream",
+    "st43_cell_erasure_stream",
 )
 
 

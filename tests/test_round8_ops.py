@@ -269,6 +269,23 @@ def test_st42_index_erasure_stream_equals_batch_audit_any_batching(
     assert _rows(streamed) == _rows(batch)
 
 
+def test_st43_cell_erasure_stream_equals_batch_audit_any_batching(
+    spark, sf001
+):
+    """st43's drained cell-repair audit must equal the batch x127
+    frame REGARDLESS of request batching (size decrements are
+    additive) — run with 5 micro-batches instead of the oracle
+    sweep's 3."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_cell_erasure_stream,
+    )
+
+    streamed = run_cell_erasure_stream(spark, sf001, n_batches=5)
+    batch = entrymod.queries()["x127_erasure_cell_repair"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
+
+
 def test_st38b_default_probe_overlaps_exact_topk(spark, sf001):
     """Recall receipt at the default geometry (probe 4 of 16): the
     pruned top-10 per query must share a non-trivial prefix with the
