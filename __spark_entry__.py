@@ -46,6 +46,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans import (  # noq
     weather_pipeline as WP,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.retrieval import (  # noqa: E402
+    x107_retrieval_ndcg,
     x115_pooled_retrieval,
     x121b_hybrid_pruned,
 )
@@ -64,6 +65,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
     x127_erasure_cell_repair,
     x128_erasure_graph_repair,
     x129_post_erasure_serving,
+    x131_erasure_certificate,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
@@ -1153,94 +1155,6 @@ def x106_dedup_threshold_curve(spark, sf_dir):
             .alias("n_docs_with_dup"),
         )
         .orderBy("t")
-    )
-
-
-def x107_retrieval_ndcg(spark, sf_dir):
-    """Ranking-quality EVAL for the vector stack — nDCG@10 of exact
-    cosine retrieval against label relevance (the metric that grades
-    x5/x5d/x93 beyond hit-counting recall: position matters). Per
-    query (the x5 query set): top-11 exact neighbors, self-hit
-    excluded, relevance = label match, DCG = Σ rel_p/log₂(p+1) with
-    each positional gain QUANTIZED to integer 1e-9 units before the
-    fold (the a21/x100 order-free discipline — ln-based weights are
-    identical doubles on both engines, the sum is exact int64), and
-    IDCG from the label's corpus population (min(10, |label|−1) ideal
-    hits). Cost shape: the x5 broadcast-query scan + two label-keyed
-    bounded joins + a 10-row weight table; the eval adds nothing
-    super-linear to the search it grades."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ret = S.cosine_topk_bruteforce(emb, q, k=11).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
-    hits = ret.withColumn("p", F.row_number().over(wp)).filter(
-        F.col("p") <= 10
-    )
-    labels = emb.select("vec_id", "label")
-    qlab = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
-    )
-    w_units = F.floor(
-        F.lit(1_000_000_000.0) * F.log(F.lit(2.0)) / F.log(F.col("p") + 1.0)
-        + F.lit(0.5)
-    ).cast("long")
-    gains = (
-        hits.join(labels, "vec_id")
-        .join(F.broadcast(qlab), "query_id")
-        .select(
-            "query_id",
-            "qlabel",
-            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
-            w_units.alias("w_units"),
-        )
-    )
-    dcg = gains.groupBy("query_id", "qlabel").agg(
-        F.sum("rel").cast("long").alias("n_rel_retrieved"),
-        F.sum(F.col("rel") * F.col("w_units")).cast("long").alias("dcg_units"),
-    )
-    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
-    wtab = spark.range(1, 11).select(
-        F.col("id").alias("p"),
-        F.floor(
-            F.lit(1_000_000_000.0)
-            * F.log(F.lit(2.0))
-            / F.log(F.col("id") + 1.0)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("w_units"),
-    )
-    ideal = (
-        dcg.join(lc, dcg.qlabel == lc.label)
-        .join(
-            F.broadcast(wtab),
-            F.col("p") <= F.least(F.lit(10), F.col("c") - 1),
-        )
-        .groupBy("query_id")
-        .agg(F.sum("w_units").cast("long").alias("idcg_units"))
-    )
-    return (
-        dcg.join(ideal, "query_id", "left")
-        .select(
-            "query_id",
-            F.col("qlabel").cast("int").alias("query_label"),
-            "n_rel_retrieved",
-            F.when(
-                F.coalesce(F.col("idcg_units"), F.lit(0)) == 0, F.lit(0.0)
-            )
-            .otherwise(
-                W.round_half_up(
-                    F.col("dcg_units").cast("double") / F.col("idcg_units"),
-                    6,
-                )
-            )
-            .alias("ndcg"),
-        )
-        .orderBy("query_id")
     )
 
 
@@ -10639,6 +10553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x130_retrieval_quality_pruned": x130_retrieval_quality_pruned,
         "st42_index_erasure_stream": st42_index_erasure_stream,
         "st43_cell_erasure_stream": st43_cell_erasure_stream,
+        "x131_erasure_certificate": x131_erasure_certificate,
         "p6_date_parts": p6_date_parts,
         "p7_epoch_conversion": p7_epoch_conversion,
         "p8_rounding": p8_rounding,

@@ -251,3 +251,53 @@ SELECT query_id, doc_id,
             ELSE 'moved' END AS status
 FROM oldrun FULL OUTER JOIN newrun USING (query_id, doc_id)
 """
+
+    # x131: the one-row erasure certificate — every audit's SQL as a
+    # scoped subquery, aggregated to the counts a compliance filing
+    # is made of; serving_clean proves the x129 guarantee by
+    # measurement.
+    d["x131_erasure_certificate"] = f"""
+WITH reqs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs_requested
+  FROM documents WHERE doc_id % 17 = 3
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups_repaired,
+         CAST(coalesce(sum(CASE WHEN new_canonical IS NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_groups_vanished
+  FROM ({d["x125_erasure_propagation"].strip()}) ga
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms_repaired,
+         CAST(coalesce(sum(CASE WHEN term_vanishes
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_terms_vanished
+  FROM ({d["x126_erasure_index_repair"].strip()}) ta
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells_repaired,
+         CAST(coalesce(sum(CASE WHEN cell_vanishes
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_cells_vanished
+  FROM ({d["x127_erasure_cell_repair"].strip()}) ca
+), gr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_graph_nodes_repaired,
+         CAST(coalesce(sum(CASE WHEN needs_backfill
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_backfill_nodes
+  FROM ({d["x128_erasure_graph_repair"].strip()}) gra
+), sv AS (
+  SELECT CAST(coalesce(sum(CASE WHEN new_rank IS NOT NULL
+                                 AND (doc_id % 17 = 3
+                                      OR query_id % 17 = 3)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_serving_violations
+  FROM ({d["x129_post_erasure_serving"].strip()}) sva
+)
+SELECT reqs.n_docs_requested,
+       g.n_groups_repaired, g.n_groups_vanished,
+       t.n_terms_repaired, t.n_terms_vanished,
+       c.n_cells_repaired, c.n_cells_vanished,
+       gr.n_graph_nodes_repaired, gr.n_backfill_nodes,
+       sv.n_serving_violations,
+       (sv.n_serving_violations = 0) AS serving_clean
+FROM reqs, g, t, c, gr, sv
+"""

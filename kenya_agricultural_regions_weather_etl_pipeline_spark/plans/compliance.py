@@ -365,6 +365,83 @@ def x129_post_erasure_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x131_erasure_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ERASURE CERTIFICATE (r8) — the one-row artifact a
+    compliance officer actually FILES: the whole right-to-erasure
+    story (x125 dedup survivors / x126 inverted index / x127 vector
+    store / x128 kNN graph / x129 serving surface) collapsed into the
+    counts the regulator's question is made of — how many documents
+    were requested, how many derived-artifact entries were repaired or
+    vanished in each layer, and whether the SERVING surface is clean
+    (zero post-erasure results referencing deleted content — the x129
+    violation count, which the pipeline guarantees is 0 by
+    construction and this certificate PROVES by measurement).
+
+    Shape: five bounded audit frames (each already delta-only,
+    individually exact-oracled) aggregated to 1-row counts and
+    cross-joined — nothing corpus-sized beyond the audits' own scans;
+    every count replays exactly in the composed oracle."""
+    reqs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 3)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_requested"))
+    )
+    g = x125_erasure_propagation(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups_repaired"),
+        F.coalesce(
+            F.sum(F.col("new_canonical").isNull().cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_groups_vanished"),
+    )
+    t = x126_erasure_index_repair(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_repaired"),
+        F.coalesce(F.sum(F.col("term_vanishes").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_terms_vanished"),
+    )
+    c = x127_erasure_cell_repair(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_repaired"),
+        F.coalesce(F.sum(F.col("cell_vanishes").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_cells_vanished"),
+    )
+    gr = x128_erasure_graph_repair(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_graph_nodes_repaired"),
+        F.coalesce(
+            F.sum(F.col("needs_backfill").cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_backfill_nodes"),
+    )
+    sv = x129_post_erasure_serving(spark, sf_dir).agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("new_rank").isNotNull()
+                    & (
+                        (F.col("doc_id") % 17 == 3)
+                        | (F.col("query_id") % 17 == 3)
+                    )
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_serving_violations")
+    )
+    return (
+        reqs.crossJoin(g)
+        .crossJoin(t)
+        .crossJoin(c)
+        .crossJoin(gr)
+        .crossJoin(sv)
+        .withColumn(
+            "serving_clean", F.col("n_serving_violations") == 0
+        )
+    )
+
+
 def x128_erasure_graph_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-ERASURE propagation through the kNN GRAPH edge list
     (r8) — the FOURTH derived-artifact leg, completing the set (x125

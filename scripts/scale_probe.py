@@ -259,6 +259,7 @@ PROBED_QUERIES = (
     "x130_retrieval_quality_pruned",
     "st42_index_erasure_stream",
     "st43_cell_erasure_stream",
+    "x131_erasure_certificate",
 )
 
 
