@@ -4724,22 +4724,30 @@ def run_hybrid_serve_pruned(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tok"),
     ).coalesce(1).write.parquet(os.path.join(state, "stats"))
-    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
-    # full pooled table for query point-reads (bounded: |batch| rows)
-    pooled.write.parquet(os.path.join(state, "pooled"))
-    pooled_idx = spark.read.parquet(
-        os.path.join(state, "pooled")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cent = _ivf_codebook(
-        pooled_idx, "doc_id", "pv", n_centroids
+    # one pooling pass feeds the codebook, the query store, and the
+    # cell layout (it was three recomputes before r8's shave); only
+    # the QUERY slice is stored for point-reads — candidates live in
+    # the cell layout, so persisting the full pooled table was a
+    # write nothing ever read back in full
+    pooled = mean_pooled_bags(
+        load_table(spark, sf_dir, "embeddings")
     ).localCheckpoint(eager=True)
+    cent = _ivf_codebook(
+        pooled, "doc_id", "pv", n_centroids
+    ).localCheckpoint(eager=True)
+    pooled.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(
+        os.path.join(state, "pooled_queries")
+    )
+    pooled_idx = spark.read.parquet(
+        os.path.join(state, "pooled_queries")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # assign-once cell layout: candidates (doc_id >= 5) written
     # partitionBy(cell) with precomputed norms — probes become
     # directory-pruned reads, the x5f physical story
     cells_path = os.path.join(state, "cells")
     (
         _ivf_assign(
-            pooled_idx.filter(F.col("doc_id") >= 5), cent, "doc_id", "pv"
+            pooled.filter(F.col("doc_id") >= 5), cent, "doc_id", "pv"
         )
         .withColumn("cnrm", norm(F.col("cvec")))
         .write.partitionBy("cell")
