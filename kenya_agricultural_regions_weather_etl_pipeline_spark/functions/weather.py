@@ -160,3 +160,20 @@ def heat_index_pandas_udf():
         return poly.where(temp >= 27, temp)
 
     return _heat_index
+
+
+def floored_mod(x, m: float):
+    """Floored modulo as a Column expr — the pseudo-weather projection
+    shared by the agro plans and the entry module's registered queries.
+    Must stay bit-identical to its DuckDB twin :func:`floored_mod_sql`
+    (``x - floor(x/m)*m``); one definition serves both callers (ADVICE
+    r8: two Python copies of an oracle-coupled expression is silent
+    drift risk)."""
+    from pyspark.sql import functions as F
+
+    return x - F.floor(x / F.lit(m)) * F.lit(m)
+
+
+def floored_mod_sql(x: str, m: float) -> str:
+    """DuckDB twin of :func:`floored_mod` — identical arithmetic text."""
+    return f"({x} - floor({x}/{m})*{m})"

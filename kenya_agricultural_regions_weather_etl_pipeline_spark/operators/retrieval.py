@@ -368,9 +368,20 @@ def mean_pooled_bags(
     baked-in fixture fact (ADVICE r7): a caller with a different bag
     layout passes its own size/columns instead of silently mis-pooling.
     """
+    # Validate + backtick the identifier before SQL interpolation
+    # (ADVICE r8): a non-identifier column name must fail loudly here,
+    # not produce broken/unintended SQL. `DIV` (truncating integer
+    # division) is kept — floor() on a double quotient would diverge
+    # for negative ids.
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_id_col):
+        raise ValueError(
+            f"vec_id_col must be a plain identifier, got {vec_id_col!r}"
+        )
     vecs = emb.select(
         F.expr(
-            f"CAST({vec_id_col} DIV {int(bag_size)} AS BIGINT)"
+            f"CAST(`{vec_id_col}` DIV {int(bag_size)} AS BIGINT)"
         ).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )

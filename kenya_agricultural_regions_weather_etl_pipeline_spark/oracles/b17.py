@@ -75,10 +75,33 @@ def _hybrid_sql(
     corpus_pred: str = "doc_id >= 5",
     query_pred: str = "doc_id < 5",
     dense_corpus_pred: str = "c.doc_id >= 5",
+    dense_leg: str | None = None,
 ) -> str:
     """x121's full hybrid-RRF SQL, with the corpus/query predicates as
     parameters (default emission byte-identical to the r7 literal) —
-    x129's post-erasure twin passes deletion-excluding predicates."""
+    x129's post-erasure twin passes deletion-excluding predicates.
+
+    ``dense_leg`` (ADVICE r8): the CTE segment between ``pooled`` and
+    ``dense`` — everything that produces the per-(query, doc)
+    ``dscored`` frame. Default is x121's exhaustive cross-scan; st38b
+    (b18) injects its IVF cent/assigned/probes restriction here, so a
+    future change to the sparse leg, pooling, fusion, or rounding
+    conventions propagates to the pruned twin automatically instead of
+    relying on the pytest equality law to catch a divergence. The
+    segment must define ``dscored(query_id, doc_id, cos_sim)`` and
+    start with ``, `` (it is spliced after the pooled CTE's ``)``)."""
+    if dense_leg is None:
+        dense_leg = f""", qd AS (
+  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE {query_pred}
+), dscored AS (
+  SELECT qd.query_id, c.doc_id,
+         (floor((list_dot_product(c.pv, qd.qv)
+                 / (sqrt(list_dot_product(c.pv, c.pv))
+                    * sqrt(list_dot_product(qd.qv, qd.qv))))
+                * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
+  FROM pooled c CROSS JOIN qd
+  WHERE {dense_corpus_pred} AND c.doc_id <> qd.query_id
+)"""
     return f"""
 WITH sparse AS (
   SELECT query_id, doc_id, rank AS rank_s
@@ -101,17 +124,7 @@ WITH sparse AS (
                CAST(sq AS DOUBLE) / n / 1000000.0 AS p
         FROM sums) m
   GROUP BY doc_id
-), qd AS (
-  SELECT doc_id AS query_id, pv AS qv FROM pooled WHERE {query_pred}
-), dscored AS (
-  SELECT qd.query_id, c.doc_id,
-         (floor((list_dot_product(c.pv, qd.qv)
-                 / (sqrt(list_dot_product(c.pv, c.pv))
-                    * sqrt(list_dot_product(qd.qv, qd.qv))))
-                * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
-  FROM pooled c CROSS JOIN qd
-  WHERE {dense_corpus_pred} AND c.doc_id <> qd.query_id
-), dense AS (
+){dense_leg}, dense AS (
   SELECT query_id, doc_id, rank_d FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id

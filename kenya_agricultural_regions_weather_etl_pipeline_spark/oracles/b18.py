@@ -23,30 +23,11 @@ def add(d, ns):
     # tiebreak — identical doubles on both engines, the x5d proof),
     # each query probes its 4 nearest cells, and only probed cells'
     # members are scored (6-dp half-up cosine, x121's dense ranking
-    # convention). Sparse leg + RRF fuse are x121's verbatim.
-    d["st38b_hybrid_serve_pruned"] = f"""
-WITH sparse AS (
-  SELECT query_id, doc_id, rank AS rank_s
-  FROM ({_bm25_sql(toks, 20).strip()}) s
-), v AS (
-  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
-         embedding::DOUBLE[] AS v
-  FROM embeddings
-), sums AS (
-  SELECT doc_id, pos,
-         sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sq,
-         count(*) AS n
-  FROM (SELECT doc_id, unnest(v) AS x,
-               unnest(range(1, len(v) + 1)) AS pos
-        FROM v) e
-  GROUP BY doc_id, pos
-), pooled AS (
-  SELECT doc_id, list(p ORDER BY pos) AS pv
-  FROM (SELECT doc_id, pos,
-               CAST(sq AS DOUBLE) / n / 1000000.0 AS p
-        FROM sums) m
-  GROUP BY doc_id
-), cent AS (
+    # convention). Sparse leg, pooling, RRF fuse, and rounding come
+    # from b17's _hybrid_sql builder (ADVICE r8: only the dense-leg
+    # CTE segment is specific to the pruned twin, so a future change
+    # to x121's fusion conventions propagates here by construction).
+    ivf_dense_leg = f""", cent AS (
   SELECT doc_id AS centroid_id, pv AS cent_vec
   FROM pooled WHERE doc_id < 16
 ), assigned AS (
@@ -71,31 +52,10 @@ WITH sparse AS (
                 * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cos_sim
   FROM assigned a JOIN probes p USING (cell)
   WHERE a.doc_id <> p.query_id
-), dense AS (
-  SELECT query_id, doc_id, rank_d FROM (
-    SELECT query_id, doc_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, doc_id ASC)
-               AS rank_d
-    FROM dscored)
-  WHERE rank_d <= 20
-), fused AS (
-  SELECT query_id, doc_id, rank_s, rank_d,
-         (coalesce(1.0 / (60.0 + rank_s), 0.0)
-          + coalesce(1.0 / (60.0 + rank_d), 0.0)) AS rrf
-  FROM sparse FULL OUTER JOIN dense USING (query_id, doc_id)
-)
-SELECT query_id, doc_id,
-       (floor(rrf * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS rrf_score,
-       CAST(rank AS INTEGER) AS rank,
-       CAST(rank_s AS INTEGER) AS sparse_rank,
-       CAST(rank_d AS INTEGER) AS dense_rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rrf DESC, doc_id ASC)
-             AS rank
-      FROM fused)
-WHERE rank <= 10
-"""
+)"""
+    d["st38b_hybrid_serve_pruned"] = _hybrid_sql(
+        toks, dense_leg=ivf_dense_leg
+    )
 
     # x127: erasure repair of the IVF vector store — x5d's assignment
     # CTE (first-16 codebook, raw-double cosine, centroid_id tiebreak)

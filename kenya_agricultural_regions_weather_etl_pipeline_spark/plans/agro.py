@@ -15,14 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import weather as W
+from ..functions.weather import floored_mod
 from ..sources.tables import load_table
 
 
-def floored_mod(x, m: float):
-    """Floored modulo as a Column expr — identical semantics in
-    DuckDB SQL (`(x - floor(x/m)*m)`), the pseudo-weather projection
-    both engines share."""
-    return x - F.floor(x / F.lit(m)) * F.lit(m)
 
 
 def agro1_growing_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4991,17 +4991,17 @@ def run_erasure_request_stream(
             os.path.join(tombs_path, f"batch_id={batch_id}")
         )
         affected = pairs.select("fp").distinct()
-        delall = pairs
-        try:
-            prior = (
-                sess.read.parquet(tombs_path)
-                .filter(F.col("batch_id") != batch_id)
-                .join(F.broadcast(affected), "fp")
-                .select("fp", "doc_id")
-            )
-            delall = delall.unionByName(prior)
-        except AnalysisException:
-            pass  # first batch: no standing tombstones yet
+        # tombs_path always exists here — this batch wrote its own
+        # batch_id partition just above, so the read cannot fail even
+        # on batch 0 (ADVICE r8: the former AnalysisException guard was
+        # dead code, unlike st39/st40 where the holder probe is live).
+        prior = (
+            sess.read.parquet(tombs_path)
+            .filter(F.col("batch_id") != batch_id)
+            .join(F.broadcast(affected), "fp")
+            .select("fp", "doc_id")
+        )
+        delall = pairs.unionByName(prior)
         mem_aff = membership.join(F.broadcast(affected), "fp")
         flags = mem_aff.join(
             delall.distinct().withColumn("d", F.lit(1)),
