@@ -713,10 +713,17 @@ def minhash_portable_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing — the
     exact-oracled twin of :func:`minhash_lsh_pairs` (whose xxhash64
     signatures no other engine can reproduce, leaving it rows-only).
+
+    ``candidates_only=True`` returns the raw band-keyed bucket-join
+    candidate set ``(id_a, id_b)`` BEFORE exact-Jaccard verification —
+    the frame a verify stage or a standing LSH bucket index consumes
+    (r9: the re-pointed x2 registry entry, so the candidate stage
+    itself carries an exact oracle).
 
     Hash family: g_j(sh) = (A[j]·rh(sh) + B[j]) mod P over the
     polynomial rolling hash — every term expressible in DuckDB, so the
@@ -782,6 +789,8 @@ def minhash_portable_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        return cand
     sizes = sig.select("id", "n_sh")
     sa = base.alias("sa")
     sb = base.alias("sb")

@@ -132,7 +132,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     # candidates → exact-Jaccard verified ``pairs``. x2c reports the
     # pairs; st14's streaming survivor rollup derives from them (a doc
     # is dropped iff it appears as the LARGER id of a verified pair).
-    _mh_pairs_ctes = f"""
+    # r9 split: candidate chain (toks -> cand) and the exact-Jaccard
+    # verify tail are separate builders so the re-pointed x2
+    # (candidates) and x2b (0.4-verify) reuse the same machinery —
+    # default 0.5 emission stays byte-identical to the r7 literal.
+    _mh_cand_ctes = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
@@ -161,7 +165,10 @@ WITH toks AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), inter AS (
+)"""
+
+    def _mh_verify_tail(threshold: float) -> str:
+        return f""", inter AS (
   SELECT id_a, id_b, count(*) AS i
   FROM cand
   JOIN shg sa ON sa.doc_id = id_a
@@ -173,10 +180,23 @@ WITH toks AS (
   FROM inter
   JOIN sig na ON na.doc_id = id_a
   JOIN sig nb ON nb.doc_id = id_b
-  WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= 0.5
+  WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) >= {threshold}
 )"""
+
+    _mh_pairs_ctes = _mh_cand_ctes + _mh_verify_tail(0.5)
     d["x2c_minhash_portable"] = (
         _mh_pairs_ctes + "\nSELECT id_a, id_b, jaccard FROM pairs\n"
+    )
+    # r9 re-points (VERDICT r8 #4): the legacy xxhash64 sketches gain
+    # exact oracles on the portable family — x2 is the raw candidate
+    # stage, x2b the 0.4-threshold verify (x2c keeps 0.5).
+    d["x2_minhash_lsh_pairs"] = (
+        _mh_cand_ctes + "\nSELECT id_a, id_b FROM cand\n"
+    )
+    d["x2b_minhash_verified"] = (
+        _mh_cand_ctes
+        + _mh_verify_tail(0.4)
+        + "\nSELECT id_a, id_b, jaccard FROM pairs\n"
     )
     d["st14_streaming_near_dedup"] = (
         _mh_pairs_ctes
@@ -287,7 +307,11 @@ FROM pairs GROUP BY source_a, source_b
     _fp_expr = " + ".join(
         f"(s{j} > 0)::BIGINT * {1 << j}" for j in range(SIMHASH_PORTABLE_BITS)
     )
-    d["x4b_simhash_portable"] = f"""
+    # r9: threshold parameterized so the re-pointed x4 (hamming <= 2,
+    # the tighter policy point) shares the machinery — default 3
+    # emission byte-identical to the r7 literal.
+    def _simhash_portable_sql(max_hamming: int) -> str:
+        return f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -315,8 +339,11 @@ WITH toks AS (
     ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+FROM pairs WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
+
+    d["x4b_simhash_portable"] = _simhash_portable_sql(3)
+    d["x4_simhash_pairs"] = _simhash_portable_sql(2)
     d["x80_dedup_policy_budget"] = f"""
 WITH ranked AS (
   SELECT CAST({T.token_count_sql('text')} AS BIGINT) AS n_tok,

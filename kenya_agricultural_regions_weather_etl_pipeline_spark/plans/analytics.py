@@ -449,6 +449,51 @@ def x2c_minhash_portable(spark, sf_dir):
     )
 
 
+def x2_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH CANDIDATE pairs — the raw bucket-join output
+    BEFORE exact-Jaccard verification, the frame a verify stage (x2b)
+    or a standing streaming bucket index (st14) consumes.
+
+    Re-pointed in r9 (VERDICT r8 #4) from the xxhash64 production
+    sketch onto the engine-portable hash family, so the candidate
+    stage itself carries an exact DuckDB oracle instead of a rows-only
+    check; the xxhash64 path stays available as
+    ``operators/dedup.minhash_lsh_pairs`` with its own pytest. Same
+    plan shape either way: one signature shuffle, one band-keyed
+    self-join — never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_portable_pairs(
+        docs, k_shingle=3, n_hashes=16, n_bands=4, candidates_only=True
+    )
+
+
+def x2b_minhash_verified(spark, sf_dir):
+    """The 100 TB dedup pipeline at the LOOSER policy point: portable
+    MinHash-LSH candidates → exact-Jaccard verification at ≥ 0.4
+    (x2c verifies the same machinery at ≥ 0.5 — together the two
+    registry points pin the threshold sensitivity of one pipeline).
+    Re-pointed in r9 from the xxhash64 sketch (VERDICT r8 #4) so the
+    verify output is exact-oracled; the xxhash64 candidates + the
+    standalone ``ngram_jaccard_verify`` stage keep their own
+    pytests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_portable_pairs(
+        docs, k_shingle=3, n_hashes=16, n_bands=4, threshold=0.4
+    )
+
+
+def x4_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at the TIGHTER hamming ≤ 2 policy point
+    (x4b is ≤ 3; pigeonhole over 4 blocks stays exact for both).
+    Re-pointed in r9 from the xxhash64 fingerprint (VERDICT r8 #4)
+    onto the portable 48-bit universal-hash family so the pair set is
+    exact-oracled; ``operators/dedup.simhash_pairs`` (xxhash64,
+    64-bit) remains the production alternative with its own
+    locality-separation pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_portable_pairs(docs, max_hamming=2, n_blocks=4)
+
+
 def x60_knn_label_accuracy(spark, sf_dir):
     """Embedding-quality evaluation by 1-NN label agreement: for a
     64-query probe set, predict each query's label from its nearest
