@@ -325,6 +325,25 @@ def prf_expansion(
         F.sum("dl").cast("long").alias("total_tok"),
     )
     qterms = query_terms(queries, query_id_col, text_col)
+    return prf_expansion_from_index(
+        qterms, tf, dfc, dl, stats, fb_k, n_terms
+    )
+
+
+def prf_expansion_from_index(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dfc: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    fb_k: int = 5,
+    n_terms: int = 10,
+) -> DataFrame:
+    """:func:`prf_expansion`'s scoring tail against an ALREADY-BUILT
+    inverted index — split out (r9) so a composite eval
+    (e2e_retrieval_eval) can feed one shared tf/df/dl/stats pass to
+    both its hybrid and PRF legs instead of tokenizing the corpus once
+    per leg. Semantics identical to :func:`prf_expansion`."""
     fb = bm25_score_index(qterms, tf, dfc, dl, stats, fb_k).select(
         "query_id", "doc_id"
     )
