@@ -246,16 +246,48 @@ def main() -> int:
         timings[name] = measured
 
     total = round(sum(timings.values()), 4)
+    suspects = _suspect_band(starts, timings)
+    # ---- window-noise verdict (VERDICT r8 #8) -----------------------
+    # The r8 artifact (759.6 s, 14 retries) was a known-noisy window
+    # but the artifact itself didn't say so — a future reader needs the
+    # caveat attached to the number. Heuristic: a window is NOISY when
+    # more than ~3% of queries needed a noise retry, when any retry
+    # still left its query >2x reference (the noise didn't retry away),
+    # or when more than 5 queries overlapped driver polls.
+    unresolved = [
+        n
+        for n, rv in retries.items()
+        if reference.get(n)
+        and min(rv["measured"], rv["retried"])
+        > RETRY_FACTOR * reference[n]
+    ]
+    noisy = (
+        len(retries) > max(3, len(timings) // 33)
+        or len(unresolved) > 0
+        or len(suspects) > 5
+    )
+    # seconds of inflation the retry pass removed (kept-min vs first
+    # measurement) — how much worse the headline would read unretried
+    retry_inflation = round(
+        sum(
+            max(rv["measured"] - rv["retried"], 0.0)
+            for rv in retries.values()
+        ),
+        2,
+    )
     full = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "started": starts,
-        "suspect_band": _suspect_band(starts, timings),
+        "suspect_band": suspects,
         # (measured, retried) pairs for noise-retried queries; timings
         # carry the min of the two — both raw values stay visible here
         "retries": retries,
+        "window_verdict": "noisy" if noisy else "quiet",
+        "retry_unresolved": unresolved,
+        "retry_inflation_sec": retry_inflation,
         "sf": _sf_of(sf_dir),
     }
     if failures:
@@ -289,6 +321,10 @@ def main() -> int:
         # queries re-run once because the first measurement exceeded
         # 2x the committed clean reference (raw pairs in BENCH_full)
         "n_retried": len(retries),
+        # one-word noise caveat for the committed artifact (VERDICT r8
+        # #8): "noisy" when retries were frequent, any retry stayed
+        # >2x reference, or >5 queries overlapped driver polls
+        "window_verdict": full["window_verdict"],
     }
     print(json.dumps(compact))
     return 0 if not failures else 1
