@@ -207,9 +207,11 @@ def test_entry_module_stays_under_line_ceiling():
     )
     with open(path, encoding="utf-8") as fh:
         n = sum(1 for _ in fh)
-    assert n <= 11_000, (
-        f"__spark_entry__.py is {n} lines (> 11000): push shared logic "
-        "into the package instead of growing the entry module"
+    assert n <= 9_500, (
+        f"__spark_entry__.py is {n} lines (> 9500): push shared logic "
+        "into the package instead of growing the entry module (r9 moved "
+        "the x50-x81/q23-q32/w16-w25 block to plans/analytics.py and "
+        "re-tightened this guard from 11k with ~800 lines of headroom)"
     )
 
 
