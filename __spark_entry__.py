@@ -120,6 +120,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.analytics impor
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance import (  # noqa: E402
     x67_k_anonymity,
+    x132_graph_backfill_repair,
     x118_l_diversity,
     x119_t_closeness,
     x125_erasure_propagation,
@@ -8210,6 +8211,20 @@ def st43_cell_erasure_stream(spark, sf_dir):
     return ST.run_cell_erasure_stream(spark, sf_dir)
 
 
+def st44_graph_erasure_stream(spark, sf_dir):
+    """Right-to-erasure requests repairing the kNN GRAPH on stream —
+    x128 deployed (r9), completing the symmetric streaming erasure
+    QUARTET st41/st42/st43/st44: deletion batches expand bag ids to
+    vec ids, point-probe the frozen edge store nbr-keyed (drop counts
+    → batch_id-keyed ledger) and src-keyed (own out-list = partition
+    delete), and advance the per-source degree artifact version-chained
+    with only affected sources decremented. Additive decrements +
+    one-batch-per-source deletes ⇒ batching-invariant; drained audit ==
+    batch x128 row-for-row (one oracle). x132 executes the backfill
+    this flags."""
+    return ST.run_graph_erasure_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -8319,10 +8334,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
         "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "x100_nb_quality_classifier": x100_nb_quality_classifier,
-        "x101_temperature_mixture": x101_temperature_mixture,
+        # r9 (cont.): the round's own builds — st44 completing the
+        # streaming erasure quartet and x132 executing the backfill
+        # x128 flags — enter the window immediately (displacing
+        # x101/x104, still never-graded but with in-window composites
+        # that exercise their machinery: x103 materializes x101's
+        # mixture, x104 grades x100's scores; first-time-grade count
+        # stays 49)
+        "st44_graph_erasure_stream": st44_graph_erasure_stream,
+        "x132_graph_backfill_repair": x132_graph_backfill_repair,
         "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
         "x103_mixture_materializer": x103_mixture_materializer,
-        "x104_classifier_calibration": x104_classifier_calibration,
         "x105_quality_canonicalization": x105_quality_canonicalization,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
@@ -8339,6 +8361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 51+: previously driver-graded (r3-r8 windows) or
         # carrying bit-identical oracles to graded twins; all keep exact
         # local-pass parity in the pytest oracle sweep ----
+        "x101_temperature_mixture": x101_temperature_mixture,
+        "x104_classifier_calibration": x104_classifier_calibration,
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,

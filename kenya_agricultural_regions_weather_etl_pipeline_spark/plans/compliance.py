@@ -546,3 +546,107 @@ def x126_erasure_index_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def x132_graph_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE BACKFILL EXECUTION for the kNN graph (r9) — x128 flags
+    the surviving nodes an erasure left under-connected
+    (``needs_backfill``: post-drop degree < k); this operator performs
+    the repair the x92 incremental machinery owes them: restore each
+    flagged node toward degree k=5 with NEW neighbors drawn from its
+    2-HOP surviving neighborhood (the NN-descent candidate rule —
+    neighbors-of-neighbors are the standard high-recall repair pool),
+    ranked by exact cosine with the x86 tiebreak discipline
+    (raw-double sim DESC, candidate id ASC — identical doubles on both
+    engines), each node taking exactly ``k − new_degree`` fills (fewer
+    iff its 2-hop pool runs dry — deterministic either way).
+
+    DELTA-ONLY discipline: candidates derive from the flagged nodes'
+    OWN surviving edges joined once against the edge list (k² rows per
+    flagged node, never graph² and never a full re-candidate of
+    unaffected nodes); existing surviving neighbors and deleted nodes
+    are anti-joined away BEFORE scoring, so the cosine pass touches
+    only genuine fill candidates. Deletion set = x127/x128's
+    ``(vec_id DIV 4) % 17 == 3``. Output: one row per backfilled edge
+    (src_id, new_nbr_id, backfill_sim at 6 dp, fill_rank)."""
+    from ..functions.vectors import cosine
+    from ..operators import graph_index as GI
+
+    art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art).select("src_id", "nbr_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cvec")
+    )
+    deleted = emb.select("vec_id").filter(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3")
+    )
+    # the x128 audit names the flagged nodes and their fill quota
+    audit = x128_erasure_graph_repair(spark, sf_dir)
+    nb = audit.filter(F.col("needs_backfill")).select(
+        "src_id",
+        (F.lit(5) - F.col("new_degree")).cast("long").alias("needed"),
+    )
+    # surviving edges: both endpoints outside the deletion set
+    sedges = (
+        graph.join(
+            deleted.withColumnRenamed("vec_id", "src_id"),
+            "src_id",
+            "left_anti",
+        )
+        .join(
+            deleted.withColumnRenamed("vec_id", "nbr_id"),
+            "nbr_id",
+            "left_anti",
+        )
+        .select("src_id", "nbr_id")
+    )
+    e1 = sedges.join(nb.select("src_id"), "src_id")
+    cand = (
+        e1.alias("e1")
+        .join(
+            sedges.alias("e2"),
+            F.col("e1.nbr_id") == F.col("e2.src_id"),
+        )
+        .select(
+            F.col("e1.src_id").alias("src_id"),
+            F.col("e2.nbr_id").alias("cand_id"),
+        )
+        .filter(F.col("cand_id") != F.col("src_id"))
+        .distinct()
+        .join(
+            sedges.withColumnRenamed("nbr_id", "cand_id"),
+            ["src_id", "cand_id"],
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("cvec").alias("sv"),
+            ),
+            "src_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("cvec").alias("cv"),
+            ),
+            "cand_id",
+        )
+        .withColumn("sim", cosine(F.col("sv"), F.col("cv")))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("fill_rank", F.row_number().over(w))
+        .join(nb, "src_id")
+        .filter(F.col("fill_rank") <= F.col("needed"))
+        .select(
+            "src_id",
+            F.col("cand_id").alias("new_nbr_id"),
+            F.round(F.col("sim"), 6).alias("backfill_sim"),
+            F.col("fill_rank").cast("int").alias("fill_rank"),
+        )
+    )

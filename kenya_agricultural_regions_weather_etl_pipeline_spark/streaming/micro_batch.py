@@ -5460,6 +5460,191 @@ def run_cell_erasure_stream(
     return out
 
 
+def run_graph_erasure_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st44: RIGHT-TO-ERASURE requests repairing the kNN GRAPH on
+    stream (r9) — x128 deployed, completing the streaming erasure
+    QUARTET (st41 ↔ x125 dedup state, st42 ↔ x126 index dictionary,
+    st43 ↔ x127 cell sizes, THIS ↔ x128 graph degrees): the deployed
+    graph's edge list (x86's artifact, the state st21 maintains and
+    st24 serves) and a per-source degree table are frozen offline,
+    then deletion requests (bag doc_ids) arrive in micro-batches and
+    the degree artifact is repaired incrementally.
+
+    Per batch, DELTA-ONLY (x128's law on stream): the batch's doc ids
+    expand to their bags' vec ids and point-probe the edge store TWO
+    ways — nbr-keyed (a deleted vector's APPEARANCES in surviving
+    out-lists name exactly the affected sources; at production scale a
+    point lookup against the nbr-partitioned edge store, never a graph
+    rescan) landing per-source drop counts in a batch_id-keyed ledger
+    (overwrite-on-replay), and src-keyed (a deleted node's own
+    out-list is a partition delete — its degree row leaves the chain).
+    The degree table advances version-chained v{b} → v{b+1} with ONLY
+    affected sources decremented and the batch's own deleted sources
+    anti-joined away. Drop decrements are additive and each source is
+    deleted by exactly one batch (requests partition by doc_id range)
+    ⇒ the final state is batching-invariant.
+
+    Drain: per affected source, old_degree from v0, new_degree FROM
+    the maintained final version (the inner join drops sources that
+    were themselves deleted in ANY batch — x128's left_anti, replayed
+    through the version chain), n_dropped from the ledger,
+    needs_backfill = new_degree < k. Equals the batch x128 audit
+    row-for-row (one oracle); x132 executes the backfill this flags.
+    """
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from ..operators import graph_index as GI
+    from ..sources.tables import load_table
+
+    art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art).select("src_id", "nbr_id")
+    workdir = tempfile.mkdtemp(prefix="kw_st44_")
+    src = os.path.join(workdir, "requests")
+    state = os.path.join(workdir, "store")
+    ledger_path = os.path.join(state, "ledger")
+    deg_dir = os.path.join(state, "degrees")
+    os.makedirs(src)
+    os.makedirs(deg_dir)
+
+    # ---- offline deploy: per-source degree table v0 -----------------
+    graph.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).coalesce(1).write.parquet(os.path.join(deg_dir, "v0"))
+
+    # ---- the request feed: deleted BAG doc ids in range files -------
+    requests = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"))
+        .distinct()
+        .filter(F.col("doc_id") % 17 == 3)
+        .localCheckpoint(eager=True)
+    )
+    mx = (requests.agg(F.max("doc_id")).first()[0] or 0) + 1
+    now = _time.time()
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        requests.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # bag doc_id → the bag's 4 vec ids
+        vec_ids = batch.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), "
+                    "i -> doc_id * 4 + CAST(i AS BIGINT))"
+                )
+            ).alias("vec_id")
+        ).localCheckpoint(eager=True)
+        # nbr-keyed point probe: per-source dropped-neighbor counts
+        dropped = (
+            graph.join(
+                F.broadcast(
+                    vec_ids.withColumnRenamed("vec_id", "nbr_id")
+                ),
+                "nbr_id",
+            )
+            .groupBy("src_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+            .localCheckpoint(eager=True)
+        )
+        dropped.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"batch_id={batch_id}")
+        )
+        prev = sess.read.parquet(os.path.join(deg_dir, f"v{batch_id}"))
+        new_deg = (
+            prev.join(
+                F.broadcast(
+                    vec_ids.withColumnRenamed("vec_id", "src_id")
+                ),
+                "src_id",
+                "left_anti",
+            )
+            .join(F.broadcast(dropped), "src_id", "left")
+            .select(
+                "src_id",
+                (
+                    F.col("degree")
+                    - F.coalesce(
+                        F.col("n_dropped"), F.lit(0).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("degree"),
+            )
+        )
+        new_deg.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(deg_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (request-sized frames): AQE
+        # re-planning is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    versions = sorted(
+        int(v[1:])
+        for v in os.listdir(deg_dir)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    ledger = (
+        spark.read.parquet(ledger_path)
+        .groupBy("src_id")
+        .agg(F.sum("n_dropped").cast("long").alias("n_dropped"))
+    )
+    v0 = spark.read.parquet(os.path.join(deg_dir, "v0")).select(
+        "src_id", F.col("degree").alias("old_degree")
+    )
+    vlast = spark.read.parquet(
+        os.path.join(deg_dir, f"v{versions[-1]}")
+    ).select("src_id", F.col("degree").alias("new_degree"))
+    out = (
+        ledger.join(v0, "src_id")
+        .join(vlast, "src_id")
+        .select(
+            "src_id",
+            "old_degree",
+            "new_degree",
+            "n_dropped",
+            (F.col("new_degree") < 5).alias("needs_backfill"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

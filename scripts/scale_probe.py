@@ -260,6 +260,8 @@ PROBED_QUERIES = (
     "st42_index_erasure_stream",
     "st43_cell_erasure_stream",
     "x131_erasure_certificate",
+    "st44_graph_erasure_stream",
+    "x132_graph_backfill_repair",
 )
 
 

@@ -51,6 +51,8 @@ MUST_BE_IN_WINDOW = {
     "x131_erasure_certificate",
     "x121b_hybrid_pruned",
     "x130_retrieval_quality_pruned",
+    "st44_graph_erasure_stream",
+    "x132_graph_backfill_repair",
 }
 
 # Exact first-50 snapshot (VERDICT r3 #5): a NEW query must not slide
@@ -91,10 +93,10 @@ DRIVER_WINDOW_SNAPSHOT = [
     "mm10_audio_perceptual_dedup",
     "mm11_video_perceptual_dedup",
     "x100_nb_quality_classifier",
-    "x101_temperature_mixture",
+    "st44_graph_erasure_stream",
+    "x132_graph_backfill_repair",
     "x102_crossdoc_span_dedup",
     "x103_mixture_materializer",
-    "x104_classifier_calibration",
     "x105_quality_canonicalization",
     "x106_dedup_threshold_curve",
     "x107_retrieval_ndcg",
@@ -127,6 +129,7 @@ ORACLE_TWINS = {
     "x127_erasure_cell_repair": "st43_cell_erasure_stream",
     "x102_crossdoc_span_dedup": "st30_span_index_stream",
     "x121b_hybrid_pruned": "st38b_hybrid_serve_pruned",
+    "x128_erasure_graph_repair": "st44_graph_erasure_stream",
 }
 
 
