@@ -121,6 +121,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.analytics impor
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance import (  # noqa: E402
     x67_k_anonymity,
     x132_graph_backfill_repair,
+    x133_repair_quality_audit,
     x118_l_diversity,
     x119_t_closeness,
     x125_erasure_propagation,
@@ -8363,6 +8364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-pass parity in the pytest oracle sweep ----
         "x101_temperature_mixture": x101_temperature_mixture,
         "x104_classifier_calibration": x104_classifier_calibration,
+        # r9: repair-vs-rebuild receipt for the erasure quartet (below
+        # the window this round — local-pass parity; rotate in r10)
+        "x133_repair_quality_audit": x133_repair_quality_audit,
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,

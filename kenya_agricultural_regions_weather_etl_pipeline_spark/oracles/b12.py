@@ -8,20 +8,24 @@ moved code's original name scope.
 """
 
 
-def _x86_graph_sql(V) -> str:
+def _x86_graph_sql(V, src_table: str = "embeddings") -> str:
     """The x86 kNN-graph CTE chain (c/nc/cent/assigned/probes/scored/
     graph) — √N deterministic codebook, 2-probe cells, top-5 per node.
     Module-level (r8) so b18's erasure-graph audit can compose the
     SAME graph the build/maintain/ingest family shares; the emitted
-    SQL is byte-identical to the pre-r8 inline `_x86_graph`."""
+    SQL is byte-identical to the pre-r8 inline `_x86_graph`.
+    ``src_table`` (r9) lets b19's x133 rebuild the graph over the
+    SURVIVING subset (a parenthesized subquery) with the identical
+    machinery — √N and the codebook then derive from the filtered
+    corpus on both engines; default emission byte-identical."""
     return f"""
 WITH c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM {src_table}
 ), nc AS (
-  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM {src_table}
 ), cent AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
-  FROM embeddings WHERE vec_id < (SELECT n FROM nc)
+  FROM {src_table} WHERE vec_id < (SELECT n FROM nc)
 ), assigned AS (
   SELECT vec_id, cvec, centroid_id AS cell FROM (
     SELECT c.vec_id, c.cvec, cent.centroid_id,

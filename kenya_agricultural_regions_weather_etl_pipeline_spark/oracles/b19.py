@@ -76,3 +76,65 @@ FROM cranked r JOIN nb ON nb.src_id = r.src_id
 WHERE r.fill_rank <= nb.needed
 """
     )
+
+
+    # x133: repair-vs-rebuild quality — the repaired adjacency
+    # (surviving edges ∪ x132 fills) of each flagged node intersected
+    # with a GROUND-TRUTH rebuild (the same x86 machinery over only
+    # the surviving vectors — src_table parameterization of b12's
+    # CTE; √N and the codebook re-derive from the filtered corpus).
+    # Nested WITH scopes (each leg a parenthesized subquery) keep the
+    # CTE names collision-free.
+    _surv_table = (
+        "(SELECT * FROM embeddings WHERE (vec_id // 4) % 17 <> 3)"
+    )
+    d["x133_repair_quality_audit"] = f"""
+WITH audit AS (
+  SELECT src_id
+  FROM ({d["x128_erasure_graph_repair"].strip()}) a
+  WHERE needs_backfill
+), fills AS (
+  SELECT src_id, new_nbr_id AS nbr_id
+  FROM ({d["x132_graph_backfill_repair"].strip()}) f
+), fullg AS (
+  SELECT src_id, nbr_id
+  FROM ({(_x86_graph_sql(V) + chr(10) + "SELECT src_id, nbr_id FROM graph").strip()}) g
+), del AS (
+  SELECT vec_id FROM embeddings WHERE (vec_id // 4) % 17 = 3
+), surv AS (
+  SELECT g.src_id, g.nbr_id
+  FROM fullg g
+  JOIN audit ON audit.src_id = g.src_id
+  LEFT JOIN del d2 ON g.nbr_id = d2.vec_id
+  WHERE d2.vec_id IS NULL
+), repaired AS (
+  SELECT src_id, nbr_id FROM surv
+  UNION ALL
+  SELECT src_id, nbr_id FROM fills
+), rebuild AS (
+  SELECT r.src_id, r.nbr_id
+  FROM ({(_x86_graph_sql(V, src_table=_surv_table) + chr(10) + "SELECT src_id, nbr_id FROM graph").strip()}) r
+  JOIN audit ON audit.src_id = r.src_id
+), reb AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS n_rebuild
+  FROM rebuild GROUP BY src_id
+), rep AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS n_repaired
+  FROM repaired GROUP BY src_id
+), ov AS (
+  SELECT p.src_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM repaired p JOIN rebuild r
+    ON r.src_id = p.src_id AND r.nbr_id = p.nbr_id
+  GROUP BY p.src_id
+)
+SELECT a.src_id,
+       CAST(coalesce(rep.n_repaired, 0) AS BIGINT) AS n_repaired,
+       reb.n_rebuild,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(ov.n_overlap, 0)::DOUBLE / reb.n_rebuild, 6)
+         AS repair_recall
+FROM audit a
+JOIN reb ON reb.src_id = a.src_id
+LEFT JOIN rep ON rep.src_id = a.src_id
+LEFT JOIN ov ON ov.src_id = a.src_id
+"""

@@ -650,3 +650,90 @@ def x132_graph_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fill_rank").cast("int").alias("fill_rank"),
         )
     )
+
+
+def x133_repair_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPAIR-vs-REBUILD quality audit (r9) — the receipt that closes
+    the erasure loop: after x128 flags and x132 backfills, how good is
+    the REPAIRED graph compared to the ground truth (the x86 build run
+    fresh over ONLY the surviving vectors — what a full rebuild would
+    produce)? Per flagged node: its repaired adjacency (surviving
+    original edges ∪ x132 backfills) intersected with the rebuild's
+    top-5, reported as n_repaired / n_rebuild / n_overlap /
+    repair_recall (6 dp). This is the quantitative basis for the
+    repair-vs-rebuild policy decision a 100 TB graph owner faces after
+    every erasure batch: delta repair costs k² per flagged node (x132),
+    rebuild costs N·√N — this audit prices the recall gap between them.
+
+    Scale shape: the audit side is delta-only (flagged nodes' edges);
+    the rebuild side deliberately pays the N·√N build ONCE because it
+    IS the ground truth being priced — at production scale this runs
+    as a sampled spot-check, not per erasure batch. Oracle: composes
+    b12's graph CTE twice (full + surviving ``src_table``) plus the
+    x128/x132 SQL as scoped subqueries."""
+    from ..operators import graph_index as GI
+    from ..operators.similarity import knn_graph
+
+    art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art).select("src_id", "nbr_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    deleted = emb.select("vec_id").filter(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3")
+    )
+    audit = (
+        x128_erasure_graph_repair(spark, sf_dir)
+        .filter(F.col("needs_backfill"))
+        .select("src_id")
+    )
+    fills = x132_graph_backfill_repair(spark, sf_dir).select(
+        "src_id", F.col("new_nbr_id").alias("nbr_id")
+    )
+    surv = (
+        graph.join(audit, "src_id")
+        .join(
+            deleted.withColumnRenamed("vec_id", "nbr_id"),
+            "nbr_id",
+            "left_anti",
+        )
+        .select("src_id", "nbr_id")
+    )
+    repaired = surv.unionByName(fills)
+    surviving_emb = emb.join(deleted, "vec_id", "left_anti")
+    rebuild = (
+        knn_graph(surviving_emb, k=5, n_probe=2)
+        .select("src_id", "nbr_id")
+        .join(audit, "src_id")
+    )
+    reb = rebuild.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rebuild")
+    )
+    rep = repaired.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repaired")
+    )
+    ov = (
+        repaired.join(rebuild, ["src_id", "nbr_id"])
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        audit.join(reb, "src_id")
+        .join(rep, "src_id", "left")
+        .join(ov, "src_id", "left")
+        .select(
+            "src_id",
+            F.coalesce(F.col("n_repaired"), F.lit(0).cast("long")).alias(
+                "n_repaired"
+            ),
+            "n_rebuild",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_rebuild"),
+                6,
+            ).alias("repair_recall"),
+        )
+    )

@@ -262,6 +262,7 @@ PROBED_QUERIES = (
     "x131_erasure_certificate",
     "st44_graph_erasure_stream",
     "x132_graph_backfill_repair",
+    "x133_repair_quality_audit",
 )
 
 

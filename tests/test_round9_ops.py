@@ -108,3 +108,27 @@ def test_x132_fills_rank_by_exact_cosine(spark, sf001):
             best[r["src_id"]] = (key, r["fill_rank"])
     for src_id, (_, rank) in best.items():
         assert rank == 1, f"src {src_id}: best-cosine fill is not rank 1"
+
+
+def test_x133_repair_recall_laws(spark, sf001):
+    """The audit's internal conservation laws: overlap can exceed
+    neither side, recall = overlap/rebuild at 6 dp, and every flagged
+    source is audited exactly once."""
+    import __spark_entry__ as entrymod
+
+    audit = entrymod.queries()["x133_repair_quality_audit"](
+        spark, sf001
+    ).collect()
+    flagged = [
+        r
+        for r in entrymod.queries()["x128_erasure_graph_repair"](
+            spark, sf001
+        ).collect()
+        if r["needs_backfill"]
+    ]
+    assert len(audit) == len(flagged)
+    assert len({r["src_id"] for r in audit}) == len(audit)
+    for r in audit:
+        assert 0 <= r["n_overlap"] <= min(r["n_repaired"], r["n_rebuild"])
+        expected = round(r["n_overlap"] / r["n_rebuild"] + 1e-12, 6)
+        assert abs(r["repair_recall"] - expected) < 1e-9
