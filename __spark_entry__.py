@@ -8226,6 +8226,18 @@ def st44_graph_erasure_stream(spark, sf_dir):
     return ST.run_graph_erasure_stream(spark, sf_dir)
 
 
+def st45_backfill_stream(spark, sf_dir):
+    """Continuous BACKFILL — x132 deployed (r9): erasure batches
+    maintain the repaired-fills artifact by RECOMPUTE-ON-TOUCH (a
+    source's fills depend only on its static ≤2-hop neighborhood +
+    the deletion set, so each batch re-derives exactly the sources
+    its deletions can have changed — request-sized nbr-keyed probes,
+    never a graph rescan), version-chained and replay-safe. Drained
+    final version == batch x132 row-for-row (one oracle; invariance
+    across batchings pytest-pinned)."""
+    return ST.run_backfill_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -8364,9 +8376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-pass parity in the pytest oracle sweep ----
         "x101_temperature_mixture": x101_temperature_mixture,
         "x104_classifier_calibration": x104_classifier_calibration,
-        # r9: repair-vs-rebuild receipt for the erasure quartet (below
-        # the window this round — local-pass parity; rotate in r10)
+        # r9: repair-vs-rebuild receipt for the erasure quartet and the
+        # continuous-backfill deployment (below the window this round —
+        # local-pass parity + the x132 twin oracle; rotate in r10)
         "x133_repair_quality_audit": x133_repair_quality_audit,
+        "st45_backfill_stream": st45_backfill_stream,
         "st1_windowed_counts": st1_windowed_counts,
         "st2_stream_dedup": st2_stream_dedup,
         "st3_session_windows": st3_session_windows,

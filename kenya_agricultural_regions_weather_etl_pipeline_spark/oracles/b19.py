@@ -138,3 +138,8 @@ JOIN reb ON reb.src_id = a.src_id
 LEFT JOIN rep ON rep.src_id = a.src_id
 LEFT JOIN ov ON ov.src_id = a.src_id
 """
+
+    # st45 drains to the batch x132 fills row-for-row (recompute-on-
+    # touch converges to the full-deletion answer — the 2-hop locality
+    # law): one oracle covers the backfill and its deployment.
+    d["st45_backfill_stream"] = d["x132_graph_backfill_repair"]

@@ -569,7 +569,6 @@ def x132_graph_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     only genuine fill candidates. Deletion set = x127/x128's
     ``(vec_id DIV 4) % 17 == 3``. Output: one row per backfilled edge
     (src_id, new_nbr_id, backfill_sim at 6 dp, fill_rank)."""
-    from ..functions.vectors import cosine
     from ..operators import graph_index as GI
 
     art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
@@ -580,11 +579,62 @@ def x132_graph_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = emb.select("vec_id").filter(
         F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3")
     )
-    # the x128 audit names the flagged nodes and their fill quota
-    audit = x128_erasure_graph_repair(spark, sf_dir)
-    nb = audit.filter(F.col("needs_backfill")).select(
-        "src_id",
-        (F.lit(5) - F.col("new_degree")).cast("long").alias("needed"),
+    return graph_backfill_fills(graph, emb, deleted, k=5)
+
+
+def graph_backfill_fills(
+    graph: DataFrame,
+    emb: DataFrame,
+    deleted: DataFrame,
+    k: int = 5,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """x132's core as a reusable plan builder (r9): given the frozen
+    edge list ``graph`` (src_id, nbr_id), the embedding frame ``emb``
+    (vec_id, cvec double[]), and the CURRENT deletion frame
+    ``deleted`` (vec_id), emit the backfill fills for every surviving
+    source left under degree ``k``. ``sources`` (optional, vec_id)
+    restricts the flag/fill derivation to a candidate-source subset —
+    st45's recompute-on-touch passes its per-batch touched set so each
+    micro-batch pays only for sources whose ≤2-hop neighborhood the
+    batch actually changed; semantics for the restricted set are
+    IDENTICAL to the full run (fills depend only on the source's own
+    2-hop neighborhood and the deletion frame)."""
+    from ..functions.vectors import cosine
+
+    # per-source dropped counts + flag, derived from graph ⋈ deleted
+    base = graph
+    if sources is not None:
+        base = graph.join(
+            sources.withColumnRenamed("vec_id", "src_id").select(
+                "src_id"
+            ),
+            "src_id",
+        )
+    dropped = (
+        base.join(
+            deleted.withColumnRenamed("vec_id", "nbr_id"), "nbr_id"
+        )
+        .join(
+            deleted.withColumnRenamed("vec_id", "src_id"),
+            "src_id",
+            "left_anti",
+        )
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    deg = base.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("old_degree")
+    )
+    nb = (
+        dropped.join(deg, "src_id")
+        .filter(F.col("old_degree") - F.col("n_dropped") < k)
+        .select(
+            "src_id",
+            (F.lit(k) - (F.col("old_degree") - F.col("n_dropped")))
+            .cast("long")
+            .alias("needed"),
+        )
     )
     # surviving edges: both endpoints outside the deletion set
     sedges = (

@@ -5645,6 +5645,189 @@ def run_graph_erasure_stream(
     return out
 
 
+def run_backfill_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """st45: continuous BACKFILL — x132 deployed (r9): as erasure
+    batches arrive, the repaired-fills artifact is maintained
+    incrementally by RECOMPUTE-ON-TOUCH, the locality law that makes
+    graph repair streamable: a source's flag state and fill set depend
+    ONLY on (a) its own static ≤2-hop neighborhood in the frozen edge
+    list and (b) the deletion set — so a batch can only change sources
+    whose 2-hop in-reach intersects the batch's deletions. Per batch:
+
+    * the batch's deleted vec ids land in a batch_id-keyed deletion
+      partition (the accumulated union IS the tombstone store);
+    * TOUCHED sources = nbr-keyed point probes of the frozen edge
+      store, twice (1-hop: sources that lose a neighbor; 2-hop:
+      sources whose candidate pool loses a member or an intermediate)
+      plus the batch's own deletions (their fills must leave) —
+      request-sized joins, never a graph rescan;
+    * ONLY touched sources are re-derived (flag + quota + fills)
+      against the deletion union so far, via the SAME
+      plans.compliance.graph_backfill_fills builder the batch x132
+      runs — one code path, one arithmetic;
+    * the fills artifact advances version-chained v{b} → v{b+1}:
+      untouched rows carried, touched rows replaced (batch_id-keyed
+      overwrite, replay-safe).
+
+    A source touched by batches i < j is recomputed at j with the
+    fuller deletion knowledge; a source never touched after batch i
+    keeps its batch-i fills, which equal the final answer because
+    nothing later entered its 2-hop neighborhood — so the drained
+    final version equals the batch x132 run on the full deletion set
+    row-for-row (one oracle; batching-invariance pinned by pytest at
+    n_batches=5)."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from ..operators import graph_index as GI
+    from ..plans.compliance import graph_backfill_fills
+    from ..sources.tables import load_table
+
+    art = GI.deployed_graph_index(spark, sf_dir, k=5, n_probe=2)
+    graph = (
+        GI.read_graph(spark, art)
+        .select("src_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st45_")
+    src = os.path.join(workdir, "requests")
+    state = os.path.join(workdir, "store")
+    dels_path = os.path.join(state, "deletions")
+    fills_dir = os.path.join(state, "fills")
+    os.makedirs(src)
+    os.makedirs(fills_dir)
+
+    # ---- offline deploy: empty fills v0 (no deletions yet) ----------
+    spark.createDataFrame(
+        [],
+        "src_id long, new_nbr_id long, backfill_sim double, "
+        "fill_rank int",
+    ).coalesce(1).write.parquet(os.path.join(fills_dir, "v0"))
+
+    # ---- the request feed: deleted BAG doc ids in range files -------
+    requests = (
+        emb.select(F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"))
+        .distinct()
+        .filter(F.col("doc_id") % 17 == 3)
+        .localCheckpoint(eager=True)
+    )
+    mx = (requests.agg(F.max("doc_id")).first()[0] or 0) + 1
+    now = _time.time()
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        requests.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").json(src)
+        newest = max(
+            _glob.glob(os.path.join(src, "*.json")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        vec_ids = batch.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), "
+                    "i -> doc_id * 4 + CAST(i AS BIGINT))"
+                )
+            ).alias("vec_id")
+        ).localCheckpoint(eager=True)
+        vec_ids.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dels_path, f"batch_id={batch_id}")
+        )
+        del_union = sess.read.parquet(dels_path).select("vec_id")
+        # touched = 1-hop in-reach ∪ 2-hop in-reach ∪ own deletions
+        hop1 = (
+            graph.join(
+                F.broadcast(
+                    vec_ids.withColumnRenamed("vec_id", "nbr_id")
+                ),
+                "nbr_id",
+            )
+            .select("src_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        hop2 = (
+            graph.join(
+                F.broadcast(hop1.withColumnRenamed("src_id", "nbr_id")),
+                "nbr_id",
+            )
+            .select("src_id")
+            .distinct()
+        )
+        touched = (
+            hop1.unionByName(hop2)
+            .unionByName(vec_ids.withColumnRenamed("vec_id", "src_id"))
+            .distinct()
+            .withColumnRenamed("src_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        fills_new = graph_backfill_fills(
+            graph, emb, del_union, k=5, sources=touched
+        )
+        prev = sess.read.parquet(os.path.join(fills_dir, f"v{batch_id}"))
+        vnext = prev.join(
+            F.broadcast(touched.withColumnRenamed("vec_id", "src_id")),
+            "src_id",
+            "left_anti",
+        ).unionByName(fills_new)
+        vnext.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fills_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # bounded per-batch stages (touched-set-sized frames): AQE
+        # re-planning is pure latency here (f6c665a)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.json")
+                .json(src)
+                .writeStream.foreachBatch(one_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    versions = sorted(
+        int(v[1:])
+        for v in os.listdir(fills_dir)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    out = (
+        spark.read.parquet(os.path.join(fills_dir, f"v{versions[-1]}"))
+        .select("src_id", "new_nbr_id", "backfill_sim", "fill_rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def run_media_dedup_ingest(
     spark: SparkSession,
     sf_dir: str,

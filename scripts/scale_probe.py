@@ -263,6 +263,7 @@ PROBED_QUERIES = (
     "st44_graph_erasure_stream",
     "x132_graph_backfill_repair",
     "x133_repair_quality_audit",
+    "st45_backfill_stream",
 )
 
 

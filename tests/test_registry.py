@@ -130,6 +130,7 @@ ORACLE_TWINS = {
     "x102_crossdoc_span_dedup": "st30_span_index_stream",
     "x121b_hybrid_pruned": "st38b_hybrid_serve_pruned",
     "x128_erasure_graph_repair": "st44_graph_erasure_stream",
+    "x132_graph_backfill_repair": "st45_backfill_stream",
 }
 
 

@@ -132,3 +132,22 @@ def test_x133_repair_recall_laws(spark, sf001):
         assert 0 <= r["n_overlap"] <= min(r["n_repaired"], r["n_rebuild"])
         expected = round(r["n_overlap"] / r["n_rebuild"] + 1e-12, 6)
         assert abs(r["repair_recall"] - expected) < 1e-9
+
+
+def test_st45_backfill_stream_equals_batch_fills_any_batching(
+    spark, sf001
+):
+    """st45's drained fills must equal the batch x132 run REGARDLESS
+    of batching (5 micro-batches vs the oracle sweep's 3): recompute-
+    on-touch re-derives a source whenever a batch deletion enters its
+    2-hop neighborhood, and a source never touched again already holds
+    the full-deletion answer — so the version chain converges to the
+    same fills."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_backfill_stream,
+    )
+
+    streamed = run_backfill_stream(spark, sf001, n_batches=5)
+    batch = entrymod.queries()["x132_graph_backfill_repair"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
