@@ -131,6 +131,11 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
     x129_post_erasure_serving,
     x131_erasure_certificate,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (  # noqa: E402
+    x134_semantic_decontamination,
+    x136_preference_pairs,
+    x137_unimax_allocation,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
 )
@@ -8238,6 +8243,21 @@ def st45_backfill_stream(spark, sf_dir):
     return ST.run_backfill_stream(spark, sf_dir)
 
 
+def st46_decontamination_ingest(spark, sf_dir):
+    """st46 (r9): SEMANTIC benchmark decontamination ON INGEST — x134
+    deployed (the st19 deploy-the-artifact pattern): the benchmark
+    vector set is the frozen broadcast artifact, train embeddings
+    arrive in micro-batches, each batch emits eval-bounded
+    contamination partials (hit count + max-ordered cosine struct)
+    batch_id-keyed, and the drain merges them. Sum/max partials are
+    associative+commutative and the per-pair cosine is rounded before
+    any compare ⇒ drained merge == batch x134 under ANY batching (one
+    oracle covers both; invariance pytest-pinned). See
+    streaming/micro_batch.py:run_decontamination_ingest."""
+    apply_runtime_confs(spark)
+    return ST.run_decontamination_ingest(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -8686,6 +8706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
         "x2b_minhash_verified": x2b_minhash_verified,
         "x4_simhash_pairs": x4_simhash_pairs,
+        # r9 second window: the curation trio (plans/curation.py)
+        # and the st46 streaming deployment of x134
+        "x134_semantic_decontamination": x134_semantic_decontamination,
+        "x136_preference_pairs": x136_preference_pairs,
+        "x137_unimax_allocation": x137_unimax_allocation,
+        "st46_decontamination_ingest": st46_decontamination_ingest,
         # the 3 genuinely engine-specific sketches (HLL / KLL) sit
         # last so every driver-sampled slot is hash-verifiable
         "a9_approx_distinct": a9_approx_distinct,

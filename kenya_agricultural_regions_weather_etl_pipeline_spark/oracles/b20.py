@@ -1,0 +1,127 @@
+"""Oracle family block 20: round-9 second-window additions — the
+curation trio (semantic decontamination, preference pairs, UniMax
+allocation) and the st46 streaming deployment alias.
+
+Same contract as b01–b19: ``add(d, ns)`` only ADDS keys; ``ns`` is
+the __spark_entry__ module for any name-scope bindings.
+"""
+
+from ..functions.text import quality_score_sql, token_count_sql
+from ..plans.curation import (
+    DECONTAM_COSINE_THRESHOLD,
+    PREFERENCE_PAIR_DEPTH,
+    UNIMAX_BUDGET_MULTIPLE,
+    UNIMAX_EPOCH_CAP,
+)
+
+
+def add(d, ns):
+    # x134: eval = vec_id % 10 = 0, train = rest; per-eval hit count +
+    # max 6dp cosine + nearest train id (ties on the rounded cosine
+    # break to the SMALLEST train_id — the Spark side's
+    # max(struct(c, -train_id)) ordering). The per-pair round happens
+    # BEFORE the max/compare on both engines, so fold order is moot.
+    tau = DECONTAM_COSINE_THRESHOLD
+    d["x134_semantic_decontamination"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 10 = 0
+), tr AS (
+  SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0
+), p AS (
+  SELECT ev.eval_id, tr.train_id,
+         round(list_dot_product(tr.v, ev.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS c
+  FROM ev CROSS JOIN tr
+), ranked AS (
+  SELECT eval_id, train_id, c,
+         row_number() OVER (PARTITION BY eval_id
+                            ORDER BY c DESC, train_id ASC) AS rn
+  FROM p
+), agg AS (
+  SELECT eval_id,
+         CAST(count(*) FILTER (WHERE c >= {tau}) AS BIGINT) AS n_contaminated
+  FROM p GROUP BY eval_id
+)
+SELECT a.eval_id, a.n_contaminated, r.c AS max_cos,
+       CAST(r.train_id AS BIGINT) AS nearest_train_id,
+       CAST(a.n_contaminated > 0 AS INT) AS contaminated
+FROM agg a JOIN ranked r ON r.eval_id = a.eval_id AND r.rn = 1
+"""
+
+    # st46 drains to the batch x134 verdict row-for-row (the st19
+    # deploy-the-artifact pattern with ASSOCIATIVE partials: sum/max
+    # merge exactly under any train-slice batching) — one oracle
+    # covers the audit and its streaming deployment.
+    d["st46_decontamination_ingest"] = d["x134_semantic_decontamination"]
+
+    # x136: rank by the x7 quality score inside (lang, source); the
+    # worst ranking is the exact mirror of (q DESC, doc_id ASC), so
+    # n - rn + 1 IS the rank from the bottom; zero-margin pairs drop.
+    k = PREFERENCE_PAIR_DEPTH
+    q = quality_score_sql("text")
+    d["x136_preference_pairs"] = f"""
+WITH scored AS (
+  SELECT lang, source, doc_id, {q} AS q FROM documents
+), ranked AS (
+  SELECT lang, source, doc_id, q,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM scored
+), best AS (
+  SELECT lang, source, CAST(rn AS INT) AS pair_rank,
+         doc_id AS chosen_id, q AS chosen_q
+  FROM ranked WHERE rn <= {k} AND 2 * rn <= n
+), worst AS (
+  SELECT lang, source, CAST(n - rn + 1 AS INT) AS pair_rank,
+         doc_id AS rejected_id, q AS rejected_q
+  FROM ranked WHERE rn > n - {k} AND 2 * (n - rn + 1) <= n
+)
+SELECT b.lang, b.source, b.pair_rank, b.chosen_id, w.rejected_id,
+       b.chosen_q, w.rejected_q,
+       round(b.chosen_q - w.rejected_q, 6) AS margin
+FROM best b
+JOIN worst w ON w.lang = b.lang AND w.source = b.source
+            AND w.pair_rank = b.pair_rank
+WHERE round(b.chosen_q - w.rejected_q, 6) > 0
+"""
+
+    # x137: the UniMax fold replayed as a recursive CTE — BIGINT `//`
+    # mirrors the Spark side's `div` exactly (both truncate; every
+    # operand is non-negative); the single float division is the final
+    # epochs ratio, rounded once to 6dp on both engines.
+    cap = UNIMAX_EPOCH_CAP
+    mult = UNIMAX_BUDGET_MULTIPLE
+    tok = token_count_sql("text")
+    d["x137_unimax_allocation"] = f"""
+WITH RECURSIVE counts AS (
+  SELECT source, CAST(sum({tok}) AS BIGINT) AS sz
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST({mult} * sum(sz) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM counts
+), s AS (
+  SELECT source, sz, row_number() OVER (ORDER BY sz, source) AS rn
+  FROM counts
+), r AS (
+  SELECT CAST(0 AS BIGINT) AS rn, (SELECT b FROM tot) AS remaining,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS sz,
+         CAST(NULL AS BIGINT) AS alloc
+  UNION ALL
+  SELECT s.rn,
+         r.remaining - least({cap} * s.sz,
+                             r.remaining // ((SELECT n FROM tot) - r.rn)),
+         s.source, s.sz,
+         least({cap} * s.sz,
+               r.remaining // ((SELECT n FROM tot) - r.rn))
+  FROM r JOIN s ON s.rn = r.rn + 1
+)
+SELECT source, sz AS sz_tokens, alloc AS alloc_tokens,
+       round(alloc::DOUBLE / sz, 6) AS epochs,
+       CAST(alloc = {cap} * sz AS INT) AS capped
+FROM r WHERE rn > 0
+"""

@@ -1,0 +1,284 @@
+"""Training-data curation plans (round 9 extension surface): benchmark
+decontamination at the embedding level, preference-pair mining, and
+UniMax-style epoch allocation.
+
+Capability parity note: the reference
+(`/root/reference/daily_weather_etl_kenya.py`) has no corpus-curation
+surface — these are §2.8 training-data extension operators a 100 TB
+pretraining pipeline runs between ingest and shard export:
+
+* **x134** closes the decontamination ladder begun by x22 (exact
+  n-gram) and x55 (fuzzy n-gram): the leaks those two cannot see are
+  paraphrases, which only survive in embedding space.
+* **x136** is the preference-tuning data-mining step (DPO/RLHF pair
+  construction): within each comparable cohort, pair the best-scored
+  document with the worst as (chosen, rejected).
+* **x137** is the multilingual sampling-rate step (UniMax, Chung et
+  al. 2023): distribute a token budget across sources so low-resource
+  sources are upsampled but never past an epoch cap.
+
+Every plan is oracle-paired (``oracles/b20.py``) and keeps the repo's
+exactness discipline: integer arithmetic wherever a fold reorders,
+one rounded division at the end, deterministic (value, id) tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.vectors import cosine_given_norms, norm
+from ..sources.tables import load_table
+
+# Eval↔train cosine at or above this is a contamination hit (x134 /
+# st46). Chosen against the synthetic embeddings' similarity profile
+# (max eval↔train cosine ≈ 0.49, p99 ≈ 0.29) so the flag set is
+# non-trivial at every SF; the oracle replays the same constant.
+DECONTAM_COSINE_THRESHOLD = 0.35
+
+# Preference-pair mining depth: pair the i-th best with the i-th worst
+# for i = 1..2 (a group must hold 2i distinct docs to emit pair i).
+PREFERENCE_PAIR_DEPTH = 2
+
+# UniMax policy constants: epoch cap and budget multiple of the corpus
+# token total. cap=3 with budget=2× total makes both regimes real on
+# the synthetic corpus: small sources hit the 3-epoch cap, large ones
+# split the remainder.
+UNIMAX_EPOCH_CAP = 3
+UNIMAX_BUDGET_MULTIPLE = 2
+
+
+def _decontam_split(spark: SparkSession, sf_dir: str):
+    """(eval, train) embedding frames for the decontamination family.
+
+    The benchmark ("eval") side is the deterministic 10% slice
+    ``vec_id % 10 = 0`` — standing in for the real-world shape where
+    the eval suite is a FIXED, small vector set (1e4–1e5 rows) while
+    the train corpus is the 100 TB side. Norms are precomputed once
+    per row so the pair expression is a single dot product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev_v"),
+        norm(F.col("v")).alias("ev_nrm"),
+    )
+    tr = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tr_v"),
+        norm(F.col("v")).alias("tr_nrm"),
+    )
+    return ev, tr
+
+
+def decontam_partials(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """Per-eval contamination partials over ONE slice of the train
+    corpus: ``(eval_id, n_hits, best)`` where ``best`` is the
+    max-ordered struct (cos_6dp DESC, train_id ASC via negation).
+
+    Both aggregates are associative+commutative over train slices, so
+    partials from disjoint slices MERGE exactly (``merge_decontam``)
+    — the property st46 deploys per micro-batch and the batch x134
+    plan uses in one shot. The eval side broadcasts (it is the small,
+    fixed benchmark set); the train side streams through a
+    BroadcastNestedLoopJoin into a partial hash aggregate keyed by the
+    ≤|eval| distinct eval_ids — map-side combine collapses each
+    train partition to |eval| rows before the one tiny shuffle, so
+    the pair grid is never materialized. Cosine is rounded to 6dp
+    PER PAIR (before any max/compare) so fold order can never flip a
+    boundary value — the repo's quantize-then-fold rule.
+    """
+    pairs = train.crossJoin(F.broadcast(ev)).withColumn(
+        "c",
+        F.round(
+            cosine_given_norms(
+                F.col("tr_v"), F.col("ev_v"), F.col("tr_nrm"), F.col("ev_nrm")
+            ),
+            6,
+        ),
+    )
+    return pairs.groupBy("eval_id").agg(
+        F.sum(
+            F.when(F.col("c") >= DECONTAM_COSINE_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (-F.col("train_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+    )
+
+
+def merge_decontam(partials: DataFrame) -> DataFrame:
+    """Merge decontamination partials from disjoint train slices and
+    present the audit verdict. Exact under any slicing (sum/max are
+    the only combiners) — the batching-invariance st46 relies on."""
+    merged = partials.groupBy("eval_id").agg(
+        F.sum("n_hits").cast("bigint").alias("n_contaminated"),
+        F.max("best").alias("best"),
+    )
+    return merged.select(
+        "eval_id",
+        "n_contaminated",
+        F.col("best.c").alias("max_cos"),
+        (-F.col("best.neg_id")).cast("bigint").alias("nearest_train_id"),
+        (F.col("n_contaminated") > 0).cast("int").alias("contaminated"),
+    )
+
+
+def x134_semantic_decontamination(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the third rung of the
+    decontamination ladder (x22 exact n-gram → x55 fuzzy n-gram →
+    embedding cosine): for every benchmark vector, scan the train
+    corpus for embeddings with cosine ≥ 0.35 and report the
+    contamination count, the maximum similarity, and the nearest
+    train document (ties on the 6dp cosine break to the SMALLEST
+    train_id). Output is |eval|-bounded — one row per benchmark
+    vector — whatever the corpus size.
+
+    Scale shape: broadcast the fixed eval set, one linear scan of the
+    train side, partial-aggregated map-side (see
+    :func:`decontam_partials`); no train×train pair ever exists. At
+    100 TB the same plan holds because |eval| is policy-fixed; the
+    IVF-pruned variant for a *huge* eval suite would reuse the x5d
+    cell machinery, trading exactness for probe locality."""
+    ev, tr = _decontam_split(spark, sf_dir)
+    return merge_decontam(decontam_partials(tr, ev))
+
+
+def x136_preference_pairs(spark, sf_dir):
+    """Preference-pair mining (the DPO/RLHF data-construction step):
+    within each (lang, source) cohort, rank documents by the x7
+    composite quality score and pair the i-th best with the i-th
+    worst for i = 1..2 — (chosen, rejected) with a positive margin.
+    Deterministic total order: (q_score DESC, doc_id ASC); the worst
+    rank is its exact mirror, so rank i from each end never collides;
+    pairs where the two ends tie on score (margin 0) are dropped —
+    a tie teaches a preference model nothing.
+
+    Shape: ONE shuffle on the cohort key feeds a single window pass
+    (row_number + count over the same partitioning), then the two
+    rank-slices join on (lang, source, pair_rank) — both inputs are
+    ≤2 rows per cohort, reusing the window's exchange. Cost is one
+    wide pass at any corpus size; output is cohort-bounded."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n"),
+    )
+    best = ranked.filter(
+        (F.col("rn") <= PREFERENCE_PAIR_DEPTH) & (2 * F.col("rn") <= F.col("n"))
+    ).select(
+        "lang",
+        "source",
+        F.col("rn").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("chosen_q"),
+    )
+    worst = ranked.filter(
+        (F.col("rn") > F.col("n") - PREFERENCE_PAIR_DEPTH)
+        & (2 * (F.col("n") - F.col("rn") + 1) <= F.col("n"))
+    ).select(
+        "lang",
+        "source",
+        (F.col("n") - F.col("rn") + 1).cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, ["lang", "source", "pair_rank"])
+        .withColumn(
+            "margin", F.round(F.col("chosen_q") - F.col("rejected_q"), 6)
+        )
+        .filter(F.col("margin") > 0)
+        .select(
+            "lang",
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q",
+            "rejected_q",
+            "margin",
+        )
+    )
+
+
+def x137_unimax_allocation(spark, sf_dir):
+    """UniMax token-budget allocation across sources (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling"):
+    give every source as equal a share of the training budget as
+    possible WITHOUT repeating any source past the epoch cap.
+    Process sources smallest-first; each takes
+    ``min(cap·size, remaining // sources_left)`` — a source too small
+    to use its equal share caps out, and its unused quota rolls
+    forward to the larger sources.
+
+    The recurrence is sequential, but over a frame bounded by the
+    number of SOURCES (policy-bounded: tens to a few thousand — never
+    corpus-bounded), so it runs as one JVM-side ``F.aggregate`` fold
+    over the sorted per-source array in a single row: the corpus-scale
+    work is exactly one token-count aggregation; the fold costs
+    O(#sources) on one executor with zero Python on the path. The
+    DuckDB twin replays the identical fold as a recursive CTE.
+    Integer discipline: sizes/budget/quotas are all BIGINT with floor
+    division; the ONLY float is the final epochs ratio, divided once
+    and rounded to 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("sz")
+    )
+    one = counts.agg(
+        F.sort_array(F.collect_list(F.struct("sz", "source"))).alias("arr"),
+        (F.lit(UNIMAX_BUDGET_MULTIPLE) * F.sum("sz")).cast("long").alias("b"),
+    )
+    # The fold is written in SQL-lambda form so the per-step quota uses
+    # the INTEGER `div` operator — bit-identical to the oracle's BIGINT
+    # `//`, never a floored double division (which drifts past 2^53,
+    # i.e. exactly at 100 TB token-budget magnitudes).
+    cap = UNIMAX_EPOCH_CAP
+    fold = f"""
+      aggregate(
+        arr,
+        named_struct(
+          'r', b, 'k', 0,
+          'out', CAST(array() AS array<struct<source:string,sz:bigint,alloc:bigint>>)),
+        (acc, x) -> named_struct(
+          'r', acc.r - least({cap}L * x.sz, acc.r div CAST(size(arr) - acc.k AS BIGINT)),
+          'k', acc.k + 1,
+          'out', concat(acc.out, array(named_struct(
+            'source', x.source, 'sz', x.sz,
+            'alloc', least({cap}L * x.sz,
+                           acc.r div CAST(size(arr) - acc.k AS BIGINT)))))),
+        acc -> acc.out)
+    """
+    folded = one.select(F.explode(F.expr(fold)).alias("o"))
+    return folded.select(
+        F.col("o.source").alias("source"),
+        F.col("o.sz").alias("sz_tokens"),
+        F.col("o.alloc").alias("alloc_tokens"),
+        F.round(F.col("o.alloc") / F.col("o.sz"), 6).alias("epochs"),
+        (F.col("o.alloc") == F.lit(cap).cast("long") * F.col("o.sz"))
+        .cast("int")
+        .alias("capped"),
+    )

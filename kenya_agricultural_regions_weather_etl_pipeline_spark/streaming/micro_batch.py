@@ -6140,3 +6140,100 @@ def run_mixed_media_dedup_ingest(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+def run_decontamination_ingest(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """st46: SEMANTIC benchmark decontamination ON INGEST — x134's
+    embedding-level audit as a firehose: the benchmark vector set is
+    the frozen, broadcast artifact (the st19 deploy-the-artifact
+    pattern) and TRAIN embeddings arrive in micro-batches; each batch
+    emits its |eval|-bounded contamination PARTIALS (hit count + the
+    max-ordered (cos_6dp, -train_id) struct) into a batch_id-keyed
+    partition (overwrite-on-replay = exactly-once, st16's discipline),
+    and the drain merges partials per eval vector.
+
+    Correctness law: both partial aggregates are associative and
+    commutative over train slices and the per-pair cosine is rounded
+    BEFORE any compare, so the drained merge equals the batch x134
+    audit under ANY batching of the train stream — one oracle covers
+    the audit and its streaming deployment (batching invariance is
+    pytest-pinned alongside the erasure streams').
+
+    Scale shape: per-batch work is one BroadcastNestedLoopJoin of
+    |batch| rows against the fixed eval set, partial-aggregated
+    map-side to ≤|eval| rows before a tiny shuffle; the drain merges
+    n_batches×|eval| partial rows — eval-bounded, never
+    corpus-bounded. No train×train pair ever exists."""
+    import shutil
+    import time as _time
+
+    from ..plans.curation import (
+        _decontam_split,
+        decontam_partials,
+        merge_decontam,
+    )
+
+    ev, tr = _decontam_split(spark, sf_dir)
+    ev = ev.localCheckpoint(eager=True)  # the frozen benchmark artifact
+    train = tr.withColumn("slice", F.pmod(F.col("train_id"), n_batches))
+
+    workdir = tempfile.mkdtemp(prefix="kw_st46_")
+    src_dir = os.path.join(workdir, "arrivals")
+    partials_path = os.path.join(workdir, "partials")
+    os.makedirs(src_dir)
+    t0 = int(_time.time()) - 3600
+    for i in range(n_batches):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        train.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                decontam_partials(batch, ev)
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(partials_path)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(train.drop("slice").schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = merge_decontam(
+        spark.read.parquet(partials_path).drop("ingest_batch")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return final

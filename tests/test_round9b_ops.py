@@ -1,0 +1,125 @@
+"""Round-9 second-window operator invariants: the curation trio
+(x134 semantic decontamination, x136 preference pairs, x137 UniMax
+allocation) and the st46 streaming deployment of x134."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_st46_decontamination_equals_batch_audit_any_batching(
+    spark, sf001
+):
+    """st46's drained merge must equal the batch x134 audit REGARDLESS
+    of how the train stream is batched — run with 3 micro-batches (not
+    the default 4 the oracle sweep exercises): both partial aggregates
+    (hit-count sum, max-ordered cosine struct) are associative and
+    commutative over train slices and the per-pair cosine is rounded
+    before any compare, so no batching can flip a verdict."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_decontamination_ingest,
+    )
+
+    streamed = run_decontamination_ingest(spark, sf001, n_batches=3)
+    batch = entrymod.queries()["x134_semantic_decontamination"](
+        spark, sf001
+    )
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_x134_verdicts_are_internally_consistent(spark, sf001):
+    """Per-row laws of the contamination audit: the flag is exactly
+    n_contaminated > 0; a contaminated row's max_cos clears the
+    threshold and a clean row's does not; every eval vector appears
+    exactly once; the nearest train id is a real train-side id."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (
+        DECONTAM_COSINE_THRESHOLD,
+    )
+
+    rows = (
+        entrymod.queries()["x134_semantic_decontamination"](spark, sf001)
+        .collect()
+    )
+    assert rows, "fixture regression: empty eval slice at sf0.001"
+    seen = set()
+    for r in rows:
+        assert r["eval_id"] % 10 == 0 and r["eval_id"] not in seen
+        seen.add(r["eval_id"])
+        assert r["contaminated"] == int(r["n_contaminated"] > 0)
+        if r["contaminated"]:
+            assert r["max_cos"] >= DECONTAM_COSINE_THRESHOLD
+        else:
+            assert r["max_cos"] < DECONTAM_COSINE_THRESHOLD
+        assert r["nearest_train_id"] % 10 != 0
+
+
+def test_x136_preference_pair_laws(spark, sf001):
+    """Pair-mining contract: chosen and rejected are distinct docs of
+    the SAME (lang, source) cohort; margin is strictly positive and
+    equals the score gap; pair_rank 2 exists only where rank 1 does;
+    no document is both chosen and rejected within one cohort."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x136_preference_pairs"](
+        spark, sf001
+    ).collect()
+    assert rows, "fixture regression: no preference pairs at sf0.001"
+    by_cohort = {}
+    for r in rows:
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["margin"] > 0
+        assert abs(r["chosen_q"] - r["rejected_q"] - r["margin"]) < 1e-9
+        by_cohort.setdefault((r["lang"], r["source"]), {})[
+            r["pair_rank"]
+        ] = r
+    for cohort, ranks in by_cohort.items():
+        assert set(ranks) in ({1}, {1, 2}), (
+            f"{cohort}: pair_rank 2 without pair_rank 1"
+        )
+        chosen = {r["chosen_id"] for r in ranks.values()}
+        rejected = {r["rejected_id"] for r in ranks.values()}
+        assert not (chosen & rejected), f"{cohort}: doc on both sides"
+
+
+def test_x137_unimax_conservation_and_cap_laws(spark, sf001):
+    """UniMax allocation laws: (a) no source exceeds the epoch cap;
+    (b) every allocation is non-negative; (c) total allocated ≤ the
+    budget (2× corpus tokens) with any shortfall only possible when
+    EVERY source capped out; (d) smallest-first fairness — an uncapped
+    source's allocation is ≥ every smaller source's allocation."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (
+        UNIMAX_BUDGET_MULTIPLE,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    rows = entrymod.queries()["x137_unimax_allocation"](
+        spark, sf001
+    ).collect()
+    assert rows, "fixture regression: no sources at sf0.001"
+    total_sz = sum(r["sz_tokens"] for r in rows)
+    budget = UNIMAX_BUDGET_MULTIPLE * total_sz
+    allocated = sum(r["alloc_tokens"] for r in rows)
+    assert allocated <= budget
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= UNIMAX_EPOCH_CAP * r["sz_tokens"]
+        assert r["capped"] == int(
+            r["alloc_tokens"] == UNIMAX_EPOCH_CAP * r["sz_tokens"]
+        )
+        assert abs(r["epochs"] - round(r["alloc_tokens"] / r["sz_tokens"], 6)) < 1e-12
+    if allocated < budget - len(rows):  # more than rounding residue
+        assert all(r["capped"] for r in rows), (
+            "budget left unspent while some source was uncapped"
+        )
+    ordered = sorted(rows, key=lambda r: (r["sz_tokens"], r["source"]))
+    for earlier, later in zip(ordered, ordered[1:]):
+        if not later["capped"]:
+            assert later["alloc_tokens"] >= earlier["alloc_tokens"], (
+                "smallest-first fairness violated"
+            )
