@@ -133,6 +133,7 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.compliance impo
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (  # noqa: E402
     x134_semantic_decontamination,
+    x135_decontamination_removal,
     x136_preference_pairs,
     x137_unimax_allocation,
 )
@@ -8258,6 +8259,21 @@ def st46_decontamination_ingest(spark, sf_dir):
     return ST.run_decontamination_ingest(spark, sf_dir)
 
 
+def st47_preference_pair_stream(spark, sf_dir):
+    """st47 (r9): preference-pair mining MAINTAINED ON INGEST — x136
+    deployed by recompute-on-touch (the st45 locality discipline,
+    cohort edition): a document batch can only change the (lang,
+    source) cohorts it contains rows for, so each batch re-mines
+    exactly its touched cohorts over their accumulated membership via
+    the SAME plans.curation.mine_preference_pairs builder, version-
+    chained and replay-safe. Drained final version == batch x136 on
+    the full corpus (one oracle; invariance across batchings
+    pytest-pinned). See
+    streaming/micro_batch.py:run_preference_pair_stream."""
+    apply_runtime_confs(spark)
+    return ST.run_preference_pair_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -8709,9 +8725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 second window: the curation trio (plans/curation.py)
         # and the st46 streaming deployment of x134
         "x134_semantic_decontamination": x134_semantic_decontamination,
+        "x135_decontamination_removal": x135_decontamination_removal,
         "x136_preference_pairs": x136_preference_pairs,
         "x137_unimax_allocation": x137_unimax_allocation,
         "st46_decontamination_ingest": st46_decontamination_ingest,
+        "st47_preference_pair_stream": st47_preference_pair_stream,
         # the 3 genuinely engine-specific sketches (HLL / KLL) sit
         # last so every driver-sampled slot is hash-verifiable
         "a9_approx_distinct": a9_approx_distinct,

@@ -9,6 +9,7 @@ the __spark_entry__ module for any name-scope bindings.
 from ..functions.text import quality_score_sql, token_count_sql
 from ..plans.curation import (
     DECONTAM_COSINE_THRESHOLD,
+    DECONTAM_EVAL_MAX_ID,
     PREFERENCE_PAIR_DEPTH,
     UNIMAX_BUDGET_MULTIPLE,
     UNIMAX_EPOCH_CAP,
@@ -26,9 +27,11 @@ def add(d, ns):
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), ev AS (
-  SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 10 = 0
+  SELECT vec_id AS eval_id, v FROM e
+  WHERE vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID}
 ), tr AS (
-  SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0
+  SELECT vec_id AS train_id, v FROM e
+  WHERE NOT (vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID})
 ), p AS (
   SELECT ev.eval_id, tr.train_id,
          round(list_dot_product(tr.v, ev.v)
@@ -56,6 +59,45 @@ FROM agg a JOIN ranked r ON r.eval_id = a.eval_id AND r.rn = 1
     # merge exactly under any train-slice batching) — one oracle
     # covers the audit and its streaming deployment.
     d["st46_decontamination_ingest"] = d["x134_semantic_decontamination"]
+
+    # x135: x134 executed corpus-side — leak docs (any eval hit at the
+    # same threshold) leave; per-source kept/removed ledger. vec_id =
+    # doc_id is the established hybrid-retrieval identification.
+    d["x135_decontamination_removal"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, v FROM e
+  WHERE vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID}
+), tr AS (
+  SELECT vec_id AS train_id, v FROM e
+  WHERE NOT (vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID})
+), leaks AS (
+  SELECT DISTINCT tr.train_id AS doc_id
+  FROM ev CROSS JOIN tr
+  WHERE round(list_dot_product(tr.v, ev.v)
+              / (sqrt(list_dot_product(tr.v, tr.v))
+                 * sqrt(list_dot_product(ev.v, ev.v))), 6) >= {tau}
+), corpus AS (
+  SELECT source, doc_id, {token_count_sql('text')} AS n_tok
+  FROM documents
+  WHERE NOT (doc_id % 10 = 0 AND doc_id < {DECONTAM_EVAL_MAX_ID})
+), tagged AS (
+  SELECT c.source, c.n_tok, l.doc_id IS NOT NULL AS leak
+  FROM corpus c LEFT JOIN leaks l ON l.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE leak) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE NOT leak) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN leak THEN 0 ELSE n_tok END) AS BIGINT)
+         AS tokens_kept,
+       CAST(sum(CASE WHEN leak THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       round(count(*) FILTER (WHERE leak)::DOUBLE / count(*), 6)
+         AS removal_rate
+FROM tagged GROUP BY source
+"""
 
     # x136: rank by the x7 quality score inside (lang, source); the
     # worst ranking is the exact mirror of (q DESC, doc_id ASC), so
@@ -88,6 +130,11 @@ JOIN worst w ON w.lang = b.lang AND w.source = b.source
             AND w.pair_rank = b.pair_rank
 WHERE round(b.chosen_q - w.rejected_q, 6) > 0
 """
+
+    # st47 drains to the batch x136 pairs row-for-row (recompute-on-
+    # touch: cohort pairs depend only on cohort membership, so the
+    # last re-mine of every cohort sees its full final membership).
+    d["st47_preference_pair_stream"] = d["x136_preference_pairs"]
 
     # x137: the UniMax fold replayed as a recursive CTE — BIGINT `//`
     # mirrors the Spark side's `div` exactly (both truncate; every

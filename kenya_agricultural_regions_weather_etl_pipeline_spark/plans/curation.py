@@ -37,6 +37,17 @@ from ..sources.tables import load_table
 # non-trivial at every SF; the oracle replays the same constant.
 DECONTAM_COSINE_THRESHOLD = 0.35
 
+# The benchmark set is FIXED, not corpus-proportional: eval vectors
+# are the %10 slice BELOW this id ceiling, so growing the corpus adds
+# train rows only and the eval↔train pair pass stays LINEAR in the
+# corpus (a %-only split would make it quadratic — measured 49× wall
+# at 10× before the cap). Every testdata SF's ids sit under the
+# ceiling, so the driver gate and oracles see the identical slice;
+# only genuinely-new corpus (scale-probe copies, production ingest)
+# lands train-side. This is the real-world shape: benchmark suites
+# are a fixed artifact, corpora grow.
+DECONTAM_EVAL_MAX_ID = 5_000
+
 # Preference-pair mining depth: pair the i-th best with the i-th worst
 # for i = 1..2 (a group must hold 2i distinct docs to emit pair i).
 PREFERENCE_PAIR_DEPTH = 2
@@ -52,21 +63,25 @@ UNIMAX_BUDGET_MULTIPLE = 2
 def _decontam_split(spark: SparkSession, sf_dir: str):
     """(eval, train) embedding frames for the decontamination family.
 
-    The benchmark ("eval") side is the deterministic 10% slice
-    ``vec_id % 10 = 0`` — standing in for the real-world shape where
-    the eval suite is a FIXED, small vector set (1e4–1e5 rows) while
-    the train corpus is the 100 TB side. Norms are precomputed once
-    per row so the pair expression is a single dot product.
+    The benchmark ("eval") side is the deterministic %10 slice BELOW
+    the fixed id ceiling (``DECONTAM_EVAL_MAX_ID``) — the real-world
+    shape where the eval suite is a FIXED, small vector set (1e4–1e5
+    rows) while the train corpus is the 100 TB side that keeps
+    growing. Norms are precomputed once per row so the pair
+    expression is a single dot product.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ev = emb.filter(F.col("vec_id") % 10 == 0).select(
+    is_eval = (F.col("vec_id") % 10 == 0) & (
+        F.col("vec_id") < DECONTAM_EVAL_MAX_ID
+    )
+    ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"),
         F.col("v").alias("ev_v"),
         norm(F.col("v")).alias("ev_nrm"),
     )
-    tr = emb.filter(F.col("vec_id") % 10 != 0).select(
+    tr = emb.filter(~is_eval).select(
         F.col("vec_id").alias("train_id"),
         F.col("v").alias("tr_v"),
         norm(F.col("v")).alias("tr_nrm"),
@@ -152,6 +167,84 @@ def x134_semantic_decontamination(spark, sf_dir):
     return merge_decontam(decontam_partials(tr, ev))
 
 
+def x135_decontamination_removal(spark, sf_dir):
+    """Decontamination EXECUTED — the corpus-side twin of x134 (the
+    audit→execute symmetry the erasure family established: x128→x132):
+    every train document whose embedding matches ANY benchmark vector
+    at cosine ≥ 0.35 is a leak and leaves the corpus; the report is
+    the per-source removal ledger (docs and tokens kept vs removed,
+    removal rate) a release pipeline signs off on. Embeddings identify
+    documents by vec_id = doc_id (the x121 hybrid-retrieval
+    convention).
+
+    Shape: the SAME broadcast-eval linear train scan as x134 but
+    aggregated train-side (leak verdicts are per train doc, map-side
+    combined); the leak set (leak-bounded, tiny) broadcast-joins back
+    to the documents scan; one final source-keyed aggregation. Output
+    is source-bounded; no train×train pair, no corpus re-scan."""
+    ev, tr = _decontam_split(spark, sf_dir)
+    leaks = (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn(
+            "c",
+            F.round(
+                cosine_given_norms(
+                    F.col("tr_v"),
+                    F.col("ev_v"),
+                    F.col("tr_nrm"),
+                    F.col("ev_nrm"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("c") >= DECONTAM_COSINE_THRESHOLD)
+        .groupBy("train_id")
+        .agg(F.lit(1).alias("leak"))
+        .select(F.col("train_id").alias("doc_id"), "leak")
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            ~(
+                (F.col("doc_id") % 10 == 0)
+                & (F.col("doc_id") < DECONTAM_EVAL_MAX_ID)
+            )
+        )
+        .select("source", "doc_id", T.token_count(F.col("text")).alias("n_tok"))
+    )
+    tagged = corpus.join(F.broadcast(leaks), "doc_id", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("leak"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("leak").isNull(), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(
+                F.when(F.col("leak").isNotNull(), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
+            "tokens_kept",
+            "tokens_removed",
+            F.round(F.col("n_removed") / F.col("n_docs"), 6).alias(
+                "removal_rate"
+            ),
+        )
+    )
+
+
 def x136_preference_pairs(spark, sf_dir):
     """Preference-pair mining (the DPO/RLHF data-construction step):
     within each (lang, source) cohort, rank documents by the x7
@@ -167,7 +260,16 @@ def x136_preference_pairs(spark, sf_dir):
     rank-slices join on (lang, source, pair_rank) — both inputs are
     ≤2 rows per cohort, reusing the window's exchange. Cost is one
     wide pass at any corpus size; output is cohort-bounded."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    return mine_preference_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def mine_preference_pairs(documents: DataFrame) -> DataFrame:
+    """The x136 pair-mining builder over any (lang, source, doc_id,
+    text) frame — shared verbatim by the batch plan and st47's
+    recompute-on-touch deployment (one code path, one arithmetic).
+    A cohort's pairs depend ONLY on that cohort's member rows — the
+    locality law that makes the mining streamable cohort-by-cohort."""
+    docs = documents.select(
         "lang",
         "source",
         "doc_id",

@@ -6201,10 +6201,19 @@ def run_decontamination_ingest(
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        # A file-source micro-batch arrives as ONE input split; the
+        # eval×batch pair pass is embarrassingly parallel, so spread
+        # the batch across the executor cores BEFORE the broadcast
+        # join (on a cluster a batch is already many splits — this
+        # just restores that shape at local[32]).
+        fanout = max(2, sp.sparkContext.defaultParallelism)
+        spread = batch.repartition(fanout, "train_id").localCheckpoint(
+            eager=True
+        )
         try:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (
-                decontam_partials(batch, ev)
+                decontam_partials(spread, ev)
                 .withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")
@@ -6235,5 +6244,142 @@ def run_decontamination_ingest(
     final = merge_decontam(
         spark.read.parquet(partials_path).drop("ingest_batch")
     ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+def run_preference_pair_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """st47: preference-pair mining MAINTAINED ON INGEST — x136
+    deployed by RECOMPUTE-ON-TOUCH (the st45 locality discipline,
+    cohort edition): a cohort's (lang, source) pair set depends ONLY
+    on that cohort's member documents, so a document batch can change
+    exactly the cohorts it contains rows for. Per batch:
+
+    * arrivals append to the batch_id-keyed corpus store (each doc
+      arrives once — the accumulated store IS the corpus so far);
+    * TOUCHED cohorts = the batch's own distinct (lang, source) keys;
+    * ONLY touched cohorts are re-mined, over their accumulated
+      member rows, via the SAME plans.curation.mine_preference_pairs
+      builder the batch x136 runs — one code path, one arithmetic;
+    * the pairs artifact advances version-chained v{b} → v{b+1}:
+      untouched cohorts carried, touched cohorts replaced
+      (batch_id-keyed overwrite, replay-safe).
+
+    A cohort touched at batches i < j is re-mined at j over the
+    fuller membership; one never touched after i keeps its batch-i
+    pairs, which equal the final answer because no later document
+    entered it — so the drained final version equals batch x136 on
+    the full corpus row-for-row (one oracle; batching invariance
+    pytest-pinned at a different n_batches). Per-batch cost is the
+    touched cohorts' accumulated membership — cohort-bounded, never
+    the corpus; the store is cohort-partitioned so the re-mine scan
+    prunes to touched directories."""
+    import shutil
+    import time as _time
+
+    from ..plans.curation import mine_preference_pairs
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "text"
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st47_")
+    src_dir = os.path.join(workdir, "arrivals")
+    corpus_path = os.path.join(workdir, "corpus")
+    pairs_dir = os.path.join(workdir, "pairs")
+    os.makedirs(src_dir)
+    os.makedirs(pairs_dir)
+
+    pair_schema = (
+        "lang string, source string, pair_rank int, chosen_id long, "
+        "rejected_id long, chosen_q double, rejected_q double, "
+        "margin double"
+    )
+    spark.createDataFrame([], pair_schema).coalesce(1).write.parquet(
+        os.path.join(pairs_dir, "v0")
+    )
+
+    t0 = int(_time.time()) - 3600
+    for i in range(n_batches):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        docs.filter(F.pmod(F.col("doc_id"), n_batches) == i).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        prev_mode = sess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        try:
+            sess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                batch.withColumn("ingest_batch", F.lit(batch_id))
+                .repartition("lang", "source")
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch", "lang", "source")
+                .parquet(corpus_path)
+            )
+        finally:
+            sess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        touched = (
+            batch.select("lang", "source").distinct().localCheckpoint(
+                eager=True
+            )
+        )
+        members = (
+            sess.read.parquet(corpus_path)
+            .join(F.broadcast(touched), ["lang", "source"])
+            .select("lang", "source", "doc_id", "text")
+        )
+        remined = mine_preference_pairs(members)
+        prev = sess.read.parquet(os.path.join(pairs_dir, f"v{batch_id}"))
+        carried = prev.join(
+            F.broadcast(touched), ["lang", "source"], "left_anti"
+        )
+        carried.unionByName(remined).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(pairs_dir, f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(pairs_dir) if d.startswith("v")
+    )
+    final = (
+        spark.read.parquet(os.path.join(pairs_dir, f"v{versions[-1]}"))
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(workdir, ignore_errors=True)
     return final

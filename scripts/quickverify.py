@@ -18,7 +18,9 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.session import (  # n
     get_spark,
 )
 
-SF = "/root/testdata/sf0.01"
+import os as _os
+
+SF = _os.environ.get("QUICKVERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

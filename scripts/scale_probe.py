@@ -165,6 +165,13 @@ def build_probe_dir(spark, probe_dir: str, mult: int) -> None:
 def timed(label, fn, results):
     t0 = time.perf_counter()
     df = fn()
+    # Force FULL evaluation (bench.py's noop discipline): a bare
+    # .count() lets Catalyst prune aggregate/projection expressions
+    # that no filter depends on — x134's cosine folds measured as
+    # free under count() while costing 100× the wall under real
+    # evaluation. Rows via a cheap second action on the (tiny,
+    # checkpoint-or-result-sized) frame afterwards.
+    df.write.format("noop").mode("overwrite").save()
     n = df.count()
     dt = round(time.perf_counter() - t0, 2)
     results[label] = {"sec": dt, "rows": n}
@@ -264,6 +271,12 @@ PROBED_QUERIES = (
     "x132_graph_backfill_repair",
     "x133_repair_quality_audit",
     "st45_backfill_stream",
+    "x134_semantic_decontamination",
+    "x135_decontamination_removal",
+    "x136_preference_pairs",
+    "x137_unimax_allocation",
+    "st46_decontamination_ingest",
+    "st47_preference_pair_stream",
 )
 
 

@@ -40,7 +40,11 @@ def test_x134_verdicts_are_internally_consistent(spark, sf001):
     import __spark_entry__ as entrymod
     from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (
         DECONTAM_COSINE_THRESHOLD,
+        DECONTAM_EVAL_MAX_ID,
     )
+
+    def is_eval(i):
+        return i % 10 == 0 and i < DECONTAM_EVAL_MAX_ID
 
     rows = (
         entrymod.queries()["x134_semantic_decontamination"](spark, sf001)
@@ -49,14 +53,40 @@ def test_x134_verdicts_are_internally_consistent(spark, sf001):
     assert rows, "fixture regression: empty eval slice at sf0.001"
     seen = set()
     for r in rows:
-        assert r["eval_id"] % 10 == 0 and r["eval_id"] not in seen
+        assert is_eval(r["eval_id"]) and r["eval_id"] not in seen
         seen.add(r["eval_id"])
         assert r["contaminated"] == int(r["n_contaminated"] > 0)
         if r["contaminated"]:
             assert r["max_cos"] >= DECONTAM_COSINE_THRESHOLD
         else:
             assert r["max_cos"] < DECONTAM_COSINE_THRESHOLD
-        assert r["nearest_train_id"] % 10 != 0
+        assert not is_eval(r["nearest_train_id"])
+
+
+def test_x135_removal_executes_the_x134_audit(spark, sf001):
+    """Audit→execute symmetry (the x128→x132 pattern): the corpus-side
+    removal ledger must be consistent with the eval-side audit — (a)
+    total pair hits Σ n_contaminated ≥ total docs removed (each leak
+    doc has ≥1 hit); (b) a corpus with ≥1 contaminated eval vector
+    removes ≥1 doc and vice versa; (c) per-source ledgers conserve:
+    n_kept + n_removed = n_docs and every doc is a train doc."""
+    import __spark_entry__ as entrymod
+
+    audit = entrymod.queries()["x134_semantic_decontamination"](
+        spark, sf001
+    ).collect()
+    ledger = entrymod.queries()["x135_decontamination_removal"](
+        spark, sf001
+    ).collect()
+    total_hits = sum(r["n_contaminated"] for r in audit)
+    total_removed = sum(r["n_removed"] for r in ledger)
+    assert total_hits >= total_removed
+    assert (total_hits > 0) == (total_removed > 0)
+    assert total_removed > 0, "fixture regression: no leaks at sf0.001"
+    for r in ledger:
+        assert r["n_kept"] + r["n_removed"] == r["n_docs"]
+        assert r["tokens_kept"] >= 0 and r["tokens_removed"] >= 0
+        assert r["removal_rate"] == round(r["n_removed"] / r["n_docs"], 6)
 
 
 def test_x136_preference_pair_laws(spark, sf001):
@@ -85,6 +115,24 @@ def test_x136_preference_pair_laws(spark, sf001):
         chosen = {r["chosen_id"] for r in ranks.values()}
         rejected = {r["rejected_id"] for r in ranks.values()}
         assert not (chosen & rejected), f"{cohort}: doc on both sides"
+
+
+def test_st47_preference_pairs_equal_batch_mining_any_batching(
+    spark, sf001
+):
+    """st47's drained pair artifact must equal the batch x136 mining
+    REGARDLESS of how documents are batched — run with 3 micro-batches
+    (not the default 4 the oracle sweep exercises): a cohort's last
+    re-mine sees its full final membership, and untouched cohorts'
+    carried pairs are final by the locality law."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_preference_pair_stream,
+    )
+
+    streamed = run_preference_pair_stream(spark, sf001, n_batches=3)
+    batch = entrymod.queries()["x136_preference_pairs"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
 
 
 def test_x137_unimax_conservation_and_cap_laws(spark, sf001):
