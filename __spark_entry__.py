@@ -8370,8 +8370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io7_export_manifest": io7_export_manifest,
         "io8_sync_plan": io8_sync_plan,
         "io9_schema_evolution": io9_schema_evolution,
-        "io10_compaction_execute": io10_compaction_execute,
-        "io11_snapshot_rollback": io11_snapshot_rollback,
         "mm2_frame_sample": mm2_frame_sample,
         "mm3_audio_segments": mm3_audio_segments,
         "mm4_media_dedup": mm4_media_dedup,
@@ -8380,8 +8378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm7_audio_segment_features": mm7_audio_segment_features,
         "mm8_video_frame_stats": mm8_video_frame_stats,
         "mm9_perceptual_dedup": mm9_perceptual_dedup,
-        "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
-        "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
         "x100_nb_quality_classifier": x100_nb_quality_classifier,
         # r9 (cont.): the round's own builds — st44 completing the
         # streaming erasure quartet and x132 executing the backfill
@@ -8392,14 +8388,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays 49)
         "st44_graph_erasure_stream": st44_graph_erasure_stream,
         "x132_graph_backfill_repair": x132_graph_backfill_repair,
+        # r9 (second closing adjustment): the extended-window curation
+        # family — x134/x135 semantic decontamination audit+removal,
+        # x136 preference pairs, x137 UniMax, st46/st47 their streaming
+        # deployments (plans/curation.py, oracles/b20.py) — enters for
+        # its first driver grade, displacing six first-time entries
+        # whose machinery is graded by in-window siblings: io10/io11
+        # (plan/travel twins io6/io3 stay), mm10/mm11 (the perceptual
+        # pipeline graded via mm9 + mm3/mm8 modal features), x108 (the
+        # span CTE graded via x102), x110b (dense MaxSim graded via r8's
+        # x110 window; pruning discipline via in-window x121b);
+        # first-time-grade count stays 49
+        "x134_semantic_decontamination": x134_semantic_decontamination,
+        "x135_decontamination_removal": x135_decontamination_removal,
+        "x136_preference_pairs": x136_preference_pairs,
+        "x137_unimax_allocation": x137_unimax_allocation,
+        "st46_decontamination_ingest": st46_decontamination_ingest,
+        "st47_preference_pair_stream": st47_preference_pair_stream,
         "x102_crossdoc_span_dedup": x102_crossdoc_span_dedup,
         "x103_mixture_materializer": x103_mixture_materializer,
         "x105_quality_canonicalization": x105_quality_canonicalization,
         "x106_dedup_threshold_curve": x106_dedup_threshold_curve,
         "x107_retrieval_ndcg": x107_retrieval_ndcg,
-        "x108_span_trimming": x108_span_trimming,
         "x109_equidepth_histogram": x109_equidepth_histogram,
-        "x110b_maxsim_pruned": x110b_maxsim_pruned,
         "x111_source_quality_cutoff": x111_source_quality_cutoff,
         "x112_embedding_anisotropy": x112_embedding_anisotropy,
         "x113_unseen_mass": x113_unseen_mass,
@@ -8412,6 +8423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-pass parity in the pytest oracle sweep ----
         "x101_temperature_mixture": x101_temperature_mixture,
         "x104_classifier_calibration": x104_classifier_calibration,
+        # r9 second closing adjustment displaced these six below the
+        # window (in-window siblings grade their machinery; see the
+        # rotation comment above) — all stay exact in the oracle sweep
+        "io10_compaction_execute": io10_compaction_execute,
+        "io11_snapshot_rollback": io11_snapshot_rollback,
+        "mm10_audio_perceptual_dedup": mm10_audio_perceptual_dedup,
+        "mm11_video_perceptual_dedup": mm11_video_perceptual_dedup,
+        "x108_span_trimming": x108_span_trimming,
+        "x110b_maxsim_pruned": x110b_maxsim_pruned,
         # r9: repair-vs-rebuild receipt for the erasure quartet and the
         # continuous-backfill deployment (below the window this round —
         # local-pass parity + the x132 twin oracle; rotate in r10)
@@ -8722,14 +8742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
         "x2b_minhash_verified": x2b_minhash_verified,
         "x4_simhash_pairs": x4_simhash_pairs,
-        # r9 second window: the curation trio (plans/curation.py)
-        # and the st46 streaming deployment of x134
-        "x134_semantic_decontamination": x134_semantic_decontamination,
-        "x135_decontamination_removal": x135_decontamination_removal,
-        "x136_preference_pairs": x136_preference_pairs,
-        "x137_unimax_allocation": x137_unimax_allocation,
-        "st46_decontamination_ingest": st46_decontamination_ingest,
-        "st47_preference_pair_stream": st47_preference_pair_stream,
         # the 3 genuinely engine-specific sketches (HLL / KLL) sit
         # last so every driver-sampled slot is hash-verifiable
         "a9_approx_distinct": a9_approx_distinct,

@@ -80,8 +80,6 @@ DRIVER_WINDOW_SNAPSHOT = [
     "io7_export_manifest",
     "io8_sync_plan",
     "io9_schema_evolution",
-    "io10_compaction_execute",
-    "io11_snapshot_rollback",
     "mm2_frame_sample",
     "mm3_audio_segments",
     "mm4_media_dedup",
@@ -90,19 +88,21 @@ DRIVER_WINDOW_SNAPSHOT = [
     "mm7_audio_segment_features",
     "mm8_video_frame_stats",
     "mm9_perceptual_dedup",
-    "mm10_audio_perceptual_dedup",
-    "mm11_video_perceptual_dedup",
     "x100_nb_quality_classifier",
     "st44_graph_erasure_stream",
     "x132_graph_backfill_repair",
+    "x134_semantic_decontamination",
+    "x135_decontamination_removal",
+    "x136_preference_pairs",
+    "x137_unimax_allocation",
+    "st46_decontamination_ingest",
+    "st47_preference_pair_stream",
     "x102_crossdoc_span_dedup",
     "x103_mixture_materializer",
     "x105_quality_canonicalization",
     "x106_dedup_threshold_curve",
     "x107_retrieval_ndcg",
-    "x108_span_trimming",
     "x109_equidepth_histogram",
-    "x110b_maxsim_pruned",
     "x111_source_quality_cutoff",
     "x112_embedding_anisotropy",
     "x113_unseen_mass",
