@@ -136,6 +136,8 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import
     x135_decontamination_removal,
     x136_preference_pairs,
     x137_unimax_allocation,
+    x138_shard_export_plan,
+    x139_epoch_materialization,
 )
 from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.regions import (  # noqa: E402
     AGRICULTURAL_REGIONS,
@@ -8742,6 +8744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
         "x2b_minhash_verified": x2b_minhash_verified,
         "x4_simhash_pairs": x4_simhash_pairs,
+        # r9 extended window (cont.): the shard-export pair — seeded
+        # deterministic shard plan + the x137 allocation EXECUTED
+        # (below the window this round; rotate in r10 with the other
+        # r9 receipts)
+        "x138_shard_export_plan": x138_shard_export_plan,
+        "x139_epoch_materialization": x139_epoch_materialization,
         # the 3 genuinely engine-specific sketches (HLL / KLL) sit
         # last so every driver-sampled slot is hash-verifiable
         "a9_approx_distinct": a9_approx_distinct,

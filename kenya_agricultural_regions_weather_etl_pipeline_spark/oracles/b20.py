@@ -10,10 +10,46 @@ from ..functions.text import quality_score_sql, token_count_sql
 from ..plans.curation import (
     DECONTAM_COSINE_THRESHOLD,
     DECONTAM_EVAL_MAX_ID,
+    N_EXPORT_SHARDS,
     PREFERENCE_PAIR_DEPTH,
     UNIMAX_BUDGET_MULTIPLE,
     UNIMAX_EPOCH_CAP,
+    doc_hash_sql,
 )
+
+
+def _unimax_cte() -> str:
+    """The WITH RECURSIVE prefix replaying the x137 UniMax fold —
+    counts → tot → sorted sources → the sequential budget recurrence
+    ``r``. Shared by x137 (the plan) and x139 (its execution) so the
+    two can never drift (the b17 parameterized-builder discipline)."""
+    cap = UNIMAX_EPOCH_CAP
+    mult = UNIMAX_BUDGET_MULTIPLE
+    tok = token_count_sql("text")
+    return f"""
+WITH RECURSIVE counts AS (
+  SELECT source, CAST(sum({tok}) AS BIGINT) AS sz
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST({mult} * sum(sz) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM counts
+), s AS (
+  SELECT source, sz, row_number() OVER (ORDER BY sz, source) AS rn
+  FROM counts
+), r AS (
+  SELECT CAST(0 AS BIGINT) AS rn, (SELECT b FROM tot) AS remaining,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS sz,
+         CAST(NULL AS BIGINT) AS alloc
+  UNION ALL
+  SELECT s.rn,
+         r.remaining - least({cap} * s.sz,
+                             r.remaining // ((SELECT n FROM tot) - r.rn)),
+         s.source, s.sz,
+         least({cap} * s.sz,
+               r.remaining // ((SELECT n FROM tot) - r.rn))
+  FROM r JOIN s ON s.rn = r.rn + 1
+)"""
 
 
 def add(d, ns):
@@ -139,36 +175,90 @@ WHERE round(b.chosen_q - w.rejected_q, 6) > 0
     # x137: the UniMax fold replayed as a recursive CTE — BIGINT `//`
     # mirrors the Spark side's `div` exactly (both truncate; every
     # operand is non-negative); the single float division is the final
-    # epochs ratio, rounded once to 6dp on both engines.
+    # epochs ratio, rounded once to 6dp on both engines. The CTE
+    # prefix is shared byte-identically with x139, which EXECUTES the
+    # allocation this query plans (the b17 _hybrid_sql reuse pattern).
     cap = UNIMAX_EPOCH_CAP
-    mult = UNIMAX_BUDGET_MULTIPLE
-    tok = token_count_sql("text")
-    d["x137_unimax_allocation"] = f"""
-WITH RECURSIVE counts AS (
-  SELECT source, CAST(sum({tok}) AS BIGINT) AS sz
-  FROM documents GROUP BY source
-), tot AS (
-  SELECT CAST({mult} * sum(sz) AS BIGINT) AS b,
-         CAST(count(*) AS BIGINT) AS n
-  FROM counts
-), s AS (
-  SELECT source, sz, row_number() OVER (ORDER BY sz, source) AS rn
-  FROM counts
-), r AS (
-  SELECT CAST(0 AS BIGINT) AS rn, (SELECT b FROM tot) AS remaining,
-         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS sz,
-         CAST(NULL AS BIGINT) AS alloc
-  UNION ALL
-  SELECT s.rn,
-         r.remaining - least({cap} * s.sz,
-                             r.remaining // ((SELECT n FROM tot) - r.rn)),
-         s.source, s.sz,
-         least({cap} * s.sz,
-               r.remaining // ((SELECT n FROM tot) - r.rn))
-  FROM r JOIN s ON s.rn = r.rn + 1
-)
+    d["x137_unimax_allocation"] = (
+        _unimax_cte()
+        + f"""
 SELECT source, sz AS sz_tokens, alloc AS alloc_tokens,
        round(alloc::DOUBLE / sz, 6) AS epochs,
        CAST(alloc = {cap} * sz AS INT) AS capped
 FROM r WHERE rn > 0
 """
+    )
+
+    _add_export_family(d)
+
+
+def _add_export_family(d):
+    """x138 shard plan + x139 epoch materialization (appended by
+    ``add``; split out only to keep the function readable)."""
+    from ..functions.text import token_count_sql as _tok
+
+    tok = _tok("text")
+    h = doc_hash_sql("doc_id")
+    n = N_EXPORT_SHARDS
+    # x138: portable seeded shard assignment (h ≥ 0, so plain % is
+    # pmod on both engines) + the integer-ppm balance audit.
+    d["x138_shard_export_plan"] = f"""
+WITH docs AS (
+  SELECT doc_id, {tok} AS n_tok, ({h}) % {n} AS shard FROM documents
+), per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+  FROM docs GROUP BY shard
+), tot AS (
+  SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM per
+)
+SELECT CAST(shard AS INT) AS shard, n_docs, shard_tokens,
+       min_doc_id, max_doc_id,
+       CAST(shard_tokens * 1000000 // total_tokens AS BIGINT)
+         AS token_share_ppm
+FROM per, tot
+"""
+
+    # x139: the x137 allocation EXECUTED — whole epochs = alloc // sz
+    # per doc, the remainder filled greedily in portable-hash order
+    # (ties → doc_id) while the running token sum fits. Composes the
+    # SAME _unimax_cte prefix as x137 byte-identically.
+    d["x139_epoch_materialization"] = (
+        _unimax_cte()
+        + f""", alloc AS (
+  SELECT source, sz, alloc FROM r WHERE rn > 0
+), d2 AS (
+  SELECT d.source, d.doc_id, {tok} AS n_tok, ({h}) AS h
+  FROM documents d
+), j AS (
+  SELECT d2.source, d2.doc_id, d2.n_tok, d2.h,
+         a.sz AS sz_tokens, a.alloc AS alloc_tokens,
+         a.alloc // a.sz AS n_full, a.alloc % a.sz AS remainder
+  FROM d2 JOIN alloc a ON a.source = d2.source
+), ranked AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM j
+), extra AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_extra_docs,
+         CAST(sum(n_tok) AS BIGINT) AS extra_tokens
+  FROM ranked WHERE cum_tok <= remainder GROUP BY source
+), base AS (
+  SELECT source, sz_tokens, alloc_tokens, n_full,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY source, sz_tokens, alloc_tokens, n_full
+)
+SELECT b.source, b.n_docs,
+       CAST(b.n_full AS BIGINT) AS n_full_copies,
+       CAST(coalesce(e.n_extra_docs, 0) AS BIGINT) AS n_extra_docs,
+       CAST(coalesce(e.extra_tokens, 0) AS BIGINT) AS extra_tokens,
+       CAST(b.n_full * b.sz_tokens + coalesce(e.extra_tokens, 0)
+            AS BIGINT) AS realized_tokens,
+       CAST(CASE WHEN b.alloc_tokens = 0 THEN 1000000
+            ELSE (b.n_full * b.sz_tokens + coalesce(e.extra_tokens, 0))
+                 * 1000000 // b.alloc_tokens END AS BIGINT)
+         AS fidelity_ppm
+FROM base b LEFT JOIN extra e ON e.source = b.source
+"""
+    )

@@ -59,6 +59,18 @@ PREFERENCE_PAIR_DEPTH = 2
 UNIMAX_EPOCH_CAP = 3
 UNIMAX_BUDGET_MULTIPLE = 2
 
+# Portable per-doc hash (x138 shard assignment / x139 fractional-epoch
+# selection): h(id) = (KNUTH·id + seed) mod P — the same LCG-over-prime
+# family the portable MinHash uses (operators/dedup.py MINHASH_P),
+# expressible bit-identically in DuckDB BIGINT arithmetic. The id is
+# reduced mod P BEFORE the multiply so the largest intermediate is
+# (P−1)·KNUTH ≈ 2.6e18 < 2⁶³ — overflow-safe at ANY id magnitude
+# (100 TB corpora carry 1e12+ ids; a raw id·KNUTH would wrap).
+SHARD_HASH_P = 1_000_000_007
+SHARD_HASH_A = 2_654_435_761
+SHARD_HASH_SEED = 42
+N_EXPORT_SHARDS = 16
+
 
 def _decontam_split(spark: SparkSession, sf_dir: str):
     """(eval, train) embedding frames for the decontamination family.
@@ -383,4 +395,150 @@ def x137_unimax_allocation(spark, sf_dir):
         (F.col("o.alloc") == F.lit(cap).cast("long") * F.col("o.sz"))
         .cast("int")
         .alias("capped"),
+    )
+
+
+def doc_hash(id_col):
+    """Portable per-doc hash column: ((id mod P)·A + seed) mod P."""
+    return (
+        F.pmod(F.col(id_col), F.lit(SHARD_HASH_P))
+        * F.lit(SHARD_HASH_A)
+        + F.lit(SHARD_HASH_SEED)
+    ) % F.lit(SHARD_HASH_P)
+
+
+def doc_hash_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`doc_hash` — identical BIGINT arithmetic."""
+    return (
+        f"((({id_expr}) % {SHARD_HASH_P}) * {SHARD_HASH_A} "
+        f"+ {SHARD_HASH_SEED}) % {SHARD_HASH_P}"
+    )
+
+
+def x138_shard_export_plan(spark, sf_dir):
+    """Deterministic SEEDED SHARD PLAN — the write-training-shards step
+    between curation and the trainer: every document lands in one of
+    N=16 shards by the portable seeded hash (a reproducible global
+    shuffle: same seed ⇒ same shard layout on any engine, any run —
+    what makes a training run restartable and a data bug bisectable),
+    and the plan row per shard is the balance audit a shard writer
+    signs off on: doc/token counts and the exact integer token share
+    in ppm. Changing the seed re-deals the corpus without moving the
+    machinery; changing N re-buckets it.
+
+    Shape: shard assignment is a narrow codegen expression fused into
+    the scan (no data movement — the actual shard WRITE would be
+    ``partitionBy(shard)``, one shuffle); the audit is ONE hash
+    aggregation on the 16-value key + a 1-row broadcast total. Integer
+    discipline: shares are floor(tokens·1e6 / total) — no float until
+    nothing is left to fold."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        F.pmod(doc_hash("doc_id"), F.lit(N_EXPORT_SHARDS)).alias("shard"),
+    )
+    per_shard = docs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    total = per_shard.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "shard_tokens",
+            "min_doc_id",
+            "max_doc_id",
+            F.expr("shard_tokens * 1000000 div total_tokens")
+            .cast("bigint")
+            .alias("token_share_ppm"),
+        )
+    )
+
+
+def x139_epoch_materialization(spark, sf_dir):
+    """The UniMax plan EXECUTED — the audit→execute symmetry again
+    (x134→x135, x128→x132): x137 allocates each source an integer
+    token budget; this plan materializes it as a sampling manifest.
+    Per source: every document repeats ``alloc div size`` times (the
+    whole-epoch part — integer, no rounding drift), and the leftover
+    budget ``alloc mod size`` is filled GREEDILY by hash order — docs
+    ranked by the portable seeded hash (ties → doc_id), taken while
+    the running token sum still fits. Hash-ranked selection is the
+    deterministic stand-in for "sample the remainder uniformly":
+    seed-reproducible, engine-portable, and stable under corpus
+    repartitioning. The per-source fidelity_ppm row certifies how
+    close the materialized token count lands to the allocation
+    (shortfall = the tokens of the first doc that no longer fit).
+
+    Shape: ONE doc-level pass (token count + hash, fused into the
+    scan), a broadcast join against the #sources-bounded x137 frame,
+    one source-keyed window for the greedy running sum. Output is
+    source-bounded."""
+    alloc = x137_unimax_allocation(spark, sf_dir).select(
+        "source", "sz_tokens", "alloc_tokens"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        doc_hash("doc_id").alias("h"),
+    )
+    j = docs.join(F.broadcast(alloc), "source").withColumn(
+        "n_full", F.expr("alloc_tokens div sz_tokens")
+    ).withColumn(
+        "remainder", F.col("alloc_tokens") % F.col("sz_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = j.withColumn("cum_tok", F.sum("n_tok").over(w))
+    extra = (
+        ranked.filter(F.col("cum_tok") <= F.col("remainder"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_extra_docs"),
+            F.sum("n_tok").cast("long").alias("extra_tokens"),
+        )
+    )
+    base = j.groupBy(
+        "source", "sz_tokens", "alloc_tokens", "n_full"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        base.join(extra, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_full").cast("bigint").alias("n_full_copies"),
+            F.coalesce(F.col("n_extra_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_extra_docs"),
+            F.coalesce(F.col("extra_tokens"), F.lit(0))
+            .cast("long")
+            .alias("extra_tokens"),
+            (
+                F.col("n_full") * F.col("sz_tokens")
+                + F.coalesce(F.col("extra_tokens"), F.lit(0))
+            )
+            .cast("long")
+            .alias("realized_tokens"),
+            # integer div (never floored float — the x137 discipline);
+            # a zero allocation is trivially 100% realized
+            F.when(
+                F.col("alloc_tokens") == 0, F.lit(1_000_000)
+            )
+            .otherwise(
+                F.expr(
+                    "(n_full * sz_tokens + coalesce(extra_tokens, 0L)) "
+                    "* 1000000 div alloc_tokens"
+                )
+            )
+            .cast("bigint")
+            .alias("fidelity_ppm"),
+        )
     )

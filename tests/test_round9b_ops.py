@@ -135,6 +135,62 @@ def test_st47_preference_pairs_equal_batch_mining_any_batching(
     assert _rows(streamed) == _rows(batch)
 
 
+def test_x138_shard_plan_partitions_the_corpus(spark, sf001):
+    """Shard-plan laws: every document lands in exactly one shard
+    (Σ n_docs == |corpus|), shard ids sit in [0, N), and the integer
+    ppm shares sum to ≤ 1e6 with at most N floor-loss below it."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (
+        N_EXPORT_SHARDS,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = entrymod.queries()["x138_shard_export_plan"](
+        spark, sf001
+    ).collect()
+    assert rows, "fixture regression: empty shard plan"
+    n_corpus = load_table(spark, sf001, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    assert all(0 <= r["shard"] < N_EXPORT_SHARDS for r in rows)
+    assert len({r["shard"] for r in rows}) == len(rows)
+    share = sum(r["token_share_ppm"] for r in rows)
+    assert 1_000_000 - N_EXPORT_SHARDS <= share <= 1_000_000
+
+
+def test_x139_materialization_executes_the_x137_plan(spark, sf001):
+    """Execution laws vs the x137 allocation: per source, whole copies
+    = alloc div size; realized tokens never exceed the allocation; the
+    greedy remainder fill never exceeds the remainder; fidelity is the
+    integer ppm of realized/alloc and is ≤ 1e6."""
+    import __spark_entry__ as entrymod
+
+    alloc = {
+        r["source"]: r
+        for r in entrymod.queries()["x137_unimax_allocation"](
+            spark, sf001
+        ).collect()
+    }
+    rows = entrymod.queries()["x139_epoch_materialization"](
+        spark, sf001
+    ).collect()
+    assert rows and set(alloc) == {r["source"] for r in rows}
+    for r in rows:
+        a = alloc[r["source"]]
+        sz, al = a["sz_tokens"], a["alloc_tokens"]
+        assert r["n_full_copies"] == al // sz
+        remainder = al % sz
+        assert r["extra_tokens"] <= remainder
+        assert r["realized_tokens"] == r["n_full_copies"] * sz + r["extra_tokens"]
+        assert r["realized_tokens"] <= al
+        assert r["n_extra_docs"] <= r["n_docs"]
+        expected_ppm = (
+            1_000_000 if al == 0 else r["realized_tokens"] * 1_000_000 // al
+        )
+        assert r["fidelity_ppm"] == expected_ppm <= 1_000_000
+
+
 def test_x137_unimax_conservation_and_cap_laws(spark, sf001):
     """UniMax allocation laws: (a) no source exceeds the epoch cap;
     (b) every allocation is non-negative; (c) total allocated ≤ the
