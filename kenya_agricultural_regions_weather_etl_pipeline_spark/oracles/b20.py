@@ -1,6 +1,7 @@
 """Oracle family block 20: round-9 second-window additions — the
-curation trio (semantic decontamination, preference pairs, UniMax
-allocation) and the st46 streaming deployment alias.
+curation family (semantic decontamination audit x134 + removal x135,
+preference pairs x136, UniMax allocation x137 + its execution x139,
+the seeded shard plan x138) and the st46/st47 streaming aliases.
 
 Same contract as b01–b19: ``add(d, ns)`` only ADDS keys; ``ns`` is
 the __spark_entry__ module for any name-scope bindings.

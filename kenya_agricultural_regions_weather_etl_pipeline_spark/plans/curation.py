@@ -16,6 +16,9 @@ pretraining pipeline runs between ingest and shard export:
 * **x137** is the multilingual sampling-rate step (UniMax, Chung et
   al. 2023): distribute a token budget across sources so low-resource
   sources are upsampled but never past an epoch cap.
+* **x138/x139** close the loop to the trainer: a seeded deterministic
+  shard plan (reproducible global shuffle) and the x137 allocation
+  materialized as a sampling manifest.
 
 Every plan is oracle-paired (``oracles/b20.py``) and keeps the repo's
 exactness discipline: integer arithmetic wherever a fold reorders,

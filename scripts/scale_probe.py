@@ -277,6 +277,8 @@ PROBED_QUERIES = (
     "x137_unimax_allocation",
     "st46_decontamination_ingest",
     "st47_preference_pair_stream",
+    "x138_shard_export_plan",
+    "x139_epoch_materialization",
 )
 
 
