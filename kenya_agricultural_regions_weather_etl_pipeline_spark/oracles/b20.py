@@ -19,6 +19,29 @@ from ..plans.curation import (
 )
 
 
+def _decontam_cte() -> str:
+    """The e → ev/tr split + per-pair 6dp cosine ``p`` CTE prefix —
+    shared byte-identically by x134 (the audit) and x135 (the
+    removal), mirroring the Spark side's shared decontam_pairs
+    builder so audit and execution can never drift."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, v FROM e
+  WHERE vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID}
+), tr AS (
+  SELECT vec_id AS train_id, v FROM e
+  WHERE NOT (vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID})
+), p AS (
+  SELECT ev.eval_id, tr.train_id,
+         round(list_dot_product(tr.v, ev.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS c
+  FROM ev CROSS JOIN tr
+)"""
+
+
 def _unimax_cte() -> str:
     """The WITH RECURSIVE prefix replaying the x137 UniMax fold —
     counts → tot → sorted sources → the sequential budget recurrence
@@ -60,22 +83,9 @@ def add(d, ns):
     # max(struct(c, -train_id)) ordering). The per-pair round happens
     # BEFORE the max/compare on both engines, so fold order is moot.
     tau = DECONTAM_COSINE_THRESHOLD
-    d["x134_semantic_decontamination"] = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), ev AS (
-  SELECT vec_id AS eval_id, v FROM e
-  WHERE vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID}
-), tr AS (
-  SELECT vec_id AS train_id, v FROM e
-  WHERE NOT (vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID})
-), p AS (
-  SELECT ev.eval_id, tr.train_id,
-         round(list_dot_product(tr.v, ev.v)
-               / (sqrt(list_dot_product(tr.v, tr.v))
-                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS c
-  FROM ev CROSS JOIN tr
-), ranked AS (
+    d["x134_semantic_decontamination"] = (
+        _decontam_cte()
+        + f""", ranked AS (
   SELECT eval_id, train_id, c,
          row_number() OVER (PARTITION BY eval_id
                             ORDER BY c DESC, train_id ASC) AS rn
@@ -90,6 +100,7 @@ SELECT a.eval_id, a.n_contaminated, r.c AS max_cos,
        CAST(a.n_contaminated > 0 AS INT) AS contaminated
 FROM agg a JOIN ranked r ON r.eval_id = a.eval_id AND r.rn = 1
 """
+    )
 
     # st46 drains to the batch x134 verdict row-for-row (the st19
     # deploy-the-artifact pattern with ASSOCIATIVE partials: sum/max
@@ -100,21 +111,10 @@ FROM agg a JOIN ranked r ON r.eval_id = a.eval_id AND r.rn = 1
     # x135: x134 executed corpus-side — leak docs (any eval hit at the
     # same threshold) leave; per-source kept/removed ledger. vec_id =
     # doc_id is the established hybrid-retrieval identification.
-    d["x135_decontamination_removal"] = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), ev AS (
-  SELECT vec_id AS eval_id, v FROM e
-  WHERE vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID}
-), tr AS (
-  SELECT vec_id AS train_id, v FROM e
-  WHERE NOT (vec_id % 10 = 0 AND vec_id < {DECONTAM_EVAL_MAX_ID})
-), leaks AS (
-  SELECT DISTINCT tr.train_id AS doc_id
-  FROM ev CROSS JOIN tr
-  WHERE round(list_dot_product(tr.v, ev.v)
-              / (sqrt(list_dot_product(tr.v, tr.v))
-                 * sqrt(list_dot_product(ev.v, ev.v))), 6) >= {tau}
+    d["x135_decontamination_removal"] = (
+        _decontam_cte()
+        + f""", leaks AS (
+  SELECT DISTINCT train_id AS doc_id FROM p WHERE c >= {tau}
 ), corpus AS (
   SELECT source, doc_id, {token_count_sql('text')} AS n_tok
   FROM documents
@@ -135,6 +135,7 @@ SELECT source,
          AS removal_rate
 FROM tagged GROUP BY source
 """
+    )
 
     # x136: rank by the x7 quality score inside (lang, source); the
     # worst ranking is the exact mirror of (q DESC, doc_id ASC), so

@@ -104,6 +104,23 @@ def _decontam_split(spark: SparkSession, sf_dir: str):
     return ev, tr
 
 
+def decontam_pairs(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """The eval×train pair frame with the per-pair 6dp cosine ``c`` —
+    the ONE derivation both the audit aggregation (x134/st46 via
+    :func:`decontam_partials`) and the removal leak-set (x135) build
+    on, so the pair arithmetic can never drift between audit and
+    execution (the b17 shared-builder discipline, Spark side)."""
+    return train.crossJoin(F.broadcast(ev)).withColumn(
+        "c",
+        F.round(
+            cosine_given_norms(
+                F.col("tr_v"), F.col("ev_v"), F.col("tr_nrm"), F.col("ev_nrm")
+            ),
+            6,
+        ),
+    )
+
+
 def decontam_partials(train: DataFrame, ev: DataFrame) -> DataFrame:
     """Per-eval contamination partials over ONE slice of the train
     corpus: ``(eval_id, n_hits, best)`` where ``best`` is the
@@ -121,15 +138,7 @@ def decontam_partials(train: DataFrame, ev: DataFrame) -> DataFrame:
     PER PAIR (before any max/compare) so fold order can never flip a
     boundary value — the repo's quantize-then-fold rule.
     """
-    pairs = train.crossJoin(F.broadcast(ev)).withColumn(
-        "c",
-        F.round(
-            cosine_given_norms(
-                F.col("tr_v"), F.col("ev_v"), F.col("tr_nrm"), F.col("ev_nrm")
-            ),
-            6,
-        ),
-    )
+    pairs = decontam_pairs(train, ev)
     return pairs.groupBy("eval_id").agg(
         F.sum(
             F.when(F.col("c") >= DECONTAM_COSINE_THRESHOLD, 1).otherwise(0)
@@ -199,19 +208,7 @@ def x135_decontamination_removal(spark, sf_dir):
     is source-bounded; no train×train pair, no corpus re-scan."""
     ev, tr = _decontam_split(spark, sf_dir)
     leaks = (
-        tr.crossJoin(F.broadcast(ev))
-        .withColumn(
-            "c",
-            F.round(
-                cosine_given_norms(
-                    F.col("tr_v"),
-                    F.col("ev_v"),
-                    F.col("tr_nrm"),
-                    F.col("ev_nrm"),
-                ),
-                6,
-            ),
-        )
+        decontam_pairs(tr, ev)
         .filter(F.col("c") >= DECONTAM_COSINE_THRESHOLD)
         .groupBy("train_id")
         .agg(F.lit(1).alias("leak"))
