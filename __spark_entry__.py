@@ -8276,6 +8276,19 @@ def st47_preference_pair_stream(spark, sf_dir):
     return ST.run_preference_pair_stream(spark, sf_dir)
 
 
+def st48_shard_export_stream(spark, sf_dir):
+    """st48 (r9): the seeded shard plan ON INGEST — x138 deployed:
+    shard assignment is a stateless narrow expression (the shared
+    shard_assignments builder), so arriving batches land directly in
+    shard-keyed training-shard partitions (batch_id-keyed, replay-
+    safe) with zero standing state; the balance audit derives at
+    drain via the shared shard_balance_audit builder ⇒ drain ==
+    batch x138 under ANY batching. See
+    streaming/micro_batch.py:run_shard_export_stream."""
+    apply_runtime_confs(spark)
+    return ST.run_shard_export_stream(spark, sf_dir)
+
+
 def st39_media_dedup_ingest(spark, sf_dir):
     """st39: PERCEPTUAL media dedup ON INGEST (r7) — mm9's
     re-encoded-edition detector as a firehose, extending
@@ -8750,6 +8763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 receipts)
         "x138_shard_export_plan": x138_shard_export_plan,
         "x139_epoch_materialization": x139_epoch_materialization,
+        "st48_shard_export_stream": st48_shard_export_stream,
         # the 3 genuinely engine-specific sketches (HLL / KLL) sit
         # last so every driver-sampled slot is hash-verifiable
         "a9_approx_distinct": a9_approx_distinct,

@@ -222,6 +222,12 @@ SELECT CAST(shard AS INT) AS shard, n_docs, shard_tokens,
 FROM per, tot
 """
 
+    # st48 drains to the batch x138 audit row-for-row (stateless
+    # per-row shard assignment + a full-store drain aggregation are
+    # trivially batching-invariant) — one oracle for the plan and the
+    # shard writer.
+    d["st48_shard_export_stream"] = d["x138_shard_export_plan"]
+
     # x139: the x137 allocation EXECUTED — whole epochs = alloc // sz
     # per doc, the remainder filled greedily in portable-hash order
     # (ties → doc_id) while the running token sum fits. Composes the

@@ -432,12 +432,27 @@ def x138_shard_export_plan(spark, sf_dir):
     aggregation on the 16-value key + a 1-row broadcast total. Integer
     discipline: shares are floor(tokens·1e6 / total) — no float until
     nothing is left to fold."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    return shard_balance_audit(
+        shard_assignments(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def shard_assignments(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, shard) for any documents frame — the stateless
+    narrow projection both the batch plan (x138) and the st48 shard
+    writer apply, shared so assignment arithmetic can never drift."""
+    return documents.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tok"),
         F.pmod(doc_hash("doc_id"), F.lit(N_EXPORT_SHARDS)).alias("shard"),
     )
-    per_shard = docs.groupBy("shard").agg(
+
+
+def shard_balance_audit(assigned: DataFrame) -> DataFrame:
+    """The per-shard balance report over an assignment frame — shared
+    verbatim by x138 and st48's drain (one code path, one arithmetic:
+    the audit→deployment discipline of the decontam family)."""
+    per_shard = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("shard_tokens"),
         F.min("doc_id").alias("min_doc_id"),

@@ -6383,3 +6383,88 @@ def run_preference_pair_stream(
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return final
+
+
+def run_shard_export_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """st48: the seeded shard plan ON INGEST — x138 deployed: shard
+    assignment is a STATELESS narrow expression (the portable seeded
+    hash), so each arriving document batch lands directly in its
+    shard-keyed output partitions (the actual training-shard write,
+    batch_id-keyed overwrite-on-replay = exactly-once) with zero
+    standing state, and the balance audit derives AT DRAIN from the
+    accumulated shard store. Stateless per-row assignment + a drain
+    aggregation over the full store ⇒ the drained audit equals the
+    batch x138 plan under ANY batching — one oracle for the plan and
+    the shard writer. Per-batch cost: one narrow projection + the
+    partitioned write; no shuffle beyond the writer's partitioning,
+    no state to maintain, replay lands in the same (batch, shard)
+    directories."""
+    import shutil
+    import time as _time
+
+    from ..plans.curation import shard_assignments, shard_balance_audit
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    workdir = tempfile.mkdtemp(prefix="kw_st48_")
+    src_dir = os.path.join(workdir, "arrivals")
+    store = os.path.join(workdir, "shards")
+    os.makedirs(src_dir)
+    t0 = int(_time.time()) - 3600
+    for i in range(n_batches):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        docs.filter(F.pmod(F.col("doc_id"), n_batches) == i).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                shard_assignments(batch)
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch", "shard")
+                .parquet(store)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
+                .writeStream.foreachBatch(one_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = shard_balance_audit(
+        spark.read.parquet(store).select("doc_id", "n_tok", "shard")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return final

@@ -279,6 +279,7 @@ PROBED_QUERIES = (
     "st47_preference_pair_stream",
     "x138_shard_export_plan",
     "x139_epoch_materialization",
+    "st48_shard_export_stream",
 )
 
 

@@ -159,6 +159,22 @@ def test_x138_shard_plan_partitions_the_corpus(spark, sf001):
     assert 1_000_000 - N_EXPORT_SHARDS <= share <= 1_000_000
 
 
+def test_st48_shard_stream_equals_batch_plan_any_batching(spark, sf001):
+    """st48's drained balance audit must equal the batch x138 plan
+    REGARDLESS of document batching — run with 3 micro-batches (not
+    the default 4 the oracle sweep exercises): assignment is
+    stateless per row and the audit derives from the full
+    accumulated store."""
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.streaming.micro_batch import (
+        run_shard_export_stream,
+    )
+
+    streamed = run_shard_export_stream(spark, sf001, n_batches=3)
+    batch = entrymod.queries()["x138_shard_export_plan"](spark, sf001)
+    assert _rows(streamed) == _rows(batch)
+
+
 def test_x139_materialization_executes_the_x137_plan(spark, sf001):
     """Execution laws vs the x137 allocation: per source, whole copies
     = alloc div size; realized tokens never exceed the allocation; the
