@@ -408,9 +408,19 @@ def doc_hash(id_col):
 
 
 def doc_hash_sql(id_expr: str) -> str:
-    """DuckDB twin of :func:`doc_hash` — identical BIGINT arithmetic."""
+    """DuckDB twin of :func:`doc_hash` — identical BIGINT arithmetic.
+
+    DuckDB's ``%`` is sign-of-dividend (-7 % 5 = -2) while the Spark
+    side uses ``pmod``, so the inner reduction is made sign-safe with
+    the ((x % P) + P) % P idiom (ADVICE r9 #1). For non-negative ids
+    (all current fixtures) the value is bit-identical to the previous
+    single-% form; for negative ids both engines now agree and the
+    result stays in [0, P) so downstream ``% 16`` shard math can never
+    go negative either.
+    """
     return (
-        f"((({id_expr}) % {SHARD_HASH_P}) * {SHARD_HASH_A} "
+        f"(((({id_expr}) % {SHARD_HASH_P}) + {SHARD_HASH_P}) "
+        f"% {SHARD_HASH_P} * {SHARD_HASH_A} "
         f"+ {SHARD_HASH_SEED}) % {SHARD_HASH_P}"
     )
 

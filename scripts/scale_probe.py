@@ -172,8 +172,12 @@ def timed(label, fn, results):
     # evaluation. Rows via a cheap second action on the (tiny,
     # checkpoint-or-result-sized) frame afterwards.
     df.write.format("noop").mode("overwrite").save()
-    n = df.count()
+    # dt is recorded at the noop write: the row count below is display
+    # metadata, and for lazy batch plans count() RE-EXECUTES the
+    # (expression-pruned) pipeline — timing it inflated absolute floors
+    # by a plan-dependent second pass (ADVICE r9 #2).
     dt = round(time.perf_counter() - t0, 2)
+    n = df.count()
     results[label] = {"sec": dt, "rows": n}
     print(f"[probe] {label}: {dt}s ({n} rows)", file=sys.stderr)
     # block-leak hygiene shared with bench.py (measured 7× inflation on
