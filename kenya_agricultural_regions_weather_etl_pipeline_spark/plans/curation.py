@@ -281,12 +281,26 @@ def mine_preference_pairs(documents: DataFrame) -> DataFrame:
     recompute-on-touch deployment (one code path, one arithmetic).
     A cohort's pairs depend ONLY on that cohort's member rows — the
     locality law that makes the mining streamable cohort-by-cohort."""
-    docs = documents.select(
-        "lang",
-        "source",
-        "doc_id",
-        T.quality_score(F.col("text")).alias("q"),
+    return mine_scored_preference_pairs(
+        documents.select(
+            "lang",
+            "source",
+            "doc_id",
+            T.quality_score(F.col("text")).alias("q"),
+        )
     )
+
+
+def mine_scored_preference_pairs(docs: DataFrame) -> DataFrame:
+    """Pair mining over an already-scored (lang, source, doc_id, q)
+    frame — the post-scoring core of :func:`mine_preference_pairs`,
+    split out (r10) so st47's recompute-on-touch deployment can score
+    each document ONCE on arrival and re-mine touched cohorts from the
+    stored score instead of re-running the two full-text regexes of
+    ``quality_score`` over the accumulated membership every batch
+    (guide §8: re-shuffle the 8-byte proxy, never the text payload).
+    ``quality_score`` is a deterministic 6-dp-rounded expression, so
+    the stored double is bit-identical to a recompute."""
     w = Window.partitionBy("lang", "source").orderBy(
         F.col("q").desc(), F.col("doc_id").asc()
     )

@@ -6257,29 +6257,42 @@ def run_preference_pair_stream(
     on that cohort's member documents, so a document batch can change
     exactly the cohorts it contains rows for. Per batch:
 
-    * arrivals append to the batch_id-keyed corpus store (each doc
-      arrives once — the accumulated store IS the corpus so far);
-    * TOUCHED cohorts = the batch's own distinct (lang, source) keys;
+    * arrivals are scored ONCE (the x7 composite quality expression —
+      two full-text regexes) and land as (lang, source, doc_id, q)
+      metadata rows in the batch_id-keyed corpus store; the text
+      payload never enters state and is never re-read (guide §8:
+      decide with small rows);
+    * TOUCHED cohorts = the batch's own distinct (lang, source) keys —
+      bounded driver-side metadata (the st14 prefix-collect
+      discipline), compiled into a partition-pruning predicate so the
+      member re-read lists only touched cohort directories;
     * ONLY touched cohorts are re-mined, over their accumulated
-      member rows, via the SAME plans.curation.mine_preference_pairs
-      builder the batch x136 runs — one code path, one arithmetic;
-    * the pairs artifact advances version-chained v{b} → v{b+1}:
-      untouched cohorts carried, touched cohorts replaced
-      (batch_id-keyed overwrite, replay-safe).
+      member rows, via plans.curation.mine_scored_preference_pairs —
+      the post-scoring core of the SAME builder the batch x136 runs
+      (one code path, one arithmetic; the stored 6-dp q is
+      bit-identical to a recompute);
+    * the pairs artifact is cohort-partitioned and advances by
+      DYNAMIC PARTITION OVERWRITE of the touched cohorts only
+      (VERDICT r9 #5): version advance costs O(touched), not
+      O(versions × cohorts), and a crash-replayed batch rewrites the
+      same partitions with the same rows — idempotent, replay-safe.
+      (A touched cohort can never transition pairs→empty: zero pairs
+      means every member q ties, and every SUBSET of an all-tied
+      cohort is all-tied too, so its partition was already empty.)
 
     A cohort touched at batches i < j is re-mined at j over the
     fuller membership; one never touched after i keeps its batch-i
     pairs, which equal the final answer because no later document
-    entered it — so the drained final version equals batch x136 on
+    entered it — so the drained pairs store equals batch x136 on
     the full corpus row-for-row (one oracle; batching invariance
     pytest-pinned at a different n_batches). Per-batch cost is the
     touched cohorts' accumulated membership — cohort-bounded, never
-    the corpus; the store is cohort-partitioned so the re-mine scan
-    prunes to touched directories."""
+    the corpus."""
     import shutil
     import time as _time
 
-    from ..plans.curation import mine_preference_pairs
+    from ..functions.text import quality_score
+    from ..plans.curation import mine_scored_preference_pairs
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -6288,76 +6301,79 @@ def run_preference_pair_stream(
     workdir = tempfile.mkdtemp(prefix="kw_st47_")
     src_dir = os.path.join(workdir, "arrivals")
     corpus_path = os.path.join(workdir, "corpus")
-    pairs_dir = os.path.join(workdir, "pairs")
+    pairs_path = os.path.join(workdir, "pairs")
     os.makedirs(src_dir)
-    os.makedirs(pairs_dir)
 
-    pair_schema = (
-        "lang string, source string, pair_rank int, chosen_id long, "
-        "rejected_id long, chosen_q double, rejected_q double, "
-        "margin double"
-    )
-    spark.createDataFrame([], pair_schema).coalesce(1).write.parquet(
-        os.path.join(pairs_dir, "v0")
-    )
-
+    # ONE staging job: all n_batches arrival files written by a single
+    # partitioned write (was n_batches sequential filter+coalesce jobs)
     t0 = int(_time.time()) - 3600
+    stage = os.path.join(workdir, "stage")
+    (
+        docs.withColumn("b", F.pmod(F.col("doc_id"), F.lit(n_batches)))
+        .repartition(n_batches, "b")
+        .write.partitionBy("b")
+        .parquet(stage)
+    )
     for i in range(n_batches):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        docs.filter(F.pmod(F.col("doc_id"), n_batches) == i).coalesce(
-            1
-        ).write.parquet(tmp)
+        bdir = os.path.join(stage, f"b={i}")
         part = next(
             p
-            for p in os.listdir(tmp)
+            for p in os.listdir(bdir)
             if p.startswith("part-") and p.endswith(".parquet")
         )
         dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
+        shutil.move(os.path.join(bdir, part), dst)
         os.utime(dst, (t0 + i, t0 + i))
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        prev_mode = sess.conf.get(
-            "spark.sql.sources.partitionOverwriteMode"
+        scored = batch.select(
+            "lang",
+            "source",
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
         )
-        try:
-            sess.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            (
-                batch.withColumn("ingest_batch", F.lit(batch_id))
-                .repartition("lang", "source")
-                .write.mode("overwrite")
-                .partitionBy("ingest_batch", "lang", "source")
-                .parquet(corpus_path)
-            )
-        finally:
-            sess.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
-        touched = (
-            batch.select("lang", "source").distinct().localCheckpoint(
-                eager=True
-            )
-        )
+        # batch_id-keyed overwrite (replay-safe), cohort-partitioned so
+        # later re-mines prune to touched directories
+        bdir = os.path.join(corpus_path, f"ingest_batch={batch_id}")
+        scored.write.partitionBy("lang", "source").mode(
+            "overwrite"
+        ).parquet(bdir)
+        # touched cohorts = the partition directories the arrival write
+        # just created — bounded metadata read off the store's own
+        # layout, zero extra Spark jobs (was a distinct().collect()
+        # re-evaluation of the batch)
+        from urllib.parse import unquote
+
+        touched = [
+            (unquote(ld[5:]), unquote(sd[7:]))
+            for ld in os.listdir(bdir)
+            if ld.startswith("lang=")
+            for sd in os.listdir(os.path.join(bdir, ld))
+            if sd.startswith("source=")
+        ]
+        pred = None
+        for lang, source in touched:
+            clause = (F.col("lang") == lang) & (F.col("source") == source)
+            pred = clause if pred is None else (pred | clause)
         members = (
             sess.read.parquet(corpus_path)
-            .join(F.broadcast(touched), ["lang", "source"])
-            .select("lang", "source", "doc_id", "text")
+            .filter(pred)
+            .select("lang", "source", "doc_id", "q")
         )
-        remined = mine_preference_pairs(members)
-        prev = sess.read.parquet(os.path.join(pairs_dir, f"v{batch_id}"))
-        carried = prev.join(
-            F.broadcast(touched), ["lang", "source"], "left_anti"
-        )
-        carried.unionByName(remined).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(pairs_dir, f"v{batch_id + 1}"))
+        # dynamic overwrite: ONLY the touched cohorts' partitions are
+        # replaced; untouched cohorts' pairs stand untouched on disk
+        mine_scored_preference_pairs(members).write.partitionBy(
+            "lang", "source"
+        ).mode("overwrite").parquet(pairs_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(docs.schema)
@@ -6373,12 +6389,22 @@ def run_preference_pair_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
 
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(pairs_dir) if d.startswith("v")
-    )
     final = (
-        spark.read.parquet(os.path.join(pairs_dir, f"v{versions[-1]}"))
+        spark.read.parquet(pairs_path)
+        .select(
+            "lang",
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q",
+            "rejected_q",
+            "margin",
+        )
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(workdir, ignore_errors=True)
