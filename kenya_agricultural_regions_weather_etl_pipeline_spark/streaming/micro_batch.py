@@ -5680,7 +5680,6 @@ def run_backfill_stream(
     final version equals the batch x132 run on the full deletion set
     row-for-row (one oracle; batching-invariance pinned by pytest at
     n_batches=5)."""
-    import glob as _glob
     import shutil
     import time as _time
 
@@ -5718,40 +5717,57 @@ def run_backfill_stream(
     ).coalesce(1).write.parquet(os.path.join(fills_dir, "v0"))
 
     # ---- the request feed: deleted BAG doc ids in range files -------
-    requests = (
-        emb.select(F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"))
+    # An erasure-request feed is REQUEST-sized by design (delta-only
+    # point probes, never corpus-scale), so the ids are bounded driver
+    # metadata: collect once and write the n_batches range files with
+    # plain file I/O — the st13 sentinel discipline. The previous
+    # shape paid 1 max-agg job + n_batches coalesce(1) write jobs +
+    # a localCheckpoint for the same bytes.
+    import json as _json
+
+    req_ids = sorted(
+        r[0]
+        for r in emb.select(
+            F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id")
+        )
         .distinct()
         .filter(F.col("doc_id") % 17 == 3)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    mx = (requests.agg(F.max("doc_id")).first()[0] or 0) + 1
+    mx = (req_ids[-1] if req_ids else 0) + 1
     now = _time.time()
     for b in range(n_batches):
         lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        requests.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        fpath = os.path.join(src, f"batch-{b}.json")
+        with open(fpath, "w") as fh:
+            for d in req_ids:
+                if lo <= d < hi:
+                    fh.write(_json.dumps({"doc_id": d}) + "\n")
+        os.utime(fpath, (now - 600 + 60 * b, now - 600 + 60 * b))
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        vec_ids = batch.select(
+        batch.select(
             F.explode(
                 F.expr(
                     "transform(sequence(0, 3), "
                     "i -> doc_id * 4 + CAST(i AS BIGINT))"
                 )
             ).alias("vec_id")
-        ).localCheckpoint(eager=True)
-        vec_ids.coalesce(1).write.mode("overwrite").parquet(
+        ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(dels_path, f"batch_id={batch_id}")
         )
+        # re-read the just-written tombstone partition: a clean lineage
+        # cut for the tiny frame without a localCheckpoint job
+        vec_ids = sess.read.parquet(
+            os.path.join(dels_path, f"batch_id={batch_id}")
+        ).select("vec_id")
         del_union = sess.read.parquet(dels_path).select("vec_id")
-        # touched = 1-hop in-reach ∪ 2-hop in-reach ∪ own deletions
+        # touched = 1-hop in-reach ∪ 2-hop in-reach ∪ own deletions —
+        # request-sized broadcast probes of the frozen edge list, all
+        # folded lazily into the single version-advance job below (the
+        # former per-hop localCheckpoints each cost a scheduled job
+        # that outweighed recomputing these bounded joins)
         hop1 = (
             graph.join(
                 F.broadcast(
@@ -5761,7 +5777,6 @@ def run_backfill_stream(
             )
             .select("src_id")
             .distinct()
-            .localCheckpoint(eager=True)
         )
         hop2 = (
             graph.join(
@@ -5776,7 +5791,6 @@ def run_backfill_stream(
             .unionByName(vec_ids.withColumnRenamed("vec_id", "src_id"))
             .distinct()
             .withColumnRenamed("src_id", "vec_id")
-            .localCheckpoint(eager=True)
         )
         fills_new = graph_backfill_fills(
             graph, emb, del_union, k=5, sources=touched
@@ -5787,9 +5801,9 @@ def run_backfill_stream(
             "src_id",
             "left_anti",
         ).unionByName(fills_new)
-        vnext.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(fills_dir, f"v{batch_id + 1}"))
+        vnext.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fills_dir, f"v{batch_id + 1}")
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
