@@ -281,6 +281,59 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFram
     return name, out
 
 
+def _stage_range_files(
+    df: DataFrame,
+    src: str,
+    cuts: list,
+    id_col: str,
+    t_base: float,
+    t_step: float,
+    fmt: str = "json",
+) -> None:
+    """Stage a backlog as one arrival file per id-range batch in ONE
+    partitioned write job (r10): batch k = rows with ``cuts[k] <=
+    id_col < cuts[k+1]``, landing as ``src/batch_k.<fmt>`` with
+    ascending mtimes ``t_base + k*t_step`` (FileStreamSource replays
+    by mtime). The previous idiom — n_batches sequential
+    filter+coalesce(1) write jobs — paid one scheduled Spark job plus
+    one full input scan PER BATCH for the same bytes. An empty range
+    still produces a (zero-row) file so the micro-batch count never
+    depends on id density."""
+    import shutil
+
+    n = len(cuts) - 1
+    b = None
+    for k in range(n - 1):
+        clause = F.col(id_col) < F.lit(cuts[k + 1])
+        b = F.when(clause, F.lit(k)) if b is None else b.when(clause, F.lit(k))
+    b = F.lit(0) if b is None else b.otherwise(F.lit(n - 1))
+    stage = src + "__stage"
+    (
+        df.withColumn("_b", b)
+        .repartition(n, "_b")
+        .write.partitionBy("_b")
+        .format(fmt)
+        .save(stage)
+    )
+    for k in range(n):
+        dst = os.path.join(src, f"batch_{k}.{fmt}")
+        bdir = os.path.join(stage, f"_b={k}")
+        part = None
+        if os.path.isdir(bdir):
+            part = next(
+                (p for p in os.listdir(bdir) if p.startswith("part-")),
+                None,
+            )
+        if part is not None:
+            shutil.move(os.path.join(bdir, part), dst)
+        elif fmt == "json":
+            open(dst, "w").close()  # empty range -> zero-row batch
+        else:
+            continue  # parquet cannot express a zero-byte file
+        os.utime(dst, (t_base + t_step * k, t_base + t_step * k))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def run_windowed_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 hour"
 ) -> DataFrame:
@@ -2314,9 +2367,19 @@ def run_streaming_near_dedup(
         )
 
     def exact_ok(pairs: DataFrame, lo_sh: DataFrame, hi_sh: DataFrame) -> DataFrame:
+        # batch-derived sides BROADCAST (r10): pairs and the batch's
+        # shingle sets are batch-bounded; without the hints (and with
+        # AQE off in-stream) the planner sort-merge-joined them against
+        # the GROWING shingle store — a full state shuffle per batch.
+        # With them the store is scanned in place, never shuffled (the
+        # same doctrine as the bucket-index probe above).
         j = (
-            pairs.join(lo_sh.withColumnRenamed("shset", "sh_a"), "id_a")
-            .join(hi_sh.withColumnRenamed("shset", "sh_b"), "id_b")
+            lo_sh.withColumnRenamed("shset", "sh_a")
+            .join(F.broadcast(pairs), "id_a")
+            .join(
+                F.broadcast(hi_sh.withColumnRenamed("shset", "sh_b")),
+                "id_b",
+            )
             .withColumn(
                 "jaccard",
                 F.size(F.array_intersect("sh_a", "sh_b"))
@@ -2337,74 +2400,68 @@ def run_streaming_near_dedup(
             .alias("bpfx"),
         )
         new_sh = feat.select("doc_id", "shset").dropDuplicates(["doc_id"])
-        # candidates vs the STANDING corpus. State ids are all smaller
-        # on a clean run (batches arrive in doc_id ranges), but the
-        # o.doc_id < n.doc_id guard is REQUIRED for replay safety: a
-        # crash between the state write and the checkpoint commit means
-        # the replayed batch finds ITS OWN rows in state — without the
-        # guard every doc self-pairs at Jaccard 1.0 and the whole batch
-        # is dropped. With it, a replayed batch reproduces its original
-        # survivors exactly (batch_id-keyed overwrite below).
-        from pyspark.errors import AnalysisException
-
-        pair_parts = []
-        try:
-            # r9 shave (VERDICT r8 #6): the standing index is laid out
-            # partitionBy(bpfx) — the probe reads ONLY the bucket-prefix
-            # directories the batch actually touches (PartitionFilters,
-            # st38b's dense-leg physical story made real for the LSH
-            # index), and the batch side is BROADCAST so standing state
-            # is scanned in place, never shuffled. Prefix list is
-            # bounded metadata (<= n_bucket_prefixes values).
-            batch_pfx = [
-                r[0]
-                for r in new_buckets.select("bpfx").distinct().collect()
-            ]
-            old_buckets = sess.read.parquet(buckets_path).filter(
-                F.col("bpfx").isin(batch_pfx)
-            )
-            pair_parts.append(
-                old_buckets.alias("o")
-                .join(
-                    F.broadcast(new_buckets).alias("n"),
-                    (F.col("o.bpfx") == F.col("n.bpfx"))
-                    & (F.col("o.band") == F.col("n.band"))
-                    & (F.col("o.bucket") == F.col("n.bucket"))
-                    & (F.col("o.doc_id") < F.col("n.doc_id")),
-                )
-                .select(
-                    F.col("o.doc_id").alias("id_a"),
-                    F.col("n.doc_id").alias("id_b"),
-                )
-            )
-            have_state = True
-        except AnalysisException:
-            have_state = False  # first batch: no standing corpus yet
-        # candidates WITHIN the batch (lower id wins)
-        pair_parts.append(
-            new_buckets.alias("a")
+        # STATE FIRST (r10): the bucket index + shingle store grow by
+        # the whole batch BEFORE the probe. The o.doc_id < n.doc_id
+        # guard already made finding your own rows in state safe (the
+        # crash-replay case below), so probing state-including-self
+        # is exactly (standing pairs ∪ in-batch pairs) in ONE join —
+        # the separate in-batch self-join, the union, the first-batch
+        # AnalysisException probe, and the shingle-store union all
+        # collapse, and the touched-prefix list is read off the bucket
+        # write's own partition directories instead of a
+        # distinct().collect() job (the st47 discipline).
+        bdir = os.path.join(buckets_path, f"batch_id={batch_id}")
+        new_buckets.write.partitionBy("bpfx").mode("overwrite").parquet(
+            bdir
+        )
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(shsets_path, f"batch_id={batch_id}")
+        )
+        # candidates vs the standing corpus (now including this batch:
+        # lower-id partners are in state or in-batch, both covered).
+        # The o.doc_id < n.doc_id guard is REQUIRED for replay safety:
+        # a crash between the state write and the checkpoint commit
+        # means the replayed batch finds ITS OWN rows in state —
+        # without the guard every doc self-pairs at Jaccard 1.0 and
+        # the whole batch is dropped. With it, a replayed batch
+        # reproduces its original survivors exactly (batch_id-keyed
+        # overwrite below).
+        #
+        # r9 shave (VERDICT r8 #6): the standing index is laid out
+        # partitionBy(bpfx) — the probe reads ONLY the bucket-prefix
+        # directories the batch actually touches (PartitionFilters,
+        # st38b's dense-leg physical story made real for the LSH
+        # index), and the batch side is BROADCAST so standing state
+        # is scanned in place, never shuffled. Prefix list is bounded
+        # metadata (<= n_bucket_prefixes values).
+        batch_pfx = [
+            int(d[5:])
+            for d in os.listdir(bdir)
+            if d.startswith("bpfx=")
+        ]
+        old_buckets = sess.read.parquet(buckets_path).filter(
+            F.col("bpfx").isin(batch_pfx)
+        )
+        pairs = (
+            old_buckets.alias("o")
             .join(
-                F.broadcast(new_buckets).alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                F.broadcast(new_buckets).alias("n"),
+                (F.col("o.bpfx") == F.col("n.bpfx"))
+                & (F.col("o.band") == F.col("n.band"))
+                & (F.col("o.bucket") == F.col("n.bucket"))
+                & (F.col("o.doc_id") < F.col("n.doc_id")),
             )
             .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
+                F.col("o.doc_id").alias("id_a"),
+                F.col("n.doc_id").alias("id_b"),
             )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        pairs = pair_parts[0]
-        for p in pair_parts[1:]:
-            pairs = pairs.unionByName(p)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-        lo_sh = new_sh.withColumnRenamed("doc_id", "id_a")
-        if have_state:
-            lo_sh = lo_sh.unionByName(
-                sess.read.parquet(shsets_path)
-                .select("doc_id", "shset")  # drop the batch_id partition col
-                .withColumnRenamed("doc_id", "id_a")
-            )
+        lo_sh = (
+            sess.read.parquet(shsets_path)
+            .select("doc_id", "shset")  # drop the batch_id partition col
+            .withColumnRenamed("doc_id", "id_a")
+        )
         dropped = exact_ok(
             pairs, lo_sh, new_sh.withColumnRenamed("doc_id", "id_b")
         ).withColumnRenamed("id_b", "doc_id").distinct()
@@ -2417,31 +2474,22 @@ def run_streaming_near_dedup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch_id={batch_id}")
         )
-        # state grows by the WHOLE batch (the drop rule references all
-        # lower ids, not just retained ones); the bucket index is laid
-        # out partitionBy(bpfx) INSIDE the batch_id partition so later
-        # batches' probes prune to their touched prefix directories
-        new_buckets.write.partitionBy("bpfx").mode("overwrite").parquet(
-            os.path.join(buckets_path, f"batch_id={batch_id}")
-        )
-        new_sh.write.mode("overwrite").parquet(
-            os.path.join(shsets_path, f"batch_id={batch_id}")
-        )
 
     try:
         # split the corpus into n_batches doc_id RANGES (arrival order =
-        # id order, which the drop rule's proof relies on)
+        # id order, which the drop rule's proof relies on) — ONE
+        # partitioned write job for all range files (was n_batches
+        # sequential filter+coalesce jobs, the st47 staging discipline)
         mx = docs.agg(F.max("doc_id")).first()[0] + 1
         now = _time.time()
-        for k in range(n_batches):
-            lo, hi = k * mx // n_batches, (k + 1) * mx // n_batches
-            docs.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.mode("append").json(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "*.json")), key=os.path.getmtime
-            )
-            os.utime(newest, (now - 600 + 60 * k, now - 600 + 60 * k))
+        _stage_range_files(
+            docs,
+            src,
+            [k * mx // n_batches for k in range(n_batches)] + [mx],
+            "doc_id",
+            now - 600,
+            60,
+        )
         stream = (
             spark.readStream.schema("doc_id long, source string, text string")
             .option("maxFilesPerTrigger", "1")
