@@ -281,35 +281,31 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFram
     return name, out
 
 
-def _stage_range_files(
+def _stage_bucketed_files(
     df: DataFrame,
     src: str,
-    cuts: list,
-    id_col: str,
+    n: int,
+    bucket,
     t_base: float,
     t_step: float,
     fmt: str = "json",
 ) -> None:
-    """Stage a backlog as one arrival file per id-range batch in ONE
-    partitioned write job (r10): batch k = rows with ``cuts[k] <=
-    id_col < cuts[k+1]``, landing as ``src/batch_k.<fmt>`` with
-    ascending mtimes ``t_base + k*t_step`` (FileStreamSource replays
-    by mtime). The previous idiom — n_batches sequential
-    filter+coalesce(1) write jobs — paid one scheduled Spark job plus
-    one full input scan PER BATCH for the same bytes. An empty range
-    still produces a (zero-row) file so the micro-batch count never
-    depends on id density."""
+    """Stage a backlog as one arrival file per batch in ONE partitioned
+    write job (r10): ``bucket`` is an int Column in [0, n) assigning
+    each row its batch; files land as ``src/batch_k.<fmt>`` with
+    ascending mtimes ``t_base + k*t_step`` (FileStreamSource replays by
+    mtime). The previous idiom — n sequential filter+coalesce(1) write
+    jobs — paid one scheduled Spark job plus one full input scan PER
+    BATCH for the same bytes. An empty json bucket still produces a
+    (zero-row) file so the micro-batch count never depends on id
+    density; parquet cannot express a zero-byte file, so an empty
+    parquet bucket is simply absent (one fewer micro-batch — identical
+    drained state either way)."""
     import shutil
 
-    n = len(cuts) - 1
-    b = None
-    for k in range(n - 1):
-        clause = F.col(id_col) < F.lit(cuts[k + 1])
-        b = F.when(clause, F.lit(k)) if b is None else b.when(clause, F.lit(k))
-    b = F.lit(0) if b is None else b.otherwise(F.lit(n - 1))
     stage = src + "__stage"
     (
-        df.withColumn("_b", b)
+        df.withColumn("_b", bucket.cast("int"))
         .repartition(n, "_b")
         .write.partitionBy("_b")
         .format(fmt)
@@ -327,11 +323,51 @@ def _stage_range_files(
         if part is not None:
             shutil.move(os.path.join(bdir, part), dst)
         elif fmt == "json":
-            open(dst, "w").close()  # empty range -> zero-row batch
+            open(dst, "w").close()  # empty bucket -> zero-row batch
         else:
-            continue  # parquet cannot express a zero-byte file
+            continue
         os.utime(dst, (t_base + t_step * k, t_base + t_step * k))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stage_id_json_files(
+    req_ids: list,
+    src: str,
+    n_batches: int,
+    mx: int,
+    t_base: float,
+    t_step: float,
+    field: str = "doc_id",
+) -> None:
+    """Driver-side staging of a BOUNDED id feed (erasure requests and
+    friends are request-sized by design, never corpus-scale): write the
+    n_batches id-range files ``src/batch_b.json`` with plain file I/O —
+    the st13 sentinel discipline. Batch b holds ids in
+    ``[b*mx//n, (b+1)*mx//n)``, bit-identical to the historical
+    filter+coalesce(1) staging that paid one Spark write job per batch
+    plus a localCheckpoint of the feed."""
+    import json as _json
+
+    for b in range(n_batches):
+        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
+        fpath = os.path.join(src, f"batch_{b}.json")
+        with open(fpath, "w") as fh:
+            for d in req_ids:
+                if lo <= d < hi:
+                    fh.write(_json.dumps({field: d}) + "\n")
+        os.utime(fpath, (t_base + t_step * b, t_base + t_step * b))
+
+
+def _range_bucket(id_col: str, cuts: list):
+    """Bucket column for id-RANGE batching: batch k = rows with
+    ``cuts[k] <= id_col < cuts[k+1]`` (a when-chain, so the cut
+    arithmetic matches the historical filter bounds bit-for-bit)."""
+    n = len(cuts) - 1
+    b = None
+    for k in range(n - 1):
+        clause = F.col(id_col) < F.lit(cuts[k + 1])
+        b = F.when(clause, F.lit(k)) if b is None else b.when(clause, F.lit(k))
+    return F.lit(0) if b is None else b.otherwise(F.lit(n - 1))
 
 
 def run_windowed_counts(
@@ -898,16 +934,9 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 deterministic arrival batches (vec_id mod 4), one parquet file
     # each, mtime-ordered (same FileStreamSource discipline as st16)
     t0 = int(_time.time()) - 3600
-    for i in range(4):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        emb, src_dir, 4, F.col("vec_id") % 4, t0, 1, fmt="parquet"
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
@@ -1019,18 +1048,15 @@ def run_knn_graph_ingest(
     # (bounded |batch|, batch COUNT growing with the corpus — the
     # per-arrival axis SURVEY §9 argues); the graded query keeps the
     # default 4, and the upsert is arrival-order-free either way.
-    for i in range(n_batches):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        emb.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.parquet(
-            tmp
-        )
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        emb,
+        src_dir,
+        n_batches,
+        F.col("vec_id") % n_batches,
+        t0,
+        1,
+        fmt="parquet",
+    )
 
     empty_graph = spark.createDataFrame(
         [], "src_id bigint, nbr_id bigint, cos_sim double, rank int"
@@ -1186,16 +1212,9 @@ def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 queries arrive in 4 mtime-ordered batches of 2 (vec_id mod 4)
     queries = emb.filter(F.col("vec_id") < 8)
     t0 = int(_time.time()) - 3600
-    for i in range(4):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        queries.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        queries, src_dir, 4, F.col("vec_id") % 4, t0, 1, fmt="parquet"
+    )
 
     def one_batch(qbatch: DataFrame, batch_id: int) -> None:
         sp = qbatch.sparkSession
@@ -1317,16 +1336,9 @@ def run_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory instead of re-scanning the embeddings parquet 4×
     queries = emb.filter(F.col("vec_id") < 8).localCheckpoint(eager=True)
     t0 = int(_time.time()) - 3600
-    for i in range(4):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        queries.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        queries, src_dir, 4, F.col("vec_id") % 4, t0, 1, fmt="parquet"
+    )
 
     def one_batch(qbatch: DataFrame, batch_id: int) -> None:
         sp = qbatch.sparkSession
@@ -1699,16 +1711,9 @@ def run_model_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(workdir, "flags")
     os.makedirs(src_dir)
     t0 = int(_time.time()) - 3600
-    for i in range(4):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        ev, src_dir, 4, F.col("event_id") % 4, t0, 1, fmt="parquet"
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
@@ -2187,12 +2192,19 @@ def run_dedup_ingest(
     final per-source survivor census has an exact DuckDB twin. At 100 TB
     the merge shuffles fingerprints + ids per batch, never full texts —
     payload stays columnar in the target."""
+    import time as _time
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     src = tempfile.mkdtemp(prefix="st12_src_")
-    for i in range(n_files):
-        docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    _stage_bucketed_files(
+        docs,
+        src,
+        n_files,
+        F.col("doc_id") % n_files,
+        _time.time() - 600,
+        1,
+        fmt="parquet",
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2482,11 +2494,12 @@ def run_streaming_near_dedup(
         # sequential filter+coalesce jobs, the st47 staging discipline)
         mx = docs.agg(F.max("doc_id")).first()[0] + 1
         now = _time.time()
-        _stage_range_files(
+        cuts = [k * mx // n_batches for k in range(n_batches)] + [mx]
+        _stage_bucketed_files(
             docs,
             src,
-            [k * mx // n_batches for k in range(n_batches)] + [mx],
-            "doc_id",
+            n_batches,
+            _range_bucket("doc_id", cuts),
             now - 600,
             60,
         )
@@ -2914,16 +2927,16 @@ def run_streaming_semantic_dedup(
         # vec_id RANGES arriving in order (mtime-ascending backlog)
         mx = mx0 + 1
         now = _time.time()
-        for b in range(n_batches):
-            lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-            emb.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "part-*.parquet")),
-                key=os.path.getmtime,
-            )
-            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        cuts = [b * mx // n_batches for b in range(n_batches)] + [mx]
+        _stage_bucketed_files(
+            emb,
+            src,
+            n_batches,
+            _range_bucket("vec_id", cuts),
+            now - 600,
+            60,
+            fmt="parquet",
+        )
         stream = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2993,10 +3006,17 @@ def run_streaming_heavy_hitters(
     src = tempfile.mkdtemp(prefix="st15_src_")
     state = tempfile.mkdtemp(prefix="st15_state_")
     try:
-        for i in range(n_files):
-            docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+        import time as _time
+
+        _stage_bucketed_files(
+            docs,
+            src,
+            n_files,
+            F.col("doc_id") % n_files,
+            _time.time() - 600,
+            1,
+            fmt="parquet",
+        )
 
         def one_batch(batch_df: DataFrame, batch_id: int) -> None:
             toks = batch_df.select(
@@ -3436,20 +3456,9 @@ def run_token_budget_stream(
     # backlog contract: past mtimes, strictly increasing)
     t0 = int(_time.time()) - 3600
     bounds = [(max_id + 1) * k // n_files for k in range(n_files + 1)]
-    for i in range(n_files):
-        part = scored.filter(
-            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
-        )
-        tmp = os.path.join(workdir, f"tmp{i}")
-        part.coalesce(1).write.json(tmp)
-        pf = next(
-            p
-            for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".json")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.json")
-        shutil.move(os.path.join(tmp, pf), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        scored, src_dir, n_files, _range_bucket("doc_id", bounds), t0, 1
+    )
 
     schema = StructType(
         [
@@ -3564,10 +3573,16 @@ def run_nb_deploy_stream(
     weights.write.mode("overwrite").parquet(os.path.join(model_dir, "w"))
     prior.write.mode("overwrite").parquet(os.path.join(model_dir, "p"))
 
-    for i in range(n_files):
-        docs.filter(F.col("doc_id") % n_files == i).select(
-            "doc_id", "text"
-        ).coalesce(1).write.mode("append").json(src_dir)
+    import time as _time
+
+    _stage_bucketed_files(
+        docs.select("doc_id", "text"),
+        src_dir,
+        n_files,
+        F.col("doc_id") % n_files,
+        _time.time() - 600,
+        1,
+    )
 
     schema = StructType(
         [
@@ -3666,10 +3681,16 @@ def run_span_index_stream(
     hits_dir = os.path.join(workdir, "hits")
     os.makedirs(src_dir)
 
-    for i in range(n_files):
-        docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
-            "append"
-        ).json(src_dir)
+    import time as _time
+
+    _stage_bucketed_files(
+        docs,
+        src_dir,
+        n_files,
+        F.col("doc_id") % n_files,
+        _time.time() - 600,
+        1,
+    )
 
     schema = StructType(
         [
@@ -3788,10 +3809,17 @@ def run_quantile_stream(
     store = os.path.join(workdir, "store")
     os.makedirs(src_dir)
 
-    for i in range(n_files):
-        li.filter(F.col("l_orderkey") % n_files == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
+    import time as _time
+
+    _stage_bucketed_files(
+        li,
+        src_dir,
+        n_files,
+        F.col("l_orderkey") % n_files,
+        _time.time() - 600,
+        1,
+        fmt="parquet",
+    )
 
     schema = StructType(
         [
@@ -3945,10 +3973,17 @@ def run_weighted_quantile_stream(
     store = os.path.join(workdir, "store")
     os.makedirs(src_dir)
 
-    for i in range(n_files):
-        li.filter(F.col("l_orderkey") % n_files == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
+    import time as _time
+
+    _stage_bucketed_files(
+        li,
+        src_dir,
+        n_files,
+        F.col("l_orderkey") % n_files,
+        _time.time() - 600,
+        1,
+        fmt="parquet",
+    )
 
     schema = StructType(
         [
@@ -4113,16 +4148,15 @@ def run_maxsim_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 query bags (doc_id 0 and 1) arrive one per micro-batch,
     # mtime-ordered — a bag is scored atomically
     t0 = int(_time.time()) - 3600
-    for i in range(2):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        vecs.filter(F.col("doc_id") == i).coalesce(1).write.parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        vecs.filter(F.col("doc_id") < 2),
+        src_dir,
+        2,
+        F.col("doc_id"),
+        t0,
+        1,
+        fmt="parquet",
+    )
 
     def one_batch(qbatch: DataFrame, batch_id: int) -> None:
         sp = qbatch.sparkSession
@@ -4215,19 +4249,8 @@ def run_late_data_audit(
     src = os.path.join(workdir, "arrivals")
     os.makedirs(src)
     t0 = int(_time.time()) - 3600
-    mx_us = None
-    for b in range(3):
-        tmp = os.path.join(workdir, f"tmp{b}")
-        part_df = ev.filter(F.col("event_id") % 3 == b)
-        if b == 0:
-            mx_us = ev.agg(F.max("ts_us")).first()[0]
-        part_df.coalesce(1).write.json(tmp)
-        part = next(
-            p for p in os.listdir(tmp) if p.startswith("part-")
-        )
-        dst = os.path.join(src, f"batch_{b}.json")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + b, t0 + b))
+    mx_us = ev.agg(F.max("ts_us")).first()[0]
+    _stage_bucketed_files(ev, src, 3, F.col("event_id") % 3, t0, 1)
     # two sentinel batches, driver-written: watermark advances at batch
     # END, so sentinel 2 is the batch sentinel 1's watermark flushes into
     for i, days in ((3, 365), (4, 366)):
@@ -4478,21 +4501,20 @@ def run_bm25_index_ingest(
 
     try:
         mx = corpus.agg(F.max("doc_id")).first()[0] + 1
-        import glob as _glob
         import time as _time
 
         now = _time.time()
-        for b in range(n_batches):
-            lo = 5 + b * (mx - 5) // n_batches
-            hi = 5 + (b + 1) * (mx - 5) // n_batches
-            corpus.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.mode("append").json(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "*.json")),
-                key=os.path.getmtime,
-            )
-            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        cuts = [
+            5 + b * (mx - 5) // n_batches for b in range(n_batches)
+        ] + [mx]
+        _stage_bucketed_files(
+            corpus,
+            src,
+            n_batches,
+            _range_bucket("doc_id", cuts),
+            now - 600,
+            60,
+        )
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
@@ -4636,20 +4658,18 @@ def run_hybrid_serve_stream(
     )
 
     # ---- query arrivals: 5 query docs in n_batches files ------------
-    import glob as _glob
     import time as _time
 
-    queries = docs.filter(F.col("doc_id") < 5).localCheckpoint(eager=True)
+    queries = docs.filter(F.col("doc_id") < 5)
     now = _time.time()
-    for b in range(n_batches):
-        queries.filter(F.col("doc_id") % n_batches == b).coalesce(
-            1
-        ).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_bucketed_files(
+        queries,
+        src,
+        n_batches,
+        F.col("doc_id") % n_batches,
+        now - 600,
+        60,
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -4850,20 +4870,18 @@ def run_hybrid_serve_pruned(
     ).localCheckpoint(eager=True)
 
     # ---- query arrivals: 5 query docs in n_batches files ------------
-    import glob as _glob
     import time as _time
 
-    queries = docs.filter(F.col("doc_id") < 5).localCheckpoint(eager=True)
+    queries = docs.filter(F.col("doc_id") < 5)
     now = _time.time()
-    for b in range(n_batches):
-        queries.filter(F.col("doc_id") % n_batches == b).coalesce(
-            1
-        ).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_bucketed_files(
+        queries,
+        src,
+        n_batches,
+        F.col("doc_id") % n_batches,
+        now - 600,
+        60,
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5043,24 +5061,17 @@ def run_erasure_request_stream(
     v0.coalesce(1).write.parquet(os.path.join(gstate_dir, "v0"))
 
     # ---- the request feed: deletion ids in n_batches range files ---
-    import glob as _glob
     import time as _time
 
-    requests = docs.select("doc_id").filter(
-        F.col("doc_id") % 17 == 3
-    ).localCheckpoint(eager=True)
+    req_ids = sorted(
+        r[0]
+        for r in docs.select("doc_id")
+        .filter(F.col("doc_id") % 17 == 3)
+        .collect()
+    )
     mx = docs.agg(F.max("doc_id")).first()[0] + 1
     now = _time.time()
-    for b in range(n_batches):
-        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        requests.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_id_json_files(req_ids, src, n_batches, mx, now - 600, 60)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5214,24 +5225,17 @@ def run_index_erasure_stream(
     ).coalesce(1).write.parquet(os.path.join(dict_dir, "v0"))
 
     # ---- the request feed: deleted corpus ids in range files -------
-    import glob as _glob
     import time as _time
 
-    requests = corpus.select("doc_id").filter(
-        F.col("doc_id") % 17 == 3
-    ).localCheckpoint(eager=True)
+    req_ids = sorted(
+        r[0]
+        for r in corpus.select("doc_id")
+        .filter(F.col("doc_id") % 17 == 3)
+        .collect()
+    )
     mx = docs.agg(F.max("doc_id")).first()[0] + 1
     now = _time.time()
-    for b in range(n_batches):
-        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        requests.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_id_json_files(req_ids, src, n_batches, mx, now - 600, 60)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5390,28 +5394,18 @@ def run_cell_erasure_stream(
     import glob as _glob
     import time as _time
 
-    requests = (
-        vecs.select(
+    req_ids = sorted(
+        r[0]
+        for r in vecs.select(
             F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id")
         )
         .distinct()
         .filter(F.col("doc_id") % 17 == 3)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    mx = (
-        requests.agg(F.max("doc_id")).first()[0] or 0
-    ) + 1
+    mx = (req_ids[-1] if req_ids else 0) + 1
     now = _time.time()
-    for b in range(n_batches):
-        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        requests.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_id_json_files(req_ids, src, n_batches, mx, now - 600, 60)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5566,25 +5560,17 @@ def run_graph_erasure_stream(
     ).coalesce(1).write.parquet(os.path.join(deg_dir, "v0"))
 
     # ---- the request feed: deleted BAG doc ids in range files -------
-    requests = (
-        load_table(spark, sf_dir, "embeddings")
+    req_ids = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "embeddings")
         .select(F.expr("CAST(vec_id DIV 4 AS BIGINT)").alias("doc_id"))
         .distinct()
         .filter(F.col("doc_id") % 17 == 3)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    mx = (requests.agg(F.max("doc_id")).first()[0] or 0) + 1
+    mx = (req_ids[-1] if req_ids else 0) + 1
     now = _time.time()
-    for b in range(n_batches):
-        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        requests.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").json(src)
-        newest = max(
-            _glob.glob(os.path.join(src, "*.json")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_id_json_files(req_ids, src, n_batches, mx, now - 600, 60)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5771,8 +5757,6 @@ def run_backfill_stream(
     # plain file I/O — the st13 sentinel discipline. The previous
     # shape paid 1 max-agg job + n_batches coalesce(1) write jobs +
     # a localCheckpoint for the same bytes.
-    import json as _json
-
     req_ids = sorted(
         r[0]
         for r in emb.select(
@@ -5784,14 +5768,7 @@ def run_backfill_stream(
     )
     mx = (req_ids[-1] if req_ids else 0) + 1
     now = _time.time()
-    for b in range(n_batches):
-        lo, hi = b * mx // n_batches, (b + 1) * mx // n_batches
-        fpath = os.path.join(src, f"batch-{b}.json")
-        with open(fpath, "w") as fh:
-            for d in req_ids:
-                if lo <= d < hi:
-                    fh.write(_json.dumps({"doc_id": d}) + "\n")
-        os.utime(fpath, (now - 600 + 60 * b, now - 600 + 60 * b))
+    _stage_id_json_files(req_ids, src, n_batches, mx, now - 600, 60)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -5971,21 +5948,21 @@ def run_media_dedup_ingest(
     from pyspark.sql import Window
 
     try:
-        import glob as _glob
         import time as _time
 
         now = _time.time()
-        for b in range(n_batches):
-            lo = b * n_assets // n_batches
-            hi = (b + 1) * n_assets // n_batches
-            media.filter(
-                (F.col("asset_id") >= lo) & (F.col("asset_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "*.parquet")),
-                key=os.path.getmtime,
-            )
-            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        cuts = [
+            b * n_assets // n_batches for b in range(n_batches)
+        ] + [n_assets]
+        _stage_bucketed_files(
+            media,
+            src,
+            n_batches,
+            _range_bucket("asset_id", cuts),
+            now - 600,
+            60,
+            fmt="parquet",
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         with tempfile.TemporaryDirectory() as ckpt:
@@ -6135,21 +6112,21 @@ def run_mixed_media_dedup_ingest(
         )
 
     try:
-        import glob as _glob
         import time as _time
 
         now = _time.time()
-        for b in range(n_batches):
-            lo = b * n_assets // n_batches
-            hi = (b + 1) * n_assets // n_batches
-            media.filter(
-                (F.col("asset_id") >= lo) & (F.col("asset_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            newest = max(
-                _glob.glob(os.path.join(src, "*.parquet")),
-                key=os.path.getmtime,
-            )
-            os.utime(newest, (now - 600 + 60 * b, now - 600 + 60 * b))
+        cuts = [
+            b * n_assets // n_batches for b in range(n_batches)
+        ] + [n_assets]
+        _stage_bucketed_files(
+            media,
+            src,
+            n_batches,
+            _range_bucket("asset_id", cuts),
+            now - 600,
+            60,
+            fmt="parquet",
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         with tempfile.TemporaryDirectory() as ckpt:
@@ -6246,19 +6223,15 @@ def run_decontamination_ingest(
     partials_path = os.path.join(workdir, "partials")
     os.makedirs(src_dir)
     t0 = int(_time.time()) - 3600
-    for i in range(n_batches):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        train.filter(F.col("slice") == i).drop("slice").coalesce(
-            1
-        ).write.parquet(tmp)
-        part = next(
-            p
-            for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        train.drop("slice"),
+        src_dir,
+        n_batches,
+        F.pmod(F.col("train_id"), F.lit(n_batches)),
+        t0,
+        1,
+        fmt="parquet",
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
@@ -6369,23 +6342,15 @@ def run_preference_pair_stream(
     # ONE staging job: all n_batches arrival files written by a single
     # partitioned write (was n_batches sequential filter+coalesce jobs)
     t0 = int(_time.time()) - 3600
-    stage = os.path.join(workdir, "stage")
-    (
-        docs.withColumn("b", F.pmod(F.col("doc_id"), F.lit(n_batches)))
-        .repartition(n_batches, "b")
-        .write.partitionBy("b")
-        .parquet(stage)
+    _stage_bucketed_files(
+        docs,
+        src_dir,
+        n_batches,
+        F.pmod(F.col("doc_id"), F.lit(n_batches)),
+        t0,
+        1,
+        fmt="parquet",
     )
-    for i in range(n_batches):
-        bdir = os.path.join(stage, f"b={i}")
-        part = next(
-            p
-            for p in os.listdir(bdir)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(bdir, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -6503,19 +6468,15 @@ def run_shard_export_stream(
     store = os.path.join(workdir, "shards")
     os.makedirs(src_dir)
     t0 = int(_time.time()) - 3600
-    for i in range(n_batches):
-        tmp = os.path.join(workdir, f"tmp{i}")
-        docs.filter(F.pmod(F.col("doc_id"), n_batches) == i).coalesce(
-            1
-        ).write.parquet(tmp)
-        part = next(
-            p
-            for p in os.listdir(tmp)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    _stage_bucketed_files(
+        docs,
+        src_dir,
+        n_batches,
+        F.pmod(F.col("doc_id"), F.lit(n_batches)),
+        t0,
+        1,
+        fmt="parquet",
+    )
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
