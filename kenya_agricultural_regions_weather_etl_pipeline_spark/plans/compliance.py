@@ -754,36 +754,45 @@ def x133_repair_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "nbr_id")
         .join(audit, "src_id")
     )
-    reb = rebuild.groupBy("src_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rebuild")
-    )
-    rep = repaired.groupBy("src_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_repaired")
-    )
-    ov = (
-        repaired.join(rebuild, ["src_id", "nbr_id"])
-        .groupBy("src_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-    )
-    return (
-        audit.join(reb, "src_id")
-        .join(rep, "src_id", "left")
-        .join(ov, "src_id", "left")
-        .select(
-            "src_id",
-            F.coalesce(F.col("n_repaired"), F.lit(0).cast("long")).alias(
-                "n_repaired"
-            ),
-            "n_rebuild",
-            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
-                "n_overlap"
-            ),
-            F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).cast(
-                    "double"
-                )
-                / F.col("n_rebuild"),
-                6,
-            ).alias("repair_recall"),
+    # ONE full-outer edge join + ONE aggregation (r10): the previous
+    # three-legged tail (count repaired, count rebuild, count overlap,
+    # then re-join all three onto audit) referenced `repaired` and
+    # `rebuild` twice each — and each reference re-evaluated its
+    # expensive producer (x132's backfill chain; the N·√N ground-truth
+    # knn_graph rebuild). Both edge sets are unique on (src_id,
+    # nbr_id), so membership flags + sums reproduce the three counts
+    # bit-for-bit, with each leg evaluated exactly once. The inner
+    # audit⋈reb join of the old tail is the n_rebuild > 0 filter here
+    # (both legs are already audit-restricted, so no re-join needed).
+    j = (
+        repaired.withColumn("in_rep", F.lit(1))
+        .join(
+            rebuild.withColumn("in_reb", F.lit(1)),
+            ["src_id", "nbr_id"],
+            "full_outer",
         )
+        .groupBy("src_id")
+        .agg(
+            F.sum(F.coalesce(F.col("in_rep"), F.lit(0)))
+            .cast("long")
+            .alias("n_repaired"),
+            F.sum(F.coalesce(F.col("in_reb"), F.lit(0)))
+            .cast("long")
+            .alias("n_rebuild"),
+            F.sum(
+                F.coalesce(F.col("in_rep"), F.lit(0))
+                * F.coalesce(F.col("in_reb"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    return j.filter(F.col("n_rebuild") > 0).select(
+        "src_id",
+        "n_repaired",
+        "n_rebuild",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("n_rebuild"), 6
+        ).alias("repair_recall"),
     )
