@@ -276,30 +276,47 @@ def x127_erasure_cell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_topk(docs: DataFrame, pooled: DataFrame, keep) -> DataFrame:
+def _hybrid_topk(tf_all, q_all, pooled, keep) -> DataFrame:
     """x121's hybrid path (BM25 top-20 + pooled cosine top-20 → RRF
     top-10) over a ``keep``-filtered corpus/query universe — the
-    pre/post legs of x129. ``keep`` is a Column predicate on doc_id;
-    F.lit(True) reproduces x121 exactly (same operators, same
-    values). ``pooled`` is the (doc_id, pv) store — x129 materializes
-    it ONCE and both legs read it, the way a deployment reads its
-    stored pooled table."""
+    pre/post legs of x129. ``keep`` is a callable id-Column →
+    boolean-Column; ``lambda c: F.lit(True)`` reproduces x121 exactly
+    (same operators, same values).
+
+    r10 shape: the legs share MATERIALIZED artifacts instead of
+    re-deriving them — ``tf_all`` (the full corpus posting index) and
+    ``q_all`` (the query term bags), tokenized ONCE by the caller.
+    Posting rows are per-doc, so ``doc_postings(filtered corpus) ==
+    tf_all.filter(keep)`` row-for-row, and dl/df/stats derived from
+    the filtered index bind the identical doubles the old
+    per-leg ``bm25_topk`` did — each leg now pays a filter + the
+    scoring join, never a second corpus tokenization. ``pooled`` is
+    the (doc_id, pv) store, likewise materialized once."""
     from ..operators.retrieval import (
-        bm25_topk,
+        bm25_score_index,
         pooled_cosine_topk,
         rrf_fuse,
     )
 
-    corpus = docs.filter((F.col("doc_id") >= 5) & keep).select(
-        "doc_id", "text"
+    tf = tf_all.filter(keep(F.col("doc_id")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
-    queries = docs.filter((F.col("doc_id") < 5) & keep).select(
-        F.col("doc_id").alias("query_id"), "text"
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
     )
-    sparse = bm25_topk(corpus, queries, k=20)
+    sparse = bm25_score_index(
+        q_all.filter(keep(F.col("query_id"))), tf, dfc, dl, stats, 20
+    )
     dense = pooled_cosine_topk(
-        pooled.filter((F.col("doc_id") >= 5) & keep),
-        pooled.filter((F.col("doc_id") < 5) & keep).select(
+        pooled.filter(
+            (F.col("doc_id") >= 5) & keep(F.col("doc_id"))
+        ),
+        pooled.filter(
+            (F.col("doc_id") < 5) & keep(F.col("doc_id"))
+        ).select(
             F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
         ),
         k=20,
@@ -327,19 +344,33 @@ def x129_post_erasure_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join — nothing corpus-sized beyond the index scans; the
     BM25 leg's stats (N, df, avgdl) legitimately shift with the
     corpus, which is exactly why serving deltas need auditing."""
-    from ..operators.retrieval import mean_pooled_bags
+    from ..operators.retrieval import (
+        doc_postings,
+        mean_pooled_bags,
+        query_terms,
+    )
 
-    deleted = F.col("doc_id") % 17 == 3
     docs = load_table(spark, sf_dir, "documents")
     pooled = mean_pooled_bags(
         load_table(spark, sf_dir, "embeddings")
     ).localCheckpoint(eager=True)
-    old = _hybrid_topk(docs, pooled, F.lit(True)).select(
-        "query_id", "doc_id", F.col("rank").alias("old_rank")
-    )
-    new = _hybrid_topk(docs, pooled, ~deleted).select(
-        "query_id", "doc_id", F.col("rank").alias("new_rank")
-    )
+    # tokenize ONCE (r10): postings and query bags are per-doc facts
+    # independent of corpus membership, so both hybrid legs filter the
+    # same materialized artifacts instead of re-tokenizing the corpus
+    tf_all = doc_postings(
+        docs.filter(F.col("doc_id") >= 5)
+    ).localCheckpoint(eager=True)
+    q_all = query_terms(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+    ).localCheckpoint(eager=True)
+    old = _hybrid_topk(
+        tf_all, q_all, pooled, lambda c: F.lit(True)
+    ).select("query_id", "doc_id", F.col("rank").alias("old_rank"))
+    new = _hybrid_topk(
+        tf_all, q_all, pooled, lambda c: ~(c % 17 == 3)
+    ).select("query_id", "doc_id", F.col("rank").alias("new_rank"))
     j = old.join(new, ["query_id", "doc_id"], "full_outer")
     status = (
         F.when(
