@@ -74,6 +74,13 @@ SHARD_HASH_A = 2_654_435_761
 SHARD_HASH_SEED = 42
 N_EXPORT_SHARDS = 16
 
+# x139's two-phase remainder fill: hash-range buckets per source for
+# the histogram phase (guide §2.5). The crossing-bucket window then
+# holds ~|source|/REMAINDER_BUCKETS rows instead of |source| — the
+# knob that keeps a dominant source from serializing one window task.
+# Purely physical: any value ≥ 1 yields the identical admitted set.
+REMAINDER_BUCKETS = 512
+
 
 def _decontam_split(spark: SparkSession, sf_dir: str):
     """(eval, train) embedding frames for the decontamination family.
@@ -531,19 +538,88 @@ def x139_epoch_materialization(spark, sf_dir):
     ).withColumn(
         "remainder", F.col("alloc_tokens") % F.col("sz_tokens")
     )
-    w = (
+    # TWO-PHASE prefix sum for the greedy remainder fill (r10, guide
+    # §2.5 / VERDICT r9 #4): the direct form — one running-sum window
+    # partitioned by source — puts a source's ENTIRE doc set in one
+    # window partition, so a dominant source serializes the job at
+    # 100 TB. Instead: (1) histogram the hash axis into
+    # REMAINDER_BUCKETS range buckets per source (bucket order ==
+    # hash order, so the greedy prefix is bucket-monotone: running
+    # token sums are non-decreasing, hence the admitted set is a
+    # prefix and every bucket is either fully in, fully out, or THE
+    # one crossing bucket); (2) take whole buckets from the tiny
+    # histogram; (3) run the row-level window ONLY inside each
+    # source's crossing bucket, offset by the histogram prefix — the
+    # window partition shrinks from |source| to |source|/buckets.
+    # Inclusion set is identical row-for-row, so counts and sums are
+    # bit-equal to the direct window (same integer arithmetic).
+    bw = SHARD_HASH_P // REMAINDER_BUCKETS + 1
+    j2 = j.withColumn("bkt", F.expr(f"h div {bw}"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        j2.groupBy("source", "bkt")
+        .agg(
+            F.sum("n_tok").cast("long").alias("bt"),
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.min("remainder").alias("remainder"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0).cast("long")),
+        )
+        .withColumn("cum_through", F.col("cum_before") + F.col("bt"))
+    )
+    full = (
+        hist.filter(F.col("cum_through") <= F.col("remainder"))
+        .groupBy("source")
+        .agg(
+            F.sum("bn").cast("bigint").alias("full_docs"),
+            F.sum("bt").cast("long").alias("full_tokens"),
+        )
+    )
+    crossing = hist.filter(
+        (F.col("cum_before") <= F.col("remainder"))
+        & (F.col("cum_through") > F.col("remainder"))
+    ).select("source", "bkt", "cum_before")
+    wp = (
         Window.partitionBy("source")
         .orderBy(F.col("h").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = j.withColumn("cum_tok", F.sum("n_tok").over(w))
-    extra = (
-        ranked.filter(F.col("cum_tok") <= F.col("remainder"))
+    partial = (
+        j2.join(F.broadcast(crossing), ["source", "bkt"])
+        .withColumn(
+            "cum_tok", F.col("cum_before") + F.sum("n_tok").over(wp)
+        )
+        .filter(F.col("cum_tok") <= F.col("remainder"))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_extra_docs"),
-            F.sum("n_tok").cast("long").alias("extra_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("part_docs"),
+            F.sum("n_tok").cast("long").alias("part_tokens"),
         )
+    )
+    extra = (
+        full.join(partial, "source", "full_outer")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("full_docs"), F.lit(0))
+                + F.coalesce(F.col("part_docs"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_extra_docs"),
+            (
+                F.coalesce(F.col("full_tokens"), F.lit(0))
+                + F.coalesce(F.col("part_tokens"), F.lit(0))
+            )
+            .cast("long")
+            .alias("extra_tokens"),
+        )
+        .filter(F.col("n_extra_docs") > 0)
     )
     base = j.groupBy(
         "source", "sz_tokens", "alloc_tokens", "n_full"

@@ -110,13 +110,32 @@ def _events_normalize_ts(df: DataFrame, unit_if_raw: str = "ns") -> DataFrame:
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# (session, path, table) → lazy DataFrame memo (r10). Building a
+# reader costs ~130 ms per call (13 runtime-conf py4j roundtrips +
+# file listing + footer/schema resolution) and the bench's 367 queries
+# call load_table 1-3× each — ~1 min of pure plan-construction
+# overhead per bench run. A DataFrame is an immutable LAZY plan:
+# handing the same object back re-resolves nothing, while every action
+# on it still scans the parquet from scratch (no .cache(), no result
+# reuse — this memoizes the plan object only). Values hold a strong
+# session ref so a recycled id() can never alias a different live
+# session; the `is` check makes the key exact.
+_DF_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ
-    + raw ``ts_ns``."""
+    + raw ``ts_ns``. Memoized per (session, path, table) — see
+    ``_DF_MEMO``; the returned frame is a lazy plan, never cached data."""
+    key = (id(spark), os.path.realpath(sf_dir), name)
+    hit = _DF_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _events_normalize_ts(df)
+    _DF_MEMO[key] = (spark, df)
     return df
 
 

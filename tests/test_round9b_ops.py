@@ -207,6 +207,80 @@ def test_x139_materialization_executes_the_x137_plan(spark, sf001):
         assert r["fidelity_ppm"] == expected_ppm <= 1_000_000
 
 
+def test_x139_two_phase_remainder_fill_equals_direct_window_on_skew(
+    spark, tmp_path
+):
+    """The r10 two-phase prefix sum (bucket histogram + crossing-bucket
+    window, guide §2.5) must admit EXACTLY the rows the direct
+    source-partitioned running-sum window admits — proven on a
+    deliberately skewed corpus (one source = 90% of documents, the
+    case the two-phase shape exists for) by recomputing the remainder
+    fill with the direct window and comparing n_extra_docs /
+    extra_tokens per source."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import Window
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (
+        text as T,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.plans.curation import (
+        doc_hash,
+    )
+
+    # skewed synthetic corpus: 900 docs in 'dominant', 50+50 elsewhere
+    rows = [
+        (i, "dominant" if i < 900 else ("tail_a" if i < 950 else "tail_b"),
+         "tok " * (1 + i % 7))
+        for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "skewsf")
+    import os as _os
+
+    _os.makedirs(sf)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in entrymod.queries()["x139_epoch_materialization"](
+            spark, sf
+        ).collect()
+    }
+    # direct-window recompute (the pre-r10 shape == the oracle's shape)
+    alloc = entrymod.queries()["x137_unimax_allocation"](spark, sf).select(
+        "source", "sz_tokens", "alloc_tokens"
+    )
+    j = (
+        docs.select(
+            "source",
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tok"),
+            doc_hash("doc_id").alias("h"),
+        )
+        .join(F.broadcast(alloc), "source")
+        .withColumn("remainder", F.col("alloc_tokens") % F.col("sz_tokens"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    direct = {
+        r["source"]: r
+        for r in j.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= F.col("remainder"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_extra_docs"),
+            F.sum("n_tok").alias("extra_tokens"),
+        )
+        .collect()
+    }
+    assert set(out) >= set(direct)
+    for src, r in out.items():
+        d = direct.get(src)
+        assert r["n_extra_docs"] == (d["n_extra_docs"] if d else 0), src
+        assert r["extra_tokens"] == (d["extra_tokens"] if d else 0), src
+
+
 def test_x137_unimax_conservation_and_cap_laws(spark, sf001):
     """UniMax allocation laws: (a) no source exceeds the epoch cap;
     (b) every allocation is non-negative; (c) total allocated ≤ the
