@@ -670,9 +670,13 @@ def run_left_outer_attribution(
     src = tempfile.mkdtemp(prefix="kw_st13_")
     try:
         now = _time.time()
+        # r10 transport: parquet, not JSON — BOTH stream sides parse
+        # the full backlog per micro-batch, and columnar decode of the
+        # 4 narrow columns is far cheaper than re-parsing 100k JSON
+        # lines twice per batch. Same rows, same mtime choreography.
         if n_real_batches <= 1:
-            ev.coalesce(1).write.mode("overwrite").json(src)
-            real_files = set(_glob.glob(os.path.join(src, "*.json")))
+            ev.coalesce(1).write.mode("overwrite").parquet(src)
+            real_files = set(_glob.glob(os.path.join(src, "*.parquet")))
             for f in real_files:
                 os.utime(f, (now - 600, now - 600))
         else:
@@ -689,8 +693,8 @@ def run_left_outer_attribution(
             for k in range(n_real_batches):
                 ev.filter(
                     (F.col("t_us") >= cuts[k]) & (F.col("t_us") < cuts[k + 1])
-                ).coalesce(1).write.mode("append").json(src)
-                new = set(_glob.glob(os.path.join(src, "*.json"))) - seen
+                ).coalesce(1).write.mode("append").parquet(src)
+                new = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
                 for f in new:
                     os.utime(f, (now - 900 + 30 * k, now - 900 + 30 * k))
                 seen |= new
@@ -702,26 +706,35 @@ def run_left_outer_attribution(
         # a single sentinel leaves the final windows' null rows stuck
         # in state (observed: exactly the last-click rows missing).
         # Sentinel 2 is the batch sentinel 1's watermark flushes into.
-        # Each sentinel is 2 rows — written driver-side (a Spark write
-        # job per sentinel would cost ~1-2 s of commit overhead each).
-        import json as _json
+        # Each sentinel is 2 rows — written driver-side with pyarrow (a
+        # Spark write job per sentinel would cost ~1-2 s of commit
+        # overhead each).
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
 
+        _sent_schema = _pa.schema(
+            [
+                _pa.field("event_id", _pa.int64()),
+                _pa.field("user_id", _pa.int64()),
+                _pa.field("event_type", _pa.string()),
+                _pa.field("t_us", _pa.int64()),
+            ]
+        )
         for i, hours in enumerate((3, 6)):
             sent_us = max_us + hours * 3600 * 1_000_000
-            fpath = os.path.join(src, f"sentinel-{i}.json")
-            with open(fpath, "w") as fh:
-                for eid, etype in ((-2 * i - 1, "click"), (-2 * i - 2, "purchase")):
-                    fh.write(
-                        _json.dumps(
-                            {
-                                "event_id": eid,
-                                "user_id": -1,
-                                "event_type": etype,
-                                "t_us": sent_us,
-                            }
-                        )
-                        + "\n"
-                    )
+            fpath = os.path.join(src, f"sentinel-{i}.parquet")
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "event_id": [-2 * i - 1, -2 * i - 2],
+                        "user_id": [-1, -1],
+                        "event_type": ["click", "purchase"],
+                        "t_us": [sent_us, sent_us],
+                    },
+                    schema=_sent_schema,
+                ),
+                fpath,
+            )
             os.utime(fpath, (now - 400 + 200 * i, now - 400 + 200 * i))
 
         schema = StructType(
@@ -737,8 +750,8 @@ def run_left_outer_attribution(
             return (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "1")
-                .option("pathGlobFilter", "*.json")
-                .json(src)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src)
                 .withColumn("ts", F.timestamp_micros(F.col("t_us")))
             )
 
@@ -2495,6 +2508,9 @@ def run_streaming_near_dedup(
         mx = docs.agg(F.max("doc_id")).first()[0] + 1
         now = _time.time()
         cuts = [k * mx // n_batches for k in range(n_batches)] + [mx]
+        # parquet transport (r10): each batch re-reads only its own
+        # file, but the TEXT payload dominates the bytes — columnar
+        # decode beats re-parsing JSON lines of full documents
         _stage_bucketed_files(
             docs,
             src,
@@ -2502,12 +2518,13 @@ def run_streaming_near_dedup(
             _range_bucket("doc_id", cuts),
             now - 600,
             60,
+            fmt="parquet",
         )
         stream = (
             spark.readStream.schema("doc_id long, source string, text string")
             .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.json")
-            .json(src)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -2733,30 +2750,20 @@ def run_containment_ingest(
         # doc_id ranges, and the move loop assigns ascending mtimes so
         # maxFilesPerTrigger=1 replays arrival order.
         bounds = [k * mx // n_batches for k in range(n_batches + 1)]
-        b_col = F.lit(n_batches - 1)
-        for k in range(n_batches - 1, 0, -1):
-            b_col = F.when(F.col("doc_id") < bounds[k], k - 1).otherwise(
-                b_col
-            )
-        staging = os.path.join(state, "staging")
-        (
-            docs.withColumn("b", b_col)
-            .repartition(n_batches, "b")
-            .write.partitionBy("b")
-            .json(staging)
+        _stage_bucketed_files(
+            docs,
+            src,
+            n_batches,
+            _range_bucket("doc_id", bounds),
+            now - 600,
+            60,
+            fmt="parquet",
         )
-        for k in range(n_batches):
-            parts = _glob.glob(os.path.join(staging, f"b={k}", "*.json"))
-            if not parts:  # empty doc_id range: no batch file
-                continue
-            dst = os.path.join(src, f"batch_{k}.json")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
         stream = (
             spark.readStream.schema("doc_id long, source string, text string")
             .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.json")
-            .json(src)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
         )
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
@@ -3582,6 +3589,7 @@ def run_nb_deploy_stream(
         F.col("doc_id") % n_files,
         _time.time() - 600,
         1,
+        fmt="parquet",
     )
 
     schema = StructType(
@@ -3607,8 +3615,8 @@ def run_nb_deploy_stream(
             q = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "1")
-                .option("pathGlobFilter", "*.json")
-                .json(src_dir)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
                 .writeStream.foreachBatch(one_batch)
                 .outputMode("update")
                 .option("checkpointLocation", ckpt)
@@ -3690,6 +3698,7 @@ def run_span_index_stream(
         F.col("doc_id") % n_files,
         _time.time() - 600,
         1,
+        fmt="parquet",
     )
 
     schema = StructType(
@@ -3726,8 +3735,8 @@ def run_span_index_stream(
             q = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "1")
-                .option("pathGlobFilter", "*.json")
-                .json(src_dir)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src_dir)
                 .writeStream.foreachBatch(one_batch)
                 .outputMode("update")
                 .option("checkpointLocation", ckpt)
@@ -4514,12 +4523,13 @@ def run_bm25_index_ingest(
             _range_bucket("doc_id", cuts),
             now - 600,
             60,
+            fmt="parquet",
         )
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.json")
-            .json(src)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
