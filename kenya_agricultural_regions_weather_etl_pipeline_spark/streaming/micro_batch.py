@@ -6245,31 +6245,33 @@ def run_decontamination_ingest(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
-        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
         # A file-source micro-batch arrives as ONE input split; the
         # eval×batch pair pass is embarrassingly parallel, so spread
         # the batch across the executor cores BEFORE the broadcast
         # join (on a cluster a batch is already many splits — this
-        # just restores that shape at local[32]).
+        # just restores that shape at local[32]). The repartition runs
+        # inside the single partials-write job — the former eager
+        # localCheckpoint of the spread batch was one extra scheduled
+        # job per batch for rows used exactly once (r10).
         fanout = max(2, sp.sparkContext.defaultParallelism)
-        spread = batch.repartition(fanout, "train_id").localCheckpoint(
-            eager=True
+        spread = batch.repartition(fanout, "train_id")
+        (
+            decontam_partials(spread, ev)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(partials_path)
         )
-        try:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (
-                decontam_partials(spread, ev)
-                .withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("ingest_batch")
-                .parquet(partials_path)
-            )
-        finally:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # dynamic overwrite set ONCE on the stream's parent session —
+        # micro-batch session clones inherit it (the st47 discipline)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(train.drop("slice").schema)
@@ -6285,6 +6287,9 @@ def run_decontamination_ingest(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
 
     final = merge_decontam(
         spark.read.parquet(partials_path).drop("ingest_batch")
