@@ -5085,15 +5085,19 @@ def run_erasure_request_stream(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        pairs = (
+        (
             batch.select("doc_id")
             .join(membership, "doc_id")
             .select("fp", "doc_id")
-            .localCheckpoint(eager=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tombs_path, f"batch_id={batch_id}"))
         )
-        pairs.coalesce(1).write.mode("overwrite").parquet(
+        # re-read the just-written tombstone partition — a clean
+        # lineage cut without the former eager-localCheckpoint job
+        pairs = sess.read.parquet(
             os.path.join(tombs_path, f"batch_id={batch_id}")
-        )
+        ).select("fp", "doc_id")
         affected = pairs.select("fp").distinct()
         # tombs_path always exists here — this batch wrote its own
         # batch_id partition just above, so the read cannot fail even
@@ -5128,9 +5132,11 @@ def run_erasure_request_stream(
         new_state = prev.join(affected, "fp", "left_anti").unionByName(
             recomputed
         )
-        new_state.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(gstate_dir, f"v{batch_id + 1}"))
+        # reads v{b}, writes v{b+1} — no self-overwrite, so the former
+        # pre-write localCheckpoint was a pure extra job
+        new_state.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(gstate_dir, f"v{batch_id + 1}")
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -5249,7 +5255,7 @@ def run_index_erasure_stream(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        dropped = (
+        (
             batch.select("doc_id")
             .join(postings, "doc_id")
             .groupBy("term")
@@ -5257,11 +5263,15 @@ def run_index_erasure_stream(
                 F.count(F.lit(1)).cast("long").alias("dropped_postings"),
                 F.sum("tf").cast("long").alias("dropped_tokens"),
             )
-            .localCheckpoint(eager=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_path, f"batch_id={batch_id}"))
         )
-        dropped.coalesce(1).write.mode("overwrite").parquet(
+        # re-read the just-written ledger partition — a clean lineage
+        # cut without the former eager-localCheckpoint job
+        dropped = sess.read.parquet(
             os.path.join(ledger_path, f"batch_id={batch_id}")
-        )
+        ).select("term", "dropped_postings", "dropped_tokens")
         prev = sess.read.parquet(os.path.join(dict_dir, f"v{batch_id}"))
         new_dict = (
             prev.join(
@@ -5279,9 +5289,11 @@ def run_index_erasure_stream(
                 .alias("df"),
             )
         )
-        new_dict.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(dict_dir, f"v{batch_id + 1}"))
+        # reads v{b}, writes v{b+1} — no self-overwrite, so the former
+        # pre-write localCheckpoint was a pure extra job
+        new_dict.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dict_dir, f"v{batch_id + 1}")
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -5428,17 +5440,21 @@ def run_cell_erasure_stream(
                 )
             ).alias("vec_id")
         )
-        dropped = (
+        (
             vec_ids.join(assignment, "vec_id")
             .groupBy("cell")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("dropped_vecs")
             )
-            .localCheckpoint(eager=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_path, f"batch_id={batch_id}"))
         )
-        dropped.coalesce(1).write.mode("overwrite").parquet(
+        # re-read the just-written ledger partition — a clean lineage
+        # cut without the former eager-localCheckpoint job
+        dropped = sess.read.parquet(
             os.path.join(ledger_path, f"batch_id={batch_id}")
-        )
+        ).select("cell", "dropped_vecs")
         prev = sess.read.parquet(os.path.join(sizes_dir, f"v{batch_id}"))
         new_sizes = prev.join(dropped, "cell", "left").select(
             "cell",
@@ -5451,9 +5467,11 @@ def run_cell_erasure_stream(
             .cast("long")
             .alias("members"),
         )
-        new_sizes.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sizes_dir, f"v{batch_id + 1}"))
+        # reads v{b}, writes v{b+1} — no self-overwrite, so the former
+        # pre-write localCheckpoint was a pure extra job
+        new_sizes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sizes_dir, f"v{batch_id + 1}")
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -5585,6 +5603,10 @@ def run_graph_erasure_stream(
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         # bag doc_id → the bag's 4 vec ids
+        # request-sized frames recomputed lazily inside the two state
+        # jobs below (the former per-frame eager localCheckpoints each
+        # cost a scheduled job that outweighed re-deriving these
+        # bounded probes — the st45 discipline)
         vec_ids = batch.select(
             F.explode(
                 F.expr(
@@ -5592,9 +5614,9 @@ def run_graph_erasure_stream(
                     "i -> doc_id * 4 + CAST(i AS BIGINT))"
                 )
             ).alias("vec_id")
-        ).localCheckpoint(eager=True)
+        )
         # nbr-keyed point probe: per-source dropped-neighbor counts
-        dropped = (
+        (
             graph.join(
                 F.broadcast(
                     vec_ids.withColumnRenamed("vec_id", "nbr_id")
@@ -5603,11 +5625,13 @@ def run_graph_erasure_stream(
             )
             .groupBy("src_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
-            .localCheckpoint(eager=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_path, f"batch_id={batch_id}"))
         )
-        dropped.coalesce(1).write.mode("overwrite").parquet(
+        dropped = sess.read.parquet(
             os.path.join(ledger_path, f"batch_id={batch_id}")
-        )
+        ).select("src_id", "n_dropped")
         prev = sess.read.parquet(os.path.join(deg_dir, f"v{batch_id}"))
         new_deg = (
             prev.join(
@@ -5630,9 +5654,11 @@ def run_graph_erasure_stream(
                 .alias("degree"),
             )
         )
-        new_deg.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(deg_dir, f"v{batch_id + 1}"))
+        # reads v{b}, writes v{b+1} — no self-overwrite, so the former
+        # pre-write localCheckpoint was a pure extra job
+        new_deg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(deg_dir, f"v{batch_id + 1}")
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
