@@ -1536,7 +1536,7 @@ def run_export_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("fp_sum"),
                 )
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -1645,7 +1645,7 @@ def run_bpe_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("pair")
                 .agg(F.sum("pair_count").cast("bigint").alias("pair_count"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -1850,7 +1850,7 @@ def run_corpus_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("q_sum").cast("long").alias("q_sum"),
                 )
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -3241,10 +3241,10 @@ def run_contract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("o_orderkey")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, "counters", f"v{batch_id}")
         )
-        keys.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        keys.write.mode("overwrite").parquet(
             os.path.join(state, "keys", f"v{batch_id}")
         )
 
@@ -3380,7 +3380,7 @@ def run_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("c_cur").cast("long").alias("c_cur"),
                 )
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -3500,7 +3500,7 @@ def run_token_budget_stream(
             .cast("long")
             .alias("total_tokens")
         )
-        tot.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        tot.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -3724,7 +3724,7 @@ def run_span_index_stream(
                 .groupBy("gram")
                 .agg(F.sum("ndocs").cast("long").alias("ndocs"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -3859,7 +3859,7 @@ def run_quantile_stream(
                 .groupBy("bucket")
                 .agg(F.sum("bn").cast("long").alias("bn"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -4021,7 +4021,7 @@ def run_weighted_quantile_stream(
                 .groupBy("bucket")
                 .agg(F.sum("bw").cast("long").alias("bw"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -4380,7 +4380,7 @@ def run_unseen_mass_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("source", "term")
                 .agg(F.sum("c").cast("long").alias("c"))
             )
-        cur.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cur.write.mode("overwrite").parquet(
             os.path.join(state, f"v{batch_id}")
         )
 
@@ -4504,9 +4504,9 @@ def run_bm25_index_ingest(
                 .groupBy("term")
                 .agg(F.sum("df").cast("long").alias("df"))
             )
-        cur.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(dict_dir, f"v{batch_id}"))
+        cur.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dict_dir, f"v{batch_id}")
+        )
 
     try:
         mx = corpus.agg(F.max("doc_id")).first()[0] + 1
