@@ -4683,9 +4683,9 @@ def run_hybrid_serve_stream(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        qb = batch.select(
-            F.col("doc_id").alias("query_id"), "text"
-        ).localCheckpoint(eager=True)
+        # tiny (≤5-row) query batch: re-deriving it inside the serve
+        # job is cheaper than the eager-localCheckpoint job it cost
+        qb = batch.select(F.col("doc_id").alias("query_id"), "text")
         sparse = bm25_score_index(
             query_terms(qb), tf_idx, dfc_idx, dl_idx, stats_idx, k=20
         )
@@ -4895,9 +4895,9 @@ def run_hybrid_serve_pruned(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        qb = batch.select(
-            F.col("doc_id").alias("query_id"), "text"
-        ).localCheckpoint(eager=True)
+        # tiny (≤5-row) query batch: re-deriving it inside the serve
+        # job is cheaper than the eager-localCheckpoint job it cost
+        qb = batch.select(F.col("doc_id").alias("query_id"), "text")
         sparse = bm25_score_index(
             query_terms(qb), tf_idx, dfc_idx, dl_idx, stats_idx, k=20
         )
