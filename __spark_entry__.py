@@ -5223,6 +5223,55 @@ def x116_retrieval_quality_compare(spark, sf_dir):
     return grade_runs(runs, labels)
 
 
+def _bm25_hybrid_legs(spark, sf_dir):
+    """x124/x130's bm25 + hybrid legs off ONE materialized posting
+    index (r10 composition shave — the _retrieval_eval_legs /
+    x129 precedent): calling the standalone x120/x121 builders
+    tokenized and index-aggregated the corpus once EACH; one
+    tf → df/dl/stats pass now feeds bm25_score_index for the bm25
+    top-5 AND the hybrid's sparse top-20, and the pooled store is
+    materialized once for the dense leg. bm25_topk(corpus, queries, k)
+    IS bm25_score_index over exactly these derived frames (see
+    operators/retrieval.bm25_topk), so the legs are bit-identical to
+    the standalone builders; oracle unchanged."""
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.retrieval import (
+        bm25_score_index,
+        doc_postings,
+        mean_pooled_bags,
+        pooled_cosine_topk,
+        query_terms,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    tf = doc_postings(corpus).localCheckpoint(eager=True)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    )
+    qterms = query_terms(queries_df)
+    sparse5 = bm25_score_index(qterms, tf, dfc, dl, stats, 5)
+    sparse20 = bm25_score_index(qterms, tf, dfc, dl, stats, 20)
+    pooled = mean_pooled_bags(load_table(spark, sf_dir, "embeddings"))
+    dense20 = pooled_cosine_topk(
+        pooled.filter(F.col("doc_id") >= 5),
+        pooled.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), F.col("pv").alias("qv")
+        ),
+        k=20,
+    ).select("query_id", "doc_id", "rank")
+    hybrid10 = rrf_fuse(sparse20, dense20, k=10)
+    return sparse5, hybrid10
+
+
 def x124_retrieval_quality_hybrid(spark, sf_dir):
     """FOUR-WAY retrieval quality (r7) — x116's head-to-head extended
     across the whole platform: late interaction (x110), pooled
@@ -5246,6 +5295,7 @@ def x124_retrieval_quality_hybrid(spark, sf_dir):
     )
 
     labels = geometric_bag_labels(load_table(spark, sf_dir, "embeddings"))
+    sparse5, hybrid10 = _bm25_hybrid_legs(spark, sf_dir)
     runs = (
         x110_maxsim_retrieval(spark, sf_dir)
         .select("query_doc", "cand_doc", "rank")
@@ -5256,8 +5306,7 @@ def x124_retrieval_quality_hybrid(spark, sf_dir):
             .withColumn("system", F.lit("pooled"))
         )
         .unionByName(
-            x120_bm25_topk(spark, sf_dir)
-            .filter(F.col("query_id") < 2)
+            sparse5.filter(F.col("query_id") < 2)
             .select(
                 F.col("query_id").alias("query_doc"),
                 F.col("doc_id").alias("cand_doc"),
@@ -5266,8 +5315,7 @@ def x124_retrieval_quality_hybrid(spark, sf_dir):
             .withColumn("system", F.lit("bm25"))
         )
         .unionByName(
-            x121_hybrid_rrf(spark, sf_dir)
-            .filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
+            hybrid10.filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
             .select(
                 F.col("query_id").alias("query_doc"),
                 F.col("doc_id").alias("cand_doc"),
@@ -5298,6 +5346,7 @@ def x130_retrieval_quality_pruned(spark, sf_dir):
     )
 
     labels = geometric_bag_labels(load_table(spark, sf_dir, "embeddings"))
+    sparse5, hybrid10 = _bm25_hybrid_legs(spark, sf_dir)
     base = (
         x110_maxsim_retrieval(spark, sf_dir)
         .select("query_doc", "cand_doc", "rank")
@@ -5308,14 +5357,13 @@ def x130_retrieval_quality_pruned(spark, sf_dir):
             .withColumn("system", F.lit("pooled"))
         )
     )
-    for name, fn in (
-        ("bm25", x120_bm25_topk),
-        ("hybrid_rrf", x121_hybrid_rrf),
-        ("hybrid_pruned", x121b_hybrid_pruned),
+    for name, leg in (
+        ("bm25", sparse5),
+        ("hybrid_rrf", hybrid10),
+        ("hybrid_pruned", x121b_hybrid_pruned(spark, sf_dir)),
     ):
         base = base.unionByName(
-            fn(spark, sf_dir)
-            .filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
+            leg.filter((F.col("query_id") < 2) & (F.col("rank") <= 5))
             .select(
                 F.col("query_id").alias("query_doc"),
                 F.col("doc_id").alias("cand_doc"),
