@@ -2869,8 +2869,6 @@ def run_streaming_semantic_dedup(
     survivors_path = os.path.join(state, "survivors")
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         sess = batch.sparkSession
         assigned = (
             lloyd_assign(batch.select("vec_id", "v"), cents)
@@ -2879,6 +2877,17 @@ def run_streaming_semantic_dedup(
             .select("cid", "vec_id", "v", "nrm", "label")
             .localCheckpoint(eager=True)  # probed twice below: assign once
         )
+        # STATE FIRST (r10, the st14 discipline): the store grows by
+        # the whole batch BEFORE the probe — the lo.vec_id < hi.vec_id
+        # guard already made own-rows-in-state replay-safe, so ONE
+        # probe against state-including-self is exactly (standing
+        # pairs ∪ in-batch pairs), collapsing the separate in-batch
+        # self-join, the union, and the first-batch AnalysisException
+        # path. State holds every arrival (the drop rule references
+        # every smaller id, retained or not).
+        assigned.select("cid", "vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, f"batch_id={batch_id}"))
 
         def verified(lo: DataFrame, hi: DataFrame) -> DataFrame:
             # same expression family as _semdedup_pairs: exact cosine
@@ -2905,16 +2914,12 @@ def run_streaming_semantic_dedup(
                 .select(F.col("hi.vec_id").alias("vec_id"))
             )
 
-        parts = [verified(assigned.alias("lo"), assigned.alias("hi"))]
-        try:
-            store = sess.read.parquet(store_path)
-            # standing state holds only smaller ids (vec_id-range arrival)
-            parts.append(verified(store.alias("lo"), assigned.alias("hi")))
-        except AnalysisException:
-            pass  # first batch: no standing corpus yet
-        dropped = parts[0]
-        for p in parts[1:]:
-            dropped = dropped.unionByName(p)
+        store = sess.read.parquet(store_path).select(
+            "cid", "vec_id", "v", "nrm"
+        )
+        dropped = verified(
+            store.alias("lo"), F.broadcast(assigned).alias("hi")
+        )
         survivors = assigned.select("vec_id", "label").join(
             dropped.distinct(), "vec_id", "left_anti"
         )
@@ -2924,11 +2929,6 @@ def run_streaming_semantic_dedup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch_id={batch_id}")
         )
-        # state grows by the WHOLE batch: the drop rule references every
-        # smaller id, retained or not
-        assigned.select("cid", "vec_id", "v", "nrm").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, f"batch_id={batch_id}"))
 
     try:
         # vec_id RANGES arriving in order (mtime-ascending backlog)
