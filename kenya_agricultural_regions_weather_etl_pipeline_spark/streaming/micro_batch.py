@@ -2598,7 +2598,6 @@ def run_containment_ingest(
     import shutil
     import time as _time
 
-    from pyspark.errors import AnalysisException
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.text import shingles
@@ -2658,24 +2657,20 @@ def run_containment_ingest(
         new_sizes = new_idx.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_sh")
         )
-        partners = new_idx.select(
+        # STATE FIRST (r10, the st14/st20 discipline): the batch's
+        # index partition is written BEFORE the probe, so the partner
+        # side is ONE read of the standing index INCLUDING this batch
+        # — exactly the old (new_idx ∪ state-excluding-own) multiset,
+        # with the union, the own-partition exclusion filter, and the
+        # first-batch AnalysisException path all collapsed. Replay
+        # stays exactly-once: a crash-replayed batch OVERWRITES its
+        # own partition first, so the read still sees each row once.
+        new_idx.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+        partners = sess.read.parquet(index_path).select(
             F.col("doc_id").alias("id_o"), "sh"
         )
-        try:
-            # REPLAY SAFETY: a crash-replayed batch may find its OWN
-            # rows already in the standing index (its batch_id
-            # partition was written before the commit was lost).
-            # Unioning those with new_idx would double-count every
-            # shared shingle and inflate containment up to 2x, so the
-            # standing read excludes the current batch's partition —
-            # partition pruning makes the exclusion free.
-            partners = partners.unionByName(
-                sess.read.parquet(index_path)
-                .filter(F.col("batch_id") != F.lit(batch_id))
-                .select(F.col("doc_id").alias("id_o"), "sh")
-            )
-        except AnalysisException:
-            pass  # first batch: no standing index yet
         # shingle-keyed candidate join; the o < n guard prevents
         # self-pairing within the batch
         inter = (
@@ -2708,16 +2703,13 @@ def run_containment_ingest(
         survivors.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch_id={batch_id}")
         )
-        # state grows by the WHOLE batch — the drop rule references all
-        # lower ids, retained or not (an excerpt of a dropped rehost is
-        # still an excerpt of its content). The inverted index is the
-        # ONLY standing state: the directional rule C(n → o) divides by
-        # the ARRIVING doc's size, computed in-batch, so a standing
-        # (doc_id, n_sh) size store would be write-only dead state —
-        # one fewer commit cycle per batch.
-        new_idx.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch_id={batch_id}")
-        )
+        # (state grew by the WHOLE batch in the state-first write above
+        # — the drop rule references all lower ids, retained or not: an
+        # excerpt of a dropped rehost is still an excerpt of its
+        # content. The inverted index is the ONLY standing state: the
+        # directional rule C(n → o) divides by the ARRIVING doc's
+        # size, computed in-batch, so a standing (doc_id, n_sh) size
+        # store would be write-only dead state.)
 
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
