@@ -125,9 +125,18 @@ _DF_MEMO: dict = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ
-    + raw ``ts_ns``. Memoized per (session, path, table) — see
-    ``_DF_MEMO``; the returned frame is a lazy plan, never cached data."""
-    key = (id(spark), os.path.realpath(sf_dir), name)
+    + raw ``ts_ns``. Memoized per (session, path, table, stat) — see
+    ``_DF_MEMO``; the returned frame is a lazy plan, never cached data.
+    The path's (mtime_ns, size) rides in the key so rewriting a table
+    in place (tests do; a regenerated fixture would) yields a FRESH
+    read instead of a stale file listing."""
+    path = os.path.realpath(sf_dir)
+    try:
+        st = os.stat(os.path.join(path, f"{name}.parquet"))
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = None
+    key = (id(spark), path, name, sig)
     hit = _DF_MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
