@@ -63,14 +63,26 @@ def release_leaked_blocks(spark: SparkSession) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+# sessions already conf'd this process (r10): every query wrapper and
+# load_table call re-applied the 13 runtime confs — 13 py4j roundtrips
+# (~16 ms) × 367 queries per bench run for values nothing ever unsets.
+# Values hold the session ref so a recycled id() can't alias a new one.
+_CONFS_APPLIED: dict = {}
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply idempotent runtime confs to an externally-provided session."""
+    """Apply idempotent runtime confs to an externally-provided session
+    (once per session per process — they are never unset)."""
+    hit = _CONFS_APPLIED.get(id(spark))
+    if hit is not None and hit is spark:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Conf may be static on some builds; never fail a query over tuning.
             pass
+    _CONFS_APPLIED[id(spark)] = spark
     return spark
 
 
