@@ -1039,21 +1039,23 @@ def run_knn_graph_ingest(
     only existing sources that probe a cell an arrival landed in,
     rescore bounded candidate sets.
 
-    State, exactly-once: three stores. (a) The cell ASSIGNMENT index —
-    st17's batch_id-keyed dynamic-partition-overwrite layout: a replay
-    rewrites its own ``ingest_batch={b}`` partitions, and each batch
-    reads ``ingest_batch < b`` so it sees exactly the pre-batch state
-    either way. (b) The PROBE-LIST index, same layout: a vector's
-    n_probe cells are frozen at arrival (the codebook never changes
-    post-deploy), so each batch writes its arrivals' probe lists once
-    and every later batch REUSES them — without this store, the
-    base×delta fix-up recomputes an N·√N codebook pass per batch (the
-    measured super-linear term in the first st21 probe). (c) The
-    GRAPH edge list — st14/st20's version-chained state: ``v{b}`` is
-    derived from ``v{b-1}`` + the batch and written by overwrite, so
-    replays are idempotent. (At 100 TB the edge list would be
-    partitioned by source cell and merged per-partition; the version
-    chain is the exactness contract, not the layout.)
+    State, exactly-once: two stores. (a) The RANK index — one
+    batch_id-keyed store holding BOTH the cell assignment (rank-1
+    rows, carrying cvec) and the frozen probe lists (rank ≤ n_probe
+    rows): a vector's n_probe cells are frozen at arrival (the
+    codebook never changes post-deploy), so each batch writes its
+    arrivals' ranked cells once and every later batch derives
+    assignment (cell_rank == 1) and probes (projection) from the SAME
+    store — without the stored probe lists, the base×delta fix-up
+    recomputes an N·√N codebook pass per batch (the measured
+    super-linear term in the first st21 probe). A replay rewrites its
+    own ``ingest_batch={b}`` partition, and each batch reads
+    ``ingest_batch < b``, so it sees exactly the pre-batch state
+    either way. (b) The GRAPH edge list — st14/st20's version-chained
+    state: ``v{b}`` is derived from ``v{b-1}`` + the batch and written
+    by overwrite, so replays are idempotent. (At 100 TB the edge list
+    would be partitioned by source cell and merged per-partition; the
+    version chain is the exactness contract, not the layout.)
 
     After the backlog drains, the HEAD graph state is returned and
     equals the batch x86 rebuild bit-for-bit — arrival order does not
@@ -1073,12 +1075,17 @@ def run_knn_graph_ingest(
 
     emb = load_table(spark, sf_dir, "embeddings")
     nc = max(1, _math.ceil(_math.sqrt(emb.count())))
-    cent = _ivf_codebook(emb, "vec_id", "embedding", nc)
+    # the codebook is frozen deploy state: materialize its ~√N rows
+    # ONCE (r11) — left lazy, every batch's broadcast build re-scanned
+    # the embeddings parquet for the same rows (4 identical sub-jobs
+    # per run), the st24 lesson applied to the ingest leg
+    cent = _ivf_codebook(
+        emb, "vec_id", "embedding", nc
+    ).localCheckpoint(eager=True)
 
     workdir = tempfile.mkdtemp(prefix="kw_st21_")
     src_dir = os.path.join(workdir, "arrivals")
-    index = os.path.join(workdir, "assign_index")
-    probes_dir = os.path.join(workdir, "probe_index")
+    index = os.path.join(workdir, "rank_index")
     graph_dir = os.path.join(workdir, "graph")
     os.makedirs(src_dir)
     os.makedirs(graph_dir)
@@ -1097,50 +1104,67 @@ def run_knn_graph_ingest(
         fmt="parquet",
     )
 
-    empty_graph = spark.createDataFrame(
-        [], "src_id bigint, nbr_id bigint, cos_sim double, rank int"
-    )
-    empty_assign = spark.createDataFrame(
-        [], "vec_id bigint, cvec array<double>, cell bigint"
-    )
-
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
-        if batch_id > 0:
-            assigned_base = (
-                sp.read.parquet(index)
-                .filter(F.col("ingest_batch") < batch_id)
-                .select("vec_id", "cvec", F.col("cell").cast("long").alias("cell"))
+        # ONE broadcast-codebook pass over the arrivals feeds
+        # everything below, and ONE batch-keyed store holds BOTH index
+        # legs (r11, was two dynamic-overwrite writes): the write IS
+        # the single evaluation (no localCheckpoint job), cvec is
+        # carried on rank-1 rows only (null elsewhere — no duplicated
+        # vector bytes), and assigned/probes derive from the re-read
+        # by filter/projection, bit-identical to _ivf_assign /
+        # _ivf_probes (same expression, shared window). Direct write
+        # into the batch's own partition dir = replay-safe overwrite
+        # with no partitionOverwriteMode dance.
+        bdir = os.path.join(index, f"ingest_batch={batch_id}")
+        (
+            _ivf_rank_cells(batch, cent, "vec_id", "embedding", 2)
+            .withColumn(
+                "cvec",
+                F.when(F.col("cell_rank") == 1, F.col("cvec")),
             )
-            probes_base = (
-                sp.read.parquet(probes_dir)
-                .filter(F.col("ingest_batch") < batch_id)
-                .select(
-                    "query_id", F.col("cell").cast("long").alias("cell")
-                )
+            .write.mode("overwrite")
+            .parquet(bdir)
+        )
+        rk_b = sp.read.parquet(bdir)
+        assigned_delta = rk_b.filter(F.col("cell_rank") == 1).select(
+            "vec_id", "cvec", "cell"
+        )
+        probes_delta = rk_b.select(
+            F.col("vec_id").alias("query_id"), "cell"
+        )
+        if batch_id > 0:
+            rk_base = sp.read.parquet(index).filter(
+                F.col("ingest_batch") < batch_id
+            )
+            assigned_base = rk_base.filter(
+                F.col("cell_rank") == 1
+            ).select(
+                "vec_id", "cvec", F.col("cell").cast("long").alias("cell")
+            )
+            probes_base = rk_base.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cell").cast("long").alias("cell"),
             )
             base_graph = sp.read.parquet(
                 os.path.join(graph_dir, f"v{batch_id - 1}")
             )
         else:
-            assigned_base, base_graph = empty_assign, empty_graph
+            # empty state frames built on the BATCH session clone: a
+            # pre-stream frame from the outer session would root batch
+            # 0's whole upsert plan there — the outer 32 shuffle
+            # partitions + AQE stage-materialization jobs instead of
+            # the stream's 8/off (measured: batch 0 paid ~8 s of
+            # 32-task sub-jobs before r11)
+            assigned_base = sp.createDataFrame(
+                [], "vec_id bigint, cvec array<double>, cell bigint"
+            )
+            base_graph = sp.createDataFrame(
+                [], "src_id bigint, nbr_id bigint, cos_sim double, rank int"
+            )
             probes_base = sp.createDataFrame(
                 [], "query_id bigint, cell bigint"
             )
-        # ONE broadcast-codebook pass over the arrivals feeds
-        # everything below: the upsert's delta assignment AND delta
-        # probes, the assignment-index write, and the probe-store
-        # write (bit-identical to _ivf_assign/_ivf_probes — same
-        # expression, shared window)
-        ranked = _ivf_rank_cells(
-            batch, cent, "vec_id", "embedding", 2
-        ).localCheckpoint(eager=True)
-        assigned_delta = ranked.filter(F.col("cell_rank") == 1).select(
-            "vec_id", "cvec", "cell"
-        )
-        probes_delta = ranked.select(
-            F.col("vec_id").alias("query_id"), "cell"
-        )
         knn_graph_upsert(
             base_graph,
             assigned_base,
@@ -1152,29 +1176,15 @@ def run_knn_graph_ingest(
             assigned_delta=assigned_delta,
             probes_delta=probes_delta,
         ).write.mode("overwrite").parquet(os.path.join(graph_dir, f"v{batch_id}"))
-        prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (
-                assigned_delta.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("ingest_batch")
-                .parquet(index)
-            )
-            # the arrivals' probe lists, written ONCE at arrival and
-            # reused by every later batch's base×delta fix-up
-            (
-                probes_delta.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("ingest_batch")
-                .parquet(probes_dir)
-            )
-        finally:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # bounded per-batch stages (|delta| × cell-occupancy): AQE
+        # re-planning is pure latency here (f6c665a, the family
+        # discipline st24/st37/st38 already follow)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(emb.schema)
@@ -1190,6 +1200,7 @@ def run_knn_graph_ingest(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     head = max(
         int(d[1:])
@@ -2445,7 +2456,19 @@ def run_streaming_near_dedup(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        feat = featurize(batch).localCheckpoint(eager=True)
+        # fan the arrival file out before the heavy row-wise featurize
+        # (guide §2.5 input parallelism): a micro-batch arrives as ONE
+        # small parquet file = one scan partition, so the shingle +
+        # 16-hash MinHash pass ran on a single core while the rest of
+        # the machine idled (measured: 2.4 s single-task job on batch
+        # 0). One cheap shuffle of the batch's raw rows buys
+        # shuffle.partitions-way parallelism for the dominant per-batch
+        # compute; on a cluster with larger arrival files the scan
+        # splits naturally and this repartition coalesces into it.
+        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        feat = featurize(batch.repartition(fan)).localCheckpoint(
+            eager=True
+        )
         new_buckets = feat.select(
             "doc_id",
             "band",
@@ -2466,10 +2489,15 @@ def run_streaming_near_dedup(
         # write's own partition directories instead of a
         # distinct().collect() job (the st47 discipline).
         bdir = os.path.join(buckets_path, f"batch_id={batch_id}")
-        new_buckets.write.partitionBy("bpfx").mode("overwrite").parquet(
-            bdir
-        )
-        new_sh.write.mode("overwrite").parquet(
+        # co-locate each bucket prefix before the partitioned landing
+        # (st31's one-file-per-partition rule): feat now has `fan`
+        # partitions, so a bare partitionBy write would scatter up to
+        # fan files into every bpfx directory per batch — the probe
+        # read lists all of them forever after
+        new_buckets.repartition(F.col("bpfx")).write.partitionBy(
+            "bpfx"
+        ).mode("overwrite").parquet(bdir)
+        new_sh.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(shsets_path, f"batch_id={batch_id}")
         )
         # candidates vs the standing corpus (now including this batch:
@@ -2683,7 +2711,12 @@ def run_containment_ingest(
         # cheap to recompute — checkpointing those too just added two
         # more commit-cycle jobs per batch (measured on the r6 bench's
         # slowest line).
-        new_idx = featurize(batch).localCheckpoint(eager=True)
+        # fan the one-file arrival out before the shingle explode
+        # (guide §2.5 input parallelism — the st14 r11 discipline)
+        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        new_idx = featurize(batch.repartition(fan)).localCheckpoint(
+            eager=True
+        )
         new_sizes = new_idx.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_sh")
         )
@@ -2892,9 +2925,15 @@ def run_streaming_semantic_dedup(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        # fan the one-file arrival out before the N×K distance fold
+        # (guide §2.5 input parallelism — the st14 r11 discipline): the
+        # batch arrives as one scan partition, so the broadcast-assign
+        # otherwise runs single-task
+        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        b = batch.repartition(fan)
         assigned = (
-            lloyd_assign(batch.select("vec_id", "v"), cents)
-            .join(batch, "vec_id")
+            lloyd_assign(b.select("vec_id", "v"), cents)
+            .join(b, "vec_id")
             .withColumn("nrm", norm(F.col("v")))
             .select("cid", "vec_id", "v", "nrm", "label")
             .localCheckpoint(eager=True)  # probed twice below: assign once
@@ -4502,8 +4541,14 @@ def run_bm25_index_ingest(
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         # ONE checkpoint per batch (f6c665a): postings feed three
-        # consumers (the write, the dl rollup, the df fold)
-        tf_b = doc_postings(batch).localCheckpoint(eager=True)
+        # consumers (the write, the dl rollup, the df fold). The
+        # arrival file is fanned out first so the tokenize runs at
+        # shuffle-partition parallelism, not single-task (guide §2.5,
+        # the st14 r11 discipline).
+        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        tf_b = doc_postings(batch.repartition(fan)).localCheckpoint(
+            eager=True
+        )
         tf_b.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(postings_path, f"batch_id={batch_id}")
         )
@@ -6403,7 +6448,14 @@ def run_preference_pair_stream(
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        scored = batch.select(
+        # fan the one-file arrival out so the two full-text regexes
+        # score at shuffle-partition parallelism instead of single-task
+        # (guide §2.5, the st14 r11 discipline), then co-locate by
+        # cohort so the partitioned landing stays one file per touched
+        # cohort per batch — the second exchange moves 4 metadata
+        # columns only, never text
+        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        scored = batch.repartition(fan).select(
             "lang",
             "source",
             "doc_id",
@@ -6412,9 +6464,9 @@ def run_preference_pair_stream(
         # batch_id-keyed overwrite (replay-safe), cohort-partitioned so
         # later re-mines prune to touched directories
         bdir = os.path.join(corpus_path, f"ingest_batch={batch_id}")
-        scored.write.partitionBy("lang", "source").mode(
-            "overwrite"
-        ).parquet(bdir)
+        scored.repartition("lang", "source").write.partitionBy(
+            "lang", "source"
+        ).mode("overwrite").parquet(bdir)
         # touched cohorts = the partition directories the arrival write
         # just created — bounded metadata read off the store's own
         # layout, zero extra Spark jobs (was a distinct().collect()

@@ -116,12 +116,27 @@ def main() -> int:
         except Exception:
             return -1.0
 
+    def stage_names(j: dict) -> str:
+        names = []
+        for sid in sorted(j.get("stageIds", []))[-3:]:
+            try:
+                with urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages/{sid}"
+                ) as r:
+                    data = json.load(r)
+                if data:
+                    names.append(data[0].get("name", "")[:48])
+            except Exception:
+                pass
+        return " | ".join(names)
+
     total = 0.0
     rows = []
     for j in new:
         d = dur(j)
         total += max(d, 0)
-        rows.append((j["jobId"], d, j.get("numTasks"), (j.get("description") or j.get("name") or "")[:110]))
+        desc = (j.get("description") or j.get("name") or "")[:60]
+        rows.append((j["jobId"], d, j.get("numTasks"), f"{desc} :: {stage_names(j)}"))
     print(f"[jobprof] {args.name}: wall={wall:.2f}s jobs={len(new)} sum_job_sec={total:.2f}")
     # chronological dump
     for jid, d, nt, desc in rows:
