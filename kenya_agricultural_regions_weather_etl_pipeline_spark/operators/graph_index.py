@@ -140,6 +140,13 @@ def deployed_graph_index(
         emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nc = max(1, math.ceil(math.sqrt(n)))
+    # fan the single-split embeddings scan to machine parallelism
+    # before the build's N·√N rank pass (guide §2.5: an unsplittable
+    # one-file input otherwise runs the dominant map on one task; each
+    # testdata table is one single-row-group parquet). Per-row math
+    # and tie-broken windows are partition-independent, so the built
+    # artifacts are bit-identical.
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     cent = _ivf_codebook(emb, "vec_id", "embedding", nc)
 
     art_dir = tempfile.mkdtemp(prefix="kw_graph_idx_")
