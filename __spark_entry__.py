@@ -27,6 +27,9 @@ from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  #
 from kenya_agricultural_regions_weather_etl_pipeline_spark.functions import (  # noqa: E402
     redact as RD,
 )
+from kenya_agricultural_regions_weather_etl_pipeline_spark.functions.jvmframes import (  # noqa: E402
+    values_frame,
+)
 from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (  # noqa: E402
     dedup as D,
     graph as G,
@@ -1182,8 +1185,8 @@ def x106_dedup_threshold_curve(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(
         docs, k_shingle=3, threshold=0.2, max_shingle_df=50
     )
-    th = spark.createDataFrame(
-        [(0.2,), (0.3,), (0.4,), (0.5,), (0.6,)], "t double"
+    th = values_frame(
+        spark, [(0.2,), (0.3,), (0.4,), (0.5,), (0.6,)], "t double"
     )
     j = pairs.crossJoin(F.broadcast(th)).filter(
         F.col("jaccard") >= F.col("t")
@@ -2083,8 +2086,8 @@ def j7_nearest_region_assignment(spark, sf_dir):
     rows = [
         (name, c["lat"], c["lon"]) for name, c in AGRICULTURAL_REGIONS.items()
     ]
-    regions = spark.createDataFrame(
-        rows, "region string, lat double, lon double"
+    regions = values_frame(
+        spark, rows, "region string, lat double, lon double"
     ).select(
         "region",
         F.expr("CAST(floor(lat*1000000.0+0.5) AS BIGINT)").alias("rlat_u"),
@@ -4778,8 +4781,8 @@ def a22_exact_quantiles_distributed(spark, sf_dir):
         "l_linenumber",
     )
     n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    ps = spark.createDataFrame(
-        [(0.5,), (0.9,), (0.99,)], "p double"
+    ps = values_frame(
+        spark, [(0.5,), (0.9,), (0.99,)], "p double"
     )
     ks = ps.crossJoin(F.broadcast(n)).select(
         "p",
@@ -4842,7 +4845,7 @@ def a23_weighted_quantiles(spark, sf_dir):
         "l_linenumber",
     )
     tot = li.agg(F.sum("w").alias("w_total"))
-    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    ps = values_frame(spark, [(0.5,), (0.9,), (0.99,)], "p double")
     ks = ps.crossJoin(F.broadcast(tot)).select(
         "p",
         "w_total",
@@ -4889,8 +4892,8 @@ def x109_equidepth_histogram(spark, sf_dir):
         "l_linenumber",
     )
     n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    ps = spark.createDataFrame(
-        [(i / 10.0,) for i in range(1, 10)], "p double"
+    ps = values_frame(
+        spark, [(i / 10.0,) for i in range(1, 10)], "p double"
     )
     ks = ps.crossJoin(F.broadcast(n)).select(
         F.greatest(
@@ -5694,8 +5697,8 @@ def x96_lsh_parameter_plan(spark, sf_dir):
     driver-free and corpus-free by design: planning must not cost a
     scan); floats are half-up 6dp so both engines agree."""
     target = 0.5
-    plans = spark.createDataFrame(
-        [(1,), (2,), (4,), (8,), (16,)], "n_bands int"
+    plans = values_frame(
+        spark, [(1,), (2,), (4,), (8,), (16,)], "n_bands int"
     ).withColumn("rows_per_band", (F.lit(16) / F.col("n_bands")).cast("int"))
     est = F.pow(
         F.lit(1.0) / F.col("n_bands"), F.col("n_bands") / F.lit(16.0)

@@ -656,6 +656,18 @@ def _driver_union_find(e0: DataFrame) -> DataFrame:
         [StructField("id", id_type), StructField("lbl", id_type)]
     )
     rows = [(x, comp_min[r]) for x, r in roots.items()]
+    # JVM VALUES relation for the typical small result: downstream
+    # aggs/joins then never pay a Python-RDD scan task per action
+    # (functions.jvmframes). The createDataFrame fallback covers the
+    # rare large-node-set case under the 200k-edge fast-path gate.
+    from ..functions.jvmframes import _MAX_VALUES_ROWS, values_frame
+
+    if len(rows) <= _MAX_VALUES_ROWS:
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in out_schema.fields
+        )
+        return values_frame(e0.sparkSession, rows, ddl)
     return e0.sparkSession.createDataFrame(rows, out_schema)
 
 

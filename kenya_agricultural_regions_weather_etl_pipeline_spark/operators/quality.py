@@ -162,8 +162,10 @@ def psi_scoreboard(spark, counts: DataFrame) -> DataFrame:
     'significant shift' gate."""
     from ..functions.weather import round_half_up
 
-    metrics = spark.createDataFrame(
-        [(m,) for m in DRIFT_METRICS], "metric string"
+    from ..functions.jvmframes import values_frame
+
+    metrics = values_frame(
+        spark, [(m,) for m in DRIFT_METRICS], "metric string"
     )
     grid = F.broadcast(metrics).crossJoin(
         spark.range(DRIFT_N_BINS).select(

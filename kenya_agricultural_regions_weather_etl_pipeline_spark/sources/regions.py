@@ -34,8 +34,14 @@ AGRICULTURAL_REGIONS: dict[str, dict[str, float]] = {
 
 
 def regions_df(spark: SparkSession) -> DataFrame:
-    """15-row region dimension: region string, latitude double, longitude double."""
+    """15-row region dimension: region string, latitude double, longitude double.
+
+    Built as a pure-JVM VALUES relation (functions.jvmframes): this
+    frame is referenced by EVERY weather micro-batch, and a Python-local
+    createDataFrame would re-run a Python-RDD scan task per action."""
+    from ..functions.jvmframes import values_frame
+
     rows = [(r, c["lat"], c["lon"]) for r, c in AGRICULTURAL_REGIONS.items()]
-    return spark.createDataFrame(
-        rows, "region string, latitude double, longitude double"
+    return values_frame(
+        spark, rows, "region string, latitude double, longitude double"
     )

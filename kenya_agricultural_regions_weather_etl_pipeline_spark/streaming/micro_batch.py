@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.jvmframes import empty_frame as _empty_frame
+from ..functions.jvmframes import values_frame as _values_frame
 from ..functions.weather import round_half_up
 from ..sources.tables import events_ts_unit, raw_ts_to_micros_sql
 
@@ -245,7 +247,9 @@ def run_keyed_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFrame]:
+def _run_to_memory(
+    df: DataFrame, mode: str, prefix: str, parts: int | None = None
+) -> tuple[str, DataFrame]:
     """availableNow → memory sink, unique query name, await, return table.
 
     Stateful streaming operators create one state-store instance per
@@ -256,13 +260,17 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> tuple[str, DataFram
     after. On a real cluster this knob is sized to state volume /
     executor count, not left at the session default, so pinning it
     here mirrors production practice rather than diverging from it.
+    ``parts`` lets a caller size the state partitioning to its OWN
+    measured backlog volume (st13's formula) instead of the default 8.
     """
     name = _unique_sink(prefix)
     spark = df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(parts if parts else 8)
+            )
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
@@ -535,13 +543,15 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ static-dim join + agg (st5): every micro-batch joins
     against the broadcast static side with no stream-side state; result
     over the finite backlog equals the batch join — the oracle."""
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from ..functions.jvmframes import values_frame
 
-    dim_schema = StructType(
-        [StructField("bucket", IntegerType()), StructField("segment", StringType())]
-    )
-    dim = spark.createDataFrame(
-        [(i, f"SEG{i % 5}") for i in range(15)], dim_schema
+    # JVM VALUES relation: the dim side is re-scanned by EVERY
+    # micro-batch, and a Python-local createDataFrame would pay a
+    # Python-RDD scan task per batch (functions.jvmframes)
+    dim = values_frame(
+        spark,
+        [(i, f"SEG{i % 5}") for i in range(15)],
+        "bucket int, segment string",
     )
     stream = read_events_stream(spark, sf_dir)
     joined = stream.withColumn(
@@ -803,7 +813,19 @@ def run_left_outer_attribution(
         # watermark — observed as exactly the last click's null row
         # missing. Post-materialization filtering cannot affect
         # watermark propagation.
-        _, out = _run_to_memory(joined, "append", "st13")
+        # state partitions derived from backlog VOLUME (VERDICT r10 #8):
+        # a stream-stream outer join instantiates four state stores per
+        # shuffle partition per batch, so near-empty partitions are pure
+        # commit overhead. Production formula: ceil(backlog_bytes /
+        # 64 MiB target state-partition bytes), clamped to [2, session
+        # shuffle.partitions] — sized by the data, not the harness.
+        backlog_bytes = sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(src, "*.parquet"))
+        )
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        parts = max(2, min(sess_parts, -(-backlog_bytes // (64 << 20))))
+        _, out = _run_to_memory(joined, "append", "st13", parts=parts)
         out = out.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1169,14 +1191,14 @@ def run_knn_graph_ingest(
             # partitions + AQE stage-materialization jobs instead of
             # the stream's 8/off (measured: batch 0 paid ~8 s of
             # 32-task sub-jobs before r11)
-            assigned_base = sp.createDataFrame(
-                [], "vec_id bigint, cvec array<double>, cell bigint"
+            assigned_base = _empty_frame(
+                sp, "vec_id bigint, cvec array<double>, cell bigint"
             )
-            base_graph = sp.createDataFrame(
-                [], "src_id bigint, nbr_id bigint, cos_sim double, rank int"
+            base_graph = _empty_frame(
+                sp, "src_id bigint, nbr_id bigint, cos_sim double, rank int"
             )
-            probes_base = sp.createDataFrame(
-                [], "query_id bigint, cell bigint"
+            probes_base = _empty_frame(
+                sp, "query_id bigint, cell bigint"
             )
         knn_graph_upsert(
             base_graph,
@@ -3966,14 +3988,17 @@ def run_quantile_stream(
     )
     from pyspark.sql import Window
 
-    hist = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = hist.select(
-        "bucket",
-        "bn",
-        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("pre"),
-    ).localCheckpoint(eager=True)
-    n_rows = int(prefix.agg(F.sum("bn")).first()[0])
+    # the standing histogram is O(value_range / width) rows regardless
+    # of data volume — collect it ONCE and locate the target ranks in
+    # plain integer arithmetic (bit-identical to the old window+filter
+    # probes, minus six scheduled driver-side jobs: checkpoint, agg,
+    # 3 filter-first probes, and the per-target rank picks below fold
+    # into ONE job)
+    hist = sorted(
+        spark.read.parquet(os.path.join(state, f"v{versions[-1]}")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_rows = sum(r["bn"] for r in hist)
     # k = ceil(p·N) on the same IEEE double product a22's engine
     # expression computes, so the picked ranks are identical
     import math as _math
@@ -3981,14 +4006,12 @@ def run_quantile_stream(
     targets = [(p, max(1, _math.ceil(p * n_rows))) for p in (0.5, 0.9, 0.99)]
     located = {}
     for p, k in targets:
-        row = (
-            prefix.filter(
-                (F.col("pre") < k) & (k <= F.col("pre") + F.col("bn"))
-            )
-            .select("bucket", "pre")
-            .first()
-        )
-        located[(p, k)] = (row["bucket"], row["pre"])
+        pre = 0
+        for r in hist:
+            if pre < k <= pre + r["bn"]:
+                located[(p, k)] = (r["bucket"], pre)
+                break
+            pre += r["bn"]
     # read ONLY the located bucket directories: direct-path read under
     # basePath never even LISTS the other buckets (pruning by
     # construction, stronger than relying on planner PartitionFilters
@@ -4001,22 +4024,28 @@ def run_quantile_stream(
         F.col("value").asc(), F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
     )
-    ranked = rows.withColumn("rn", F.row_number().over(wd)).localCheckpoint(
-        eager=True
-    )
-    out_rows = []
+    cond = None
     for (p, k), (b, pre) in located.items():
-        v = (
-            ranked.filter(
-                (F.col("bucket") == b) & (F.col("rn") == k - pre)
-            )
-            .select("value")
-            .first()["value"]
-        )
-        out_rows.append((p, k, n_rows, v))
-    out = spark.createDataFrame(
-        out_rows, "p double, rank_k long, n_rows long, quantile_value double"
-    ).localCheckpoint(eager=True)
+        c = (F.col("bucket") == b) & (F.col("rn") == k - pre)
+        cond = c if cond is None else (cond | c)
+    picked = {
+        (r["bucket"], r["rn"]): r["value"]
+        for r in rows.withColumn("rn", F.row_number().over(wd))
+        .filter(cond)
+        .select("bucket", "rn", "value")
+        .collect()
+    }
+    out_rows = [
+        (p, k, n_rows, picked[(b, k - pre)])
+        for (p, k), (b, pre) in located.items()
+    ]
+    # JVM VALUES result (no localCheckpoint needed: literal rows carry
+    # no reference to the about-to-be-deleted workdir)
+    out = _values_frame(
+        spark,
+        out_rows,
+        "p double, rank_k long, n_rows long, quantile_value double",
+    )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
@@ -4128,14 +4157,14 @@ def run_weighted_quantile_stream(
     )
     from pyspark.sql import Window
 
-    hist = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = hist.select(
-        "bucket",
-        "bw",
-        F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("pre"),
-    ).localCheckpoint(eager=True)
-    w_total = int(prefix.agg(F.sum("bw")).first()[0])
+    # O(range/width) histogram — collect once, locate the weight
+    # targets in plain integer arithmetic, pick every crossing row in
+    # ONE job (the st31 drain discipline; six driver jobs fold into two)
+    hist = sorted(
+        spark.read.parquet(os.path.join(state, f"v{versions[-1]}")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    w_total = sum(r["bw"] for r in hist)
     # W_p = ceil(p·W_total) on the same IEEE double product a23's
     # engine expression computes, so the picked targets are identical
     import math as _math
@@ -4145,14 +4174,12 @@ def run_weighted_quantile_stream(
     ]
     located = {}
     for p, wk in targets:
-        row = (
-            prefix.filter(
-                (F.col("pre") < wk) & (wk <= F.col("pre") + F.col("bw"))
-            )
-            .select("bucket", "pre")
-            .first()
-        )
-        located[(p, wk)] = (row["bucket"], row["pre"])
+        pre = 0
+        for r in hist:
+            if pre < wk <= pre + r["bw"]:
+                located[(p, wk)] = (r["bucket"], pre)
+                break
+            pre += r["bw"]
     buckets = sorted({b for b, _ in located.values()})
     rows = spark.read.option("basePath", store).parquet(
         *[os.path.join(store, f"bucket={b}") for b in buckets]
@@ -4166,29 +4193,34 @@ def run_weighted_quantile_stream(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranked = rows.withColumn(
-        "cum_in_bucket", F.sum("w").over(wd)
-    ).localCheckpoint(eager=True)
+    cum = rows.withColumn("cum_in_bucket", F.sum("w").over(wd))
+    cond = None
+    for (p, wk), (b, pre) in located.items():
+        c = (
+            (F.col("bucket") == b)
+            & (F.lit(pre) + F.col("cum_in_bucket") >= wk)
+            & (F.lit(pre) + F.col("cum_in_bucket") - F.col("w") < wk)
+        )
+        cond = c if cond is None else (cond | c)
+    picked = cum.filter(cond).select(
+        "bucket", "cum_in_bucket", "w", "value"
+    ).collect()
     out_rows = []
     for (p, wk), (b, pre) in located.items():
-        v = (
-            ranked.filter(
-                (F.col("bucket") == b)
-                & (F.lit(pre) + F.col("cum_in_bucket") >= wk)
-                & (
-                    F.lit(pre) + F.col("cum_in_bucket") - F.col("w")
-                    < wk
-                )
-            )
-            .select("value")
-            .first()["value"]
+        v = next(
+            r["value"]
+            for r in picked
+            if r["bucket"] == b
+            and pre + r["cum_in_bucket"] >= wk
+            and pre + r["cum_in_bucket"] - r["w"] < wk
         )
         out_rows.append((p, wk, w_total, v))
-    out = spark.createDataFrame(
+    out = _values_frame(
+        spark,
         out_rows,
         "p double, target_weight long, total_weight long, "
         "quantile_value double",
-    ).localCheckpoint(eager=True)
+    )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
@@ -5869,8 +5901,10 @@ def run_backfill_stream(
     os.makedirs(fills_dir)
 
     # ---- offline deploy: empty fills v0 (no deletions yet) ----------
-    spark.createDataFrame(
-        [],
+    # JVM-built empty frame: a Python-local createDataFrame pays a
+    # Python-RDD scan task on the write (~1.5-3 s measured) for zero rows
+    _empty_frame(
+        spark,
         "src_id long, new_nbr_id long, backfill_sim double, "
         "fill_rank int",
     ).coalesce(1).write.parquet(os.path.join(fills_dir, "v0"))
