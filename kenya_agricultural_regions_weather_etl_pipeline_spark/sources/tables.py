@@ -123,19 +123,45 @@ def _events_normalize_ts(df: DataFrame, unit_if_raw: str = "ns") -> DataFrame:
 _DF_MEMO: dict = {}
 
 
+def _table_sig(path: str, name: str):
+    """Stat signature for the memo key. For a parquet DIRECTORY the
+    dir's own (mtime, size) does not change when a same-named part file
+    is rewritten in place (ADVICE r10), so the newest child's stat is
+    folded in; regular files keep the plain 2-tuple."""
+    p = os.path.join(path, f"{name}.parquet")
+    try:
+        st = os.stat(p)
+        if os.path.isdir(p):
+            newest = max(
+                (
+                    os.stat(os.path.join(p, c))
+                    for c in os.listdir(p)
+                ),
+                key=lambda s: (s.st_mtime_ns, s.st_size),
+                default=st,
+            )
+            return (
+                st.st_mtime_ns,
+                st.st_size,
+                newest.st_mtime_ns,
+                newest.st_size,
+            )
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ
     + raw ``ts_ns``. Memoized per (session, path, table, stat) — see
     ``_DF_MEMO``; the returned frame is a lazy plan, never cached data.
-    The path's (mtime_ns, size) rides in the key so rewriting a table
+    The path's stat signature rides in the key so rewriting a table
     in place (tests do; a regenerated fixture would) yields a FRESH
-    read instead of a stale file listing."""
+    read instead of a stale file listing; the superseded entry is
+    evicted on insert so the memo holds one live plan per
+    (session, path, table), never a process-lifetime backlog."""
     path = os.path.realpath(sf_dir)
-    try:
-        st = os.stat(os.path.join(path, f"{name}.parquet"))
-        sig = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        sig = None
+    sig = _table_sig(path, name)
     key = (id(spark), path, name, sig)
     hit = _DF_MEMO.get(key)
     if hit is not None and hit[0] is spark:
@@ -144,6 +170,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _events_normalize_ts(df)
+    stale = [
+        k
+        for k in _DF_MEMO
+        if k[:3] == (id(spark), path, name) and k[3] != sig
+    ]
+    for k in stale:
+        del _DF_MEMO[k]
     _DF_MEMO[key] = (spark, df)
     return df
 

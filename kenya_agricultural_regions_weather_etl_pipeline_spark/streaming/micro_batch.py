@@ -3964,8 +3964,13 @@ def run_quantile_stream(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # bounded per-batch stages: AQE's stage-materialization jobs
+        # are pure per-batch latency here (the stream-family
+        # discipline — ~2 extra scheduled jobs per batch measured)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -3980,6 +3985,7 @@ def run_quantile_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     versions = sorted(
         int(d[1:])
@@ -4133,8 +4139,12 @@ def run_weighted_quantile_stream(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (the st31 /
+        # stream-family discipline)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -4149,6 +4159,7 @@ def run_weighted_quantile_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     versions = sorted(
         int(d[1:])
@@ -6522,7 +6533,11 @@ def run_preference_pair_stream(
         # cohort so the partitioned landing stays one file per touched
         # cohort per batch — the second exchange moves 4 metadata
         # columns only, never text
-        fan = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        # fan the CPU-bound regex scoring to the machine's cores (the
+        # stream's 8 shuffle partitions size STATE, not narrow compute;
+        # defaultParallelism = total cores on any cluster, so this
+        # scales with hardware, never a local tune)
+        fan = sess.sparkContext.defaultParallelism
         scored = batch.repartition(fan).select(
             "lang",
             "source",
@@ -6565,10 +6580,21 @@ def run_preference_pair_stream(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    prev_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        # lang/source come back as PARTITION VALUES on every store
+        # read — pin them to string (ADVICE r10: a numeric-looking
+        # source would otherwise infer as int and diverge from batch
+        # x136's dtypes mid-join and at drain)
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            "false",
         )
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
@@ -6583,26 +6609,45 @@ def run_preference_pair_stream(
                 .start()
             )
             q.awaitTermination()
+
+        # drained read INSIDE the conf scope (same dtype pinning as the
+        # in-batch reads). An all-tied/singleton corpus yields a pairs
+        # store with no parquet files at all — that legal empty store
+        # reads as the explicit empty pair frame (ADVICE r10).
+        from pyspark.errors import AnalysisException
+
+        try:
+            drained = spark.read.parquet(pairs_path)
+        except AnalysisException:
+            drained = _empty_frame(
+                spark,
+                "lang string, source string, pair_rank int, "
+                "chosen_id long, rejected_id long, chosen_q double, "
+                "rejected_q double, margin double",
+            )
+        final = (
+            drained.select(
+                "lang",
+                "source",
+                "pair_rank",
+                "chosen_id",
+                "rejected_id",
+                "chosen_q",
+                "rejected_q",
+                "margin",
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
-
-    final = (
-        spark.read.parquet(pairs_path)
-        .select(
-            "lang",
-            "source",
-            "pair_rank",
-            "chosen_id",
-            "rejected_id",
-            "chosen_q",
-            "rejected_q",
-            "margin",
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            prev_infer,
         )
-        .localCheckpoint(eager=True)
-    )
+
     shutil.rmtree(workdir, ignore_errors=True)
     return final
 

@@ -134,6 +134,65 @@ def test_x133_repair_recall_laws(spark, sf001):
         assert abs(r["repair_recall"] - expected) < 1e-9
 
 
+def test_x133_edge_legs_unique(spark, sf001):
+    """Precondition of x133's single full-outer rewrite (ADVICE r10):
+    BOTH edge legs must be unique on (src_id, nbr_id) — a duplicate
+    from either producer would multiply rows in the join and skew all
+    three membership counts. Reconstructs the legs exactly as the
+    query builds them and asserts zero duplicate keys."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators import (
+        graph_index as GI,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+    from kenya_agricultural_regions_weather_etl_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    art = GI.deployed_graph_index(spark, sf001, k=5, n_probe=2)
+    graph = GI.read_graph(spark, art).select("src_id", "nbr_id")
+    emb = load_table(spark, sf001, "embeddings")
+    deleted = emb.select("vec_id").filter(
+        F.expr("CAST(vec_id DIV 4 AS BIGINT) % 17 = 3")
+    )
+    audit = (
+        entrymod.queries()["x128_erasure_graph_repair"](spark, sf001)
+        .filter(F.col("needs_backfill"))
+        .select("src_id")
+    )
+    fills = entrymod.queries()["x132_graph_backfill_repair"](
+        spark, sf001
+    ).select("src_id", F.col("new_nbr_id").alias("nbr_id"))
+    surv = (
+        graph.join(audit, "src_id")
+        .join(
+            deleted.withColumnRenamed("vec_id", "nbr_id"),
+            "nbr_id",
+            "left_anti",
+        )
+        .select("src_id", "nbr_id")
+    )
+    repaired = surv.unionByName(fills)
+    surviving_emb = emb.join(deleted, "vec_id", "left_anti")
+    rebuild = (
+        knn_graph(surviving_emb, k=5, n_probe=2)
+        .select("src_id", "nbr_id")
+        .join(audit, "src_id")
+    )
+    for name, leg in (("repaired", repaired), ("rebuild", rebuild)):
+        dups = (
+            leg.groupBy("src_id", "nbr_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0, f"{name} leg has duplicate (src_id, nbr_id)"
+
+
 def test_st45_backfill_stream_equals_batch_fills_any_batching(
     spark, sf001
 ):
