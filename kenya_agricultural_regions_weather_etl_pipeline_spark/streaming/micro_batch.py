@@ -938,8 +938,13 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -955,6 +960,7 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     versions = sorted(
         int(d[1:])
@@ -1028,8 +1034,13 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(emb.schema)
@@ -1045,6 +1056,7 @@ def run_vector_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
         "vec_id", "query_id"
@@ -1333,8 +1345,13 @@ def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(queries.schema)
@@ -1350,6 +1367,7 @@ def run_vector_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     out = (
         spark.read.parquet(results)
@@ -2220,9 +2238,14 @@ def run_weather_stream_etl(
         .load()
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     with tempfile.TemporaryDirectory() as ckpt:
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+            # AQE off in-stream: bounded per-batch stages (family
+            # discipline r11 — AQE stage-materialization jobs are pure
+            # per-batch scheduling latency on these bounded plans)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             _tq = time.perf_counter()
             q = (
                 stream.writeStream.foreachBatch(one_day)
@@ -2264,6 +2287,7 @@ def run_weather_stream_etl(
             _lifecycle_mark("stopped", _tq)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return spark.read.parquet(target).select(*WEATHER_LOAD_COLUMNS)
 
 
@@ -3050,9 +3074,14 @@ def run_streaming_semantic_dedup(
             .parquet(src)
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         with tempfile.TemporaryDirectory() as ckpt:
             try:
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
+                # AQE off in-stream: bounded per-batch stages (family
+                # discipline r11 — AQE stage-materialization jobs are pure
+                # per-batch scheduling latency on these bounded plans)
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
                 q = (
                     stream.writeStream.foreachBatch(one_batch)
                     .option("checkpointLocation", ckpt)
@@ -3062,6 +3091,7 @@ def run_streaming_semantic_dedup(
                 q.awaitTermination()
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         out = (
             spark.read.parquet(survivors_path)
             .groupBy("label")
@@ -3349,8 +3379,13 @@ def run_contract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -3366,6 +3401,7 @@ def run_contract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     final_c = max(
         _glob.glob(os.path.join(state, "counters", "v*")),
@@ -3485,8 +3521,13 @@ def run_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -3502,6 +3543,7 @@ def run_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     final = max(
         _glob.glob(os.path.join(state, "v*")),
@@ -3709,8 +3751,13 @@ def run_nb_deploy_stream(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -3726,6 +3773,7 @@ def run_nb_deploy_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     out_schema = StructType(
         [
@@ -3829,8 +3877,13 @@ def run_span_index_stream(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(schema)
@@ -3846,6 +3899,7 @@ def run_span_index_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     versions = sorted(
         int(d[1:])
@@ -4405,8 +4459,13 @@ def run_late_data_audit(
     )
     name = f"st33_sink_{abs(hash(workdir)) % 10_000_000}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             stream = (
                 spark.readStream.schema(schema)
@@ -4429,6 +4488,7 @@ def run_late_data_audit(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     cutoff = F.timestamp_micros(F.lit(mx_us))
     out = (
         spark.table(name)
@@ -6422,9 +6482,14 @@ def run_decontamination_ingest(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         # dynamic overwrite set ONCE on the stream's parent session —
         # micro-batch session clones inherit it (the st47 discipline)
         spark.conf.set(
@@ -6445,6 +6510,7 @@ def run_decontamination_ingest(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
@@ -6579,12 +6645,17 @@ def run_preference_pair_stream(
         ).mode("overwrite").parquet(pairs_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     prev_infer = spark.conf.get(
         "spark.sql.sources.partitionColumnTypeInference.enabled"
     )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
@@ -6640,6 +6711,7 @@ def run_preference_pair_stream(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
@@ -6708,8 +6780,13 @@ def run_shard_export_stream(
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE off in-stream: bounded per-batch stages (family
+        # discipline r11 — AQE stage-materialization jobs are pure
+        # per-batch scheduling latency on these bounded plans)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 spark.readStream.schema(docs.schema)
@@ -6725,6 +6802,7 @@ def run_shard_export_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     final = shard_balance_audit(
         spark.read.parquet(store).select("doc_id", "n_tok", "shard")
