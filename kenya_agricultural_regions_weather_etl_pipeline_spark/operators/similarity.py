@@ -1304,6 +1304,12 @@ def lloyd_trained_centroids(
     centroid table is localCheckpoint-ed each round so the plan stays
     flat across iterations.
     """
+    # (r11 note: fanning + checkpointing the trainer input here was
+    # measured again — with the materialization this time — and still
+    # nets out negative at sf0.1: the extra shuffle+checkpoint jobs
+    # cost about what the parallelized 1-task assigns save, and the
+    # small-k callers regress ~0.5 s. On a cluster the corpus arrives
+    # multi-split, so the single-task case is a local-fixture artifact.)
     cents = (
         emb.orderBy("vec_id")
         .limit(k)
