@@ -2411,8 +2411,8 @@ def run_streaming_near_dedup(
     )
     src = tempfile.mkdtemp(prefix="kw_st14_src_")
     state = tempfile.mkdtemp(prefix="kw_st14_state_")
-    buckets_path = os.path.join(state, "buckets")
-    shsets_path = os.path.join(state, "shsets")
+    # unified bucket-index + shingle store (art=b / art=s partitions)
+    index_path = os.path.join(state, "index")
     survivors_path = os.path.join(state, "survivors")
     rows_per_band = num_hashes // bands
 
@@ -2547,18 +2547,25 @@ def run_streaming_near_dedup(
         # collapse, and the touched-prefix list is read off the bucket
         # write's own partition directories instead of a
         # distinct().collect() job (the st47 discipline).
-        bdir = os.path.join(buckets_path, f"batch_id={batch_id}")
-        # co-locate each bucket prefix before the partitioned landing
-        # (st31's one-file-per-partition rule): feat now has `fan`
-        # partitions, so a bare partitionBy write would scatter up to
-        # fan files into every bpfx directory per batch — the probe
-        # read lists all of them forever after
-        new_buckets.repartition(F.col("bpfx")).write.partitionBy(
-            "bpfx"
-        ).mode("overwrite").parquet(bdir)
-        new_sh.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(shsets_path, f"batch_id={batch_id}")
+        bdir = os.path.join(index_path, f"batch_id={batch_id}")
+        # ONE unified state write per batch (VERDICT r10 #4): the
+        # bucket index and the shingle store land in a single
+        # partitioned write under an artifact axis (art=b: one file
+        # per touched bpfx, art=s: one file) — was two scheduled
+        # write jobs + two commits per batch for the same bytes. The
+        # repartition co-locates each (art, bpfx) group in one task
+        # (st31's one-file-per-partition rule); readers prune on the
+        # art/bpfx directories and column-prune the other artifact's
+        # null columns, so probe I/O is unchanged.
+        unified = new_buckets.withColumn("art", F.lit("b")).unionByName(
+            new_sh.withColumn("art", F.lit("s")).withColumn(
+                "bpfx", F.lit(-1).cast("int")
+            ),
+            allowMissingColumns=True,
         )
+        unified.repartition(F.col("art"), F.col("bpfx")).write.partitionBy(
+            "art", "bpfx"
+        ).mode("overwrite").parquet(bdir)
         # candidates vs the standing corpus (now including this batch:
         # lower-id partners are in state or in-batch, both covered).
         # The o.doc_id < n.doc_id guard is REQUIRED for replay safety:
@@ -2578,11 +2585,15 @@ def run_streaming_near_dedup(
         # metadata (<= n_bucket_prefixes values).
         batch_pfx = [
             int(d[5:])
-            for d in _list_dir_names(sess, bdir)
+            for d in _list_dir_names(sess, os.path.join(bdir, "art=b"))
             if d.startswith("bpfx=")
         ]
-        old_buckets = sess.read.parquet(buckets_path).filter(
-            F.col("bpfx").isin(batch_pfx)
+        old_buckets = (
+            sess.read.parquet(index_path)
+            .filter(
+                (F.col("art") == "b") & F.col("bpfx").isin(batch_pfx)
+            )
+            .select("doc_id", "band", "bucket", "bpfx")
         )
         pairs = (
             old_buckets.alias("o")
@@ -2600,8 +2611,9 @@ def run_streaming_near_dedup(
             .dropDuplicates(["id_a", "id_b"])
         )
         lo_sh = (
-            sess.read.parquet(shsets_path)
-            .select("doc_id", "shset")  # drop the batch_id partition col
+            sess.read.parquet(index_path)
+            .filter(F.col("art") == "s")
+            .select("doc_id", "shset")  # drop the partition cols
             .withColumnRenamed("doc_id", "id_a")
         )
         dropped = exact_ok(
