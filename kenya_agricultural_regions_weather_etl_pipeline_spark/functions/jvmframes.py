@@ -64,7 +64,11 @@ def _sql_literal(v, dt: T.DataType) -> str:
     if isinstance(dt, T.FloatType):
         return f"CAST('{float(v)!r}' AS FLOAT)"
     if isinstance(dt, T.StringType):
-        return "'" + str(v).replace("'", "''") + "'"
+        # backslash first: Spark's default SQL parser treats \ as an
+        # escape inside single-quoted literals (escapedStringLiterals
+        # is false), so a raw backslash would mis-round-trip
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
     if isinstance(dt, T.BooleanType):
         return "true" if v else "false"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

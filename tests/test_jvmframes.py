@@ -41,6 +41,13 @@ def test_values_frame_matches_createdataframe_exactly(spark):
         assert x[1] == y[1] and x[2] == y[2]
 
 
+def test_values_frame_backslash_and_quote_strings(spark):
+    rows = [(r"back\slash",), ("it's",), (r"both\'n",)]
+    a = spark.createDataFrame(rows, "s string")
+    b = values_frame(spark, rows, "s string")
+    assert _rows(a) == _rows(b)
+
+
 def test_values_frame_nan_and_null(spark):
     rows = [(1, float("nan")), (2, None)]
     b = values_frame(spark, rows, "id long, v double")
